@@ -1,0 +1,330 @@
+"""Deterministic synthetic fixture corpus (FIXTURES.md §1, §3-4).
+
+Every case is built from fixed literals — no randomness, no wall-clock —
+so the corpus is byte-identical across runs and machines. Golden
+outputs are produced by running the extraction kernel ONCE over these
+cases and freezing the results under ``tests/golden/`` (see
+``scripts/freeze_goldens.py``); pytest then enforces byte equality.
+
+Case ids follow FIXTURES.md §3-4; each pins down specific reference
+behavior (citations in FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from ..operators.pdf_generator import PageSpec, build_pdf
+
+BASE_TS = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+_BODY_EN = [
+    "The quick brown fox jumps over the lazy dog while the engine",
+    "keeps every byte of extracted text deterministic and stable",
+    "across repeated runs on any number of executors in the cluster",
+]
+_BODY_JA = [
+    "日本語の本文はこの行に含まれており抽出結果は常に同一です",
+    "二行目の日本語テキストもまた決定的に処理されます",
+]
+
+
+def _lines(page: PageSpec, lines: list[list[str]], x: float = 72.0,
+           y0: float = 100.0, dy: float = 20.0, size: float = 12.0) -> None:
+    for i, words in enumerate(lines):
+        page.put_words(x, y0 + i * dy, size, words)
+
+
+# ------------------------------------------------------------- PDF cases
+
+def _pdf_single_col() -> bytes:
+    pages = []
+    for pno in range(3):
+        p = PageSpec()
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put(72, 170, 12, _BODY_JA[0])
+        p.put(72, 190, 12, _BODY_JA[1])
+        p.put_words(72, 220, 12, [f"closing", "line", "page{}".format(pno + 1),
+                                  "with", "enough", "words", "to", "stay"])
+        pages.append(p)
+    return build_pdf(pages)
+
+
+def _pdf_two_col() -> bytes:
+    pages = []
+    for pno in range(2):
+        p = PageSpec()
+        left = [["Left", "column", "first", "line"],
+                ["left", "column", "second", "line"],
+                ["left", "column", "third", "line"]]
+        right = [["Right", "column", "alpha", "row"],
+                 ["right", "column", "beta", "row"],
+                 ["right", "column", "gamma", "row"]]
+        _lines(p, left, x=72.0)
+        _lines(p, right, x=330.0)
+        pages.append(p)
+    return build_pdf(pages)
+
+
+def _pdf_header_footer() -> bytes:
+    pages = []
+    for pno in range(5):
+        p = PageSpec()
+        p.put(240, 20, 10, "Annual Technical Report 2025")
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put_words(72, 180, 12, ["unique", "body", "sentence", "number",
+                                  f"v{pno+1}", "stays", "in", "the", "output",
+                                  "text"])
+        p.put(290, 760, 10, f"- {pno + 1} -")
+        p.put(200, 775, 9, "Fixture Corp Confidential")
+        pages.append(p)
+    return build_pdf(pages)
+
+
+def _pdf_section_numbers() -> bytes:
+    p = PageSpec()
+    p.put(72, 100, 12, "1.2")
+    p.put_words(110, 100, 12, ["Section", "heading", "kept", "always"])
+    p.put(72, 130, 12, "(3)")
+    p.put_words(110, 130, 12, ["Enumerated", "item", "stays", "present"])
+    p.put(72, 160, 12, "①")
+    p.put_words(110, 160, 12, ["Circled", "number", "section", "marker"])
+    p.put(72, 190, 12, "第2章")
+    p.put_words(140, 190, 12, ["日本語の章見出しはここから始まります"])
+    p.put(300, 30, 10, "7")     # isolated digit in top margin → dropped
+    p.put(300, 770, 10, "42")   # isolated digit in bottom margin → dropped
+    p.put_words(72, 300, 12, ["Body", "continues", "with", "normal",
+                              "running", "text", "for", "padding", "rows"])
+    return build_pdf([p])
+
+
+def _pdf_footnotes() -> bytes:
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put_words(72, 180, 12, ["claim", "with", "marker"])
+    p.put(260, 180, 8, "*1")
+    p.put_words(72, 210, 12, ["second", "claim", "here"])
+    p.put(250, 210, 8, "※")
+    # bottom region definitions (kept by footnote-ish margin rule)
+    p.put(72, 730, 9, "*1:")
+    p.put_words(100, 730, 9, ["first", "footnote", "definition", "text"])
+    p.put(72, 745, 9, "※")
+    p.put_words(100, 745, 9, ["second", "footnote", "definition", "spanning"])
+    p.put_words(100, 758, 9, ["a", "second", "line", "of", "definition"])
+    return build_pdf([p])
+
+
+def _pdf_scripts() -> bytes:
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put(72, 200, 12, "H")
+    p.put(80, 204, 6, "2")      # subscript-sized, below middle
+    p.put(88, 200, 12, "O")
+    p.put(130, 200, 12, "x")
+    p.put(137, 198, 6, "2")     # superscript-sized, above middle
+    return build_pdf([p])
+
+
+def _pdf_mixed_spacing() -> bytes:
+    """JP↔EN alternating tokens with controlled gaps 1/3/5/12 px —
+    exercises every W2 branch."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    y = 200.0
+    p.put(72, y, 12, "word")
+    p.put(97, y, 12, "next")       # gap 1 → no space
+    p.put(124, y, 12, "far")       # gap 3 → no space (EN needs >3)
+    p.put(147, y, 12, "apart")     # gap 5 → space
+    y2 = 230.0
+    p.put(72, y2, 12, "日本")
+    p.put(101, y2, 12, "語句")      # gap 5 JP↔JP → no space
+    p.put(137, y2, 12, "間隔")      # gap 12 JP↔JP → space
+    p.put(164, y2, 12, "。")        # punct → no space
+    return build_pdf([p])
+
+
+def _pdf_join_lines() -> bytes:
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put(72, 200, 12, "この文は助詞の")          # ends with particle の → join
+    p.put(72, 220, 12, "続きであり一文です。")     # terminator ends
+    p.put_words(72, 250, 12, ["ends", "with", "comma,"])
+    p.put_words(72, 270, 12, ["so", "it", "joins", "here."])
+    p.put_words(72, 300, 12, ["Terminated", "line", "stays", "alone."])
+    p.put_words(72, 320, 12, ["-", "bullet", "line", "never", "joins"])
+    return build_pdf([p])
+
+
+def _pdf_empty_page() -> bytes:
+    p1 = PageSpec()
+    _lines(p1, [ln.split() for ln in _BODY_EN])
+    p1.put_words(72, 180, 12, ["before", "the", "empty", "page", "comes",
+                               "this", "full", "text", "row", "here"])
+    p2 = PageSpec()  # zero words
+    p3 = PageSpec()
+    _lines(p3, [ln.split() for ln in _BODY_EN])
+    p3.put_words(72, 180, 12, ["after", "the", "empty", "page", "comes",
+                               "this", "full", "text", "row", "too"])
+    return build_pdf([p1, p2, p3])
+
+
+def _pdf_scanned() -> bytes:
+    p1 = PageSpec()
+    _lines(p1, [ln.split() for ln in _BODY_EN])
+    p1.put_words(72, 180, 12, ["normal", "page", "before", "the", "scanned",
+                               "one", "with", "many", "words", "present"])
+    p2 = PageSpec()
+    p2.put_words(72, 100, 12, ["only", "four", "words", "here"])  # < 10
+    return build_pdf([p1, p2])
+
+
+def _pdf_rotated() -> bytes:
+    p1 = PageSpec(rotate=90)
+    _lines(p1, [ln.split() for ln in _BODY_EN])
+    p1.put_words(72, 180, 12, ["rotated", "page", "content", "is", "still",
+                               "extracted", "and", "only", "flagged", "ok"])
+    return build_pdf([p1])
+
+
+# ------------------------------------------------------------ HTML cases
+
+def _html_article() -> bytes:
+    return (
+        "<html><head><title>Article</title><style>p{margin:0}</style></head>"
+        "<body><nav><a href='/'>Home</a> <a href='/a'>Archive</a> "
+        "<a href='/c'>Contact</a></nav>"
+        "<article><h1>Deterministic Extraction at Scale</h1>"
+        "<p>Main content paragraphs carry the real article text and are "
+        "long enough to be classified as content by the density rules.</p>"
+        "<p>A second substantial paragraph continues the article body and "
+        "demonstrates multi-block serialization with stable offsets.</p>"
+        "</article>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a> "
+        "<a href='/i'>Imprint</a></footer></body></html>"
+    ).encode("utf-8")
+
+
+def _html_linkfarm() -> bytes:
+    links = " ".join(f"<a href='/l{i}'>link number {i}</a>" for i in range(30))
+    return (
+        "<html><body><div>" + links + "</div>"
+        "<p>The single honest paragraph in a farm of links survives "
+        "because its own link density is zero and it is long.</p>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def _html_mixed_lang() -> bytes:
+    return (
+        "<html><body><p>日本語の本文に English terms が混在する段落であり、"
+        "十分な長さを持つため本文として保持されます。</p>"
+        "<p>Short tail.</p></body></html>"
+    ).encode("utf-8")
+
+
+def _html_tables_lists() -> bytes:
+    return (
+        "<html><body><h2>Results Table</h2>"
+        "<table><tr><td>metric one value column entry text</td>"
+        "<td>metric two value column entry text</td></tr></table>"
+        "<ul><li>first list item with enough characters to stand alone</li>"
+        "<li>second list item with enough characters to stand alone</li></ul>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def _html_entities() -> bytes:
+    return (
+        "<html><body><p>Entities &amp; escapes like &#x3042; and &lt;tags&gt; "
+        "decode deterministically inside this long paragraph of text.</p>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def _html_short_blocks() -> bytes:
+    return (
+        "<html><body>"
+        "<p>A long opening paragraph of genuine content that anchors the "
+        "neighbor-smoothing rule for the short block that follows.</p>"
+        "<p>Short but kept.</p>"
+        "<p>A long closing paragraph of genuine content that also anchors "
+        "the short block and is itself clearly main content.</p>"
+        "<div><a href='/x'>isolated nav link</a></div>"
+        "<p>Orphan short.</p>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+_PDF_CASES = {
+    "pdf-single-col": _pdf_single_col,
+    "pdf-two-col": _pdf_two_col,
+    "pdf-header-footer": _pdf_header_footer,
+    "pdf-section-numbers": _pdf_section_numbers,
+    "pdf-footnotes": _pdf_footnotes,
+    "pdf-scripts": _pdf_scripts,
+    "pdf-mixed-spacing": _pdf_mixed_spacing,
+    "pdf-join-lines": _pdf_join_lines,
+    "pdf-empty-page": _pdf_empty_page,
+    "pdf-scanned": _pdf_scanned,
+    "pdf-rotated": _pdf_rotated,
+}
+
+_HTML_CASES = {
+    "html-article": _html_article,
+    "html-linkfarm": _html_linkfarm,
+    "html-mixed-lang": _html_mixed_lang,
+    "html-tables-lists": _html_tables_lists,
+    "html-entities": _html_entities,
+    "html-short-blocks": _html_short_blocks,
+}
+
+_CASE_LANG = {
+    "pdf-single-col": "mixed", "pdf-two-col": "en",
+    "pdf-header-footer": "en", "pdf-section-numbers": "mixed",
+    "pdf-footnotes": "en", "pdf-scripts": "en",
+    "pdf-mixed-spacing": "mixed", "pdf-join-lines": "mixed",
+    "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
+    "html-article": "en", "html-linkfarm": "en",
+    "html-mixed-lang": "mixed", "html-tables-lists": "en",
+    "html-entities": "en", "html-short-blocks": "en",
+}
+
+
+def fixture_cases() -> list[tuple[str, str, str, bytes]]:
+    """Ordered (case_id, branch, lang, payload) — deterministic order."""
+    out: list[tuple[str, str, str, bytes]] = []
+    for cid in sorted(_PDF_CASES):
+        out.append((cid, "pdf", _CASE_LANG[cid], _PDF_CASES[cid]()))
+    for cid in sorted(_HTML_CASES):
+        out.append((cid, "html", _CASE_LANG[cid], _HTML_CASES[cid]()))
+    return out
+
+
+def build_pages_frame(copies: int = 1) -> pd.DataFrame:
+    """The ``pages`` input table (FIXTURES.md §1) as a pandas frame:
+    url, warc_ts, html (binary payload), text (empty), lang.
+
+    ``copies > 1`` replicates case bodies under unique urls (bench
+    corpora, FIXTURES.md: "replicated case bodies with unique urls").
+    """
+    rows = []
+    i = 0
+    cases = fixture_cases()
+    for copy in range(copies):
+        for cid, branch, lang, payload in cases:
+            url = f"https://fixture.test/{branch}/{cid}"
+            if copies > 1:
+                url += f"/{copy}"
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": BASE_TS + dt.timedelta(seconds=i),
+                    "html": payload,
+                    "text": "",
+                    "lang": lang,
+                }
+            )
+            i += 1
+    return pd.DataFrame(rows)

@@ -1,0 +1,206 @@
+"""Metadata filtering + repeating header/footer detection.
+
+P2-P7, P10, P12 and A1 from SURVEY.md §2.2/§2.5 (reference
+``extractor.py:56-85,123-159,218-418``, ``error_handler.py:210-221``).
+The decision table is pure boolean algebra over word-box columns —
+fully vectorized masks, include-by-default priority order replicated
+from the reference (keep rules win over drop rules).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..config import ExtractConfig
+
+# P3 — section-number battery (reference extractor.py:66-74,315-336)
+SECTION_NUMBER_RE = re.compile(
+    r"^(?:"
+    r"\d+(?:\.\d+)+\.?"          # 1.2 / 1.2.3.
+    r"|\(\d+\)"                  # (1)
+    r"|\d+\)"                    # 1)
+    r"|[①-⑳]"                    # circled numbers
+    r"|第\d+[章条項節款目]"        # 第N章 etc.
+    r"|[一二三四五六七八九十百]+、"  # 一、
+    r")$"
+)
+
+# P6 — strict page-number patterns (reference extractor.py:56-63)
+PAGE_NUMBER_RE = re.compile(
+    r"^(?:"
+    r"[Pp]age\s*\d+"
+    r"|ページ\s*\d+|\d+\s*ページ"
+    r"|-\s*\d+\s*-"
+    r"|\d+\s*/\s*\d+"
+    r"|[Pp]\.\s*\d+"
+    r")$"
+)
+
+# P7 — footnote-marker patterns (reference extractor.py:77-85)
+FOOTNOTE_MARKER_RE = re.compile(
+    r"^(?:\*\d+|※\d*|注\d*|†|‡|\[\d+\]|\(\*\d+\))[:：]?$"
+)
+
+_DIGITS_RE = re.compile(r"^\d{1,4}$")
+
+
+def is_section_number(text: str) -> bool:
+    return bool(SECTION_NUMBER_RE.match(text))
+
+
+def is_page_number(text: str) -> bool:
+    return bool(PAGE_NUMBER_RE.match(text))
+
+
+def is_footnote_marker(text: str) -> bool:
+    return bool(FOOTNOTE_MARKER_RE.match(text))
+
+
+def detect_repeating_elements(
+    pages: list[pd.DataFrame],
+    page_heights: list[float],
+    cfg: ExtractConfig,
+) -> tuple[set[str], set[str]]:
+    """A1 (reference ``extractor.py:123-159``): sample the FIRST ≤5 pages
+    (needs ≥3); concatenate word texts in the top/bottom 10% band per
+    page; strings present on ≥80% of sampled pages are repeating
+    headers/footers. Returns the *word-text sets* composing those
+    strings (the reference filters at word granularity,
+    ``extractor.py:265-267`` / J7).
+
+    Determinism: first-N sampling, exact string match — no randomness.
+    """
+    if len(pages) < cfg.header_min_pages:
+        return set(), set()
+    sample = pages[: cfg.header_sample_pages]
+    heights = page_heights[: cfg.header_sample_pages]
+    need = cfg.header_repeat_ratio * len(sample)
+
+    def band_strings(top_band: bool) -> dict[str, int]:
+        """Per page: margin words clustered into LINES (band tolerance);
+        one candidate string per line. Line granularity — not whole-band —
+        so a varying page number on one line doesn't mask a repeating
+        header/footer on another."""
+        counts: dict[str, int] = {}
+        for words, h in zip(sample, heights):
+            if len(words) == 0:
+                continue
+            if top_band:
+                mask = words["top"] < cfg.header_band_frac * h
+            else:
+                mask = words["bottom"] > (1 - cfg.footer_band_frac) * h
+            band = words.loc[mask].sort_values(
+                ["top", "x0"], kind="mergesort"
+            )
+            if len(band) == 0:
+                continue
+            line_id = (
+                (band["top"].diff() >= cfg.band_tolerance)
+                .fillna(False).astype(int).cumsum()
+            )
+            page_seen: set[str] = set()
+            for _lid, grp in band.groupby(line_id):
+                s = " ".join(grp["text"].astype(str))
+                if s:
+                    page_seen.add(s)
+            for s in page_seen:
+                counts[s] = counts.get(s, 0) + 1
+        return counts
+
+    headers: set[str] = set()
+    footers: set[str] = set()
+    for s, n in band_strings(True).items():
+        if n >= need:
+            headers.update(s.split(" "))
+    for s, n in band_strings(False).items():
+        if n >= need:
+            footers.update(s.split(" "))
+    return headers, footers
+
+
+def has_nearby_content(words: pd.DataFrame, cfg: ExtractConfig) -> np.ndarray:
+    """P10 (reference ``extractor.py:385-418``): True per word if another
+    word's center lies within ``isolation_dist``. The reference is
+    O(n²); n ≈ 10³ words/page makes a vectorized distance matrix fine
+    inside the Arrow batch (SURVEY.md §2.2 P10)."""
+    n = len(words)
+    if n <= 1:
+        return np.zeros(n, dtype=bool)
+    cx = ((words["x0"] + words["x1"]) / 2).to_numpy()
+    cy = ((words["top"] + words["bottom"]) / 2).to_numpy()
+    dx = cx[:, None] - cx[None, :]
+    dy = cy[:, None] - cy[None, :]
+    dist2 = dx * dx + dy * dy
+    np.fill_diagonal(dist2, np.inf)
+    return (dist2 < cfg.isolation_dist**2).any(axis=1)
+
+
+def filter_metadata(
+    words: pd.DataFrame,
+    page_height: float,
+    headers: set[str],
+    footers: set[str],
+    cfg: ExtractConfig,
+) -> pd.DataFrame:
+    """P2 — the 6-rule metadata filter (reference ``extractor.py:218-313``),
+    include-by-default. Priority order (first hit wins), replicated:
+
+      KEEP  if section number (P3) or footnote marker (P7)
+      DROP  if strict page-number pattern (P6)
+      DROP  if word text ∈ repeating header set and word in header band (J7)
+      DROP  if word text ∈ repeating footer set and word in footer band
+      DROP  if in top 5% band and box height ≤ 14 (margin rule)
+      DROP  if bare digits in top/bottom 10% band with no nearby content
+            (P4 page-number-vs-content: margin ∧ isolation)
+      KEEP  otherwise
+    """
+    if len(words) == 0:
+        return words
+    text = words["text"].astype(str)
+    keep_always = text.map(is_section_number) | text.map(is_footnote_marker)
+    drop_pagenum = text.map(is_page_number)
+
+    in_header_band = words["top"] < cfg.header_band_frac * page_height
+    in_footer_band = words["bottom"] > (1 - cfg.footer_band_frac) * page_height
+    drop_header = text.isin(headers) & in_header_band
+    drop_footer = text.isin(footers) & in_footer_band
+
+    height = words["bottom"] - words["top"]
+    in_top5 = words["top"] < cfg.top_drop_frac * page_height
+    drop_top = in_top5 & (height <= cfg.top_drop_max_height)
+
+    bare_digits = text.map(lambda t: bool(_DIGITS_RE.match(t)))
+    nearby = pd.Series(has_nearby_content(words, cfg), index=words.index)
+    drop_isolated_digit = (
+        bare_digits & (in_header_band | in_footer_band) & ~nearby
+    )
+
+    # P4/P6 at band granularity: a margin LINE whose assembled text is a
+    # strict page-number pattern drops wholesale ("- 1 -" tokenizes to
+    # three words; the pattern only exists at line level — reference
+    # applies it to extracted strings, extractor.py:338-383).
+    drop_pagenum_band = pd.Series(False, index=words.index)
+    margin = words.loc[in_header_band | in_footer_band]
+    if len(margin) > 0:
+        m = margin.sort_values(["top", "x0"], kind="mergesort")
+        band_id = (m["top"].diff() >= cfg.band_tolerance).fillna(False)
+        band_id = band_id.astype(int).cumsum()
+        for _bid, idx in m.groupby(band_id).groups.items():
+            band_text = " ".join(m.loc[idx, "text"].astype(str))
+            if is_page_number(band_text):
+                drop_pagenum_band.loc[idx] = True
+
+    drop = (
+        drop_pagenum | drop_header | drop_footer | drop_top
+        | drop_isolated_digit | drop_pagenum_band
+    ) & ~keep_always
+    return words.loc[~drop]
+
+
+def is_scanned_page(words: pd.DataFrame, cfg: ExtractConfig) -> bool:
+    """P12 (reference ``error_handler.py:210-221``): too few words ⇒
+    treat as scanned raster page."""
+    return 0 < len(words) < cfg.scanned_word_threshold

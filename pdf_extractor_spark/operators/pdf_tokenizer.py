@@ -1,0 +1,390 @@
+"""PDF byte-stream tokenizer: bytes → per-page word-box frames.
+
+From-scratch replacement for the reference's pdfplumber dependency
+(S2/P1 in SURVEY.md §2.1-2.2; reference call sites
+``extractor.py:101,164-169``): xref/trailer parse → object resolution →
+page-tree walk → content-stream token scan (``BT/ET Tf Td TD Tm Tj TJ``)
+→ glyph-to-Unicode decode (literal≈WinAnsi, hex=UTF-16BE/Identity-H) →
+word boxes with coordinates + font size.
+
+Coordinates follow the reader convention the reference's word boxes use
+(pdfplumber-style): ``top``/``bottom`` measured from the page TOP edge,
+``top = H - baseline - 0.8*size``, ``bottom = H - baseline + 0.2*size``
+with the deterministic width model in :mod:`.charclass`.
+
+Word splitting: each shown string is split on ASCII spaces; each word
+advances x by its glyph widths (a space advances 0.5 em). One shown
+string thus yields ≥1 word boxes — the doc→words flatMap stays inside
+the Arrow batch (SURVEY.md §2.2 P1).
+
+Robustness: a malformed xref falls back to a full-file object scan;
+per-page failures are recorded in the errors list, never raised
+(mirrors the reference's recovery cascade ``error_handler.py:418-479``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from .charclass import char_advance
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_ASCENT = 0.8
+_DESCENT = 0.2
+
+WORD_COLUMNS = ["text", "x0", "x1", "top", "bottom", "size", "page"]
+
+
+@dataclass
+class PdfPage:
+    page_number: int          # 1-based
+    width: float
+    height: float
+    rotation: int
+    words: pd.DataFrame       # WORD_COLUMNS
+
+
+@dataclass
+class PdfDoc:
+    pages: list[PdfPage] = field(default_factory=list)
+    errors: list[dict] = field(default_factory=list)
+
+
+def empty_word_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "text": pd.Series(dtype=object),
+            "x0": pd.Series(dtype=float),
+            "x1": pd.Series(dtype=float),
+            "top": pd.Series(dtype=float),
+            "bottom": pd.Series(dtype=float),
+            "size": pd.Series(dtype=float),
+            "page": pd.Series(dtype=int),
+        }
+    )
+
+
+# ----------------------------------------------------------------- xref
+
+def _parse_xref_offsets(data: bytes) -> dict[int, int]:
+    """Parse the classic xref table named by startxref; return
+    obj_id → byte offset. Raises on any structural surprise (caller
+    falls back to a scan)."""
+    tail = data[-256:]
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not m:
+        raise ValueError("no startxref")
+    pos = int(m.group(1))
+    if not data[pos : pos + 4] == b"xref":
+        raise ValueError("startxref does not point at xref")
+    offsets: dict[int, int] = {}
+    cursor = pos + 4
+    while True:
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", data[cursor : cursor + 64])
+        if not m:
+            break
+        start, count = int(m.group(1)), int(m.group(2))
+        cursor += m.end()
+        for i in range(count):
+            entry = data[cursor : cursor + 20]
+            off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+            if kind == b"n":
+                offsets[start + i] = int(off)
+            cursor += 20
+    if not offsets:
+        raise ValueError("empty xref")
+    return offsets
+
+
+def _scan_objects(data: bytes) -> dict[int, int]:
+    """Fallback: locate every ``N g obj`` in the file by scanning."""
+    return {int(m.group(1)): m.start() for m in _OBJ_RE.finditer(data)}
+
+
+def _object_body(data: bytes, offset: int) -> bytes:
+    m = _OBJ_RE.match(data, offset)
+    if not m:
+        # offset may point slightly before the header (whitespace)
+        m = _OBJ_RE.search(data, offset, offset + 64)
+        if not m:
+            raise ValueError(f"no obj header at {offset}")
+    end = data.find(b"endobj", m.end())
+    if end < 0:
+        raise ValueError("unterminated object")
+    return data[m.end() : end]
+
+
+# ------------------------------------------------------- dict helpers
+
+def _dict_int(body: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(-?\d+)", body)
+    return int(m.group(1)) if m else None
+
+
+def _dict_ref(body: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _dict_numarray(body: bytes, key: bytes) -> list[float] | None:
+    m = re.search(rb"/" + key + rb"\s*\[([^\]]*)\]", body)
+    if not m:
+        return None
+    return [float(x) for x in m.group(1).split()]
+
+
+def _dict_refarray(body: bytes, key: bytes) -> list[int]:
+    m = re.search(rb"/" + key + rb"\s*\[([^\]]*)\]", body)
+    if not m:
+        return []
+    return [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+
+
+def _stream_bytes(body: bytes) -> bytes:
+    i = body.find(b"stream")
+    if i < 0:
+        return b""
+    j = i + len(b"stream")
+    if body[j : j + 2] == b"\r\n":
+        j += 2
+    elif body[j : j + 1] == b"\n":
+        j += 1
+    k = body.rfind(b"endstream")
+    end = k if k >= 0 else len(body)
+    out = body[j:end]
+    # the generator writes ...stream\n<data>\nendstream
+    if out.endswith(b"\n"):
+        out = out[:-1]
+    return out
+
+
+# ------------------------------------------------- content stream scan
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"     # literal string
+    rb"|<[0-9A-Fa-f\s]*>"        # hex string
+    rb"|/[A-Za-z0-9_.]+"         # name
+    rb"|\[|\]"                   # array delims
+    rb"|-?\d+(?:\.\d+)?"         # number
+    rb"|[A-Za-z'\"*]+"           # operator
+)
+
+_LIT_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+                b"(": "(", b")": ")", b"\\": "\\"}
+
+
+def _decode_literal(tok: bytes) -> str:
+    body = tok[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1 : i + 2]
+            if nxt in _LIT_ESCAPES:
+                out.append(_LIT_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd
+                j = i + 1
+                while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(body[i + 1 : j], 8)))
+                i = j
+                continue
+            i += 1
+            continue
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def _decode_hex(tok: bytes) -> str:
+    hexs = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexs) % 2:
+        hexs += b"0"
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    # Identity-H 2-byte code path (our /F2); odd lengths padded above.
+    if len(raw) % 2 == 0:
+        try:
+            return raw.decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    return raw.decode("latin-1")
+
+
+def _emit_words(
+    text: str, x: float, y: float, size: float, height: float,
+    page_no: int, sink: list[tuple],
+) -> float:
+    """Split shown text on spaces; append (text,x0,x1,top,bottom,size,page)
+    tuples; return advanced x."""
+    top = height - y - _ASCENT * size
+    bottom = height - y + _DESCENT * size
+    cx = x
+    for piece in text.split(" "):
+        if piece == "":
+            cx += 0.5 * size  # bare space advance
+            continue
+        w = sum(char_advance(c, size) for c in piece)
+        sink.append((piece, cx, cx + w, top, bottom, size, page_no))
+        cx += w + 0.5 * size  # the splitting space's advance
+    # we over-advance by one trailing space; harmless for layout, but
+    # keep exact: remove it
+    return cx - 0.5 * size
+
+
+def _parse_content(
+    stream: bytes, height: float, page_no: int
+) -> pd.DataFrame:
+    rows: list[tuple] = []
+    size = 12.0
+    x = y = 0.0
+    lx = ly = 0.0          # line-start (Td is relative to line matrix)
+    stack: list[bytes] = []  # pending operands
+    in_array: list = []
+    array_mode = False
+    for m in _TOKEN_RE.finditer(stream):
+        tok = m.group(0)
+        if tok == b"[":
+            array_mode, in_array = True, []
+            continue
+        if tok == b"]":
+            array_mode = False
+            stack.append(b"]")  # marker; TJ consumes in_array
+            continue
+        if array_mode:
+            in_array.append(tok)
+            continue
+        if tok[:1] in b"(<" and tok[:2] != b"<<":
+            stack.append(tok)
+            continue
+        if tok[:1] == b"/" or re.fullmatch(rb"-?\d+(?:\.\d+)?", tok):
+            stack.append(tok)
+            continue
+        # operator
+        if tok == b"BT":
+            x = y = lx = ly = 0.0
+            stack.clear()
+        elif tok == b"ET":
+            stack.clear()
+        elif tok == b"Tf" and len(stack) >= 2:
+            size = float(stack[-1])
+            stack.clear()
+        elif tok in (b"Td", b"TD") and len(stack) >= 2:
+            lx += float(stack[-2])
+            ly += float(stack[-1])
+            x, y = lx, ly
+            stack.clear()
+        elif tok == b"Tm" and len(stack) >= 6:
+            lx, ly = float(stack[-2]), float(stack[-1])
+            x, y = lx, ly
+            stack.clear()
+        elif tok == b"Tj" and stack:
+            s = stack[-1]
+            text = _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
+            x = _emit_words(text, x, y, size, height, page_no, rows)
+            stack.clear()
+        elif tok == b"TJ":
+            for item in in_array:
+                if item[:1] == b"(":
+                    x = _emit_words(
+                        _decode_literal(item), x, y, size, height,
+                        page_no, rows,
+                    )
+                elif item[:1] == b"<":
+                    x = _emit_words(
+                        _decode_hex(item), x, y, size, height,
+                        page_no, rows,
+                    )
+                else:  # kerning adjustment, thousandths of em
+                    x -= float(item) / 1000.0 * size
+            in_array = []
+            stack.clear()
+        else:
+            stack.clear()
+    if not rows:
+        return empty_word_frame()
+    return pd.DataFrame(rows, columns=WORD_COLUMNS)
+
+
+# --------------------------------------------------------------- parse
+
+def parse_pdf(data: bytes) -> PdfDoc:
+    """Full pipeline: bytes → PdfDoc(pages=[PdfPage(words=frame)])."""
+    doc = PdfDoc()
+    try:
+        try:
+            offsets = _parse_xref_offsets(data)
+        except Exception:
+            offsets = _scan_objects(data)
+            doc.errors.append(
+                {"type": "malformed", "severity": "warning", "page": 0,
+                 "message": "xref unusable; recovered via object scan"}
+            )
+        bodies = {oid: _object_body(data, off) for oid, off in offsets.items()}
+
+        # find catalog → pages root → kids (one level; our grammar is flat,
+        # but walk nested /Kids defensively)
+        root_id = None
+        tail = data[-512:]
+        m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", tail)
+        if m:
+            root_id = int(m.group(1))
+        if root_id is None or root_id not in bodies:
+            for oid, b in bodies.items():
+                if b"/Type" in b and b"/Catalog" in b:
+                    root_id = oid
+                    break
+        pages_root = _dict_ref(bodies[root_id], b"Pages")
+        page_ids: list[int] = []
+
+        def walk(oid: int) -> None:
+            b = bodies[oid]
+            if b"/Kids" in b:
+                for kid in _dict_refarray(b, b"Kids"):
+                    walk(kid)
+            elif b"/Page" in b:
+                page_ids.append(oid)
+
+        walk(pages_root)
+
+        for idx, pid in enumerate(page_ids, start=1):
+            body = bodies[pid]
+            mb = _dict_numarray(body, b"MediaBox") or [0, 0, 612.0, 792.0]
+            width, height = mb[2] - mb[0], mb[3] - mb[1]
+            rotation = _dict_int(body, b"Rotate") or 0
+            content_id = _dict_ref(body, b"Contents")
+            try:
+                stream = (
+                    _stream_bytes(bodies[content_id])
+                    if content_id in bodies
+                    else b""
+                )
+                words = _parse_content(stream, height, idx)
+            except Exception as exc:  # page-level recovery (U3)
+                doc.errors.append(
+                    {"type": "corruption", "severity": "error", "page": idx,
+                     "message": f"content parse failed: {exc}"}
+                )
+                words = empty_word_frame()
+            if rotation:
+                doc.errors.append(
+                    {"type": "rotation", "severity": "warning", "page": idx,
+                     "message": f"page rotated {rotation}"}
+                )
+            doc.pages.append(
+                PdfPage(
+                    page_number=idx, width=width, height=height,
+                    rotation=rotation, words=words,
+                )
+            )
+    except Exception as exc:
+        doc.errors.append(
+            {"type": "corruption", "severity": "critical", "page": 0,
+             "message": f"document parse failed: {exc}"}
+        )
+    return doc

@@ -1,0 +1,252 @@
+"""The extraction pipeline: pages table → extracted + metrics tables.
+
+Physical plan (SURVEY.md §3.4):
+
+    read pages (column-pruned: url, warc_ts, html)
+      → anti-join vs existing output          (checkpoint resume, S5/S6)
+      → size-routed repartition by url-hash   (skew defusal, SURVEY §4.2)
+      → mapInPandas(extract_batch)            (ONE fused Arrow stage)
+      → append extracted; metrics = groupBy(part_id) rollup
+
+Skew handling: AQE cannot split a straggler *map* task, so layout is
+explicit — documents larger than ``cfg.oversize_bytes`` are routed to
+their own repartition pass (few rows per partition) while the long tail
+hashes uniformly by ``xxhash64(url)``. At 100 TB the same layout holds:
+the oversized stream is a tiny fraction of rows and gets dedicated
+tasks instead of hiding inside hash buckets.
+
+Lineage: every output row carries (part_id, batch_id, batch_ms,
+attempt, host, extracted_at); per-partition metrics rows are an
+aggregation over those columns (north_rule "per-partition lineage +
+extraction metrics rows").
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import socket
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..operators.document import extract_document
+
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("branch", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+        T.StructField(
+            "tables",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("page", T.IntegerType()),
+                        T.StructField("rows", T.IntegerType()),
+                        T.StructField("cols", T.IntegerType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("confidence", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "footnotes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("marker", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("page", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "quality",
+            T.StructType(
+                [
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("grade", T.StringType()),
+                    T.StructField("coverage", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "errors",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField("severity", T.StringType()),
+                        T.StructField("page", T.IntegerType()),
+                        T.StructField("message", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("bytes_in", T.LongType()),
+        T.StructField("chars_out", T.LongType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("batch_ms", T.LongType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("extracted_at", T.TimestampType()),
+    ]
+)
+
+METRICS_SCHEMA_COLS = [
+    "part_id", "n_docs", "n_ok", "n_failed", "bytes_in", "chars_out",
+    "wall_ms", "host", "attempt",
+]
+
+_FAIL_SEVERITIES = {"error", "critical"}
+
+
+def _make_extract_iter(cfg: ExtractConfig):
+    """Returns the mapInPandas function: Iterator[pdf] → Iterator[pdf].
+
+    Per Arrow batch: vectorize the per-document kernel over rows, stamp
+    lineage columns. All heavy work happens on payload bytes already in
+    the Python worker (one JVM↔Python hop per batch, SURVEY.md §3.4).
+    """
+
+    def extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc else -1
+        attempt = tc.attemptNumber() if tc else 0
+        host = socket.gethostname()
+        for batch_id, pdf in enumerate(batches):
+            t0 = time.perf_counter()
+            recs = [extract_document(payload, cfg) for payload in pdf["html"]]
+            batch_ms = int((time.perf_counter() - t0) * 1000)
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "warc_ts": pdf["warc_ts"].to_numpy(),
+                    "branch": [r["branch"] for r in recs],
+                    "extracted_text": [r["extracted_text"] for r in recs],
+                    "spans": [
+                        [
+                            {"start": s[0], "end": s[1], "kind": s[2],
+                             "page": s[3]}
+                            for s in r["spans"]
+                        ]
+                        for r in recs
+                    ],
+                    "tables": [r["tables"] for r in recs],
+                    "footnotes": [r["footnotes"] for r in recs],
+                    "quality": [r["quality"] for r in recs],
+                    "errors": [r["errors"] for r in recs],
+                    "ok": [
+                        not any(
+                            e["severity"] in _FAIL_SEVERITIES
+                            for e in r["errors"]
+                        )
+                        for r in recs
+                    ],
+                    "n_pages": [r["n_pages"] for r in recs],
+                    "bytes_in": [len(p) for p in pdf["html"]],
+                    "chars_out": [len(r["extracted_text"]) for r in recs],
+                    "part_id": part_id,
+                    "batch_id": batch_id,
+                    "batch_ms": batch_ms,
+                    "attempt": attempt,
+                    "host": host,
+                    "extracted_at": now,
+                }
+            )
+            yield out
+
+    return extract_iter
+
+
+def partition_pages(
+    pages: DataFrame,
+    num_partitions: int,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> tuple[DataFrame, DataFrame]:
+    """Size-routed url-hash repartition (the explicit skew layout).
+
+    Returns (normal, oversized) DataFrames, each repartitioned. The
+    oversized stream gets one doc per task on average so a 100×-sized
+    payload never straggles a hash bucket full of normal docs.
+    """
+    size = F.length(F.col("html"))
+    normal = (
+        pages.where(size <= cfg.oversize_bytes)
+        .repartition(num_partitions, F.xxhash64("url"))
+    )
+    oversized = (
+        pages.where(size > cfg.oversize_bytes)
+        .repartition(max(4, num_partitions), F.xxhash64("url", F.lit(1)))
+    )
+    return normal, oversized
+
+
+def extract_pages(
+    pages: DataFrame,
+    num_partitions: int = 32,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """pages(url, warc_ts, html, ...) → extracted DataFrame.
+
+    Column-prunes to exactly (url, warc_ts, html) before the exchange so
+    the shuffle and the Arrow transfer never carry unused columns.
+    """
+    pruned = pages.select("url", "warc_ts", "html")
+    normal, oversized = partition_pages(pruned, num_partitions, cfg)
+    fn = _make_extract_iter(cfg)
+    return normal.mapInPandas(fn, OUTPUT_SCHEMA).unionByName(
+        oversized.mapInPandas(fn, OUTPUT_SCHEMA)
+    )
+
+
+def metrics_from_extracted(extracted: DataFrame) -> DataFrame:
+    """Per-partition metrics rollup (FIXTURES.md §6 shape).
+
+    ``batch_ms`` is constant within a (part_id, batch_id) group, so wall
+    time per partition = Σ over distinct batches — a two-level partial
+    aggregation, all map-side combinable.
+    """
+    per_batch = extracted.groupBy("part_id", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("chars_out").alias("chars_out"),
+        F.first("batch_ms").alias("batch_ms"),
+        F.first("host").alias("host"),
+        F.max("attempt").alias("attempt"),
+    )
+    return per_batch.groupBy("part_id").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_ok").alias("n_ok"),
+        F.sum("n_failed").alias("n_failed"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("chars_out").alias("chars_out"),
+        F.sum("batch_ms").alias("wall_ms"),
+        F.first("host").alias("host"),
+        F.max("attempt").alias("attempt"),
+    )

@@ -1,0 +1,85 @@
+"""Pages-table sources + checkpoint-resume sink (SURVEY.md §2.1).
+
+The production design targets an Iceberg table (``MERGE INTO ... WHEN
+NOT MATCHED THEN INSERT`` keyed on url — S5); this sandbox has no
+Iceberg runtime jars, so the sink is a parquet directory with the SAME
+merge semantics realized as **anti-join before compute + append after**
+(documented fallback, SURVEY.md §7.2 stage 5). The resume contract is
+identical: a re-run processes only urls absent from the output, so
+re-runs are idempotent — no duplicates, no loss.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def pages_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    return spark.createDataFrame(pdf, schema=PAGES_SCHEMA_DDL)
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg stand-in: ``spark.read.format("iceberg").load(tbl)`` in
+    production; parquet directory here. Partition/file pruning and
+    column pruning are native either way."""
+    return spark.read.parquet(path)
+
+
+def write_pages(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def _output_exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        name.endswith(".parquet") for name in os.listdir(path)
+    )
+
+
+def resume_filter(
+    pages: DataFrame, spark: SparkSession, out_path: str
+) -> DataFrame:
+    """S5/S6 checkpoint resume: anti-join the work list against already-
+    extracted urls. Equivalent to Iceberg MERGE's NOT MATCHED branch.
+
+    The completed-url side projects a single string column before the
+    join; at 10^12 rows this is a shuffled left-anti hash join on the
+    url key — never a broadcast of the big side.
+    """
+    if not _output_exists(out_path):
+        return pages
+    done = spark.read.parquet(out_path).select("url")
+    return pages.join(done, "url", "left_anti")
+
+
+def append_extracted(extracted: DataFrame, out_path: str) -> None:
+    """Append new results (the INSERT branch of the MERGE)."""
+    extracted.write.mode("append").parquet(out_path)
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_path: str,
+    metrics_path: str | None = None,
+    num_partitions: int = 32,
+) -> None:
+    """End-to-end job: resume-filter → extract → append + metrics.
+
+    This is the body that ``spark-submit --py-files`` runs on a cluster
+    (``scripts/submit_job.py``).
+    """
+    from ..plans.pipeline import extract_pages, metrics_from_extracted
+
+    todo = resume_filter(pages, spark, out_path)
+    extracted = extract_pages(todo, num_partitions=num_partitions)
+    append_extracted(extracted, out_path)
+    if metrics_path:
+        metrics = metrics_from_extracted(spark.read.parquet(out_path))
+        metrics.write.mode("overwrite").parquet(metrics_path)
