@@ -222,15 +222,19 @@ def _emit_words(
 ) -> float:
     """Split shown text on spaces; append (text,x0,x1,top,bottom,size,page)
     tuples; return advanced x."""
-    top = height - y - _ASCENT * size
-    bottom = height - y + _DESCENT * size
+    # coordinates rounded to 3 decimals: keeps boxes byte-stable across
+    # float formatting roundtrips (the reference similarly keys dedup on
+    # rounded positions, error_handler.py:542-574)
+    top = round(height - y - _ASCENT * size, 3)
+    bottom = round(height - y + _DESCENT * size, 3)
     cx = x
     for piece in text.split(" "):
         if piece == "":
             cx += 0.5 * size  # bare space advance
             continue
         w = sum(char_advance(c, size) for c in piece)
-        sink.append((piece, cx, cx + w, top, bottom, size, page_no))
+        sink.append((piece, round(cx, 3), round(cx + w, 3), top, bottom,
+                     size, page_no))
         cx += w + 0.5 * size  # the splitting space's advance
     # we over-advance by one trailing space; harmless for layout, but
     # keep exact: remove it

@@ -1,0 +1,143 @@
+"""Spark end-to-end pipeline tests on local[2] (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import pathlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.config import DEFAULT_CONFIG
+from pdf_extractor_spark.fixtures.corpus import build_pages_frame
+from pdf_extractor_spark.plans.pipeline import (
+    extract_pages,
+    metrics_from_extracted,
+    partition_pages,
+)
+from pdf_extractor_spark.sources.pages import (
+    pages_from_pandas,
+    read_pages,
+    resume_filter,
+    run_extraction_job,
+    write_pages,
+)
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return pages_from_pandas(spark, build_pages_frame()).cache()
+
+
+def test_extracted_matches_goldens_through_spark(spark, pages_df):
+    rows = extract_pages(pages_df, num_partitions=4).collect()
+    assert len(rows) == pages_df.count()
+    by_case = {r["url"].rsplit("/", 1)[-1]: r for r in rows}
+    for cid, row in by_case.items():
+        golden = (GOLDEN_DIR / f"{cid}.txt").read_bytes()
+        assert row["extracted_text"].encode("utf-8") == golden, cid
+        meta = json.loads((GOLDEN_DIR / f"{cid}.spans.json").read_text())
+        got = [[s["start"], s["end"], s["kind"], s["page"]]
+               for s in row["spans"]]
+        assert got == meta["spans"], cid
+
+
+def test_resume_is_idempotent(spark, pages_df, tmp_path):
+    out = str(tmp_path / "extracted")
+    write_pages(pages_from_pandas(spark, build_pages_frame()),
+                str(tmp_path / "pages"))
+    pages = read_pages(spark, str(tmp_path / "pages"))
+
+    run_extraction_job(spark, pages, out, num_partitions=4)
+    n1 = spark.read.parquet(out).count()
+    run_extraction_job(spark, pages, out, num_partitions=4)
+    e = spark.read.parquet(out)
+    assert e.count() == n1
+    assert e.select("url").distinct().count() == n1
+
+
+def test_resume_processes_only_missing(spark, tmp_path):
+    """Simulated partial failure: half the corpus already extracted;
+    a re-run must add exactly the missing urls (FIXTURES.md §6)."""
+    frame = build_pages_frame()
+    half = frame.iloc[: len(frame) // 2]
+    out = str(tmp_path / "extracted")
+    run_extraction_job(
+        spark, pages_from_pandas(spark, half), out, num_partitions=2
+    )
+    n_half = spark.read.parquet(out).count()
+    assert n_half == len(half)
+
+    full = pages_from_pandas(spark, frame)
+    todo = resume_filter(full, spark, out)
+    assert todo.count() == len(frame) - len(half)
+    run_extraction_job(spark, full, out, num_partitions=2)
+    e = spark.read.parquet(out)
+    assert e.count() == len(frame)
+    assert e.select("url").distinct().count() == len(frame)
+
+
+def test_metrics_invariants(spark, pages_df):
+    extracted = extract_pages(pages_df, num_partitions=4).cache()
+    try:
+        m = metrics_from_extracted(extracted).collect()
+        n_input = pages_df.count()
+        assert sum(r["n_docs"] for r in m) == n_input
+        assert all(r["n_docs"] == r["n_ok"] + r["n_failed"] for r in m)
+        assert all(r["wall_ms"] >= 0 for r in m)
+        part_ids = [r["part_id"] for r in m]
+        assert len(part_ids) == len(set(part_ids))  # one row per partition
+    finally:
+        extracted.unpersist()
+
+
+def test_oversized_docs_routed_separately(spark):
+    big_payload = b"<html><body>" + b"<p>" + b"x" * 100 + b"</p>" * 1 + \
+        b"y" * (DEFAULT_CONFIG.oversize_bytes + 1024) + b"</body></html>"
+    frame = pd.DataFrame(
+        [
+            {"url": "https://fixture.test/html/huge",
+             "warc_ts": dt.datetime(2025, 1, 1), "html": big_payload,
+             "text": "", "lang": "en"},
+            {"url": "https://fixture.test/html/tiny",
+             "warc_ts": dt.datetime(2025, 1, 1),
+             "html": b"<p>small enough document body text here</p>",
+             "text": "", "lang": "en"},
+        ]
+    )
+    df = pages_from_pandas(spark, frame)
+    normal, oversized = partition_pages(df, 4)
+    assert normal.count() == 1
+    assert oversized.count() == 1
+    assert oversized.select("url").first()["url"].endswith("huge")
+
+
+def test_output_schema_stable(spark, pages_df):
+    extracted = extract_pages(pages_df.limit(1), num_partitions=1)
+    names = [f.name for f in extracted.schema.fields]
+    assert names[:4] == ["url", "warc_ts", "branch", "extracted_text"]
+    for lineage_col in ("part_id", "batch_id", "attempt", "host"):
+        assert lineage_col in names
+
+
+def test_lang_agg_native_plan_prunes_columns(spark, pages_df):
+    """The DataFrame-level rollup around the kernel stays native: check
+    aggregation over extraction output works and input scan prunes to
+    the selected columns."""
+    extracted = extract_pages(pages_df, num_partitions=4)
+    agg = (
+        extracted.groupBy("branch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars_out").alias("chars"),
+            F.avg(F.col("quality.score")).alias("avg_score"),
+        )
+        .orderBy("branch")
+        .collect()
+    )
+    assert [r["branch"] for r in agg] == ["html", "pdf"]
+    assert all(r["n_docs"] > 0 for r in agg)
