@@ -1,38 +1,70 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: synthesize HTML/PDF payloads from the
+sf0.001 ``documents`` table, run the full extraction kernel over both
+branches via ``mapInPandas``, and aggregate per branch (docs, chars,
+exact-roundtrip pass rate — extraction must reproduce the source text
+byte-for-byte).
+
+``queries()`` / ``oracle_sql()`` — the full catalog from
+``pdf_extractor_spark.functions.query_catalog``: relational battery,
+survey-analog operators (SURVEY.md §2), training-data operators
+(dedup/similarity/text-analysis), and the extraction roundtrips whose
+oracle is the identity ``SELECT doc_id, text FROM documents``.
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from pdf_extractor_spark.functions.query_catalog import CATALOG  # noqa: E402
+
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.sources.docwrap import (
+        html_roundtrip,
+        pdf_roundtrip,
+    )
+
+    docs = spark.read.parquet(f"{_SF0001}/documents.parquet")
+    results = (
+        html_roundtrip(docs).withColumn("branch", F.lit("html"))
+        .unionByName(pdf_roundtrip(docs).withColumn("branch", F.lit("pdf")))
+    )
+    joined = results.join(docs.select("doc_id", "text", "lang"), "doc_id")
+    return (
+        joined.groupBy("branch", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("extracted_text")).alias("chars_out"),
+            F.sum(
+                (F.col("extracted_text") == F.col("text")).cast("long")
+            ).alias("n_byte_identical"),
+        )
+        .orderBy("branch", "lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: qd.spark for name, qd in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query."""
+    return {
+        name: qd.oracle
+        for name, qd in CATALOG.items()
+        if qd.oracle is not None
+    }

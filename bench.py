@@ -1,0 +1,101 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline catalog queries plus the end-to-end extraction
+throughput measure at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+    {"metric": "extraction_docs_per_sec", "value": N, "unit": "docs/sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1, ...}
+
+The headline metric is docs/sec through the FULL extraction pipeline
+(payload synthesis + parse + layout + serialize, both branches) — the
+comparable number to the reference's 0.1–0.5 docs/sec single-thread
+baseline (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from pdf_extractor_spark.functions.query_catalog import CATALOG  # noqa: E402
+from pdf_extractor_spark.plans.session import build_session  # noqa: E402
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame without driver-side data pull."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(pathlib.Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = build_session(
+        app="bench", cores=cores,
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM, parquet footers, AND the Python worker pool — the
+    # first Arrow stage otherwise pays worker spawn + import cost
+    from pdf_extractor_spark.sources.docwrap import html_roundtrip as _hw
+
+    warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+        cores * 2
+    )
+    _hw(warm, num_partitions=cores).count()
+
+    queries: dict[str, float] = {}
+    for name, qd in CATALOG.items():
+        if not qd.headline:
+            continue
+        t0 = time.perf_counter()
+        df = qd.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    # end-to-end extraction throughput: both branches over documents
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.sources.docwrap import (
+        html_roundtrip,
+        pdf_roundtrip,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count() * 2
+    t0 = time.perf_counter()
+    both = html_roundtrip(docs).unionByName(pdf_roundtrip(docs))
+    both.select("doc_id", F.length("extracted_text").alias("n")) \
+        .write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    docs_per_sec = round(n_docs / wall, 2)
+
+    total = round(sum(queries.values()) + wall, 3)
+    queries["extraction_throughput"] = round(wall, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_docs_per_sec",
+                "value": docs_per_sec,
+                "unit": "docs/sec",
+                "queries": queries,
+                "sf": sf,
+                "n_docs_extracted": n_docs,
+                "total_sec": total,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

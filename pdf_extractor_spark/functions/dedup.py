@@ -1,0 +1,128 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard.
+
+Scale design (the 100 TB path):
+
+- **exact**: hash-groupBy on ``md5(text)`` — one shuffle on a 16-byte
+  key instead of the full text; map-side partial aggregation collapses
+  most duplicates before the exchange.
+- **MinHash+LSH**: per-doc signature = min over shingle hashes per
+  band (embarrassingly parallel, no shuffle); candidate pairs via an
+  equi-join on (band, min-hash) — the LSH bucket join shuffles only
+  (band, hash, doc_id) triples, never document text. Skewed buckets
+  (boilerplate shingles) are handled by AQE skew-join splitting since
+  this IS a join, not a map stage.
+- **n-gram Jaccard**: exact verification applied only to LSH candidate
+  pairs (candidate count << n²).
+
+Hash function: md5 (bit-identical in Spark and DuckDB) so the oracle
+can verify signatures value-for-value. At production scale xxhash64
+would be cheaper; md5 keeps cross-engine verifiability and is still
+JVM-native here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BANDS = 4
+SHINGLE_WORDS = 3
+
+# 3-word shingles over a pre-materialized token array ("toks" column) —
+# referencing a projected column instead of re-evaluating split() per
+# element keeps shingling O(tokens), not O(tokens²).
+_SHINGLES_FROM_TOKS = (
+    "transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+)
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "toks", F.split(F.col("text"), " ")
+    ).withColumn("shingles", F.expr(_SHINGLES_FROM_TOKS))
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Exact dedup: docs vs distinct text-hashes (hash-groupBy)."""
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-document MinHash signature: for each band b, the minimum
+    md5 over salted 3-word shingles. Pure map work — no shuffle."""
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(shingles, s -> md5(concat('{b}:', s)))")
+        ).alias(f"mh{b}")
+        for b in range(N_BANDS)
+    ]
+    return _with_shingles(docs).select("doc_id", *sig_cols)
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH bucket join: docs sharing any band's min-hash become
+    candidate near-duplicate pairs (doc_a < doc_b)."""
+    sigs = minhash_signatures(docs)
+    melted = sigs.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) as (band, mh)".format(
+            n=N_BANDS,
+            args=", ".join(f"{b}, mh{b}" for b in range(N_BANDS)),
+        ),
+    ).where(F.col("mh").isNotNull())
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_pair_count(docs: DataFrame) -> DataFrame:
+    return lsh_candidate_pairs(docs).agg(
+        F.count("*").alias("n_candidate_pairs")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates only: the scale-safe
+    two-stage shape (cheap LSH recall → exact precision on survivors)."""
+    shingle_sets = _with_shingles(docs).select(
+        "doc_id",
+        F.array_distinct(F.col("shingles")).alias("sh"),
+    )
+    pairs = lsh_candidate_pairs(docs)
+    j = (
+        pairs.join(
+            shingle_sets.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("sh", "sh_a"),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("sh", "sh_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )

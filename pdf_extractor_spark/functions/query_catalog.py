@@ -1,0 +1,583 @@
+"""Query catalog: every driver-contract query + its DuckDB oracle.
+
+Each entry pairs a Spark DataFrame implementation with the equivalent
+ANSI SQL that DuckDB runs on the same parquet tables (driver contract,
+``__spark_entry__.py``). Column names AND types are aligned on both
+sides (counts → BIGINT, ratios → DOUBLE rounded to a fixed precision)
+so the driver's order-insensitive value-hash matches.
+
+Grouping mirrors SURVEY.md §2: relational battery (scans, filters,
+hash aggregates, joins, windows, top-k), survey-analog operators (A1
+repeat-ratio, A8 run stats, C1 sessionization, J3 greedy 1:1 match,
+D1 rounded dedup, O6 top-k per group), training-data operators (exact/
+MinHash/LSH/Jaccard dedup, cosine ANN, language-ID, quality scoring,
+token counting, fingerprinting), and the extraction roundtrips that
+verify the full PDF/HTML kernel against a SQL-expressible identity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.docwrap import html_roundtrip, pdf_roundtrip
+from .dedup import exact_dedup_stats, lsh_pair_count, minhash_signatures
+from .similarity import cosine_topk
+from .textstats import (
+    EN_STOPWORDS,
+    TOKEN_REGEX,
+    fingerprints,
+    quality_scores,
+    stopword_langid,
+    token_counts,
+)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]          # None → driver does rows-only check
+    headline: bool = False         # included in bench.py timing
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===================================================== relational battery
+
+def _q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter → hash aggregate with partial/final
+    (map-side combine), sort. Whole-stage codegen end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.expr("l_shipdate <= timestamp'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 4)                              AS avg_qty,
+       round(avg(l_discount), 4)                              AS avg_disc,
+       CAST(count(*) AS BIGINT)                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → 3-way join (small
+    customer side broadcast) → agg → deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate < timestamp'1998-01-01 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate > timestamp'1998-01-01 00:00:00'")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _q5_region_volume(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join (region→nation broadcast chain)
+    + co-located supplier/customer nation predicate."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def _q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg — the pushdown benchmark."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        F.expr(
+            "l_shipdate >= timestamp'1996-01-01 00:00:00' AND "
+            "l_shipdate < timestamp'1997-01-01 00:00:00' AND "
+            "l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        )
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT)                    AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ================================================== survey-analog operators
+
+def _repeat_ratio(spark, sf_dir):
+    """A1 shape (repeating-element detection): grouped count vs group
+    total, ratio threshold flag (reference extractor.py:123-159)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = docs.groupBy("source").agg(F.count("*").alias("src_total"))
+    return per.join(tot, "source").select(
+        "source", "lang", "n", "src_total",
+        F.round(F.col("n") / F.col("src_total"), 4).alias("ratio"),
+        (F.col("n") / F.col("src_total") >= 0.8).alias("is_repeating"),
+    )
+
+
+_REPEAT_SQL = """
+SELECT source, lang, n, src_total,
+       round(CAST(n AS DOUBLE) / src_total, 4) AS ratio,
+       (CAST(n AS DOUBLE) / src_total >= 0.8)  AS is_repeating
+FROM (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT)
+           AS src_total
+  FROM documents GROUP BY source, lang
+)
+"""
+
+
+def _run_stats(spark, sf_dir):
+    """A8 shape (batch statistics + best/worst top-1 via max_by/min_by
+    semantics with deterministic tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    w_best = Window.orderBy(F.desc("n_chars"), F.desc("doc_id"))
+    w_worst = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    best = (
+        docs.withColumn("rn", F.row_number().over(w_best))
+        .where("rn = 1").select(F.col("doc_id").alias("best_doc"))
+    )
+    worst = (
+        docs.withColumn("rn", F.row_number().over(w_worst))
+        .where("rn = 1").select(F.col("doc_id").alias("worst_doc"))
+    )
+    return agg.crossJoin(best).crossJoin(worst)
+
+
+_RUN_STATS_SQL = """
+SELECT CAST(count(*) AS BIGINT)   AS n_docs,
+       round(avg(n_chars), 4)     AS avg_chars,
+       min(n_chars)               AS min_chars,
+       max(n_chars)               AS max_chars,
+       (SELECT max(doc_id) FROM documents
+        WHERE n_chars = (SELECT max(n_chars) FROM documents)) AS best_doc,
+       (SELECT min(doc_id) FROM documents
+        WHERE n_chars = (SELECT min(n_chars) FROM documents)) AS worst_doc
+FROM documents
+"""
+
+
+def _sessionize(spark, sf_dir):
+    """C1/W1 shape at dataset level: lag + gap-flag + cumsum
+    sessionization of the events stream (30-min gap)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        # interval comparison: microsecond-exact in Spark and DuckDB
+        F.when(F.expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum("new_session") + 1).alias("n_sessions"),
+    )
+
+
+_SESSIONIZE_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id, event_id,
+         CASE WHEN ts - lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+def _best_order_per_customer(spark, sf_dir):
+    """J3 shape: greedy 1:1 scored match as join + row_number
+    (reference footnote_extractor.py:303-339 mapping, SURVEY §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    best = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+    )
+    return best.join(cust, best.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name",
+        F.col("o_orderkey").alias("best_order"),
+        F.round("o_totalprice", 2).alias("best_price"),
+    )
+
+
+_BEST_ORDER_SQL = """
+SELECT c_custkey, c_name, o_orderkey AS best_order,
+       round(o_totalprice, 2) AS best_price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) o
+JOIN customer ON o_custkey = c_custkey
+WHERE rn = 1
+"""
+
+
+def _dedup_rounded(spark, sf_dir):
+    """D1 shape: distinct on rounded keys
+    (reference error_handler.py:542-574)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.round("value", 0)).alias("n_distinct_rounded"),
+    )
+
+
+_DEDUP_ROUNDED_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT round(value, 0)) AS BIGINT)
+         AS n_distinct_rounded
+FROM events GROUP BY event_type
+"""
+
+
+def _topk_per_group(spark, sf_dir):
+    """O6/O7 shape: deterministic top-3 per group."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3")
+        .select(
+            "o_orderpriority",
+            F.col("rn").cast("long").alias("rank"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey,
+       round(o_totalprice, 2) AS price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# ================================================== training-data operators
+
+def _dedup_exact(spark, sf_dir):
+    return exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT CAST(count(*) AS BIGINT)                             AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT)            AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+FROM documents
+"""
+
+
+def _minhash(spark, sf_dir):
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_SHINGLES = (
+    "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), "
+    "i -> string_split(text, ' ')[i] || ' ' || "
+    "string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])"
+)
+
+_MINHASH_SQL = f"""
+SELECT doc_id,
+       list_aggregate(list_transform(sh, s -> md5('0:' || s)), 'min') AS mh0,
+       list_aggregate(list_transform(sh, s -> md5('1:' || s)), 'min') AS mh1,
+       list_aggregate(list_transform(sh, s -> md5('2:' || s)), 'min') AS mh2,
+       list_aggregate(list_transform(sh, s -> md5('3:' || s)), 'min') AS mh3
+FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+"""
+
+
+def _lsh_pairs(spark, sf_dir):
+    return lsh_pair_count(_t(spark, sf_dir, "documents"))
+
+
+_LSH_PAIRS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+       list_aggregate(list_transform(sh, s -> md5('0:' || s)), 'min') AS mh0,
+       list_aggregate(list_transform(sh, s -> md5('1:' || s)), 'min') AS mh1,
+       list_aggregate(list_transform(sh, s -> md5('2:' || s)), 'min') AS mh2,
+       list_aggregate(list_transform(sh, s -> md5('3:' || s)), 'min') AS mh3
+  FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+), melted AS (
+  SELECT doc_id, 0 AS band, mh0 AS mh FROM sig WHERE mh0 IS NOT NULL
+  UNION ALL SELECT doc_id, 1, mh1 FROM sig WHERE mh1 IS NOT NULL
+  UNION ALL SELECT doc_id, 2, mh2 FROM sig WHERE mh2 IS NOT NULL
+  UNION ALL SELECT doc_id, 3, mh3 FROM sig WHERE mh3 IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs
+FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM melted a JOIN melted b
+    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+)
+"""
+
+
+def _knn_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where("vec_id = 0").select("embedding").first()[0]
+    ]
+    return cosine_topk(emb, qvec, k=10, exclude_id=0)
+
+
+_KNN_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(
+         list_dot_product(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)), qv)
+         / (sqrt(list_dot_product(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding,
+                          x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(qv, qv))), 3) AS cosine
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def _token_count(spark, sf_dir):
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+         AS n_re_tokens
+FROM documents
+"""
+
+
+def _langid(spark, sf_dir):
+    return stopword_langid(_t(spark, sf_dir, "documents"))
+
+
+_LANGID_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ({stops}))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+         AS stopword_ratio,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ({stops}))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.10
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+""".format(stops=", ".join(f"'{w}'" for w in EN_STOPWORDS))
+
+
+def _quality(spark, sf_dir):
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tok AS BIGINT)   AS n_tokens,
+       round(avg_tok, 4)       AS avg_token_len,
+       round(punct_ratio, 4)   AS punct_ratio,
+       round(
+         least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 50.0
+         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 30.0
+         + CASE WHEN avg_tok >= 3.0 AND avg_tok <= 9.0
+                THEN 20.0 ELSE 0.0 END, 4) AS quality_score
+FROM (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(length(text) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_tok,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+           AS DOUBLE) / length(text) AS punct_ratio
+  FROM documents
+)
+"""
+
+
+def _fingerprint(spark, sf_dir):
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         AS fingerprint
+FROM documents
+"""
+
+
+# ===================================================== extraction roundtrips
+
+def _html_roundtrip(spark, sf_dir):
+    """Full HTML-branch verification: wrap every document's text in
+    boilerplate, extract, compare against the identity oracle."""
+    return html_roundtrip(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_roundtrip(spark, sf_dir):
+    """Full PDF-branch verification: text → PDF bytes → tokenizer →
+    layout → spacing → identity."""
+    return pdf_roundtrip(_t(spark, sf_dir, "documents"))
+
+
+_ROUNDTRIP_SQL = "SELECT doc_id, text AS extracted_text FROM documents"
+
+
+# ================================================================ catalog
+
+CATALOG: dict[str, QueryDef] = {
+    # relational battery
+    "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
+    "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
+    "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
+    "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
+    # survey-analog operators
+    "a1_repeat_ratio": QueryDef(_repeat_ratio, _REPEAT_SQL),
+    "a8_run_stats": QueryDef(_run_stats, _RUN_STATS_SQL),
+    "c1_sessionize": QueryDef(_sessionize, _SESSIONIZE_SQL, True),
+    "j3_best_match": QueryDef(_best_order_per_customer, _BEST_ORDER_SQL),
+    "d1_dedup_rounded": QueryDef(_dedup_rounded, _DEDUP_ROUNDED_SQL),
+    "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
+    # training-data operators
+    "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
+    "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
+    "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
+    "text_token_counts": QueryDef(_token_count, _TOKEN_COUNT_SQL),
+    "text_langid_stopwords": QueryDef(_langid, _LANGID_SQL),
+    "text_quality_scores": QueryDef(_quality, _QUALITY_SQL),
+    "text_fingerprints": QueryDef(_fingerprint, _FINGERPRINT_SQL),
+    # extraction roundtrips (the flagship correctness gates)
+    "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
+    "extract_pdf_roundtrip": QueryDef(_pdf_roundtrip, _ROUNDTRIP_SQL, True),
+}

@@ -1,0 +1,71 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the
+query vector + a native ``aggregate(zip_with(...))`` dot product —
+whole-stage-codegen'd, no Python, no shuffle until the final top-k
+(which is a tree-aggregated ``orderBy().limit()``).
+
+Scale path: LSH bucketing by sign-random-projection (embedding sign
+bits as bucket key) restricts candidates to matching buckets — same
+two-stage recall/precision shape as MinHash dedup. The bucketed
+variant lives in :func:`srp_bucketed_topk`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+    "cast(y as double)), 0D, (acc, v) -> acc + v)"
+)
+
+
+def _norm(col: str) -> str:
+    return f"sqrt({_DOT.format(a=col, b=col)})"
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    The query vector becomes a literal array (broadcast by Catalyst as
+    a constant); ordering ties break on vec_id for determinism.
+    """
+    qlit = "array({})".format(
+        ", ".join(f"cast({float(v)!r} as double)" for v in query_vec)
+    )
+    df = embeddings.withColumn(
+        "cosine",
+        F.expr(
+            f"{_DOT.format(a='embedding', b=qlit)} / "
+            f"({_norm('embedding')} * {_norm(qlit)})"
+        ),
+    )
+    if exclude_id is not None:
+        df = df.where(F.col("vec_id") != exclude_id)
+    return (
+        df.select("vec_id", F.round("cosine", 3).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def srp_bucketed_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: sign-random-projection bucket (first
+    ``n_bits`` dimension signs as the bucket key — deterministic, no
+    random state), search only the query's bucket. At 100 TB this
+    prunes the scan to ~1/2^n_bits of rows before any distance math;
+    the projection is a partition-pruning-friendly derived column that
+    an Iceberg layout could cluster on."""
+    bucket_expr = "concat_ws('', transform(slice(embedding, 1, {n}), " \
+        "x -> case when x >= 0 then '1' else '0' end))".format(n=n_bits)
+    qbucket = "".join("1" if v >= 0 else "0" for v in query_vec[:n_bits])
+    pruned = embeddings.where(F.expr(bucket_expr) == F.lit(qbucket))
+    return cosine_topk(pruned, query_vec, k)

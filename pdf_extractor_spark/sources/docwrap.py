@@ -1,0 +1,86 @@
+"""Deterministic payload synthesis from the ``documents`` test table.
+
+Wraps each document's text into a real HTML page (with nav/footer
+boilerplate) or a real PDF byte stream, then runs the extraction
+kernel — all fused inside one ``mapInPandas`` stage. Because the
+wrappers add ONLY boilerplate that the engine must strip, the correct
+extraction output equals the original ``text`` column byte-for-byte,
+which gives the driver a DuckDB-checkable oracle for the whole
+extraction path: ``SELECT doc_id, text AS extracted_text FROM
+documents``.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT_CONFIG
+from ..operators.document import extract_document
+from ..operators.pdf_generator import PageSpec, build_pdf
+
+ROUNDTRIP_SCHEMA = "doc_id long, extracted_text string"
+
+
+def wrap_html(text: str) -> bytes:
+    return (
+        "<html><head><title>doc</title></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/idx'>Index</a> "
+        "<a href='/c'>Contact</a></nav>"
+        f"<p>{_html.escape(text)}</p>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def wrap_pdf(text: str) -> bytes:
+    """One wide page, one baseline: extraction reads the words back in
+    x-order and W2 re-inserts the single spaces — text roundtrips
+    byte-exactly."""
+    page = PageSpec(width=60000.0, height=792.0)
+    page.put_words(72.0, 400.0, 12.0, text.split(" "), gap=6.0)
+    return build_pdf([page])
+
+
+def _roundtrip_iter(wrapper):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [wrapper(t) for t in pdf["text"]]
+            texts = [
+                extract_document(p, DEFAULT_CONFIG)["extracted_text"]
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(),
+                 "extracted_text": texts}
+            )
+
+    return fn
+
+
+def _spread(docs: DataFrame, num_partitions: int | None) -> DataFrame:
+    """Hash-repartition by doc id before the Arrow stage — a small
+    parquet table arrives as ONE input split, which would serialize the
+    whole extraction onto one task. Same layout rule as the production
+    pipeline's url-hash repartition (plans/pipeline.py)."""
+    n = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import functions as F
+
+    return docs.select("doc_id", "text").repartition(n, F.col("doc_id"))
+
+
+def html_roundtrip(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """documents → synth HTML → extract → (doc_id, extracted_text)."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _roundtrip_iter(wrap_html), ROUNDTRIP_SCHEMA
+    )
+
+
+def pdf_roundtrip(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """documents → synth PDF → extract → (doc_id, extracted_text)."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _roundtrip_iter(wrap_pdf), ROUNDTRIP_SCHEMA
+    )
