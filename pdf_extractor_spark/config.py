@@ -49,6 +49,27 @@ class ExtractConfig:
     script_size_ratio: float = 0.7       # candidate if size < 0.7 * avg
     script_gap_max: float = 5.0
 
+    # --- tables (reference layout_analyzer.py:187-215, strict mode;
+    # table_detector_enhanced.py:313-369 alignment clustering) ---
+    table_align_tol: float = 5.0         # C5/C6 alignment tolerance (px)
+    table_min_rows: int = 3              # strict grid gate: >= 3 rows
+    table_min_cols: int = 3              #                   >= 3 cols
+    table_min_cells: int = 9             #                   >= 9 cells
+    table_min_confidence: float = 0.5    # populated/total cells floor
+    table_row_match_frac: float = 0.9    # adjacent-line x0 match fraction
+    table_occupancy_min: float = 0.8     # block words on-grid fraction
+    table_row_count_ratio: float = 0.6   # matches / longer-line length
+
+    # --- footnotes (reference footnote_extractor.py) ---
+    footnote_region_frac: float = 0.30   # bottom 30% = definition region
+    footnote_line_tol: float = 5.0       # C4 line grouping Y-tolerance
+    footnote_match_min_score: float = 0.5   # J3 accept threshold
+    footnote_same_page_bonus: float = 0.3   # J3 +same page
+    footnote_type_bonus: float = 0.2        # J3 +same marker family
+
+    # --- z-order overlap scan (reference error_handler.py:277-312) ---
+    zorder_max_words: int = 2000         # skip O(n^2) scan above this
+
     # --- HTML branch (Boilerpipe/jusText-family, fixed) ---
     html_link_density_max: float = 0.33
     html_short_block_chars: int = 25

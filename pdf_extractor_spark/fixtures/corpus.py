@@ -157,6 +157,68 @@ def _pdf_join_lines() -> bytes:
     return build_pdf([p])
 
 
+def _pdf_table() -> bytes:
+    """4 rows × 3 aligned columns (strict-mode grid, C5/C6/F10/F6) plus
+    running body text above — exercises detection, word exclusion (P8),
+    and page-end insertion (O5/trap 2)."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    cols_x = [72.0, 220.0, 380.0]
+    header = ["Item", "Amount", "Status"]
+    rows = [
+        ["alpha", "120", "ok"],
+        ["beta", "45", "ok"],
+        ["gamma", "300", "late"],
+    ]
+    y = 300.0
+    for cx, cell in zip(cols_x, header):
+        p.put(cx, y, 12, cell)
+    for r, row in enumerate(rows):
+        for cx, cell in zip(cols_x, row):
+            p.put(cx, y + 25 * (r + 1), 12, cell)
+    p.put_words(72, 450, 12, ["text", "after", "the", "grid", "keeps",
+                              "flowing", "in", "the", "body", "stream"])
+    return build_pdf([p])
+
+
+def _pdf_footnote_match() -> bytes:
+    """Markers of several families matched to bottom-region definitions
+    across two pages (J3 greedy scoring + A5 completeness)."""
+    p1 = PageSpec()
+    _lines(p1, [ln.split() for ln in _BODY_EN])
+    p1.put_words(72, 200, 12, ["statement", "cites"])
+    p1.put(200, 200, 8, "[1]")
+    p1.put_words(72, 230, 12, ["another", "claim"])
+    p1.put(190, 230, 8, "注1")
+    p1.put(72, 700, 9, "[1]")
+    p1.put_words(100, 700, 9, ["bracket", "definition", "on", "same", "page"])
+    p1.put(72, 720, 9, "注1")
+    p1.put_words(110, 720, 9, ["kanji", "note", "definition", "text"])
+    p2 = PageSpec()
+    _lines(p2, [ln.split() for ln in _BODY_EN])
+    p2.put_words(72, 200, 12, ["dagger", "reference"])
+    p2.put(220, 200, 8, "†")
+    p2.put(72, 700, 9, "†")
+    p2.put_words(100, 700, 9, ["dagger", "definition", "lives", "here"])
+    p2.put_words(100, 715, 9, ["and", "continues", "on", "a", "second",
+                               "line"])
+    return build_pdf([p1, p2])
+
+
+def _pdf_zorder() -> bytes:
+    """Duplicate boxes at the same rounded position (D1 dedup) and a
+    half-overlapping pair (J5 z-order flag)."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put(72, 200, 12, "doubled")
+    p.put(72.04, 200.02, 12, "doubled")      # D1: same rounded key → dropped
+    p.put(200, 300, 12, "overlapping")
+    p.put(210, 300, 12, "overlapping")       # J5: >50% overlap → flagged
+    p.put_words(72, 400, 12, ["trailing", "body", "words", "keep", "the",
+                              "page", "above", "the", "scanned", "gate"])
+    return build_pdf([p])
+
+
 def _pdf_empty_page() -> bytes:
     p1 = PageSpec()
     _lines(p1, [ln.split() for ln in _BODY_EN])
@@ -263,7 +325,10 @@ _PDF_CASES = {
     "pdf-header-footer": _pdf_header_footer,
     "pdf-section-numbers": _pdf_section_numbers,
     "pdf-footnotes": _pdf_footnotes,
+    "pdf-footnote-match": _pdf_footnote_match,
     "pdf-scripts": _pdf_scripts,
+    "pdf-table": _pdf_table,
+    "pdf-zorder": _pdf_zorder,
     "pdf-mixed-spacing": _pdf_mixed_spacing,
     "pdf-join-lines": _pdf_join_lines,
     "pdf-empty-page": _pdf_empty_page,
@@ -283,7 +348,8 @@ _HTML_CASES = {
 _CASE_LANG = {
     "pdf-single-col": "mixed", "pdf-two-col": "en",
     "pdf-header-footer": "en", "pdf-section-numbers": "mixed",
-    "pdf-footnotes": "en", "pdf-scripts": "en",
+    "pdf-footnotes": "en", "pdf-footnote-match": "mixed",
+    "pdf-scripts": "en", "pdf-table": "en", "pdf-zorder": "en",
     "pdf-mixed-spacing": "mixed", "pdf-join-lines": "mixed",
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
     "html-article": "en", "html-linkfarm": "en",

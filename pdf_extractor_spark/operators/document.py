@@ -3,11 +3,22 @@
 One payload in, one extraction record out. The reference re-opens and
 re-parses each PDF up to six times across its phases
 (``master_extractor.py`` — SURVEY.md §3.2 "critical inefficiency");
-here every phase derives from a SINGLE parse: tokenize once, then
-header/footer detection (A1) → metadata filter (P2) → column detection
-(C1) → line grouping (C2) → reading-order sort (O1/O2) → spacing join
-(W2) → cleanup (W4, F1-F3) → coverage/quality (A4/A6) — all on the one
-word-box frame.
+here every phase derives from a SINGLE parse. Phase order per page
+(reference trace SURVEY.md §3.1/§3.2):
+
+    tokenize (P1) → word dedup (D1) → z-order scan (J5)
+      → table detection + dedup (C5/C6, F10, F6, J4)
+      → table-word exclusion (J1/P8)
+      → super/subscript attachment (W3/F4/A2)
+      → footnote marker + definition harvest (P5/P7, C4, W5)
+      → metadata filter (P2-P7, P10, A1/J7)
+      → column detection (C1) → line grouping (C2) → x-sort (O1/O2)
+      → spacing join (W2) → cleanup (W4, F1-F3)
+      → table insertion at page end (O5; reference appends, trap 2)
+    document: footnote match (J3) + completeness (A5)
+      → footnote section appended AFTER cleanup (trap 6)
+      → inventory (A3), coverage (A4), anti-hallucination scan (A7/P9),
+        quality score (A6)
 
 Routing: content sniffing on the payload magic (``%PDF-`` ⇒ PDF branch,
 else HTML branch), per SURVEY.md §1.3.
@@ -22,12 +33,33 @@ from typing import Any
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from .filters import detect_repeating_elements, filter_metadata, is_scanned_page
+from .footnotes import (
+    completeness,
+    find_definitions,
+    find_markers,
+    match_markers,
+)
 from .html_extract import extract_html
+from .inventory import (
+    coverage_status,
+    dedup_words,
+    element_inventory,
+    hallucination_scan,
+    zorder_overlap_count,
+)
 from .layout import detect_columns, group_lines
 from .pdf_tokenizer import parse_pdf
+from .scripts import attach_scripts
 from .spacing import cleanup_text, join_words_with_spacing
+from .tables import dedup_tables, detect_tables, exclude_table_words
 
 PDF_MAGIC = b"%PDF-"
+
+_EMPTY_INVENTORY = {
+    "total": 0,
+    "region_top": 0, "region_middle": 0, "region_bottom": 0,
+    "size_large": 0, "size_standard": 0, "size_small": 0, "size_tiny": 0,
+}
 
 
 def _grade(score: float) -> str:
@@ -45,28 +77,33 @@ def _grade(score: float) -> str:
 
 def _quality(
     total_words: int, kept_words: int, n_lines: int, text: str,
-    cfg: ExtractConfig,
+    footnote_rate: float, cfg: ExtractConfig,
 ) -> dict[str, Any]:
-    """A4+A6 lite: coverage + weighted score (reference
+    """A4+A6: coverage + weighted score (reference
     ``quality_scorer.py:81-413`` — completeness .30, structure .25,
-    accuracy .20, footnotes .15, readability .10). Deterministic column
-    math only; footnote dim defaults to full until the footnote stage
-    lands (round 2)."""
+    accuracy .20, footnotes .15, readability .10). Deterministic
+    column math only. ``status`` carries the A4 coverage verdict
+    (GOOD/WARNING/POOR, ``element_inventory.py:204-269``)."""
     coverage = kept_words / total_words if total_words else 0.0
-    completeness = min(1.0, coverage / 0.85)  # GOOD threshold 85% (A4)
+    completeness_dim = min(1.0, coverage / 0.85)  # GOOD threshold (A4)
     structure = min(1.0, n_lines / 3.0) if text else 0.0
     bad_chars = text.count("�") + text.count("\x00")
     accuracy = max(0.0, 1.0 - bad_chars / max(1, len(text)))
     readability = 1.0 if text.strip() else 0.0
     score = 100.0 * (
-        cfg.w_completeness * completeness
+        cfg.w_completeness * completeness_dim
         + cfg.w_structure * structure
         + cfg.w_accuracy * accuracy
-        + cfg.w_footnotes * 1.0
+        + cfg.w_footnotes * footnote_rate
         + cfg.w_readability * readability
     )
     score = round(score, 4)
-    return {"score": score, "grade": _grade(score), "coverage": round(coverage, 6)}
+    return {
+        "score": score,
+        "grade": _grade(score),
+        "coverage": round(coverage, 6),
+        "status": coverage_status(coverage),
+    }
 
 
 def extract_pdf_document(
@@ -75,10 +112,17 @@ def extract_pdf_document(
     """PDF branch: single parse → per-page filter/cluster/serialize."""
     doc = parse_pdf(payload)
     errors: list[dict] = list(doc.errors)
+    inventory = element_inventory(
+        [p.words for p in doc.pages], [p.height for p in doc.pages]
+    )
     headers, footers = detect_repeating_elements(
         [p.words for p in doc.pages], [p.height for p in doc.pages], cfg
     )
-    page_texts: list[tuple[int, str]] = []
+    # (page_no, body_text, [table texts])
+    page_texts: list[tuple[int, str, list[str]]] = []
+    all_tables: list = []
+    all_markers: list = []
+    all_defs: list = []
     total_words = 0
     kept_words = 0
     for page in doc.pages:
@@ -89,7 +133,16 @@ def extract_pdf_document(
                  "page": page.page_number, "message": "no words on page"}
             )
             continue
-        if is_scanned_page(page.words, cfg):
+        words = dedup_words(page.words)  # D1
+        if len(words) <= cfg.zorder_max_words:
+            n_overlap = zorder_overlap_count(words)  # J5
+            if n_overlap:
+                errors.append(
+                    {"type": "z_order", "severity": "warning",
+                     "page": page.page_number,
+                     "message": f"{n_overlap} overlapping word pairs"}
+                )
+        if is_scanned_page(words, cfg):
             # reference emits a placeholder (master_extractor.py:714-722)
             errors.append(
                 {"type": "scanned", "severity": "warning",
@@ -97,49 +150,100 @@ def extract_pdf_document(
                  "message": "fewer than threshold words; raster-only page"}
             )
             page_texts.append(
-                (page.page_number, f"[SCANNED PAGE {page.page_number}]")
+                (page.page_number, f"[SCANNED PAGE {page.page_number}]", [])
             )
             continue
-        words = filter_metadata(page.words, page.height, headers, footers, cfg)
+        tables = dedup_tables(
+            detect_tables(words, page.page_number, cfg)
+        )
+        all_tables.extend(tables)
+        words = exclude_table_words(words, tables)  # J1/P8
+        words = attach_scripts(words, cfg)          # W3
+        all_markers.extend(
+            find_markers(words, page.page_number, page.height, cfg)
+        )
+        defs, consumed = find_definitions(
+            words, page.page_number, page.height, cfg
+        )
+        all_defs.extend(defs)
+        if len(consumed):
+            words = words.drop(index=consumed)
+        words = filter_metadata(words, page.height, headers, footers, cfg)
         kept_words += len(words)
-        if len(words) == 0:
-            continue
-        cols = detect_columns(words, cfg.column_gap_threshold)
-        col_texts: list[str] = []
-        for _cid, cw in cols.groupby("col_id", sort=True):
-            lines = group_lines(cw, cfg.line_height_threshold)
-            line_strs = [
-                join_words_with_spacing(lw, cfg)
-                for _lid, lw in lines.groupby("line_id", sort=True)
-            ]
-            col_texts.append("\n".join(line_strs))
-        page_text = cleanup_text("\n\n".join(col_texts))
-        if page_text:
-            page_texts.append((page.page_number, page_text))
+        body = ""
+        if len(words) > 0:
+            cols = detect_columns(words, cfg.column_gap_threshold)
+            col_texts: list[str] = []
+            for _cid, cw in cols.groupby("col_id", sort=True):
+                lines = group_lines(cw, cfg.line_height_threshold)
+                line_strs = [
+                    join_words_with_spacing(lw, cfg)
+                    for _lid, lw in lines.groupby("line_id", sort=True)
+                ]
+                col_texts.append("\n".join(line_strs))
+            body = cleanup_text("\n\n".join(col_texts))
+        table_blocks = [t.text for t in tables]  # O5: appended at page end
+        if body or table_blocks:
+            page_texts.append((page.page_number, body, table_blocks))
+
+    matches = match_markers(all_markers, all_defs, cfg)  # J3
+    fn_stats = completeness(all_markers, all_defs, matches)  # A5
 
     parts: list[str] = []
     spans: list[tuple[int, int, str, int]] = []
     pos = 0
     n_lines = 0
-    for page_no, ptext in page_texts:
+    for page_no, body, table_blocks in page_texts:
+        if body:
+            if parts:
+                pos += 2
+            start = pos
+            parts.append(body)
+            pos += len(body)
+            spans.append((start, pos, "body", page_no))
+            n_lines += body.count("\n") + 1
+        for tb in table_blocks:
+            if parts:
+                pos += 2
+            start = pos
+            parts.append(tb)
+            pos += len(tb)
+            spans.append((start, pos, "table", page_no))
+    # footnote section appended after cleanup (trap 6; F9 formatting)
+    for m in matches:
+        line = f"{m['marker']} {m['text']}" if m["text"] else m["marker"]
         if parts:
             pos += 2
         start = pos
-        parts.append(ptext)
-        pos += len(ptext)
-        spans.append((start, pos, "body", page_no))
-        n_lines += ptext.count("\n") + 1
+        parts.append(line)
+        pos += len(line)
+        spans.append((start, pos, "footnote", m["page"]))
     text = "\n\n".join(parts)
-    quality = _quality(total_words, kept_words, n_lines, text, cfg)
+    quality = _quality(
+        total_words, kept_words, n_lines, text,
+        fn_stats["match_rate"], cfg,
+    )
+    suspicious = hallucination_scan(text)  # A7/P9 detection pass
+    for name in suspicious:
+        errors.append(
+            {"type": "suspicious_content", "severity": "info", "page": 0,
+             "message": f"pattern {name} present in extracted text"}
+        )
     return {
         "branch": "pdf",
         "extracted_text": text,
         "spans": spans,
-        "tables": [],
-        "footnotes": [],
+        "tables": [
+            {"page": t.page, "rows": t.n_rows, "cols": t.n_cols,
+             "text": t.text, "confidence": t.confidence}
+            for t in all_tables
+        ],
+        "footnotes": matches,
         "quality": quality,
         "errors": errors,
         "n_pages": len(doc.pages),
+        "inventory": inventory,
+        "footnote_stats": fn_stats,
     }
 
 
@@ -169,7 +273,7 @@ def extract_html_document(
     n_lines = text.count("\n") + 1 if text else 0
     n_blocks = len(spans)
     quality = _quality(
-        max(1, n_blocks), n_blocks, n_lines, text, cfg
+        max(1, n_blocks), n_blocks, n_lines, text, 1.0, cfg
     )
     return {
         "branch": "html",
@@ -180,6 +284,8 @@ def extract_html_document(
         "quality": quality,
         "errors": errors,
         "n_pages": 1,
+        "inventory": dict(_EMPTY_INVENTORY),
+        "footnote_stats": completeness([], [], []),
     }
 
 
@@ -200,10 +306,13 @@ def extract_document(
             "spans": [],
             "tables": [],
             "footnotes": [],
-            "quality": {"score": 0.0, "grade": "F", "coverage": 0.0},
+            "quality": {"score": 0.0, "grade": "F", "coverage": 0.0,
+                        "status": "POOR"},
             "errors": [
                 {"type": "unknown", "severity": "critical", "page": 0,
                  "message": f"unhandled: {exc}"}
             ],
             "n_pages": 0,
+            "inventory": dict(_EMPTY_INVENTORY),
+            "footnote_stats": completeness([], [], []),
         }

@@ -86,6 +86,24 @@ OUTPUT_SCHEMA = T.StructType(
                     T.StructField("score", T.DoubleType()),
                     T.StructField("grade", T.StringType()),
                     T.StructField("coverage", T.DoubleType()),
+                    T.StructField("status", T.StringType()),
+                ]
+            ),
+        ),
+        # A3 element inventory — fixed key set (operators/inventory.py)
+        T.StructField(
+            "inventory", T.MapType(T.StringType(), T.LongType())
+        ),
+        # A5 footnote completeness
+        T.StructField(
+            "footnote_stats",
+            T.StructType(
+                [
+                    T.StructField("n_markers", T.IntegerType()),
+                    T.StructField("n_definitions", T.IntegerType()),
+                    T.StructField("n_matched", T.IntegerType()),
+                    T.StructField("match_rate", T.DoubleType()),
+                    T.StructField("status", T.StringType()),
                 ]
             ),
         ),
@@ -158,6 +176,8 @@ def _make_extract_iter(cfg: ExtractConfig):
                     "tables": [r["tables"] for r in recs],
                     "footnotes": [r["footnotes"] for r in recs],
                     "quality": [r["quality"] for r in recs],
+                    "inventory": [r["inventory"] for r in recs],
+                    "footnote_stats": [r["footnote_stats"] for r in recs],
                     "errors": [r["errors"] for r in recs],
                     "ok": [
                         not any(
