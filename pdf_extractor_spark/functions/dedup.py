@@ -98,6 +98,71 @@ def lsh_pair_count(docs: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed 64-bit in both engines
+
+# SimHash bit j = sign of Σ_tokens (±1 by bit j of h(token)). Expressed
+# entirely in higher-order functions: no UDF, no explode. The token
+# hashes are materialized ONCE into the ``hs`` column — referencing it
+# from the bit loop instead of inlining keeps the md5 work O(tokens),
+# not O(tokens × 60).
+_TOKEN_HASHES = (
+    "transform(split(text, ' '), "
+    "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+)
+_SIMHASH_FROM_HS = f"""
+aggregate(
+  sequence(0, {SIMHASH_BITS - 1}),
+  cast(0 as bigint),
+  (acc, j) -> acc + IF(
+    aggregate(hs, 0, (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1))
+      > 0,
+    shiftleft(cast(1 as bigint), j),
+    cast(0 as bigint))
+)
+"""
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-document 60-bit SimHash over whitespace tokens (md5-based so
+    DuckDB reproduces it bit-for-bit). Pure map stage — no shuffle; at
+    100 TB the near-dup join is then a band-join on simhash prefixes
+    (Hamming-ball candidates), same two-stage shape as MinHash LSH.
+
+    For very long documents the O(tokens × 60) bit loop is better paid
+    in NumPy — :func:`simhash_pandas` is the Arrow-batched scale path
+    producing identical values."""
+    return (
+        docs.withColumn("hs", F.expr(_TOKEN_HASHES))
+        .select("doc_id", F.expr(_SIMHASH_FROM_HS).alias("simhash"))
+    )
+
+
+def simhash_pandas(texts) -> "list[int]":
+    """NumPy SimHash — identical output to :func:`simhash_signatures`
+    (same md5/15-hex-char hash, same sign rule). Intended body for a
+    ``mapInPandas`` stage when token counts make the SQL expression the
+    bottleneck; also the cross-check used in unit tests."""
+    import hashlib
+
+    import numpy as np
+
+    out: list[int] = []
+    js = np.arange(SIMHASH_BITS, dtype=np.int64)
+    for text in texts:
+        toks = text.split(" ")
+        hs = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in toks
+            ],
+            dtype=np.int64,
+        )
+        bits = ((hs[:, None] >> js[None, :]) & 1) * 2 - 1  # ±1 per bit
+        sig = int(((bits.sum(axis=0) > 0) << js).sum())
+        out.append(sig)
+    return out
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates only: the scale-safe
     two-stage shape (cheap LSH recall → exact precision on survivors)."""

@@ -25,8 +25,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.docwrap import html_roundtrip, pdf_roundtrip
-from .dedup import exact_dedup_stats, lsh_pair_count, minhash_signatures
-from .similarity import cosine_topk
+from .dedup import (
+    exact_dedup_stats,
+    lsh_pair_count,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from .multimodal import decode_image_meta, resize_plan
+from .similarity import cosine_topk, embedding_near_dup_pairs, srp_bucketed_topk
 from .textstats import (
     EN_STOPWORDS,
     TOKEN_REGEX,
@@ -536,6 +543,171 @@ FROM documents
 """
 
 
+def _simhash(spark, sf_dir):
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 59) t(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def _ngram_jaccard(spark, sf_dir):
+    # low threshold: the synthetic corpus shares vocabulary but has no
+    # true near-dups; 0.1 exercises the candidate→exact pipeline with
+    # non-empty output
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+), sig AS (
+  SELECT doc_id,
+       list_aggregate(list_transform(sh, s -> md5('0:' || s)), 'min') AS mh0,
+       list_aggregate(list_transform(sh, s -> md5('1:' || s)), 'min') AS mh1,
+       list_aggregate(list_transform(sh, s -> md5('2:' || s)), 'min') AS mh2,
+       list_aggregate(list_transform(sh, s -> md5('3:' || s)), 'min') AS mh3
+  FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+), melted AS (
+  SELECT doc_id, 0 AS band, mh0 AS mh FROM sig WHERE mh0 IS NOT NULL
+  UNION ALL SELECT doc_id, 1, mh1 FROM sig WHERE mh1 IS NOT NULL
+  UNION ALL SELECT doc_id, 2, mh2 FROM sig WHERE mh2 IS NOT NULL
+  UNION ALL SELECT doc_id, 3, mh3 FROM sig WHERE mh3 IS NOT NULL
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM melted a JOIN melted b
+    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+WHERE jaccard >= 0.1
+"""
+
+
+def _ann_srp(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where("vec_id = 0").select("embedding").first()[0]
+    ]
+    return srp_bucketed_topk(emb, qvec, k=10)
+
+
+_ANN_SRP_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+         list_aggregate(list_transform(embedding[1:4],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+           'string_agg', '') AS qbucket
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(
+         list_dot_product(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)), qv)
+         / (sqrt(list_dot_product(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding,
+                          x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(qv, qv))), 3) AS cosine
+FROM embeddings, q
+WHERE list_aggregate(list_transform(embedding[1:4],
+        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+        'string_agg', '') = qbucket
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def _embedding_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4, k=20
+    )
+
+
+_EMBEDDING_NEAR_DUP_SQL = """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_aggregate(list_transform(embedding[1:4],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+           'string_agg', '') AS bucket
+  FROM embeddings
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 3) AS cosine
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE cosine >= 0.3
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
+# ======================================================== multimodal stubs
+
+def _multimodal_decode(spark, sf_dir):
+    return decode_image_meta(_t(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 240
+            AS INT) AS width,
+       CAST(16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 240
+            AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM documents
+"""
+
+
+def _multimodal_resize(spark, sf_dir):
+    return resize_plan(decode_image_meta(_t(spark, sf_dir, "documents")))
+
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 240 AS width,
+         16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 240 AS height
+  FROM documents
+)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(floor(width * 64.0 / greatest(width, height)) AS INT)
+         AS new_width,
+       CAST(floor(height * 64.0 / greatest(width, height)) AS INT)
+         AS new_height
+FROM d
+"""
+
+
 # ===================================================== extraction roundtrips
 
 def _html_roundtrip(spark, sf_dir):
@@ -572,7 +744,15 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
+    "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
+    "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
+    "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
+    "sim_embedding_near_dup": QueryDef(
+        _embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL
+    ),
+    "multimodal_decode": QueryDef(_multimodal_decode, _MULTIMODAL_DECODE_SQL),
+    "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
     "text_token_counts": QueryDef(_token_count, _TOKEN_COUNT_SQL),
     "text_langid_stopwords": QueryDef(_langid, _LANGID_SQL),
     "text_quality_scores": QueryDef(_quality, _QUALITY_SQL),

@@ -69,3 +69,43 @@ def srp_bucketed_topk(
     qbucket = "".join("1" if v >= 0 else "0" for v in query_vec[:n_bits])
     pruned = embeddings.where(F.expr(bucket_expr) == F.lit(qbucket))
     return cosine_topk(pruned, query_vec, k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.3, n_bits: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: SRP-bucketed
+    self-join (pairs must share the first ``n_bits`` sign bits — the
+    blocking key that keeps the join off the full n² cross product),
+    then exact cosine ≥ ``threshold``, top-``k`` by similarity.
+
+    At 100 TB the bucket column is the shuffle key: the self-join
+    shuffles (bucket, vec_id, embedding) and each bucket joins locally;
+    skewed buckets split under AQE since this is a plain equi-join."""
+    bucket_expr = "concat_ws('', transform(slice(embedding, 1, {n}), " \
+        "x -> case when x >= 0 then '1' else '0' end))".format(n=n_bits)
+    b = embeddings.select(
+        "vec_id", "embedding", F.expr(bucket_expr).alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pair_cos = _DOT.format(a="a.embedding", b="b.embedding")
+    norm_a = _norm("a.embedding")
+    norm_b = _norm("b.embedding")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(f"{pair_cos} / ({norm_a} * {norm_b})"), 3
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(k)
+    )

@@ -1,0 +1,131 @@
+"""Tests for the training-data operators added in round 1: SimHash,
+n-gram Jaccard, SRP-bucketed ANN, embedding near-dup, and the
+multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.dedup import (
+    ngram_jaccard_pairs,
+    simhash_pandas,
+    simhash_signatures,
+)
+from pdf_extractor_spark.functions.multimodal import (
+    attach_binary_payload,
+    decode_image_meta,
+    frame_sample_plan,
+    resize_plan,
+)
+from pdf_extractor_spark.functions.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    srp_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestSimhash:
+    def test_sql_matches_numpy(self, docs):
+        rows = simhash_signatures(docs.limit(20)).collect()
+        texts = [
+            r["text"]
+            for r in docs.limit(20).select("doc_id", "text").collect()
+        ]
+        expected = simhash_pandas(texts)
+        got = [r["simhash"] for r in rows]
+        assert got == expected
+
+    def test_near_dup_texts_small_hamming(self):
+        a = "the quick brown fox jumps over the lazy dog " * 10
+        b = a.replace("lazy", "idle", 1)  # one token differs
+        c = "completely different vocabulary about spark shuffles " * 10
+        ha, hb, hc = simhash_pandas([a.strip(), b.strip(), c.strip()])
+        assert bin(ha ^ hb).count("1") < bin(ha ^ hc).count("1")
+
+
+class TestJaccard:
+    def test_identical_docs_jaccard_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "a b c d e f g")],
+            "doc_id long, text string",
+        )
+        out = ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert len(out) == 1
+        assert out[0]["jaccard"] == 1.0
+
+    def test_disjoint_docs_no_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "u v w x y z")],
+            "doc_id long, text string",
+        )
+        assert ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+
+
+class TestAnn:
+    def test_bucketed_subset_of_exact_domain(self, emb):
+        qvec = [
+            float(v)
+            for v in emb.where("vec_id = 0").select("embedding").first()[0]
+        ]
+        exact = {r["vec_id"] for r in cosine_topk(emb, qvec, k=50).collect()}
+        approx = srp_bucketed_topk(emb, qvec, k=10).collect()
+        assert 0 < len(approx) <= 10
+        # the query's own bucket contains the query itself — its top hit
+        # must also appear among the exact top-50
+        assert approx[0]["vec_id"] in exact
+
+    def test_near_dup_pairs_sorted_and_bounded(self, emb):
+        out = embedding_near_dup_pairs(
+            emb, threshold=0.0, n_bits=4, k=15
+        ).collect()
+        assert len(out) == 15
+        cosines = [r["cosine"] for r in out]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["vec_a"] < r["vec_b"] for r in out)
+
+
+class TestMultimodal:
+    def test_payload_schema(self, docs):
+        df = attach_binary_payload(docs.limit(5))
+        assert dict(df.dtypes)["payload"] == "binary"
+        row = df.first()
+        assert row["meta"]["n_bytes"] == len(row["payload"])
+
+    def test_decode_deterministic_and_bounded(self, docs):
+        a = decode_image_meta(docs.limit(20)).orderBy("doc_id").collect()
+        b = decode_image_meta(docs.limit(20)).orderBy("doc_id").collect()
+        assert a == b
+        for r in a:
+            assert 16 <= r["width"] < 256
+            assert 16 <= r["height"] < 256
+            assert r["channels"] == 3
+            assert r["n_bytes"] > 0
+
+    def test_resize_preserves_aspect_bound(self, docs):
+        out = resize_plan(decode_image_meta(docs.limit(20))).collect()
+        for r in out:
+            assert max(r["new_width"], r["new_height"]) == 64
+            assert r["new_width"] <= 64 and r["new_height"] <= 64
+
+    def test_frame_sample_plan(self, docs):
+        out = frame_sample_plan(decode_image_meta(docs.limit(10))).collect()
+        for r in out:
+            frames = r["sampled_frames"]
+            assert frames[0] == 0
+            assert all(
+                b - a == 10 for a, b in zip(frames, frames[1:])
+            )
