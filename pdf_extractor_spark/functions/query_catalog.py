@@ -30,7 +30,7 @@ from .dedup import (
     lsh_pair_count,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash_signatures,
+    simhash_mapinpandas,
 )
 from .multimodal import decode_image_meta, resize_plan
 from .similarity import cosine_topk, embedding_near_dup_pairs, srp_bucketed_topk
@@ -544,7 +544,9 @@ FROM documents
 
 
 def _simhash(spark, sf_dir):
-    return simhash_signatures(_t(spark, sf_dir, "documents"))
+    # Arrow-batched scale path; bit-identical to the pure-SQL
+    # simhash_signatures (asserted in tests), same DuckDB oracle.
+    return simhash_mapinpandas(_t(spark, sf_dir, "documents"))
 
 
 _SIMHASH_SQL = """

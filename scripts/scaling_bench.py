@@ -1,0 +1,146 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+The rule's criterion — throughput scaling efficiency ≥ 0.8 between N
+and 4N executor clusters — cannot use a real cluster in this sandbox,
+so the sanctioned substitute is the SAME job on the SAME input at two
+parallelism levels: ``local[4]`` vs ``local[16]`` (N=4, 4N=16), each
+subprocess PINNED to exactly that many CPUs with ``taskset`` so a
+"cluster" of N cores cannot borrow the idle cores for JVM-side work —
+the honest simulation of two cluster sizes on one box.
+
+Why not 8 vs 32: at 32-wide this box's memory bandwidth caps the
+pandas-heavy kernel at ~0.85 efficiency in PURE multiprocessing (no
+Spark at all) — a hardware ceiling, not an engine property. 4→16
+multiprocessing scales at ~1.0, so that pair actually measures the
+ENGINE's scaling (shuffle layout, Arrow stages, scheduling) instead of
+DRAM saturation. Both pairs' numbers are recorded in BASELINE.md.
+
+The job is the end-to-end extraction pipeline (payload synthesis →
+parse → layout → serialize, both PDF and HTML branches) over the sf0.1
+``documents`` table replicated ``REPL``× under distinct doc ids, so
+every core has multiple task-waves of steady-state work. Each
+configuration runs in its own pinned subprocess (fresh JVM — a stopped
+SparkContext cannot change master) ``RUNS`` times; the reported figure
+is the median.
+
+    efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4
+
+Writes ``BENCH_SCALING.json`` at the repo root and prints a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import statistics
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+SF_DIR = "/root/testdata/sf0.1"
+REPL = 4           # input replication factor (distinct doc ids)
+RUNS = 3
+CORES = (4, 16)
+
+
+def inner(cores: int) -> None:
+    """One measured run; prints a single JSON line."""
+    sys.path.insert(0, str(ROOT))
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.plans.session import build_session
+    from pdf_extractor_spark.sources.docwrap import (
+        html_roundtrip,
+        pdf_roundtrip,
+    )
+
+    spark = build_session(
+        app=f"scale{cores}", cores=cores,
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPL - 1))))
+        .select(
+            (F.col("doc_id") * REPL + F.col("rep")).alias("doc_id"), "text"
+        )
+    )
+    # repartition BEFORE cache: a parquet table this small arrives as
+    # one split, and a single-partition cache would serialize the map
+    # side of every downstream exchange
+    docs = docs.repartition(cores * 2, F.col("doc_id")).cache()
+    n_docs = docs.count() * 2  # both branches
+
+    # warm: JVM codegen + Python worker pool + imports, both branches
+    html_roundtrip(docs.limit(cores * 4), num_partitions=cores).count()
+    pdf_roundtrip(docs.limit(cores * 4), num_partitions=cores).count()
+
+    # 2 task-waves per leg (cores*2 partitions): one straggler can only
+    # idle its core for half a wave, not the whole tail of the job
+    t0 = time.perf_counter()
+    both = html_roundtrip(docs, num_partitions=cores * 2).unionByName(
+        pdf_roundtrip(docs, num_partitions=cores * 2)
+    )
+    both.select("doc_id", F.length("extracted_text").alias("n")) \
+        .write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    print(json.dumps(
+        {"cores": cores, "wall_sec": round(wall, 3), "n_docs": n_docs,
+         "docs_per_sec": round(n_docs / wall, 2)}
+    ))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--inner":
+        inner(int(sys.argv[2]))
+        return
+    results: dict[int, list[dict]] = {c: [] for c in CORES}
+    for run in range(RUNS):
+        for cores in CORES:
+            # pin to exactly `cores` CPUs: an N-core "cluster" must not
+            # borrow idle cores for JVM-side Arrow/scheduler work
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cores - 1}",
+                 sys.executable, __file__, "--inner", str(cores)],
+                capture_output=True, text=True, timeout=900,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            rec = json.loads(line)
+            results[cores].append(rec)
+            print(f"run {run + 1}/{RUNS} cores={cores}: "
+                  f"{rec['docs_per_sec']} docs/sec "
+                  f"({rec['wall_sec']} s)", file=sys.stderr)
+    med = {
+        c: statistics.median(r["docs_per_sec"] for r in results[c])
+        for c in CORES
+    }
+    lo, hi = CORES
+    efficiency = (med[hi] / med[lo]) / (hi / lo)
+    summary = {
+        "job": "end-to-end extraction (html+pdf branches), sf0.1 "
+               f"documents x{REPL}",
+        "n_docs": results[lo][0]["n_docs"],
+        "runs_per_config": RUNS,
+        "docs_per_sec": {str(c): med[c] for c in CORES},
+        "wall_sec_median": {
+            str(c): statistics.median(r["wall_sec"] for r in results[c])
+            for c in CORES
+        },
+        "speedup": round(med[hi] / med[lo], 3),
+        "parallelism_ratio": hi // lo,
+        "scaling_efficiency": round(efficiency, 3),
+        "pass_0_8_gate": efficiency >= 0.8,
+        "all_runs": {str(c): results[c] for c in CORES},
+    }
+    (ROOT / "BENCH_SCALING.json").write_text(json.dumps(summary, indent=1))
+    print(json.dumps(
+        {k: v for k, v in summary.items() if k != "all_runs"}, indent=1
+    ))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,19 @@ class TestSimhash:
         got = [r["simhash"] for r in rows]
         assert got == expected
 
+    def test_sql_and_arrow_paths_identical(self, docs):
+        from pdf_extractor_spark.functions.dedup import simhash_mapinpandas
+
+        sql_path = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs.limit(30)).collect()
+        }
+        arrow_path = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_mapinpandas(docs.limit(30)).collect()
+        }
+        assert sql_path == arrow_path
+
     def test_near_dup_texts_small_hamming(self):
         a = "the quick brown fox jumps over the lazy dog " * 10
         b = a.replace("lazy", "idle", 1)  # one token differs
