@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.docwrap import html_roundtrip, pdf_roundtrip
+from ..sources.docwrap import full_extract_stats, html_roundtrip, pdf_roundtrip
 from .dedup import (
     exact_dedup_stats,
     lsh_pair_count,
@@ -380,6 +380,137 @@ WHERE rn <= 3
 """
 
 
+def _p9_scrub_chain(spark, sf_dir):
+    """P9 anti-hallucination removal as a NATIVE regexp_replace chain
+    (reference ``anti_hallucination.py:243-264``): markup is injected
+    around each document's text, the chain must strip it back out.
+    No UDF — whole-stage codegen end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("# "), F.col("text"),
+        F.lit(" **"), F.col("lang"), F.lit("** ```"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(noisy, r"(?m)^#{1,6} ", ""),
+            r"\*\*([^*\n]+)\*\*", r"$1",
+        ),
+        r"```", "",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.length(scrubbed).alias("scrub_len"),
+    )
+
+
+_P9_SCRUB_SQL = r"""
+SELECT doc_id,
+       md5(scrubbed) AS scrub_md5,
+       CAST(length(scrubbed) AS INT) AS scrub_len
+FROM (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace('# ' || text || ' **' || lang || '** ```',
+                            '(?m)^#{1,6} ', '', 'g'),
+             '\*\*([^*\n]+)\*\*', '\1', 'g'),
+           '```', '', 'g') AS scrubbed
+  FROM documents
+)
+"""
+
+
+def _a2_trimmed_mean(spark, sf_dir):
+    """A2 trimmed-mean (reference ``superscript_detector.py:161-177``:
+    drop top/bottom 10% then mean) at dataset scale: exact via
+    row_number ranking per group — no approximate percentiles, so the
+    oracle matches bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    trimmed = ranked.where(
+        (F.col("rn") > F.floor(F.col("n") / 10))
+        & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 10))
+    )
+    return (
+        trimmed.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("trimmed_mean"),
+            F.count("*").alias("n_kept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_A2_TRIMMED_SQL = """
+SELECT l_returnflag,
+       round(avg(l_extendedprice), 4) AS trimmed_mean,
+       CAST(count(*) AS BIGINT)       AS n_kept
+FROM (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+WHERE rn > floor(n / 10) AND rn <= n - floor(n / 10)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def _a3_inventory_bands(spark, sf_dir):
+    """A3 element-inventory shape (reference
+    ``element_inventory.py:85-202``: counts by region band × size
+    class) over the events table — same size-class thresholds as the
+    font classes (>18 / 10-18 / 6-10 / <6), banded counts as one
+    partial+final hash aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("value") > 18).cast("long")).alias("n_large"),
+            F.sum(
+                ((F.col("value") >= 10) & (F.col("value") <= 18))
+                .cast("long")
+            ).alias("n_standard"),
+            F.sum(
+                ((F.col("value") >= 6) & (F.col("value") < 10))
+                .cast("long")
+            ).alias("n_small"),
+            F.sum((F.col("value") < 6).cast("long")).alias("n_tiny"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_A3_INVENTORY_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN value > 18 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_large,
+       CAST(sum(CASE WHEN value >= 10 AND value <= 18 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_standard,
+       CAST(sum(CASE WHEN value >= 6 AND value < 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_small,
+       CAST(sum(CASE WHEN value < 6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tiny
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ================================================== training-data operators
 
 def _dedup_exact(spark, sf_dir):
@@ -727,6 +858,12 @@ def _pdf_roundtrip(spark, sf_dir):
 _ROUNDTRIP_SQL = "SELECT doc_id, text AS extracted_text FROM documents"
 
 
+def _full_extract_stats(spark, sf_dir):
+    """Full-record extraction rollup (quality/inventory/error surfaces).
+    Not SQL-expressible — driver records the rows-only check."""
+    return full_extract_stats(_t(spark, sf_dir, "documents"))
+
+
 # ================================================================ catalog
 
 CATALOG: dict[str, QueryDef] = {
@@ -742,6 +879,9 @@ CATALOG: dict[str, QueryDef] = {
     "j3_best_match": QueryDef(_best_order_per_customer, _BEST_ORDER_SQL),
     "d1_dedup_rounded": QueryDef(_dedup_rounded, _DEDUP_ROUNDED_SQL),
     "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
+    "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
+    "a2_trimmed_mean": QueryDef(_a2_trimmed_mean, _A2_TRIMMED_SQL),
+    "a3_inventory_bands": QueryDef(_a3_inventory_bands, _A3_INVENTORY_SQL),
     # training-data operators
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
@@ -762,4 +902,5 @@ CATALOG: dict[str, QueryDef] = {
     # extraction roundtrips (the flagship correctness gates)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
     "extract_pdf_roundtrip": QueryDef(_pdf_roundtrip, _ROUNDTRIP_SQL, True),
+    "extract_full_stats": QueryDef(_full_extract_stats, None),
 }

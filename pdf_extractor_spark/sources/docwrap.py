@@ -84,3 +84,60 @@ def pdf_roundtrip(docs: DataFrame, num_partitions: int | None = None) -> DataFra
     return _spread(docs, num_partitions).mapInPandas(
         _roundtrip_iter(wrap_pdf), ROUNDTRIP_SCHEMA
     )
+
+
+FULL_RECORD_SCHEMA = (
+    "doc_id long, branch string, ok boolean, score double, grade string, "
+    "coverage double, status string, n_spans int, n_errors int, "
+    "inv_total long"
+)
+
+
+def _full_record_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Full extraction record per document: even doc ids wrap as PDF,
+    odd as HTML — both branches exercised in one stage."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            wrapper = wrap_pdf if doc_id % 2 == 0 else wrap_html
+            r = extract_document(wrapper(text), DEFAULT_CONFIG)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "branch": r["branch"],
+                    "ok": not any(
+                        e["severity"] in ("error", "critical")
+                        for e in r["errors"]
+                    ),
+                    "score": r["quality"]["score"],
+                    "grade": r["quality"]["grade"],
+                    "coverage": r["quality"]["coverage"],
+                    "status": r["quality"]["status"],
+                    "n_spans": len(r["spans"]),
+                    "n_errors": len(r["errors"]),
+                    "inv_total": r["inventory"]["total"],
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+def full_extract_stats(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Per-branch rollup of the FULL extraction record (quality score,
+    coverage status, inventory, error counts) — the surfaces beyond
+    ``extracted_text`` that the roundtrip queries don't reach."""
+    from pyspark.sql import functions as F
+
+    recs = _spread(docs, num_partitions).mapInPandas(
+        _full_record_iter, FULL_RECORD_SCHEMA
+    )
+    return (
+        recs.groupBy("branch", "grade", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.avg("coverage"), 6).alias("avg_coverage"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum("inv_total").alias("inv_total"),
+        )
+        .orderBy("branch", "grade", "status")
+    )

@@ -1,0 +1,68 @@
+"""Incremental extraction via Structured Streaming — SURVEY.md §2.11.
+
+The reference's checkpoint/resume machinery (page-checkpoint JSON +
+skip-existing, ``large_doc_extractor.py:147-199``,
+``processor.py:113-116``) maps to TWO cooperating layers here:
+
+1. **Source progress**: ``readStream`` over the pages directory with a
+   ``checkpointLocation`` — Spark's streaming checkpoint records which
+   input files each micro-batch consumed, so a restarted query never
+   re-reads completed batches (exactly-once source tracking).
+2. **Sink idempotence**: inside ``foreachBatch``, the batch is
+   anti-joined against the already-extracted urls before compute and
+   appended after (the Iceberg ``MERGE INTO ... WHEN NOT MATCHED``
+   semantics, same as the batch pipeline's resume — S5/S6). Even if a
+   batch is replayed after a crash mid-write, re-extraction is skipped
+   for urls that landed, and duplicates cannot enter the output.
+
+``trigger(availableNow=True)`` drains everything currently available
+then stops — the batch-job-with-streaming-bookkeeping mode, which is
+also what a scheduled incremental crawl ingest would run. A continuous
+deployment would swap the trigger for a processing-time one; nothing
+else changes.
+
+Watermarks/event-time windows are intentionally absent: the reference
+has no late-data semantics (SURVEY.md §2.11 — the only session windows
+are the intra-document gap clusterings, which live inside the kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.pipeline import extract_pages
+from ..sources.pages import PAGES_SCHEMA_DDL, append_extracted, resume_filter
+
+
+def stream_extract(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    num_partitions: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Start an availableNow incremental extraction over a pages
+    directory. Returns the query; call ``awaitTermination()``.
+
+    New parquet files dropped under ``pages_path`` after a run are
+    picked up by the next run; completed files are skipped via the
+    streaming checkpoint, completed urls via the MERGE-style anti-join.
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        todo = resume_filter(batch_df, batch_df.sparkSession, out_path)
+        extracted = extract_pages(todo, num_partitions=num_partitions)
+        append_extracted(extracted, out_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
