@@ -207,22 +207,40 @@ def partition_pages(
     num_partitions: int,
     cfg: ExtractConfig = DEFAULT_CONFIG,
 ) -> tuple[DataFrame, DataFrame]:
-    """Size-routed url-hash repartition (the explicit skew layout).
-
-    Returns (normal, oversized) DataFrames, each repartitioned. The
-    oversized stream gets one doc per task on average so a 100×-sized
-    payload never straggles a hash bucket full of normal docs.
-    """
+    """Size classifier — returns the (normal, oversized) split used by
+    the routing key. Kept as an inspectable API; the execution path is
+    :func:`extract_pages`'s single-scan composite key, NOT a physical
+    two-branch plan (which would scan the 100 TB pages table twice)."""
     size = F.length(F.col("html"))
-    normal = (
-        pages.where(size <= cfg.oversize_bytes)
-        .repartition(num_partitions, F.xxhash64("url"))
-    )
-    oversized = (
-        pages.where(size > cfg.oversize_bytes)
-        .repartition(max(4, num_partitions), F.xxhash64("url", F.lit(1)))
-    )
+    normal = pages.where(size <= cfg.oversize_bytes)
+    oversized = pages.where(size > cfg.oversize_bytes)
     return normal, oversized
+
+
+def _routing_key(num_partitions: int, cfg: ExtractConfig):
+    """Composite skew-defusing shuffle key, evaluated in ONE scan.
+
+    Normal docs key on ``pmod(xxhash64(url), P)`` — uniform url-hash
+    buckets. Oversized docs key on an INDEPENDENT salted hash with its
+    own value range, so a multi-hundred-MB payload never lands in the
+    hash bucket its url would have put it in; with few oversized rows
+    per bucket they spread ~one per task instead of hiding inside a
+    full normal bucket (SURVEY.md §4.2 — AQE cannot split a straggler
+    map task, so the layout must prevent it up front)."""
+    size = F.length(F.col("html"))
+    normal_key = F.concat(
+        F.lit("n"),
+        F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("string"),
+    )
+    oversized_key = F.concat(
+        F.lit("b"),
+        F.pmod(
+            F.xxhash64("url", F.lit(1)), F.lit(max(4, num_partitions))
+        ).cast("string"),
+    )
+    return F.when(size > cfg.oversize_bytes, oversized_key).otherwise(
+        normal_key
+    )
 
 
 def extract_pages(
@@ -233,14 +251,18 @@ def extract_pages(
     """pages(url, warc_ts, html, ...) → extracted DataFrame.
 
     Column-prunes to exactly (url, warc_ts, html) before the exchange so
-    the shuffle and the Arrow transfer never carry unused columns.
+    the shuffle and the Arrow transfer never carry unused columns. ONE
+    scan, ONE exchange: size routing happens inside the shuffle key
+    (:func:`_routing_key`), not as separate filtered branches — a
+    two-branch plan would read the full pages table twice (binary
+    length has no parquet stats, so neither filter prunes row groups).
     """
     pruned = pages.select("url", "warc_ts", "html")
-    normal, oversized = partition_pages(pruned, num_partitions, cfg)
-    fn = _make_extract_iter(cfg)
-    return normal.mapInPandas(fn, OUTPUT_SCHEMA).unionByName(
-        oversized.mapInPandas(fn, OUTPUT_SCHEMA)
+    routed = pruned.repartition(
+        num_partitions, _routing_key(num_partitions, cfg)
     )
+    fn = _make_extract_iter(cfg)
+    return routed.mapInPandas(fn, OUTPUT_SCHEMA)
 
 
 def metrics_from_extracted(extracted: DataFrame) -> DataFrame:
