@@ -70,6 +70,11 @@ class ExtractConfig:
     # --- z-order overlap scan (reference error_handler.py:277-312) ---
     zorder_max_words: int = 2000         # skip O(n^2) scan above this
 
+    # --- sidebars / textboxes (reference layout_analyzer.py:584-661) ---
+    sidebar_strip_frac: float = 0.20     # left/right 20% strips
+    sidebar_gap_min: float = 30.0        # gutter to main content (px)
+    sidebar_min_words: int = 3
+
     # --- HTML branch (Boilerpipe/jusText-family, fixed) ---
     html_link_density_max: float = 0.33
     html_short_block_chars: int = 25

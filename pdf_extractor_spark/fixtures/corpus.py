@@ -219,6 +219,21 @@ def _pdf_zorder() -> bytes:
     return build_pdf([p])
 
 
+def _pdf_sidebar() -> bytes:
+    """Right-strip note box separated from main content by a wide
+    gutter (C7 detection + F11 classification); page width 612 ⇒ right
+    strip starts at x ≥ 489.6."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put_words(72, 200, 12, ["main", "body", "column", "ends", "well",
+                              "before", "the", "gutter"])
+    p.put(495, 100, 10, "Note:")
+    p.put(495, 115, 10, "sidebar")
+    p.put(495, 130, 10, "content")
+    p.put(495, 145, 10, "here")
+    return build_pdf([p])
+
+
 def _pdf_empty_page() -> bytes:
     p1 = PageSpec()
     _lines(p1, [ln.split() for ln in _BODY_EN])
@@ -327,6 +342,7 @@ _PDF_CASES = {
     "pdf-footnotes": _pdf_footnotes,
     "pdf-footnote-match": _pdf_footnote_match,
     "pdf-scripts": _pdf_scripts,
+    "pdf-sidebar": _pdf_sidebar,
     "pdf-table": _pdf_table,
     "pdf-zorder": _pdf_zorder,
     "pdf-mixed-spacing": _pdf_mixed_spacing,
@@ -349,7 +365,8 @@ _CASE_LANG = {
     "pdf-single-col": "mixed", "pdf-two-col": "en",
     "pdf-header-footer": "en", "pdf-section-numbers": "mixed",
     "pdf-footnotes": "en", "pdf-footnote-match": "mixed",
-    "pdf-scripts": "en", "pdf-table": "en", "pdf-zorder": "en",
+    "pdf-scripts": "en", "pdf-sidebar": "en",
+    "pdf-table": "en", "pdf-zorder": "en",
     "pdf-mixed-spacing": "mixed", "pdf-join-lines": "mixed",
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
     "html-article": "en", "html-linkfarm": "en",

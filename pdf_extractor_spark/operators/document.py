@@ -52,6 +52,7 @@ from .pdf_tokenizer import parse_pdf
 from .scripts import attach_scripts
 from .spacing import cleanup_text, join_words_with_spacing
 from .tables import dedup_tables, detect_tables, exclude_table_words
+from .textboxes import detect_sidebars
 
 PDF_MAGIC = b"%PDF-"
 
@@ -118,9 +119,10 @@ def extract_pdf_document(
     headers, footers = detect_repeating_elements(
         [p.words for p in doc.pages], [p.height for p in doc.pages], cfg
     )
-    # (page_no, body_text, [table texts])
-    page_texts: list[tuple[int, str, list[str]]] = []
+    # (page_no, body_text, [table texts], [textbox texts])
+    page_texts: list[tuple[int, str, list[str], list[str]]] = []
     all_tables: list = []
+    all_textboxes: list = []
     all_markers: list = []
     all_defs: list = []
     total_words = 0
@@ -150,7 +152,8 @@ def extract_pdf_document(
                  "message": "fewer than threshold words; raster-only page"}
             )
             page_texts.append(
-                (page.page_number, f"[SCANNED PAGE {page.page_number}]", [])
+                (page.page_number, f"[SCANNED PAGE {page.page_number}]",
+                 [], [])
             )
             continue
         tables = dedup_tables(
@@ -159,6 +162,12 @@ def extract_pdf_document(
         all_tables.extend(tables)
         words = exclude_table_words(words, tables)  # J1/P8
         words = attach_scripts(words, cfg)          # W3
+        boxes, box_consumed = detect_sidebars(      # C7/F11
+            words, page.page_number, page.width, cfg
+        )
+        all_textboxes.extend(boxes)
+        if len(box_consumed):
+            words = words.drop(index=box_consumed)
         all_markers.extend(
             find_markers(words, page.page_number, page.height, cfg)
         )
@@ -182,9 +191,13 @@ def extract_pdf_document(
                 ]
                 col_texts.append("\n".join(line_strs))
             body = cleanup_text("\n\n".join(col_texts))
-        table_blocks = [t.text for t in tables]  # O5: appended at page end
-        if body or table_blocks:
-            page_texts.append((page.page_number, body, table_blocks))
+        # O5 + trap 6: tables, then textboxes, appended at page end
+        table_blocks = [t.text for t in tables]
+        box_blocks = [b.text for b in boxes]
+        if body or table_blocks or box_blocks:
+            page_texts.append(
+                (page.page_number, body, table_blocks, box_blocks)
+            )
 
     matches = match_markers(all_markers, all_defs, cfg)  # J3
     fn_stats = completeness(all_markers, all_defs, matches)  # A5
@@ -193,7 +206,7 @@ def extract_pdf_document(
     spans: list[tuple[int, int, str, int]] = []
     pos = 0
     n_lines = 0
-    for page_no, body, table_blocks in page_texts:
+    for page_no, body, table_blocks, box_blocks in page_texts:
         if body:
             if parts:
                 pos += 2
@@ -209,6 +222,13 @@ def extract_pdf_document(
             parts.append(tb)
             pos += len(tb)
             spans.append((start, pos, "table", page_no))
+        for bb in box_blocks:
+            if parts:
+                pos += 2
+            start = pos
+            parts.append(bb)
+            pos += len(bb)
+            spans.append((start, pos, "textbox", page_no))
     # footnote section appended after cleanup (trap 6; F9 formatting)
     for m in matches:
         line = f"{m['marker']} {m['text']}" if m["text"] else m["marker"]
@@ -239,6 +259,10 @@ def extract_pdf_document(
             for t in all_tables
         ],
         "footnotes": matches,
+        "textboxes": [
+            {"page": b.page, "box_type": b.box_type, "text": b.text}
+            for b in all_textboxes
+        ],
         "quality": quality,
         "errors": errors,
         "n_pages": len(doc.pages),
@@ -281,6 +305,7 @@ def extract_html_document(
         "spans": spans,
         "tables": [],
         "footnotes": [],
+        "textboxes": [],
         "quality": quality,
         "errors": errors,
         "n_pages": 1,
@@ -306,6 +331,7 @@ def extract_document(
             "spans": [],
             "tables": [],
             "footnotes": [],
+            "textboxes": [],
             "quality": {"score": 0.0, "grade": "F", "coverage": 0.0,
                         "status": "POOR"},
             "errors": [

@@ -90,6 +90,19 @@ OUTPUT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # C7/F11 sidebar textboxes
+        T.StructField(
+            "textboxes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("page", T.IntegerType()),
+                        T.StructField("box_type", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                    ]
+                )
+            ),
+        ),
         # A3 element inventory — fixed key set (operators/inventory.py)
         T.StructField(
             "inventory", T.MapType(T.StringType(), T.LongType())
@@ -175,6 +188,7 @@ def _make_extract_iter(cfg: ExtractConfig):
                     ],
                     "tables": [r["tables"] for r in recs],
                     "footnotes": [r["footnotes"] for r in recs],
+                    "textboxes": [r["textboxes"] for r in recs],
                     "quality": [r["quality"] for r in recs],
                     "inventory": [r["inventory"] for r in recs],
                     "footnote_stats": [r["footnote_stats"] for r in recs],

@@ -222,6 +222,48 @@ class TestScripts:
         assert trimmed_mean_size(s) == pytest.approx(12.0)
 
 
+# ------------------------------------------------- textboxes C7/F11
+
+class TestTextboxes:
+    def _page(self):
+        rows = [("main", 150, 200, 100, 112, 12.0),
+                ("content", 210, 280, 100, 112, 12.0),
+                ("flows", 150, 200, 120, 132, 12.0),
+                ("here", 210, 260, 120, 132, 12.0)]
+        return rows
+
+    def test_right_sidebar_detected_and_classified(self):
+        from pdf_extractor_spark.operators.textboxes import detect_sidebars
+
+        rows = self._page() + [
+            ("Warning:", 500, 550, 100, 110, 10.0),
+            ("hot", 500, 520, 115, 125, 10.0),
+            ("surface", 500, 545, 130, 140, 10.0),
+        ]
+        boxes, consumed = detect_sidebars(_frame(rows), 1, 612.0, CFG)
+        assert len(boxes) == 1
+        assert boxes[0].box_type == "warning"
+        assert boxes[0].text == "Warning:\nhot\nsurface"
+        assert len(consumed) == 3
+
+    def test_continuous_text_never_a_sidebar(self):
+        from pdf_extractor_spark.operators.textboxes import detect_sidebars
+
+        # words start in the left strip but flow continuously (gap ~6px)
+        rows = [(f"w{i}", 30 + i * 40, 64 + i * 40, 100, 112, 12.0)
+                for i in range(10)]
+        boxes, consumed = detect_sidebars(_frame(rows), 1, 612.0, CFG)
+        assert boxes == []
+        assert len(consumed) == 0
+
+    def test_classify_generic(self):
+        from pdf_extractor_spark.operators.textboxes import classify_textbox
+
+        assert classify_textbox("plain sidebar text") == "generic"
+        assert classify_textbox("注意 high voltage") == "note"
+        assert classify_textbox("Example: usage") == "example"
+
+
 # ------------------------------------------------- inventory & checks
 
 class TestInventory:
