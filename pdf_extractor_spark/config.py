@@ -36,6 +36,13 @@ class ExtractConfig:
     header_sample_pages: int = 5
     header_min_pages: int = 3
     header_repeat_ratio: float = 0.8
+    remove_headers_footers: bool = True  # remediation strategy 1 flips this
+
+    # --- remediation loop (reference master_extractor.py:497-570,
+    # config.py:123-125: re-extract with alternate config when the
+    # quality score is below threshold; keep the best, keep-first ties) ---
+    remediation_enabled: bool = True
+    remediation_min_score: float = 70.0
 
     # --- spacing (reference extractor.py:578-610) ---
     no_space_gap: float = 2.0            # gap < 2 → never a space

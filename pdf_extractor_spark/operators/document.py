@@ -107,10 +107,10 @@ def _quality(
     }
 
 
-def extract_pdf_document(
+def _extract_pdf_once(
     payload: bytes, cfg: ExtractConfig
 ) -> dict[str, Any]:
-    """PDF branch: single parse → per-page filter/cluster/serialize."""
+    """PDF branch, single pass: parse → per-page filter/cluster/serialize."""
     doc = parse_pdf(payload)
     errors: list[dict] = list(doc.errors)
     inventory = element_inventory(
@@ -269,6 +269,55 @@ def extract_pdf_document(
         "inventory": inventory,
         "footnote_stats": fn_stats,
     }
+
+
+def _remediation_strategies(cfg: ExtractConfig):
+    """Reference ``_attempt_remediation`` order
+    (``master_extractor.py:617-684``): 1. stop removing headers/footers;
+    2. widen the column gap ×1.5."""
+    from dataclasses import replace
+
+    return (
+        (
+            "keep_headers_footers",
+            replace(cfg, remediation_enabled=False,
+                    remove_headers_footers=False),
+        ),
+        (
+            "wider_column_gap",
+            replace(cfg, remediation_enabled=False,
+                    column_gap_threshold=cfg.column_gap_threshold * 1.5),
+        ),
+    )
+
+
+def extract_pdf_document(
+    payload: bytes, cfg: ExtractConfig
+) -> dict[str, Any]:
+    """PDF branch with the remediation loop (reference phase 8b,
+    ``master_extractor.py:497-570``): when the quality score lands below
+    ``remediation_min_score``, re-extract with each alternate config in
+    a FIXED order and keep the best score (keep-first on ties —
+    deterministic). Config is an immutable struct per attempt, never the
+    reference's mutated module globals (SURVEY.md §7.4 trap 5)."""
+    rec = _extract_pdf_once(payload, cfg)
+    if (
+        not cfg.remediation_enabled
+        or rec["quality"]["score"] >= cfg.remediation_min_score
+    ):
+        return rec
+    best, best_name = rec, None
+    for name, alt in _remediation_strategies(cfg):
+        cand = _extract_pdf_once(payload, alt)
+        if cand["quality"]["score"] > best["quality"]["score"]:
+            best, best_name = cand, name
+    if best_name is not None:
+        best["errors"].append(
+            {"type": "remediation", "severity": "info", "page": 0,
+             "message": f"strategy {best_name} kept "
+                        f"(score {best['quality']['score']})"}
+        )
+    return best
 
 
 def extract_html_document(

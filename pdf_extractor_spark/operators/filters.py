@@ -165,8 +165,12 @@ def filter_metadata(
 
     in_header_band = words["top"] < cfg.header_band_frac * page_height
     in_footer_band = words["bottom"] > (1 - cfg.footer_band_frac) * page_height
-    drop_header = text.isin(headers) & in_header_band
-    drop_footer = text.isin(footers) & in_footer_band
+    if cfg.remove_headers_footers:
+        drop_header = text.isin(headers) & in_header_band
+        drop_footer = text.isin(footers) & in_footer_band
+    else:  # remediation strategy 1 (master_extractor.py:639-684)
+        drop_header = pd.Series(False, index=words.index)
+        drop_footer = pd.Series(False, index=words.index)
 
     height = words["bottom"] - words["top"]
     in_top5 = words["top"] < cfg.top_drop_frac * page_height

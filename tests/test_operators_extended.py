@@ -222,6 +222,66 @@ class TestScripts:
         assert trimmed_mean_size(s) == pytest.approx(12.0)
 
 
+# ------------------------------------------------- remediation loop 8b
+
+class TestRemediation:
+    def _low_quality_pdf(self) -> bytes:
+        """Most content sits in the header band and repeats on every
+        page, so default config drops it (coverage tanks, score < 70);
+        remediation strategy 1 (keep headers/footers) recovers it."""
+        from pdf_extractor_spark.operators.pdf_generator import (
+            PageSpec,
+            build_pdf,
+        )
+
+        pages = []
+        for _ in range(5):
+            p = PageSpec()
+            p.put_words(72, 20, 10, ["repeated", "banner", "content",
+                                     "carrying", "the", "real", "text"])
+            p.put_words(72, 45, 10, ["second", "banner", "row", "also",
+                                     "repeats", "verbatim", "here"])
+            pages.append(p)
+        return build_pdf(pages)
+
+    def test_remediation_improves_and_flags(self):
+        from dataclasses import replace
+
+        from pdf_extractor_spark.operators.document import (
+            extract_pdf_document,
+        )
+
+        payload = self._low_quality_pdf()
+        base = extract_pdf_document(
+            payload, replace(CFG, remediation_enabled=False)
+        )
+        assert base["quality"]["score"] < CFG.remediation_min_score
+        fixed = extract_pdf_document(payload, CFG)
+        assert fixed["quality"]["score"] > base["quality"]["score"]
+        assert any(e["type"] == "remediation" for e in fixed["errors"])
+        assert "banner" in fixed["extracted_text"]
+
+    def test_remediation_deterministic(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_pdf_document,
+        )
+
+        payload = self._low_quality_pdf()
+        a = extract_pdf_document(payload, CFG)
+        b = extract_pdf_document(payload, CFG)
+        assert a["extracted_text"] == b["extracted_text"]
+        assert a["quality"] == b["quality"]
+
+    def test_good_doc_skips_remediation(self):
+        from pdf_extractor_spark.fixtures.corpus import _pdf_single_col
+        from pdf_extractor_spark.operators.document import (
+            extract_pdf_document,
+        )
+
+        rec = extract_pdf_document(_pdf_single_col(), CFG)
+        assert not any(e["type"] == "remediation" for e in rec["errors"])
+
+
 # ------------------------------------------------- textboxes C7/F11
 
 class TestTextboxes:
