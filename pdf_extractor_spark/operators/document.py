@@ -47,10 +47,10 @@ from .inventory import (
     hallucination_scan,
     zorder_overlap_count,
 )
-from .layout import detect_columns, group_lines
+from .layout import column_texts
 from .pdf_tokenizer import parse_pdf
 from .scripts import attach_scripts
-from .spacing import cleanup_text, join_words_with_spacing
+from .spacing import cleanup_text
 from .tables import dedup_tables, detect_tables, exclude_table_words
 from .textboxes import detect_sidebars
 
@@ -181,16 +181,9 @@ def _extract_pdf_once(
         kept_words += len(words)
         body = ""
         if len(words) > 0:
-            cols = detect_columns(words, cfg.column_gap_threshold)
-            col_texts: list[str] = []
-            for _cid, cw in cols.groupby("col_id", sort=True):
-                lines = group_lines(cw, cfg.line_height_threshold)
-                line_strs = [
-                    join_words_with_spacing(lw, cfg)
-                    for _lid, lw in lines.groupby("line_id", sort=True)
-                ]
-                col_texts.append("\n".join(line_strs))
-            body = cleanup_text("\n\n".join(col_texts))
+            # fused C1/C2/O1/O2/W2 array path (layout.column_texts) —
+            # byte-identical to the pandas chain, tested both ways
+            body = cleanup_text("\n\n".join(column_texts(words, cfg)))
         # O5 + trap 6: tables, then textboxes, appended at page end
         table_blocks = [t.text for t in tables]
         box_blocks = [b.text for b in boxes]
@@ -335,13 +328,29 @@ def extract_html_document(
         text, spans = "", []
     # P11 analog (reference error_handler.py:509-540): a payload that is
     # mostly undecodable bytes is not text — flag it instead of shipping
-    # mojibake as "content".
-    if text:
-        bad = text.count("�") + text.count("\x00")
-        if bad / len(text) > 0.05:
+    # mojibake as "content". When extraction came back empty, scan the
+    # decoded payload instead, so binary garbage routed here (neither
+    # %PDF- nor markup) surfaces as encoding/malformed rather than a
+    # silent ok=True empty row (U3: errors recorded, never swallowed).
+    scan = text if text else payload.decode("utf-8", errors="replace")
+    if scan:
+        bad = scan.count("�") + scan.count("\x00")
+        if bad / len(scan) > 0.05:
             errors.append(
                 {"type": "encoding", "severity": "error", "page": 0,
-                 "message": f"{bad}/{len(text)} undecodable chars"}
+                 "message": f"{bad}/{len(scan)} undecodable chars"}
+            )
+    if not text and not spans and not errors:
+        if len(payload) == 0:
+            errors.append(
+                {"type": "empty_page", "severity": "error", "page": 0,
+                 "message": "empty payload"}
+            )
+        elif b"<" not in payload:
+            errors.append(
+                {"type": "malformed", "severity": "error", "page": 0,
+                 "message": "payload is neither PDF nor markup; "
+                            "no content blocks found"}
             )
     n_lines = text.count("\n") + 1 if text else 0
     n_blocks = len(spans)

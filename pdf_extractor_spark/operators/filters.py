@@ -159,43 +159,74 @@ def filter_metadata(
     """
     if len(words) == 0:
         return words
-    text = words["text"].astype(str)
-    keep_always = text.map(is_section_number) | text.map(is_footnote_marker)
-    drop_pagenum = text.map(is_page_number)
+    # NumPy hot path: pages are ~10² words, where pandas per-op overhead
+    # (not the arithmetic) dominates — identical decision table, array ops
+    text = words["text"].to_numpy()
+    texts = [str(t) for t in text]
+    top = words["top"].to_numpy()
+    bottom = words["bottom"].to_numpy()
 
-    in_header_band = words["top"] < cfg.header_band_frac * page_height
-    in_footer_band = words["bottom"] > (1 - cfg.footer_band_frac) * page_height
-    if cfg.remove_headers_footers:
-        drop_header = text.isin(headers) & in_header_band
-        drop_footer = text.isin(footers) & in_footer_band
+    keep_always = np.fromiter(
+        (
+            bool(SECTION_NUMBER_RE.match(t)) or bool(FOOTNOTE_MARKER_RE.match(t))
+            for t in texts
+        ),
+        dtype=bool, count=len(texts),
+    )
+    drop_pagenum = np.fromiter(
+        (bool(PAGE_NUMBER_RE.match(t)) for t in texts),
+        dtype=bool, count=len(texts),
+    )
+
+    in_header_band = top < cfg.header_band_frac * page_height
+    in_footer_band = bottom > (1 - cfg.footer_band_frac) * page_height
+    if cfg.remove_headers_footers and (headers or footers):
+        in_hdr_set = np.fromiter(
+            (t in headers for t in texts), dtype=bool, count=len(texts)
+        )
+        in_ftr_set = np.fromiter(
+            (t in footers for t in texts), dtype=bool, count=len(texts)
+        )
+        drop_header = in_hdr_set & in_header_band
+        drop_footer = in_ftr_set & in_footer_band
     else:  # remediation strategy 1 (master_extractor.py:639-684)
-        drop_header = pd.Series(False, index=words.index)
-        drop_footer = pd.Series(False, index=words.index)
+        drop_header = np.zeros(len(texts), dtype=bool)
+        drop_footer = np.zeros(len(texts), dtype=bool)
 
-    height = words["bottom"] - words["top"]
-    in_top5 = words["top"] < cfg.top_drop_frac * page_height
+    height = bottom - top
+    in_top5 = top < cfg.top_drop_frac * page_height
     drop_top = in_top5 & (height <= cfg.top_drop_max_height)
 
-    bare_digits = text.map(lambda t: bool(_DIGITS_RE.match(t)))
-    nearby = pd.Series(has_nearby_content(words, cfg), index=words.index)
-    drop_isolated_digit = (
-        bare_digits & (in_header_band | in_footer_band) & ~nearby
+    bare_digits = np.fromiter(
+        (bool(_DIGITS_RE.match(t)) for t in texts),
+        dtype=bool, count=len(texts),
     )
+    in_margin = in_header_band | in_footer_band
+    drop_isolated_digit = np.zeros(len(texts), dtype=bool)
+    cand = bare_digits & in_margin
+    if cand.any():
+        nearby = has_nearby_content(words, cfg)
+        drop_isolated_digit = cand & ~nearby
 
     # P4/P6 at band granularity: a margin LINE whose assembled text is a
     # strict page-number pattern drops wholesale ("- 1 -" tokenizes to
     # three words; the pattern only exists at line level — reference
     # applies it to extracted strings, extractor.py:338-383).
-    drop_pagenum_band = pd.Series(False, index=words.index)
-    margin = words.loc[in_header_band | in_footer_band]
-    if len(margin) > 0:
-        m = margin.sort_values(["top", "x0"], kind="mergesort")
-        band_id = (m["top"].diff() >= cfg.band_tolerance).fillna(False)
-        band_id = band_id.astype(int).cumsum()
-        for _bid, idx in m.groupby(band_id).groups.items():
-            band_text = " ".join(m.loc[idx, "text"].astype(str))
+    drop_pagenum_band = np.zeros(len(texts), dtype=bool)
+    midx = np.flatnonzero(in_margin)
+    if len(midx) > 0:
+        x0 = words["x0"].to_numpy()
+        order = midx[np.lexsort((x0[midx], top[midx]))]
+        new_band = np.empty(len(order), dtype=bool)
+        new_band[0] = False
+        if len(order) > 1:
+            new_band[1:] = np.diff(top[order]) >= cfg.band_tolerance
+        band_ids = np.cumsum(new_band)
+        for bid in range(band_ids[-1] + 1 if len(band_ids) else 0):
+            members = order[band_ids == bid]
+            band_text = " ".join(texts[i] for i in members)
             if is_page_number(band_text):
-                drop_pagenum_band.loc[idx] = True
+                drop_pagenum_band[members] = True
 
     drop = (
         drop_pagenum | drop_header | drop_footer | drop_top

@@ -83,14 +83,21 @@ def find_markers(
     hits are definition starts, not references — excluded here."""
     if len(words) == 0:
         return []
-    body = words.loc[
-        words["top"] < (1 - cfg.footnote_region_frac) * page_height
+    import numpy as np
+
+    top = words["top"].to_numpy()
+    texts = words["text"].to_numpy()
+    body = top < (1 - cfg.footnote_region_frac) * page_height
+    hits = [
+        i for i in np.flatnonzero(body) if _MARKER_RE.match(str(texts[i]))
     ]
-    hits = body.loc[body["text"].astype(str).str.match(_MARKER_RE)]
-    hits = hits.sort_values(["top", "x0"], kind="mergesort")
+    if not hits:
+        return []
+    x0 = words["x0"].to_numpy()
+    hits.sort(key=lambda i: (top[i], x0[i]))  # stable: ties keep input order
     return [
-        Marker(str(r.text), page_no, float(r.top), float(r.x0))
-        for r in hits.itertuples()
+        Marker(str(texts[i]), page_no, float(top[i]), float(x0[i]))
+        for i in hits
     ]
 
 
@@ -106,11 +113,21 @@ def find_definitions(
     """
     if len(words) == 0:
         return [], pd.Index([])
-    region = words.loc[
-        words["top"] >= (1 - cfg.footnote_region_frac) * page_height
-    ]
-    if len(region) == 0:
+    import numpy as np
+
+    top_arr = words["top"].to_numpy()
+    in_region = top_arr >= (1 - cfg.footnote_region_frac) * page_height
+    if not in_region.any():
         return [], pd.Index([])
+    # fast exit (the overwhelmingly common page): no region word is a
+    # definition-start form, so no line grouping is needed at all
+    texts_arr = words["text"].to_numpy()
+    if not any(
+        _DEF_START_RE.match(str(texts_arr[i]))
+        for i in np.flatnonzero(in_region)
+    ):
+        return [], pd.Index([])
+    region = words.loc[in_region]
     r = region.sort_values(["top", "x0"], kind="mergesort")
     line_id = (
         (r["top"].diff() >= cfg.footnote_line_tol)

@@ -105,21 +105,61 @@ def dedup_words(words: pd.DataFrame) -> pd.DataFrame:
     keep first (stable)."""
     if len(words) < 2:
         return words
-    key = pd.DataFrame(
-        {
-            "rx": words["x0"].round(1),
-            "ry": words["top"].round(1),
-            "t": words["text"],
-        },
-        index=words.index,
-    )
-    return words.loc[~key.duplicated(keep="first")]
+    rx = np.round(words["x0"].to_numpy(), 1)
+    ry = np.round(words["top"].to_numpy(), 1)
+    texts = words["text"].to_numpy()
+    seen: set = set()
+    keep = np.ones(len(words), dtype=bool)
+    for i in range(len(words)):
+        key = (rx[i], ry[i], texts[i])
+        if key in seen:
+            keep[i] = False
+        else:
+            seen.add(key)
+    if keep.all():
+        return words
+    return words.loc[keep]
 
 
 def zorder_overlap_count(words: pd.DataFrame) -> int:
     """J5: number of word pairs whose bboxes overlap by more than 50% of
-    the smaller box's area. Vectorized pairwise sweep; used only to FLAG
-    (the reference reports, never repairs)."""
+    the smaller box's area — a plane sweep over x-sorted boxes. Only
+    boxes whose x-intervals intersect can overlap, so the active set at
+    any sweep position is ~(words per x-slice) ≈ number of text lines,
+    giving O(n·lines) typical instead of the O(n²) full pairwise matrix
+    (which allocates n² floats — unusable on a pathological 10⁵-word
+    page). Count-identical to the matrix formulation (asserted in
+    tests). Used only to FLAG (the reference reports, never repairs)."""
+    n = len(words)
+    if n < 2:
+        return 0
+    x0 = words["x0"].to_numpy()
+    x1 = words["x1"].to_numpy()
+    t = words["top"].to_numpy()
+    b = words["bottom"].to_numpy()
+    area = (x1 - x0) * (b - t)
+    order = np.argsort(x0, kind="stable")
+    count = 0
+    active: list[int] = []
+    for j in order:
+        xj = x0[j]
+        if active:
+            active = [i for i in active if x1[i] > xj]
+        for i in active:
+            ih = min(b[i], b[j]) - max(t[i], t[j])
+            if ih <= 0:
+                continue
+            iw = min(x1[i], x1[j]) - xj  # x0[j] >= x0[i] by sweep order
+            smaller = min(area[i], area[j])
+            if smaller > 0 and iw * ih / smaller > 0.5:
+                count += 1
+        active.append(j)
+    return count
+
+
+def zorder_overlap_count_matrix(words: pd.DataFrame) -> int:
+    """Reference O(n²) matrix formulation — kept as the test oracle for
+    the sweep implementation above."""
     n = len(words)
     if n < 2:
         return 0

@@ -52,6 +52,45 @@ def group_lines(col_words: pd.DataFrame, line_threshold: float) -> pd.DataFrame:
     )
 
 
+def column_texts(words: pd.DataFrame, cfg) -> list[str]:
+    """Fused C1 → C2 → O1/O2 → W2 body serialization on raw arrays —
+    byte-identical to the detect_columns/group_lines/
+    join_words_with_spacing pandas chain (asserted in tests), minus the
+    per-page pandas object overhead that dominates ~10²-word frames.
+    Returns one serialized string per detected column."""
+    import numpy as np
+
+    from .spacing import join_tokens
+
+    x0 = words["x0"].to_numpy()
+    x1 = words["x1"].to_numpy()
+    top = words["top"].to_numpy()
+    texts = words["text"].to_numpy()
+
+    order = np.argsort(x0, kind="stable")                    # C1 x-sort
+    gaps = x0[order][1:] - x1[order][:-1]
+    col_slices = np.split(
+        order, np.flatnonzero(gaps > cfg.column_gap_threshold) + 1
+    )
+    out: list[str] = []
+    for cs in col_slices:
+        lorder = cs[np.lexsort((x0[cs], top[cs]))]           # C2 (top,x0)
+        lbreaks = (
+            np.flatnonzero(
+                np.diff(top[lorder]) >= cfg.line_height_threshold
+            )
+            + 1
+        )
+        line_strs = []
+        for ls in np.split(lorder, lbreaks):
+            lx = ls[np.argsort(x0[ls], kind="stable")]       # O2 x-sort
+            line_strs.append(
+                join_tokens(texts[lx], x0[lx], x1[lx], cfg)  # W2
+            )
+        out.append("\n".join(line_strs))
+    return out
+
+
 def group_bands(words: pd.DataFrame, tolerance: float) -> pd.DataFrame:
     """C3 (reference ``extractor.py:665-689``): horizontal bands by top
     proximity, used for super/subscript attachment."""

@@ -26,12 +26,14 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import pandas as pd
 
-from .charclass import char_advance
+from .charclass import is_wide_char
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_NUM_RE = re.compile(rb"-?\d+(?:\.\d+)?")
 _ASCENT = 0.8
 _DESCENT = 0.2
 
@@ -216,6 +218,16 @@ def _decode_hex(tok: bytes) -> str:
     return raw.decode("latin-1")
 
 
+@lru_cache(maxsize=1 << 16)
+def _advance_units(piece: str) -> float:
+    """Σ per-char advance in em units (0.5 narrow / 1.0 wide). Vocabulary
+    repeats heavily across documents, so the cache turns the per-char
+    walk into a dict hit. Units are dyadic (halves), so ``units × size``
+    is bit-identical to the per-char ``char_advance`` sum for the sizes
+    our grammar emits."""
+    return sum(1.0 if is_wide_char(c) else 0.5 for c in piece)
+
+
 def _emit_words(
     text: str, x: float, y: float, size: float, height: float,
     page_no: int, sink: list[tuple],
@@ -232,7 +244,7 @@ def _emit_words(
         if piece == "":
             cx += 0.5 * size  # bare space advance
             continue
-        w = sum(char_advance(c, size) for c in piece)
+        w = _advance_units(piece) * size
         sink.append((piece, round(cx, 3), round(cx + w, 3), top, bottom,
                      size, page_no))
         cx += w + 0.5 * size  # the splitting space's advance
@@ -266,7 +278,7 @@ def _parse_content(
         if tok[:1] in b"(<" and tok[:2] != b"<<":
             stack.append(tok)
             continue
-        if tok[:1] == b"/" or re.fullmatch(rb"-?\d+(?:\.\d+)?", tok):
+        if tok[:1] == b"/" or _NUM_RE.fullmatch(tok):
             stack.append(tok)
             continue
         # operator

@@ -35,6 +35,17 @@ _SECTION_LINE_RE = re.compile(
 
 
 def join_words_with_spacing(line: pd.DataFrame, cfg: ExtractConfig) -> str:
+    """W2 over a DataFrame line — thin wrapper around
+    :func:`join_tokens` (the array hot path)."""
+    return join_tokens(
+        line["text"].to_numpy(),
+        line["x0"].to_numpy(),
+        line["x1"].to_numpy(),
+        cfg,
+    )
+
+
+def join_tokens(texts, x0s, x1s, cfg: ExtractConfig) -> str:
     """W2 (reference ``extractor.py:539-610``): join an x-sorted line of
     word boxes, deciding per adjacent pair whether to insert a space.
 
@@ -44,12 +55,11 @@ def join_words_with_spacing(line: pd.DataFrame, cfg: ExtractConfig) -> str:
       3. JP ↔ JP                         → space iff gap > jp_jp_space_gap
       4. otherwise (EN involved)         → space iff gap > en_space_gap
     """
-    texts = line["text"].to_numpy()
     if len(texts) == 0:
         return ""
     if len(texts) == 1:
         return str(texts[0])
-    gaps = (line["x0"].to_numpy()[1:] - line["x1"].to_numpy()[:-1])
+    gaps = x0s[1:] - x1s[:-1]
     prev_last = np.array([t[-1] for t in texts[:-1]])
     curr_first = np.array([t[0] for t in texts[1:]])
     jp_prev = np.array([is_japanese_char(c) for c in prev_last])

@@ -150,18 +150,16 @@ def detect_tables(
     """
     if len(words) < cfg.table_min_cells:
         return []
-    w = words.sort_values(["top", "x0"], kind="mergesort").reset_index(
-        drop=True
-    )
-    line_id = (
-        (w["top"].diff() > cfg.table_align_tol)
-        .fillna(False).astype(int).cumsum()
-    )
-    lines: list[pd.DataFrame] = [
-        grp for _lid, grp in w.groupby(line_id, sort=True)
-    ]
-    qual = [len(ln) >= cfg.table_min_cols for ln in lines]
-    xs = [ln["x0"].to_numpy() for ln in lines]
+    top_a = words["top"].to_numpy()
+    x0_a = words["x0"].to_numpy()
+    order = np.lexsort((x0_a, top_a))  # stable (top, x0) sort
+    sorted_top = top_a[order]
+    breaks = np.flatnonzero(np.diff(sorted_top) > cfg.table_align_tol) + 1
+    line_slices = np.split(order, breaks)  # positional indices per line
+    qual = [len(ln) >= cfg.table_min_cols for ln in line_slices]
+    xs = [x0_a[ln] for ln in line_slices]
+    if not any(a and b for a, b in zip(qual, qual[1:])):
+        return []  # no adjacent qualifying lines anywhere
 
     def compatible(i: int, j: int) -> bool:
         if not (qual[i] and qual[j]):
@@ -180,15 +178,16 @@ def detect_tables(
 
     tables: list[Table] = []
     i = 0
-    while i < len(lines):
+    while i < len(line_slices):
         j = i
-        while j + 1 < len(lines) and compatible(j, j + 1):
+        while j + 1 < len(line_slices) and compatible(j, j + 1):
             j += 1
-        run = lines[i: j + 1]
+        run = line_slices[i: j + 1]
         i = j + 1
         if len(run) < cfg.table_min_rows:
             continue
-        block = pd.concat(run)
+        # build the pandas block only for qualifying runs (rare path)
+        block = words.iloc[np.concatenate(run)]
         col_pos = _cluster_1d(
             block["x0"], cfg.table_align_tol, cfg.table_min_rows - 1
         )
@@ -204,7 +203,7 @@ def detect_tables(
         member = block.loc[on_col]
         if len(member) < cfg.table_min_cells:
             continue
-        row_pos = [float(ln["top"].mean()) for ln in run]
+        row_pos = [float(top_a[ln].mean()) for ln in run]
         text, populated, has_header = _grid_text(
             member, col_pos, row_pos, cfg.table_align_tol
         )

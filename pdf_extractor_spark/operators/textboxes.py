@@ -75,21 +75,27 @@ def detect_sidebars(
     """
     if len(words) < cfg.sidebar_min_words:
         return [], pd.Index([])
+    import numpy as np
+
+    x0 = words["x0"].to_numpy()
+    x1 = words["x1"].to_numpy()
+    left_mask = x1 <= cfg.sidebar_strip_frac * page_width
+    right_mask = x0 >= (1 - cfg.sidebar_strip_frac) * page_width
+    main_mask = ~(left_mask | right_mask)
+    n_main = int(main_mask.sum())
     boxes: list[TextBox] = []
     consumed: list = []
-    left_mask = words["x1"] <= cfg.sidebar_strip_frac * page_width
-    right_mask = words["x0"] >= (1 - cfg.sidebar_strip_frac) * page_width
     for side, mask in (("left", left_mask), ("right", right_mask)):
-        strip = words.loc[mask]
-        main = words.loc[~(left_mask | right_mask)]
-        if len(strip) < cfg.sidebar_min_words or len(main) == 0:
+        n_strip = int(mask.sum())
+        if n_strip < cfg.sidebar_min_words or n_main == 0:
             continue
         if side == "left":
-            gap = float(main["x0"].min() - strip["x1"].max())
+            gap = float(x0[main_mask].min() - x1[mask].max())
         else:
-            gap = float(strip["x0"].min() - main["x1"].max())
+            gap = float(x0[mask].min() - x1[main_mask].max())
         if gap <= cfg.sidebar_gap_min:
             continue
+        strip = words.loc[mask]
         text = _strip_lines(strip, cfg)
         boxes.append(
             TextBox(

@@ -39,7 +39,13 @@ import time
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 SF_DIR = "/root/testdata/sf0.1"
-REPL = 4           # input replication factor (distinct doc ids)
+REPL = 2           # row replication factor (distinct doc ids)
+LONG = 16          # in-row text replication: sf0.1 synthetic docs are
+                   # ~250 chars, far below real web pages (10-100 KB);
+                   # ×16 (~4 KB) makes per-document extraction cost
+                   # dominate fixed per-task overhead the way it does on
+                   # real payloads, so efficiency measures the engine,
+                   # not Arrow/scheduler constants on toy rows
 RUNS = 3
 CORES = (4, 16)
 
@@ -65,7 +71,10 @@ def inner(cores: int) -> None:
         .select("doc_id", "text")
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPL - 1))))
         .select(
-            (F.col("doc_id") * REPL + F.col("rep")).alias("doc_id"), "text"
+            (F.col("doc_id") * REPL + F.col("rep")).alias("doc_id"),
+            F.concat_ws(
+                " ", F.array_repeat(F.col("text"), LONG)
+            ).alias("text"),
         )
     )
     # repartition BEFORE cache: a parquet table this small arrives as

@@ -86,3 +86,21 @@ def test_specific_behaviors_pinned():
 
     t = recs["html-short-blocks"]["extracted_text"]
     assert "Short but kept." in t and "Orphan short." not in t
+
+
+def test_garbage_payload_flagged_not_silent():
+    """U3 contract: a payload that is neither PDF nor markup must come
+    back with an encoding/malformed/empty_page error — never a silent
+    ok-looking empty row."""
+    for payload, want in [
+        (b"\x00\xff\xfe\x01\x80garbage\x9f", {"encoding", "malformed"}),
+        (b"", {"empty_page"}),
+    ]:
+        rec = extract_document(payload)
+        kinds = {e["type"] for e in rec["errors"]}
+        assert kinds & want, (payload, rec["errors"])
+        assert rec["extracted_text"] == ""
+    # but decodable tagless text IS content (html.parser data block)
+    rec = extract_document(b"plain words no markup at all")
+    assert rec["extracted_text"] == "plain words no markup at all"
+    assert not rec["errors"]

@@ -357,6 +357,29 @@ class TestInventory:
         )
         assert len(dedup_words(words)) == 2
 
+    def test_zorder_sweep_matches_matrix(self):
+        import numpy as np
+
+        from pdf_extractor_spark.operators.inventory import (
+            zorder_overlap_count,
+            zorder_overlap_count_matrix,
+        )
+
+        rng = np.random.RandomState(7)
+        for _ in range(20):
+            n = rng.randint(2, 120)
+            x0 = rng.uniform(0, 500, n)
+            w = rng.uniform(1, 60, n)
+            top = rng.uniform(0, 700, n)
+            h = rng.uniform(5, 15, n)
+            frame = pd.DataFrame(
+                {"text": ["w"] * n, "x0": x0, "x1": x0 + w,
+                 "top": top, "bottom": top + h, "size": 12.0, "page": 1}
+            )
+            assert zorder_overlap_count(frame) == (
+                zorder_overlap_count_matrix(frame)
+            )
+
     def test_zorder_overlap(self):
         words = _frame(
             [("a", 100, 140, 100, 112, 12.0),
