@@ -30,10 +30,14 @@ SHINGLE_WORDS = 3
 
 # 3-word shingles over a pre-materialized token array ("toks" column) —
 # referencing a projected column instead of re-evaluating split() per
-# element keeps shingling O(tokens), not O(tokens²).
+# element keeps shingling O(tokens), not O(tokens²). The size guard
+# matters at scale: sequence(0, n) counts DOWN for n < 0, so a doc
+# under 3 tokens would otherwise produce phantom shingles.
 _SHINGLES_FROM_TOKS = (
+    "CASE WHEN size(toks) >= 3 THEN "
     "transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+    "ELSE array() END"
 )
 
 

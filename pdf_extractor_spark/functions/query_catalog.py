@@ -511,7 +511,169 @@ ORDER BY event_type
 """
 
 
+def _j1_range_containment(spark, sf_dir):
+    """J1 shape (point-in-interval containment join, reference
+    ``extractor.py:819-842`` word-in-table-bbox): events joined into a
+    small bracket dimension on ``lo <= value < hi``. The bracket side
+    is broadcast, so the physical plan is a broadcast nested-loop range
+    join — never a shuffle of the big side on a non-equi key."""
+    ev = _t(spark, sf_dir, "events")
+    brackets = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+         ("high", 150.0, 300.0), ("extreme", 300.0, 1000.0)],
+        "bracket string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(brackets),
+            (ev.value >= brackets.lo) & (ev.value < brackets.hi),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("bracket")
+    )
+
+
+_J1_RANGE_SQL = """
+WITH brackets(bracket, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+         ('high', 150.0, 300.0), ('extreme', 300.0, 1000.0)
+)
+SELECT bracket, CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events JOIN brackets ON value >= lo AND value < hi
+GROUP BY bracket
+ORDER BY bracket
+"""
+
+
+def _j2_asof_band(spark, sf_dir):
+    """J2 shape (as-of / band proximity join, reference
+    ``extractor.py:447-461`` footnote same-line |Δy|<20): each click
+    matched to the latest strictly-prior view by the same user, banded
+    on a 30-minute proximity window. Expressed as a running
+    last-non-null over the per-user event stream — one shuffle on
+    user_id, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn(
+        "prior_view_ts",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    clicks = carried.where(F.col("event_type") == "click")
+    return clicks.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(
+            F.when(
+                F.expr("ts - prior_view_ts <= INTERVAL '30' MINUTE"), 1
+            ).otherwise(0)
+        ).alias("n_clicks_after_view_30m"),
+    )
+
+
+_J2_ASOF_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN ts - prior_view_ts <= INTERVAL '30' MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks_after_view_30m
+FROM (
+  SELECT user_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'view' THEN ts END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_view_ts
+  FROM events
+)
+WHERE event_type = 'click'
+GROUP BY user_id
+"""
+
+
+def _w_tumbling_hour(spark, sf_dir):
+    """Event-time tumbling window (1 h) — the same groupBy(window(...))
+    plan Structured Streaming runs incrementally with a watermark
+    (``streaming/incremental.py``); here executed in batch mode so the
+    DuckDB oracle (date_trunc) can check it exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+_W_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ================================================== training-data operators
+
+_DUCK_SHINGLES = (
+    "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), "
+    "i -> string_split(text, ' ')[i] || ' ' || "
+    "string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])"
+)
+
+def _d5_shingle_uniqueness(spark, sf_dir):
+    """D5 shape (repeated-content check, reference
+    ``quality_scorer.py:342-345``: unique-shingle ratio < 0.5 flags
+    boilerplate repetition) — per-doc distinct 3-word shingles over
+    total. Pure map work, no shuffle."""
+    from .dedup import _with_shingles
+
+    sh = _with_shingles(_t(spark, sf_dir, "documents"))
+    n = F.size("shingles")
+    nu = F.size(F.array_distinct("shingles"))
+    return sh.select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        nu.cast("long").alias("n_unique"),
+        F.round(
+            F.when(n > 0, nu.cast("double") / n).otherwise(F.lit(1.0)), 4
+        ).alias("unique_ratio"),
+        (
+            F.when(n > 0, nu.cast("double") / n).otherwise(F.lit(1.0)) < 0.5
+        ).alias("is_repetitive"),
+    )
+
+
+_D5_SHINGLE_SQL = f"""
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT)                AS n_shingles,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_unique,
+       round(CASE WHEN len(sh) > 0
+                  THEN CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                  ELSE 1.0 END, 4)            AS unique_ratio,
+       (CASE WHEN len(sh) > 0
+             THEN CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+             ELSE 1.0 END < 0.5)              AS is_repetitive
+FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+"""
+
 
 def _dedup_exact(spark, sf_dir):
     return exact_dedup_stats(_t(spark, sf_dir, "documents"))
@@ -528,12 +690,6 @@ FROM documents
 def _minhash(spark, sf_dir):
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
-
-_DUCK_SHINGLES = (
-    "list_transform(generate_series(1, len(string_split(text, ' ')) - 2), "
-    "i -> string_split(text, ' ')[i] || ' ' || "
-    "string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])"
-)
 
 _MINHASH_SQL = f"""
 SELECT doc_id,
@@ -882,6 +1038,12 @@ CATALOG: dict[str, QueryDef] = {
     "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
     "a2_trimmed_mean": QueryDef(_a2_trimmed_mean, _A2_TRIMMED_SQL),
     "a3_inventory_bands": QueryDef(_a3_inventory_bands, _A3_INVENTORY_SQL),
+    "j1_range_containment": QueryDef(_j1_range_containment, _J1_RANGE_SQL),
+    "j2_asof_band": QueryDef(_j2_asof_band, _J2_ASOF_SQL),
+    "w_tumbling_hour": QueryDef(_w_tumbling_hour, _W_TUMBLING_SQL),
+    "d5_shingle_uniqueness": QueryDef(
+        _d5_shingle_uniqueness, _D5_SHINGLE_SQL
+    ),
     # training-data operators
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),

@@ -31,6 +31,8 @@ SAMPLE = [
     "ann_cosine_topk",
     "extract_html_roundtrip",
     "extract_pdf_roundtrip",
+    "j2_asof_band",
+    "w_tumbling_hour",
 ]
 
 
