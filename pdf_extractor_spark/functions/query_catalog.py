@@ -205,6 +205,48 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def _q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact⋈dim equi-join + conditional aggregation.
+    The part side is filtered+projected before a shuffled hash join
+    (too big to broadcast at real SF; AQE may still elect broadcast at
+    test SF — both correct)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr(
+            "l_shipdate >= timestamp'1997-01-01 00:00:00' AND "
+            "l_shipdate < timestamp'1997-02-01 00:00:00'"
+        )
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
 # ================================================== survey-analog operators
 
 def _repeat_ratio(spark, sf_dir):
@@ -1028,6 +1070,7 @@ CATALOG: dict[str, QueryDef] = {
     "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
     "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
     "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
+    "q14_promo_revenue": QueryDef(_q14_promo_revenue, _Q14_SQL),
     # survey-analog operators
     "a1_repeat_ratio": QueryDef(_repeat_ratio, _REPEAT_SQL),
     "a8_run_stats": QueryDef(_run_stats, _RUN_STATS_SQL),

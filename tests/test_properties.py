@@ -1,0 +1,185 @@
+"""Property-based tests (hypothesis) for the byte-stability-critical
+kernels (SURVEY.md §7.2 stage 1 risk note).
+
+The fused array path in ``layout.column_texts`` replaced the
+detect_columns → group_lines → join_words_with_spacing pandas chain in
+the document kernel; the headline property here is byte-identity of the
+two implementations over arbitrary word geometries.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pdf_extractor_spark.config import DEFAULT_CONFIG
+from pdf_extractor_spark.operators.layout import (
+    column_texts,
+    detect_columns,
+    gap_cluster,
+    group_lines,
+)
+from pdf_extractor_spark.operators.spacing import (
+    cleanup_text,
+    join_tokens,
+    join_words_with_spacing,
+)
+
+CFG = DEFAULT_CONFIG
+
+# token alphabet: ASCII, digits, JP kana/kanji/punct — no spaces/newlines
+_ALPHABET = (
+    "abcdefgXYZ0123456789"
+    "あいうかきくサシスneko猫犬言語処理"
+    "。、・」（！？.,;:-"
+)
+
+_token = st.text(alphabet=_ALPHABET, min_size=1, max_size=8)
+
+
+@st.composite
+def word_frames(draw, max_words: int = 40):
+    """Random word-box frame: monotone-ish x layout with random gaps
+    (some exceeding the column threshold) and tops drawn from a few
+    discrete lines (some exceeding the line threshold)."""
+    n = draw(st.integers(min_value=1, max_value=max_words))
+    texts = draw(
+        st.lists(_token, min_size=n, max_size=n)
+    )
+    # x-geometry: cumulative (gap, width) pairs; gaps occasionally huge
+    gaps = draw(
+        st.lists(
+            st.one_of(
+                st.floats(0.0, 12.0),
+                st.floats(45.0, 120.0),   # straddles column threshold 50
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    widths = draw(
+        st.lists(st.floats(1.0, 60.0), min_size=n, max_size=n)
+    )
+    tops = draw(
+        st.lists(
+            st.sampled_from([100.0, 104.0, 118.0, 140.0, 400.0]),
+            min_size=n, max_size=n,
+        )
+    )
+    x0s, x1s = [], []
+    x = 0.0
+    for g, w in zip(gaps, widths):
+        x += g
+        x0s.append(round(x, 1))
+        x += w
+        x1s.append(round(x, 1))
+    return pd.DataFrame(
+        {
+            "text": texts,
+            "x0": x0s,
+            "x1": x1s,
+            "top": tops,
+            "bottom": [t + 10.0 for t in tops],
+            "size": 12.0,
+            "page": 1,
+        }
+    )
+
+
+def _unfused_column_texts(words: pd.DataFrame) -> list[str]:
+    """The original pandas chain column_texts replaced (document.py
+    pre-fusion body), kept verbatim as the oracle."""
+    cols = detect_columns(words, CFG.column_gap_threshold)
+    out = []
+    for _cid, cw in cols.groupby("col_id", sort=True):
+        lines = group_lines(cw, CFG.line_height_threshold)
+        line_strs = [
+            join_words_with_spacing(lw, CFG)
+            for _lid, lw in lines.groupby("line_id", sort=True)
+        ]
+        out.append("\n".join(line_strs))
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(word_frames())
+def test_fused_column_texts_matches_pandas_chain(words):
+    assert column_texts(words, CFG) == _unfused_column_texts(words)
+
+
+@settings(max_examples=150, deadline=None)
+@given(word_frames())
+def test_join_tokens_extract_only_never_transform(words):
+    """W2 may only insert single spaces between tokens — every input
+    character survives in order (the EXTRACT ONLY product rule)."""
+    w = words.sort_values("x0", kind="mergesort")
+    out = join_tokens(
+        w["text"].to_numpy(), w["x0"].to_numpy(), w["x1"].to_numpy(), CFG
+    )
+    assert out.replace(" ", "") == "".join(w["text"]).replace(" ", "")
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_token, min_size=2, max_size=10))
+def test_join_tokens_tight_gaps_concatenate(texts):
+    """All gaps below no_space_gap ⇒ pure concatenation."""
+    import numpy as np
+
+    x0 = np.arange(len(texts)) * 10.0
+    x1 = x0 + 10.0 - CFG.no_space_gap / 2  # gap = no_space_gap/2
+    assert join_tokens(np.array(texts), x0, x1, CFG) == "".join(texts)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefXYZ09", min_size=1, max_size=6),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_join_tokens_wide_ascii_gaps_single_space(texts):
+    """ASCII tokens with gaps above en_space_gap ⇒ exactly one space."""
+    import numpy as np
+
+    gap = CFG.en_space_gap + 2.0
+    x0 = np.arange(len(texts)) * (10.0 + gap)
+    x1 = x0 + 10.0
+    assert join_tokens(np.array(texts), x0, x1, CFG) == " ".join(texts)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(0, 1000), min_size=1, max_size=50),
+    st.floats(1.0, 50.0),
+)
+def test_gap_cluster_boundaries(vals, threshold):
+    s = pd.Series(sorted(vals))
+    ids = gap_cluster(s, threshold)
+    assert ids.is_monotonic_increasing
+    diffs = s.diff().iloc[1:]
+    changed = ids.diff().iloc[1:].astype(bool)
+    # cluster changes exactly where the gap meets the threshold
+    assert ((diffs >= threshold) == changed).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet="abcdefgh XYZ0123456789,;:",
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_cleanup_plain_ascii_single_line_stable(text):
+    """Cleanup touches nothing on single-line ASCII prose without
+    continuation-comma endings, repeat punctuation, or ellipses."""
+    line = text.replace("\n", " ").rstrip(",")
+    if "..." in line:
+        line = line.replace("...", ".")
+    assert cleanup_text(line) == line
+
+
+@settings(max_examples=60, deadline=None)
+@given(word_frames(max_words=25))
+def test_column_texts_two_run_determinism(words):
+    assert column_texts(words, CFG) == column_texts(words.copy(), CFG)
