@@ -12,6 +12,8 @@ single source of truth for both emitting and parsing fixture PDFs
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 # Unicode ranges treated as "wide" (1.0 em advance) AND "Japanese" for
 # spacing decisions. Kept as explicit ranges — no external data tables.
 _JP_RANGES = (
@@ -38,8 +40,10 @@ LINE_TERMINATORS = set("。．.!?！？:：」』")
 JP_PARTICLES = set("はがをにでともの")
 
 
+@lru_cache(maxsize=1 << 16)
 def is_japanese_char(ch: str) -> bool:
-    """W2 charclass test (reference ``extractor.py:612-627``)."""
+    """W2 charclass test (reference ``extractor.py:612-627``). Cached:
+    the char vocabulary of a corpus is tiny and repeats per word pair."""
     cp = ord(ch)
     for lo, hi in _JP_RANGES:
         if lo <= cp <= hi:

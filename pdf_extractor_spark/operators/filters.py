@@ -10,6 +10,7 @@ from the reference (keep rules win over drop rules).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -45,6 +46,18 @@ FOOTNOTE_MARKER_RE = re.compile(
 )
 
 _DIGITS_RE = re.compile(r"^\d{1,4}$")
+
+
+@lru_cache(maxsize=1 << 17)
+def _classify_token(t: str) -> tuple[bool, bool, bool]:
+    """(keep_always, strict_page_number, bare_digits) for one token.
+    Cached: corpus token vocabulary repeats heavily, so the three regex
+    probes amortize to a dict hit per occurrence."""
+    return (
+        bool(SECTION_NUMBER_RE.match(t)) or bool(FOOTNOTE_MARKER_RE.match(t)),
+        bool(PAGE_NUMBER_RE.match(t)),
+        bool(_DIGITS_RE.match(t)),
+    )
 
 
 def is_section_number(text: str) -> bool:
@@ -166,16 +179,12 @@ def filter_metadata(
     top = words["top"].to_numpy()
     bottom = words["bottom"].to_numpy()
 
+    cls = [_classify_token(t) for t in texts]
     keep_always = np.fromiter(
-        (
-            bool(SECTION_NUMBER_RE.match(t)) or bool(FOOTNOTE_MARKER_RE.match(t))
-            for t in texts
-        ),
-        dtype=bool, count=len(texts),
+        (c[0] for c in cls), dtype=bool, count=len(cls)
     )
     drop_pagenum = np.fromiter(
-        (bool(PAGE_NUMBER_RE.match(t)) for t in texts),
-        dtype=bool, count=len(texts),
+        (c[1] for c in cls), dtype=bool, count=len(cls)
     )
 
     in_header_band = top < cfg.header_band_frac * page_height
@@ -198,8 +207,7 @@ def filter_metadata(
     drop_top = in_top5 & (height <= cfg.top_drop_max_height)
 
     bare_digits = np.fromiter(
-        (bool(_DIGITS_RE.match(t)) for t in texts),
-        dtype=bool, count=len(texts),
+        (c[2] for c in cls), dtype=bool, count=len(cls)
     )
     in_margin = in_header_band | in_footer_band
     drop_isolated_digit = np.zeros(len(texts), dtype=bool)

@@ -165,14 +165,18 @@ def _stream_bytes(body: bytes) -> bytes:
 
 # ------------------------------------------------- content stream scan
 
+# Group index IS the token class (m.lastindex) — classification falls
+# out of the match instead of costing a fullmatch + prefix probes per
+# token in the hot loop.
 _TOKEN_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)"     # literal string
-    rb"|<[0-9A-Fa-f\s]*>"        # hex string
-    rb"|/[A-Za-z0-9_.]+"         # name
-    rb"|\[|\]"                   # array delims
-    rb"|-?\d+(?:\.\d+)?"         # number
-    rb"|[A-Za-z'\"*]+"           # operator
+    rb"(\((?:[^()\\]|\\.)*\))"   # 1: literal string
+    rb"|(<[0-9A-Fa-f\s]*>)"      # 2: hex string
+    rb"|(/[A-Za-z0-9_.]+)"       # 3: name
+    rb"|([\[\]])"                # 4: array delims
+    rb"|(-?\d+(?:\.\d+)?)"       # 5: number
+    rb"|([A-Za-z'\"*]+)"         # 6: operator
 )
+_T_STR, _T_HEX, _T_NAME, _T_ARR, _T_NUM, _T_OP = 1, 2, 3, 4, 5, 6
 
 _LIT_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
                 b"(": "(", b")": ")", b"\\": "\\"}
@@ -180,6 +184,8 @@ _LIT_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
 
 def _decode_literal(tok: bytes) -> str:
     body = tok[1:-1]
+    if b"\\" not in body:        # fast path: no escapes (the common case)
+        return body.decode("latin-1")
     out: list[str] = []
     i = 0
     while i < len(body):
@@ -264,21 +270,19 @@ def _parse_content(
     in_array: list = []
     array_mode = False
     for m in _TOKEN_RE.finditer(stream):
+        kind = m.lastindex
         tok = m.group(0)
-        if tok == b"[":
-            array_mode, in_array = True, []
-            continue
-        if tok == b"]":
-            array_mode = False
-            stack.append(b"]")  # marker; TJ consumes in_array
+        if kind == _T_ARR:
+            if tok == b"[":
+                array_mode, in_array = True, []
+            else:
+                array_mode = False
+                stack.append(b"]")  # marker; TJ consumes in_array
             continue
         if array_mode:
             in_array.append(tok)
             continue
-        if tok[:1] in b"(<" and tok[:2] != b"<<":
-            stack.append(tok)
-            continue
-        if tok[:1] == b"/" or _NUM_RE.fullmatch(tok):
+        if kind != _T_OP:   # string / hex / name / number → operand
             stack.append(tok)
             continue
         # operator
