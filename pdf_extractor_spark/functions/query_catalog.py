@@ -33,7 +33,12 @@ from .dedup import (
     simhash_mapinpandas,
 )
 from .multimodal import decode_image_meta, resize_plan
-from .similarity import cosine_topk, embedding_near_dup_pairs, srp_bucketed_topk
+from .similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_probe_topk,
+    srp_bucketed_topk,
+)
 from .textstats import (
     EN_STOPWORDS,
     TOKEN_REGEX,
@@ -973,6 +978,55 @@ LIMIT 10
 """
 
 
+def _ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.where("vec_id = 0").select("embedding").first()[0]
+    ]
+    return ivf_probe_topk(
+        emb, qvec, k=10, n_cells=8, n_probe=2, exclude_id=0
+    )
+
+
+_ANN_IVF_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cell_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings WHERE vec_id < 8
+), vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT v.vec_id, v.e, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.c)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.c, c.c))) DESC,
+                      c.cell_id) AS rn
+    FROM vecs v CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (SELECT e AS qv FROM vecs WHERE vec_id = 0),
+probe AS (
+  SELECT cell_id FROM cents, q
+  ORDER BY list_dot_product(c, qv)
+           / (sqrt(list_dot_product(c, c))
+              * sqrt(list_dot_product(qv, qv))) DESC, cell_id
+  LIMIT 2
+)
+SELECT vec_id,
+       round(list_dot_product(e, qv)
+             / (sqrt(list_dot_product(e, e))
+                * sqrt(list_dot_product(qv, qv))), 3) AS cosine
+FROM assigned, q
+WHERE cell_id IN (SELECT cell_id FROM probe) AND vec_id != 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 def _embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4, k=20
@@ -1095,6 +1149,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
+    "ann_ivf_probe": QueryDef(_ann_ivf, _ANN_IVF_SQL),
     "sim_embedding_near_dup": QueryDef(
         _embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL
     ),

@@ -71,6 +71,66 @@ def srp_bucketed_topk(
     return cosine_topk(pruned, query_vec, k)
 
 
+def ivf_probe_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_cells: int = 8, n_probe: int = 2, exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest cell of a
+    small deterministic codebook (the first ``n_cells`` vectors by
+    vec_id — a fixed-sample codebook instead of k-means keeps the
+    operator deterministic and oracle-checkable), then search only the
+    query's ``n_probe`` nearest cells.
+
+    Scale shape: the codebook is collected once (tiny, standard IVF
+    practice) and inlined as literal arrays, so cell assignment is a
+    PURE MAP expression — array of cosines → argmax — with no join and
+    no shuffle; the cell id is a derived column an Iceberg layout could
+    cluster on. Only ~n_probe/n_cells of rows reach the distance math.
+    """
+    cents = sorted(
+        (
+            (r["vec_id"], [float(v) for v in r["embedding"]])
+            for r in embeddings.where(F.col("vec_id") < n_cells)
+            .select("vec_id", "embedding").collect()
+        ),
+    )
+
+    def _lit(vec: list[float]) -> str:
+        return "array({})".format(
+            ", ".join(f"cast({float(v)!r} as double)" for v in vec)
+        )
+
+    cos_exprs = ", ".join(
+        f"{_DOT.format(a='embedding', b=_lit(v))} / "
+        f"({_norm('embedding')} * {_norm(_lit(v))})"
+        for _cid, v in cents
+    )
+    # argmax with lowest-index tie-break (array_position → first hit)
+    cell_expr = (
+        f"array_position(array({cos_exprs}), "
+        f"array_max(array({cos_exprs}))) - 1"
+    )
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    probe = [
+        cid
+        for cid, _v in sorted(
+            cents, key=lambda cv: (-_cos(cv[1], query_vec), cv[0])
+        )[:n_probe]
+    ]
+    pruned = (
+        embeddings.withColumn("cell_id", F.expr(cell_expr))
+        .where(F.col("cell_id").isin(probe))
+        .select("vec_id", "embedding")
+    )
+    return cosine_topk(pruned, query_vec, k, exclude_id=exclude_id)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.3, n_bits: int = 4,
     k: int = 20,
