@@ -15,6 +15,7 @@ import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PAGES_SCHEMA_DDL = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -56,6 +57,33 @@ def resume_filter(
         return pages
     done = spark.read.parquet(out_path).select("url")
     return pages.join(done, "url", "left_anti")
+
+
+def read_pages_binary(
+    spark: SparkSession, dir_path: str, glob: str = "*.{pdf,html}"
+) -> DataFrame:
+    """S1's loose-file mapping (reference ``processor.py:63-71``
+    recursive ``*.pdf`` scan): read a directory of raw documents with
+    the native binaryFile source and present them in the pages schema
+    (``url`` = file path, ``warc_ts`` = modificationTime, ``text`` and
+    ``lang`` null — the extractor derives them).
+
+    ``recursiveFileLookup`` mirrors the reference's ``rglob``; listing
+    and file pruning stay on the driver/JVM side, payloads are read by
+    executors (never collected)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(dir_path)
+    )
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
 
 
 def append_extracted(extracted: DataFrame, out_path: str) -> None:

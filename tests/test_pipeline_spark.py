@@ -141,3 +141,30 @@ def test_lang_agg_native_plan_prunes_columns(spark, pages_df):
     )
     assert [r["branch"] for r in agg] == ["html", "pdf"]
     assert all(r["n_docs"] > 0 for r in agg)
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """S1 loose-file mapping: fixture payloads written as real files in
+    a nested tree, read via the binaryFile source, extracted — outputs
+    must equal the goldens byte-for-byte."""
+    from pdf_extractor_spark.fixtures.corpus import fixture_cases
+    from pdf_extractor_spark.sources.pages import read_pages_binary
+
+    indir = tmp_path / "in"
+    cases = fixture_cases()[:6]
+    for i, (cid, branch, _lang, payload) in enumerate(cases):
+        sub = indir / f"sub{i % 2}"
+        sub.mkdir(parents=True, exist_ok=True)
+        ext = "pdf" if branch == "pdf" else "html"
+        (sub / f"{cid}.{ext}").write_bytes(payload)
+
+    pages = read_pages_binary(spark, str(indir))
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    rows = extract_pages(pages, num_partitions=2).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        cid = r["url"].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        golden = (GOLDEN_DIR / f"{cid}.txt").read_bytes()
+        assert r["extracted_text"].encode("utf-8") == golden, cid
