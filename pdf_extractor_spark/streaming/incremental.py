@@ -28,8 +28,13 @@ are the intra-document gap clusterings, which live inside the kernel).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..plans.pipeline import extract_pages
 from ..sources.pages import PAGES_SCHEMA_DDL, append_extracted, resume_filter
@@ -62,6 +67,63 @@ def stream_extract(
 
     return (
         stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_STATS_OUT_DDL = "lang string, n_docs long, bytes_in long"
+_STATS_STATE_DDL = "n_docs long, bytes_in long"
+
+
+def _update_lang_stats(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_docs, bytes_in = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        bytes_in += int(pdf["html"].map(len).sum())
+    state.update((n_docs, bytes_in))
+    yield pd.DataFrame(
+        {"lang": [key[0]], "n_docs": [n_docs], "bytes_in": [bytes_in]}
+    )
+
+
+def stream_running_lang_stats(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-lang document/byte totals across micro-batches AND
+    across restarts — the state store lives in the streaming
+    checkpoint, so a new availableNow run resumes the counters instead
+    of starting from zero.
+
+    This is the pattern the engine uses for any cross-batch stateful
+    per-key operator a crawl-ingest pipeline needs (running corpus
+    stats, per-domain quotas, incremental dedup counters); state is
+    partitioned by the group key, so it shards across executors like
+    any shuffle."""
+    stream = spark.readStream.schema(PAGES_SCHEMA_DDL).parquet(pages_path)
+    updated = stream.groupBy("lang").applyInPandasWithState(
+        _update_lang_stats,
+        _STATS_OUT_DDL,
+        _STATS_STATE_DDL,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(sink_path)
+
+    return (
+        updated.writeStream.foreachBatch(sink_batch)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -84,3 +84,53 @@ def test_streaming_matches_batch_pipeline(spark, dirs, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stateful_running_stats_across_restarts(spark, dirs, tmp_path):
+    """applyInPandasWithState: per-lang running totals must carry state
+    across micro-batches AND across query restarts (state store in the
+    streaming checkpoint)."""
+    from pdf_extractor_spark.streaming.incremental import (
+        stream_running_lang_stats,
+    )
+
+    sink = str(tmp_path / "stats")
+    ckpt2 = str(tmp_path / "ckpt_stats")
+    frame = build_pages_frame()
+    wave1, wave2 = frame.iloc[:10], frame.iloc[10:]
+
+    def totals():
+        df = spark.read.parquet(sink).toPandas()
+        # one row per lang per batch; take each lang's latest emitted
+        # row (a lang not updated in the last batch keeps its old total)
+        latest = (
+            df.sort_values(["batch_id"]).groupby("lang").tail(1)
+        )
+        return {
+            r["lang"]: (r["n_docs"], r["bytes_in"])
+            for _i, r in latest.iterrows()
+        }
+
+    pages_from_pandas(spark, wave1).write.mode("append").parquet(
+        dirs["pages"]
+    )
+    q = stream_running_lang_stats(spark, dirs["pages"], sink, ckpt2)
+    q.awaitTermination()
+    got1 = totals()
+    want1 = {
+        lang: (len(g), int(g["html"].map(len).sum()))
+        for lang, g in wave1.groupby("lang")
+    }
+    assert got1 == want1
+
+    pages_from_pandas(spark, wave2).write.mode("append").parquet(
+        dirs["pages"]
+    )
+    q = stream_running_lang_stats(spark, dirs["pages"], sink, ckpt2)
+    q.awaitTermination()
+    got2 = totals()
+    want2 = {
+        lang: (len(g), int(g["html"].map(len).sum()))
+        for lang, g in frame.groupby("lang")
+    }
+    assert got2 == want2
