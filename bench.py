@@ -27,11 +27,6 @@ from pdf_extractor_spark.functions.query_catalog import CATALOG  # noqa: E402
 from pdf_extractor_spark.plans.session import build_session  # noqa: E402
 
 
-def _force(df) -> int:
-    """Fully materialize a DataFrame without driver-side data pull."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -168,3 +168,30 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
         cid = r["url"].rsplit("/", 1)[-1].rsplit(".", 1)[0]
         golden = (GOLDEN_DIR / f"{cid}.txt").read_bytes()
         assert r["extracted_text"].encode("utf-8") == golden, cid
+
+
+def test_oversized_doc_extracts_end_to_end(spark):
+    """Skew fixture (SURVEY §5.2): one ~100x-sized HTML doc must route
+    to the oversized key space AND extract correctly alongside normal
+    docs in the same job."""
+    import datetime as dt
+
+    big_body = "<p>" + ("big payload sentence. " * 40 + "</p><p>") * 11000 \
+        + "end.</p>"
+    frame = build_pages_frame()
+    big = pd.DataFrame([{
+        "url": "http://fixture.example/huge-doc",
+        "warc_ts": dt.datetime(2024, 1, 1),
+        "html": ("<html><body>" + big_body + "</body></html>").encode(),
+        "text": None,
+        "lang": "en",
+    }])
+    pages = pages_from_pandas(spark, pd.concat([frame, big],
+                                               ignore_index=True))
+    _normal, oversized = partition_pages(pages, 4)
+    assert oversized.count() == 1  # actually crosses oversize_bytes
+    rows = extract_pages(pages, num_partitions=4).collect()
+    assert len(rows) == len(frame) + 1
+    huge = [r for r in rows if r["url"].endswith("huge-doc")][0]
+    assert huge["ok"] and huge["chars_out"] > 100_000
+    assert "big payload sentence." in huge["extracted_text"]

@@ -22,6 +22,7 @@ from pdf_extractor_spark.functions.multimodal import (
 from pdf_extractor_spark.functions.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_probe_topk,
     srp_bucketed_topk,
 )
 
@@ -100,6 +101,26 @@ class TestAnn:
         # the query's own bucket contains the query itself — its top hit
         # must also appear among the exact top-50
         assert approx[0]["vec_id"] in exact
+
+    def test_ivf_probe_recall_and_determinism(self, emb):
+        qvec = [
+            float(v)
+            for v in emb.where("vec_id = 0").select("embedding").first()[0]
+        ]
+        ivf1 = ivf_probe_topk(
+            emb, qvec, k=10, n_cells=8, n_probe=2, exclude_id=0
+        ).collect()
+        ivf2 = ivf_probe_topk(
+            emb, qvec, k=10, n_cells=8, n_probe=2, exclude_id=0
+        ).collect()
+        assert ivf1 == ivf2                     # deterministic codebook
+        assert 0 < len(ivf1) <= 10
+        # full probe (every cell) must equal exact brute force
+        full = ivf_probe_topk(
+            emb, qvec, k=10, n_cells=8, n_probe=8, exclude_id=0
+        ).collect()
+        exact = cosine_topk(emb, qvec, k=10, exclude_id=0).collect()
+        assert full == exact
 
     def test_near_dup_pairs_sorted_and_bounded(self, emb):
         out = embedding_near_dup_pairs(
