@@ -236,33 +236,77 @@ def _advance_units(piece: str) -> float:
 
 def _emit_words(
     text: str, x: float, y: float, size: float, height: float,
-    page_no: int, sink: list[tuple],
+    sink: "_WordSink",
 ) -> float:
-    """Split shown text on spaces; append (text,x0,x1,top,bottom,size,page)
-    tuples; return advanced x."""
+    """Split shown text on spaces; append columns to the sink; return
+    advanced x."""
     # coordinates rounded to 3 decimals: keeps boxes byte-stable across
     # float formatting roundtrips (the reference similarly keys dedup on
     # rounded positions, error_handler.py:542-574)
     top = round(height - y - _ASCENT * size, 3)
     bottom = round(height - y + _DESCENT * size, 3)
     cx = x
+    t_app = sink.texts.append
+    x0_app = sink.x0s.append
+    x1_app = sink.x1s.append
+    top_app = sink.tops.append
+    bot_app = sink.bottoms.append
+    size_app = sink.sizes.append
     for piece in text.split(" "):
         if piece == "":
             cx += 0.5 * size  # bare space advance
             continue
         w = _advance_units(piece) * size
-        sink.append((piece, round(cx, 3), round(cx + w, 3), top, bottom,
-                     size, page_no))
+        t_app(piece)
+        x0_app(round(cx, 3))
+        x1_app(round(cx + w, 3))
+        top_app(top)
+        bot_app(bottom)
+        size_app(size)
         cx += w + 0.5 * size  # the splitting space's advance
     # we over-advance by one trailing space; harmless for layout, but
     # keep exact: remove it
     return cx - 0.5 * size
 
 
+class _WordSink:
+    """Columnar accumulator: parallel typed lists instead of a list of
+    row tuples — frame construction becomes column-wise (one typed
+    array per column) rather than a row-by-row object scan, which both
+    speeds construction and halves transient memory traffic (the DRAM
+    budget is the scaling ceiling at wide configs, BASELINE.md)."""
+
+    __slots__ = ("texts", "x0s", "x1s", "tops", "bottoms", "sizes")
+
+    def __init__(self) -> None:
+        self.texts: list[str] = []
+        self.x0s: list[float] = []
+        self.x1s: list[float] = []
+        self.tops: list[float] = []
+        self.bottoms: list[float] = []
+        self.sizes: list[float] = []
+
+    def frame(self, page_no: int) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(self.texts)
+        return pd.DataFrame(
+            {
+                "text": pd.Series(self.texts, dtype=object),
+                "x0": np.asarray(self.x0s, dtype=float),
+                "x1": np.asarray(self.x1s, dtype=float),
+                "top": np.asarray(self.tops, dtype=float),
+                "bottom": np.asarray(self.bottoms, dtype=float),
+                "size": np.asarray(self.sizes, dtype=float),
+                "page": np.full(n, page_no, dtype=int),
+            }
+        )
+
+
 def _parse_content(
     stream: bytes, height: float, page_no: int
 ) -> pd.DataFrame:
-    rows: list[tuple] = []
+    rows = _WordSink()
     size = 12.0
     x = y = 0.0
     lx = ly = 0.0          # line-start (Td is relative to line matrix)
@@ -306,19 +350,17 @@ def _parse_content(
         elif tok == b"Tj" and stack:
             s = stack[-1]
             text = _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
-            x = _emit_words(text, x, y, size, height, page_no, rows)
+            x = _emit_words(text, x, y, size, height, rows)
             stack.clear()
         elif tok == b"TJ":
             for item in in_array:
                 if item[:1] == b"(":
                     x = _emit_words(
-                        _decode_literal(item), x, y, size, height,
-                        page_no, rows,
+                        _decode_literal(item), x, y, size, height, rows,
                     )
                 elif item[:1] == b"<":
                     x = _emit_words(
-                        _decode_hex(item), x, y, size, height,
-                        page_no, rows,
+                        _decode_hex(item), x, y, size, height, rows,
                     )
                 else:  # kerning adjustment, thousandths of em
                     x -= float(item) / 1000.0 * size
@@ -326,9 +368,9 @@ def _parse_content(
             stack.clear()
         else:
             stack.clear()
-    if not rows:
+    if not rows.texts:
         return empty_word_frame()
-    return pd.DataFrame(rows, columns=WORD_COLUMNS)
+    return rows.frame(page_no)
 
 
 # --------------------------------------------------------------- parse
