@@ -40,8 +40,11 @@ from .similarity import (
     srp_bucketed_topk,
 )
 from .textstats import (
+    ASCII_ALPHA_CLASS,
+    CJK_CLASS,
     EN_STOPWORDS,
     TOKEN_REGEX,
+    charclass_langid,
     fingerprints,
     quality_scores,
     stopword_langid,
@@ -837,6 +840,33 @@ FROM documents
 """.format(stops=", ".join(f"'{w}'" for w in EN_STOPWORDS))
 
 
+def _charclass_langid(spark, sf_dir):
+    return charclass_langid(_t(spark, sf_dir, "documents"))
+
+
+_CHARCLASS_LANGID_SQL = f"""
+SELECT doc_id,
+       round(cjk_ratio, 4)   AS cjk_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       CASE WHEN cjk_ratio >= 0.3 THEN 'cjk'
+            WHEN alpha_ratio >= 0.5 THEN 'latin'
+            ELSE 'other' END AS script_pred
+FROM (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text,
+                   '[^{CJK_CLASS}]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS cjk_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text,
+                   '[^{ASCII_ALPHA_CLASS}]', '', 'g')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS alpha_ratio
+  FROM documents
+)
+"""
+
+
 def _quality(spark, sf_dir):
     return quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -1157,6 +1187,9 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
     "text_token_counts": QueryDef(_token_count, _TOKEN_COUNT_SQL),
     "text_langid_stopwords": QueryDef(_langid, _LANGID_SQL),
+    "text_langid_charclass": QueryDef(
+        _charclass_langid, _CHARCLASS_LANGID_SQL
+    ),
     "text_quality_scores": QueryDef(_quality, _QUALITY_SQL),
     "text_fingerprints": QueryDef(_fingerprint, _FINGERPRINT_SQL),
     # extraction roundtrips (the flagship correctness gates)

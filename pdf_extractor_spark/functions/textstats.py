@@ -61,6 +61,39 @@ def stopword_langid(docs: DataFrame) -> DataFrame:
     )
 
 
+# char-class ranges for script detection (mirror of
+# operators/charclass.py ranges, as regex character classes)
+CJK_CLASS = "぀-ゟ゠-ヿ一-鿿　-〿"
+ASCII_ALPHA_CLASS = "A-Za-z"
+
+
+def charclass_langid(docs: DataFrame) -> DataFrame:
+    """Script-level language ID by char-class ratios (the n-gram-
+    heuristic family at n=1): CJK-script ratio ≥ 0.3 → 'cjk', else
+    ASCII-letter ratio ≥ 0.5 → 'latin', else 'other'. Pure native
+    string expressions — one scan, no shuffle, codegen'd."""
+    n = F.length("text")
+    cjk = F.length(
+        F.regexp_replace("text", f"[^{CJK_CLASS}]", "")
+    )
+    alpha = F.length(
+        F.regexp_replace("text", f"[^{ASCII_ALPHA_CLASS}]", "")
+    )
+    cjk_ratio = F.when(n > 0, cjk.cast("double") / n).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(cjk_ratio, 4).alias("cjk_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.when(cjk_ratio >= 0.3, F.lit("cjk"))
+        .when(alpha_ratio >= 0.5, F.lit("latin"))
+        .otherwise(F.lit("other"))
+        .alias("script_pred"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Deterministic quality score from length / punctuation / token
     shape (the A6 quality-dimension pattern at dataset level)."""

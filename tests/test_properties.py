@@ -183,3 +183,28 @@ def test_cleanup_plain_ascii_single_line_stable(text):
 @given(word_frames(max_words=25))
 def test_column_texts_two_run_determinism(words):
     assert column_texts(words, CFG) == column_texts(words.copy(), CFG)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_parse_pdf_never_raises_on_garbage(data):
+    """U3 contract at the tokenizer boundary: arbitrary bytes must come
+    back as a PdfDoc with errors recorded — never an exception."""
+    from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+    doc = parse_pdf(data)
+    assert isinstance(doc.pages, list)
+    assert isinstance(doc.errors, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_extract_document_never_raises_on_garbage(data):
+    """Same contract end-to-end: extract_document on arbitrary bytes
+    (optionally with a %PDF- magic prefix forced) returns a record."""
+    from pdf_extractor_spark.operators.document import extract_document
+
+    for payload in (data, b"%PDF-1.4\n" + data):
+        rec = extract_document(payload)
+        assert isinstance(rec["extracted_text"], str)
+        assert isinstance(rec["errors"], list)

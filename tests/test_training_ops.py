@@ -163,3 +163,23 @@ class TestMultimodal:
             assert all(
                 b - a == 10 for a, b in zip(frames, frames[1:])
             )
+
+
+class TestCharclassLangid:
+    def test_scripts_detected(self, spark):
+        from pdf_extractor_spark.functions.textstats import charclass_langid
+
+        df = spark.createDataFrame(
+            [
+                (1, "これは日本語の文章です、間違いなく。"),
+                (2, "The quick brown fox jumps over the lazy dog"),
+                (3, "12345 67890 !!! ???"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["script_pred"]
+            for r in charclass_langid(df).collect()
+        }
+        assert got == {1: "cjk", 2: "latin", 3: "other", 4: "other"}
