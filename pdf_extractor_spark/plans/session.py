@@ -45,6 +45,11 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # skewed equi-join keys (LSH buckets, boilerplate shingles)
+        # split at runtime; map-stage skew is handled by the explicit
+        # size-routing key instead (plans/pipeline.py — AQE cannot
+        # split a straggler map task)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # extraction batches carry multi-MB binary payloads: keep Arrow
