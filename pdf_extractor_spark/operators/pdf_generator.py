@@ -88,8 +88,12 @@ def _content_stream(page: PageSpec) -> bytes:
     return ("\n".join(parts)).encode("latin-1", errors="strict")
 
 
-def build_pdf(pages: list[PageSpec]) -> bytes:
-    """Serialize pages into a complete single-xref PDF byte string."""
+def build_pdf(pages: list[PageSpec], compress: bool = False) -> bytes:
+    """Serialize pages into a complete single-xref PDF byte string.
+
+    ``compress=True`` Flate-encodes each content stream (zlib level 9,
+    deterministic) the way real-world PDFs ship — exercises the
+    tokenizer's ``/Filter /FlateDecode`` path."""
     # object numbering: 1=catalog, 2=pages, 3=/F1, 4=/F2,
     # then per page: page object, content object.
     objs: dict[int, bytes] = {}
@@ -101,6 +105,12 @@ def build_pdf(pages: list[PageSpec]) -> bytes:
         next_id += 2
         page_ids.append(page_id)
         stream = _content_stream(p)
+        filt = ""
+        if compress:
+            import zlib
+
+            stream = zlib.compress(stream, 9)
+            filt = " /Filter /FlateDecode"
         rotate = f" /Rotate {p.rotate}" if p.rotate else ""
         objs[page_id] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {p.width:g} "
@@ -108,7 +118,7 @@ def build_pdf(pages: list[PageSpec]) -> bytes:
             f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> >>"
         ).encode("latin-1")
         objs[content_id] = (
-            f"<< /Length {len(stream)} >>\nstream\n".encode("latin-1")
+            f"<< /Length {len(stream)}{filt} >>\nstream\n".encode("latin-1")
             + stream
             + b"\nendstream"
         )

@@ -145,21 +145,43 @@ def _dict_refarray(body: bytes, key: bytes) -> list[int]:
     return [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
 
 
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _stream_bytes(body: bytes) -> bytes:
+    """Extract (and decompress) a content stream.
+
+    When the stream dict carries a direct ``/Length``, slice exactly
+    that many bytes — binary (Flate) data may legitimately end in 0x0A,
+    so the trailing-newline heuristic is only used as the fallback for
+    length-less dicts. ``/Filter /FlateDecode`` payloads are inflated
+    with zlib (stdlib, deterministic); other filters raise, which the
+    page-level recovery records as a corruption error (U3)."""
     i = body.find(b"stream")
     if i < 0:
         return b""
+    head = body[:i]
     j = i + len(b"stream")
     if body[j : j + 2] == b"\r\n":
         j += 2
     elif body[j : j + 1] == b"\n":
         j += 1
-    k = body.rfind(b"endstream")
-    end = k if k >= 0 else len(body)
-    out = body[j:end]
-    # the generator writes ...stream\n<data>\nendstream
-    if out.endswith(b"\n"):
-        out = out[:-1]
+    m = _LENGTH_RE.search(head)
+    if m:
+        out = body[j : j + int(m.group(1))]
+    else:
+        k = body.rfind(b"endstream")
+        end = k if k >= 0 else len(body)
+        out = body[j:end]
+        # the generator writes ...stream\n<data>\nendstream
+        if out.endswith(b"\n"):
+            out = out[:-1]
+    if b"/FlateDecode" in head:
+        import zlib
+
+        out = zlib.decompress(out)
+    elif b"/Filter" in head:
+        raise ValueError("unsupported stream filter")
     return out
 
 

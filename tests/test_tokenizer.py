@@ -84,3 +84,42 @@ def _page_with(text: str) -> PageSpec:
     p = PageSpec()
     p.put(72, 100, 12, text)
     return p
+
+
+def test_flate_compressed_stream_identical():
+    """FlateDecode path: a compressed PDF must tokenize to the exact
+    same word frames as its uncompressed twin (and the fixture corpus
+    goldens must hold through compression end-to-end)."""
+    from pdf_extractor_spark.operators.document import extract_document
+
+    pages = []
+    for i in range(3):
+        p = PageSpec()
+        p.put(72, 72, 12, f"compressed stream roundtrip {i} 日本語も含む")
+        p.put(72, 100, 10, "second line here with more words")
+        p.put(300, 300, 12, "1.2 Section heading kept always")
+        pages.append(p)
+    plain_bytes = build_pdf(pages)
+    flate_bytes = build_pdf(pages, compress=True)
+    assert b"/FlateDecode" in flate_bytes
+
+    plain = parse_pdf(plain_bytes)
+    flate = parse_pdf(flate_bytes)
+    assert not flate.errors
+    for a, b in zip(plain.pages, flate.pages):
+        assert a.words.equals(b.words)
+
+    # end-to-end through the full kernel (filters/layout/spacing/etc.)
+    ra = extract_document(plain_bytes)
+    rb = extract_document(flate_bytes)
+    assert ra["extracted_text"] == rb["extracted_text"] != ""
+    assert ra["spans"] == rb["spans"]
+
+
+def test_unknown_filter_recorded_not_raised():
+    import zlib
+
+    pdf = build_pdf([PageSpec()], compress=True)
+    bad = pdf.replace(b"/FlateDecode", b"/LZWDecodee"[:11], 1)
+    doc = parse_pdf(bad)
+    assert any(e["type"] == "corruption" for e in doc.errors)
