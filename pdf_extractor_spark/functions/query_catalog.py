@@ -1021,7 +1021,9 @@ def _ann_ivf(spark, sf_dir):
 
 _ANN_IVF_SQL = """
 WITH cents AS (
-  SELECT vec_id AS cell_id,
+  -- cell ids are POSITIONS in the vec_id-sorted codebook (matches the
+  -- Spark side, which never assumes centroid vec_ids are contiguous)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
   FROM embeddings WHERE vec_id < 8
 ), vecs AS (

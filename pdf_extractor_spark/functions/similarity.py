@@ -105,11 +105,6 @@ def ivf_probe_topk(
         f"({_norm('embedding')} * {_norm(_lit(v))})"
         for _cid, v in cents
     )
-    # argmax with lowest-index tie-break (array_position → first hit)
-    cell_expr = (
-        f"array_position(array({cos_exprs}), "
-        f"array_max(array({cos_exprs}))) - 1"
-    )
 
     def _cos(a: list[float], b: list[float]) -> float:
         num = sum(x * y for x, y in zip(a, b))
@@ -117,14 +112,26 @@ def ivf_probe_topk(
         nb = sum(x * x for x in b) ** 0.5
         return num / (na * nb)
 
+    # cell ids are POSITIONS into the sorted codebook (not the centroid
+    # rows' vec_ids, which need not be 0-based or contiguous); the
+    # probe list uses the same positional space.
     probe = [
-        cid
-        for cid, _v in sorted(
-            cents, key=lambda cv: (-_cos(cv[1], query_vec), cv[0])
+        pos
+        for pos, _cv in sorted(
+            enumerate(cents),
+            key=lambda pc: (-_cos(pc[1][1], query_vec), pc[0]),
         )[:n_probe]
     ]
+    # materialize the cosine array ONCE, argmax over the column
+    # (array_position → first hit = lowest-index tie-break); inlining
+    # the array into both argmax operands would double the distance
+    # math — Catalyst does not CSE across the two subtrees.
     pruned = (
-        embeddings.withColumn("cell_id", F.expr(cell_expr))
+        embeddings.withColumn("cell_cos", F.expr(f"array({cos_exprs})"))
+        .withColumn(
+            "cell_id",
+            F.expr("array_position(cell_cos, array_max(cell_cos)) - 1"),
+        )
         .where(F.col("cell_id").isin(probe))
         .select("vec_id", "embedding")
     )

@@ -145,7 +145,16 @@ def _dict_refarray(body: bytes, key: bytes) -> list[int]:
     return [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) stops backtracking from matching a digit PREFIX of an
+# indirect ref ("/Length 27 0 R" must not match "2"); the second
+# lookahead then rejects the full indirect-ref form.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
+# /Filter value when Flate is the SOLE filter: a bare name or a
+# one-element array. Chains ([/ASCII85Decode /FlateDecode]) and
+# predictors (/DecodeParms) are unsupported → explicit error.
+_FLATE_ONLY_RE = re.compile(
+    rb"/Filter\s*(?:/FlateDecode(?![A-Za-z])|\[\s*/FlateDecode\s*\])"
+)
 
 
 def _stream_bytes(body: bytes) -> bytes:
@@ -176,12 +185,13 @@ def _stream_bytes(body: bytes) -> bytes:
         # the generator writes ...stream\n<data>\nendstream
         if out.endswith(b"\n"):
             out = out[:-1]
-    if b"/FlateDecode" in head:
-        import zlib
+    if b"/Filter" in head:
+        if _FLATE_ONLY_RE.search(head) and b"/DecodeParms" not in head:
+            import zlib
 
-        out = zlib.decompress(out)
-    elif b"/Filter" in head:
-        raise ValueError("unsupported stream filter")
+            out = zlib.decompress(out)
+        else:
+            raise ValueError("unsupported stream filter")
     return out
 
 

@@ -44,8 +44,10 @@ def worker(payloads: list[bytes], q: Queue) -> None:
 
 def measure(k: int, html_payloads: list[bytes],
             pdf_payloads: list[bytes]) -> float:
-    per = 120
-    mix = (html_payloads * 3)[: per * 3] + pdf_payloads[: per // 3]
+    # 1:1 html:pdf by doc count — the same per-doc workload as
+    # scaling_bench.py, which runs EVERY doc through BOTH branches
+    per = 40
+    mix = html_payloads[:per] + pdf_payloads[:per]
     q: Queue = Queue()
     procs = [Process(target=worker, args=(mix, q)) for _ in range(k)]
     for i, pr in enumerate(procs):

@@ -11,20 +11,24 @@ the honest simulation of two cluster sizes on one box.
 Why 2→8 and not 4→16 or 8→32: ONE box shares ONE memory system across
 every "executor", which a real cluster does not (each 4N node brings
 its own DRAM). Calibration of the extraction kernel under PURE
-multiprocessing — no Spark, no shuffle, the physical upper bound for
-any engine on this machine — measures (``scripts/mp_calibration.py``,
-numbers also in BASELINE.md):
+multiprocessing with the SAME 1:1 html:pdf per-doc workload — no
+Spark, no shuffle, the physical upper bound for any engine on this
+machine — measures (``scripts/mp_calibration.py``, numbers also in
+BASELINE.md):
 
-    2→8  procs: 0.92 efficiency  (within the bandwidth envelope)
-    4→16 procs: 0.78 efficiency  (per-proc throughput collapses
-                                  328→256 docs/s at 16-wide: DRAM
-                                  ceiling, not a software property)
+    2→8  procs: 0.90 efficiency  (within the bandwidth envelope)
+    4→16 procs: 0.76 efficiency  (per-proc throughput sags at
+                                  16-wide: DRAM ceiling, not a
+                                  software property)
 
-After the kernel hot-path optimizations the 4→16 pair sits ABOVE the
-hardware ceiling for this box — no engine could pass there — so the
-gate is evidenced at 2→8, where the hardware allows ~0.92 and any
-shortfall below that is genuinely the engine's (shuffle layout, Arrow
-stages, scheduling, sink commit).
+The 4→16 pair brushes this box's hardware ceiling, so the gate is
+evidenced at 2→8, where the hardware allows ~0.9 and any shortfall
+below that is genuinely the engine's (shuffle layout, Arrow stages,
+scheduling, sink commit). The Spark job was ALSO measured at 4→16 and
+passed (0.807, ``BENCH_SCALING_4v16.json``) — at or above the pure-MP
+calibration for that width — but a pair whose hardware bound sits at
+the gate value is not a sound primary measurement, so 2→8 stays the
+reported configuration.
 
 The job is the end-to-end extraction pipeline (payload synthesis →
 parse → layout → serialize, both PDF and HTML branches) over the sf0.1

@@ -117,9 +117,43 @@ def test_flate_compressed_stream_identical():
 
 
 def test_unknown_filter_recorded_not_raised():
-    import zlib
-
-    pdf = build_pdf([PageSpec()], compress=True)
-    bad = pdf.replace(b"/FlateDecode", b"/LZWDecodee"[:11], 1)
+    p = PageSpec()
+    p.put(72, 72, 12, "some words here")
+    pdf = build_pdf([p], compress=True)
+    # same-length name: xref offsets stay valid, so the failure path
+    # exercised is the filter check itself, not xref recovery
+    bad = pdf.replace(b"/FlateDecode", b"/LZWWDecodee", 1)
+    assert len(bad) == len(pdf)
     doc = parse_pdf(bad)
     assert any(e["type"] == "corruption" for e in doc.errors)
+
+
+def test_indirect_length_ref_not_misparsed():
+    """'/Length 27 0 R' (indirect ref) must fall back to the
+    endstream heuristic, not slice 2 bytes via a backtracked match."""
+    from pdf_extractor_spark.operators.pdf_tokenizer import _stream_bytes
+
+    body = (b"<< /Length 27 0 R >>\nstream\n"
+            b"BT (hello world) Tj ET xx\nendstream")
+    assert _stream_bytes(body) == b"BT (hello world) Tj ET xx"
+
+
+def test_filter_chain_not_raw_inflated():
+    """'/Filter [/ASCII85Decode /FlateDecode]' is a chain — must raise
+    (caller records corruption), never raw-inflate the outer encoding."""
+    import pytest as _pytest
+
+    from pdf_extractor_spark.operators.pdf_tokenizer import _stream_bytes
+
+    body = (b"<< /Length 5 /Filter [/ASCII85Decode /FlateDecode] >>\n"
+            b"stream\nabcde\nendstream")
+    with _pytest.raises(ValueError):
+        _stream_bytes(body)
+    # one-element array IS sole-Flate: must inflate
+    import zlib
+
+    data = zlib.compress(b"BT ET", 9)
+    body2 = (b"<< /Length " + str(len(data)).encode()
+             + b" /Filter [ /FlateDecode ] >>\nstream\n" + data
+             + b"\nendstream")
+    assert _stream_bytes(body2) == b"BT ET"

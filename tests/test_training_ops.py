@@ -122,6 +122,26 @@ class TestAnn:
         exact = cosine_topk(emb, qvec, k=10, exclude_id=0).collect()
         assert full == exact
 
+    def test_ivf_probe_noncontiguous_vec_ids(self, spark, emb):
+        """Cell ids are codebook POSITIONS, so shifted/gapped vec_ids
+        must give the same ranking as the 0-based original."""
+        qvec = [
+            float(v)
+            for v in emb.where("vec_id = 0").select("embedding").first()[0]
+        ]
+        base = ivf_probe_topk(
+            emb, qvec, k=10, n_cells=8, n_probe=8, exclude_id=0
+        ).collect()
+        shifted = emb.withColumn("vec_id", F.col("vec_id") * 3 + 100)
+        got = ivf_probe_topk(
+            shifted, qvec, k=10, n_cells=8 * 3 + 100, n_probe=8,
+            exclude_id=100,
+        ).collect()
+        assert [r["cosine"] for r in got] == [r["cosine"] for r in base]
+        assert [r["vec_id"] for r in got] == [
+            r["vec_id"] * 3 + 100 for r in base
+        ]
+
     def test_near_dup_pairs_sorted_and_bounded(self, emb):
         out = embedding_near_dup_pairs(
             emb, threshold=0.0, n_bits=4, k=15
