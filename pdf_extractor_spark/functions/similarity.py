@@ -122,10 +122,13 @@ def ivf_probe_topk(
             key=lambda pc: (-_cos(pc[1][1], query_vec), pc[0]),
         )[:n_probe]
     ]
-    # materialize the cosine array ONCE, argmax over the column
-    # (array_position → first hit = lowest-index tie-break); inlining
-    # the array into both argmax operands would double the distance
-    # math — Catalyst does not CSE across the two subtrees.
+    # argmax over the cosine array (array_position → first hit =
+    # lowest-index tie-break). NOTE: the two-step withColumn form is
+    # for readability only — Catalyst pushes the cell_id predicate
+    # back through the projections and re-inlines the array into both
+    # argmax operands (verified via explain); the actual dedup happens
+    # at runtime in whole-stage codegen's subexpression elimination,
+    # identically for inline and withColumn forms.
     pruned = (
         embeddings.withColumn("cell_cos", F.expr(f"array({cos_exprs})"))
         .withColumn(

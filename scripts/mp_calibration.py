@@ -42,12 +42,11 @@ def worker(payloads: list[bytes], q: Queue) -> None:
     q.put((len(payloads), time.perf_counter() - t0))
 
 
-def measure(k: int, html_payloads: list[bytes],
-            pdf_payloads: list[bytes]) -> float:
-    # 1:1 html:pdf by doc count — the same per-doc workload as
-    # scaling_bench.py, which runs EVERY doc through BOTH branches
-    per = 40
-    mix = html_payloads[:per] + pdf_payloads[:per]
+REPS = 3    # median-of-3: a sub-second single window is scheduler-
+            # jitter-prone; each timed window here is several seconds
+
+
+def _one_rep(k: int, mix: list[bytes]) -> float:
     q: Queue = Queue()
     procs = [Process(target=worker, args=(mix, q)) for _ in range(k)]
     for i, pr in enumerate(procs):
@@ -59,6 +58,19 @@ def measure(k: int, html_payloads: list[bytes],
     total_docs = sum(n for n, _t in res)
     wall = max(t for _n, t in res)
     return total_docs / wall
+
+
+def measure(k: int, html_payloads: list[bytes],
+            pdf_payloads: list[bytes]) -> float:
+    # 1:1 html:pdf by doc count — the same per-doc workload as
+    # scaling_bench.py, which runs EVERY doc through BOTH branches
+    per = 400
+    mix = (html_payloads * 2)[:per] + (pdf_payloads * 2)[:per]
+    import statistics
+
+    return statistics.median(
+        _one_rep(k, mix) for _ in range(REPS)
+    )
 
 
 def main() -> None:

@@ -10,25 +10,25 @@ the honest simulation of two cluster sizes on one box.
 
 Why 2→8 and not 4→16 or 8→32: ONE box shares ONE memory system across
 every "executor", which a real cluster does not (each 4N node brings
-its own DRAM). Calibration of the extraction kernel under PURE
-multiprocessing with the SAME 1:1 html:pdf per-doc workload — no
-Spark, no shuffle, the physical upper bound for any engine on this
-machine — measures (``scripts/mp_calibration.py``, numbers also in
-BASELINE.md):
+its own DRAM). ``scripts/mp_calibration.py`` runs the kernel under
+PURE multiprocessing with the same 1:1 html:pdf per-doc workload as a
+reference point for shared-memory pressure (numbers + variance notes
+in BASELINE.md):
 
-    2→8  procs: 0.90 efficiency  (within the bandwidth envelope)
-    4→16 procs: 0.76 efficiency  (per-proc throughput sags at
-                                  16-wide: DRAM ceiling, not a
-                                  software property)
+    2→8  procs: ≈0.83 efficiency
+    4→16 procs: ≈0.70 efficiency  (per-proc throughput sags with
+                                   width: DRAM pressure, not a
+                                   software property; ±0.05-0.1
+                                   run-to-run)
 
-The 4→16 pair brushes this box's hardware ceiling, so the gate is
-evidenced at 2→8, where the hardware allows ~0.9 and any shortfall
-below that is genuinely the engine's (shuffle layout, Arrow stages,
-scheduling, sink commit). The Spark job was ALSO measured at 4→16 and
-passed (0.807, ``BENCH_SCALING_4v16.json``) — at or above the pure-MP
-calibration for that width — but a pair whose hardware bound sits at
-the gate value is not a sound primary measurement, so 2→8 stays the
-reported configuration.
+The calibration is not a strict bound — the Spark job's composition
+differs (JVM-side synthesis, Arrow batching) and its 4→16 measurement
+(0.807, ``BENCH_SCALING_4v16.json``) exceeds the kernel-only figure —
+but it shows wide-config shortfall on one box is substantially the
+shared memory system. The 2→8 pair, least contaminated by that
+pressure, is the primary gate configuration; a real multi-node 4N
+cluster, where bandwidth scales with nodes, would do better than
+either single-box number.
 
 The job is the end-to-end extraction pipeline (payload synthesis →
 parse → layout → serialize, both PDF and HTML branches) over the sf0.1
