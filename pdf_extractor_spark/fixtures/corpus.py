@@ -205,6 +205,25 @@ def _pdf_footnote_match() -> bytes:
     return build_pdf([p1, p2])
 
 
+def _pdf_footnote_unmatched() -> bytes:
+    """D4 / ADVICE-r1: a bottom-region definition with NO body marker
+    must still reach the output (the reference emits ALL definitions,
+    master_extractor.py:352-390), and a body marker with no definition
+    lands in ``unmatched_markers`` — one matched pair for contrast."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put_words(72, 200, 12, ["matched", "claim"])
+    p.put(200, 200, 8, "*1")
+    p.put_words(72, 230, 12, ["dangling", "reference"])
+    p.put(220, 230, 8, "[9]")            # no definition anywhere
+    p.put(72, 700, 9, "*1:")
+    p.put_words(100, 700, 9, ["matched", "definition", "body", "text"])
+    p.put(72, 730, 9, "※")               # definition with no body marker
+    p.put_words(100, 730, 9, ["orphan", "definition", "must", "not",
+                              "vanish"])
+    return build_pdf([p])
+
+
 def _pdf_zorder() -> bytes:
     """Duplicate boxes at the same rounded position (D1 dedup) and a
     half-overlapping pair (J5 z-order flag)."""
@@ -341,6 +360,7 @@ _PDF_CASES = {
     "pdf-section-numbers": _pdf_section_numbers,
     "pdf-footnotes": _pdf_footnotes,
     "pdf-footnote-match": _pdf_footnote_match,
+    "pdf-footnote-unmatched": _pdf_footnote_unmatched,
     "pdf-scripts": _pdf_scripts,
     "pdf-sidebar": _pdf_sidebar,
     "pdf-table": _pdf_table,
@@ -365,6 +385,7 @@ _CASE_LANG = {
     "pdf-single-col": "mixed", "pdf-two-col": "en",
     "pdf-header-footer": "en", "pdf-section-numbers": "mixed",
     "pdf-footnotes": "en", "pdf-footnote-match": "mixed",
+    "pdf-footnote-unmatched": "en",
     "pdf-scripts": "en", "pdf-sidebar": "en",
     "pdf-table": "en", "pdf-zorder": "en",
     "pdf-mixed-spacing": "mixed", "pdf-join-lines": "mixed",

@@ -160,7 +160,15 @@ def _extract_pdf_once(
             detect_tables(words, page.page_number, cfg)
         )
         all_tables.extend(tables)
+        n_before = len(words)
         words = exclude_table_words(words, tables)  # J1/P8
+        # A4 fix: words routed to tables/textboxes/footnote definitions
+        # ARE extracted (their text ships in the table/textbox/footnote
+        # sections), so they count toward coverage — the reference
+        # computes coverage from the final output's words
+        # (element_inventory.py:225-232); dropping them here made
+        # table-dominated pages read POOR and trip remediation.
+        kept_words += n_before - len(words)
         words = attach_scripts(words, cfg)          # W3
         boxes, box_consumed = detect_sidebars(      # C7/F11
             words, page.page_number, page.width, cfg
@@ -168,6 +176,7 @@ def _extract_pdf_once(
         all_textboxes.extend(boxes)
         if len(box_consumed):
             words = words.drop(index=box_consumed)
+            kept_words += len(box_consumed)
         all_markers.extend(
             find_markers(words, page.page_number, page.height, cfg)
         )
@@ -177,6 +186,7 @@ def _extract_pdf_once(
         all_defs.extend(defs)
         if len(consumed):
             words = words.drop(index=consumed)
+            kept_words += len(consumed)
         words = filter_metadata(words, page.height, headers, footers, cfg)
         kept_words += len(words)
         body = ""
@@ -222,8 +232,19 @@ def _extract_pdf_once(
             parts.append(bb)
             pos += len(bb)
             spans.append((start, pos, "textbox", page_no))
-    # footnote section appended after cleanup (trap 6; F9 formatting)
-    for m in matches:
+    # footnote section appended after cleanup (trap 6; F9 formatting).
+    # The reference builds its footnote list from ALL definitions, not
+    # just matched ones (master_extractor.py:352-390 footnotes_list from
+    # all_definitions) — an unmatched bottom-region definition must not
+    # vanish from the output: matched entries first (match order), then
+    # unmatched definitions in input (page, y) order with their own
+    # def-start marker form.
+    footnote_entries = list(matches) + [
+        {"marker": d.marker, "text": d.text, "page": d.page}
+        for d in all_defs
+        if not d.used
+    ]
+    for m in footnote_entries:
         line = f"{m['marker']} {m['text']}" if m["text"] else m["marker"]
         if parts:
             pos += 2
@@ -251,7 +272,7 @@ def _extract_pdf_once(
              "text": t.text, "confidence": t.confidence}
             for t in all_tables
         ],
-        "footnotes": matches,
+        "footnotes": footnote_entries,
         "textboxes": [
             {"page": b.page, "box_type": b.box_type, "text": b.text}
             for b in all_textboxes

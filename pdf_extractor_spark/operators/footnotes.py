@@ -201,14 +201,34 @@ def match_markers(
 def completeness(
     markers: list[Marker], definitions: list[Definition], matches: list[dict]
 ) -> dict:
-    """A5 (reference ``footnote_extractor.py:403-442``)."""
+    """A5 + D4 (reference ``footnote_extractor.py:403-442``): counts,
+    match rate, and the unmatched marker/definition LISTS (the
+    review-queue payload, ``footnote_extractor.py:418-422`` — the
+    dataset-level ``array_except`` shape, SURVEY.md §2.8 D4).
+
+    Unmatched markers are a multiset difference (two ``*1`` references
+    with one matched leave one unmatched), emitted in deterministic
+    (page, y, x) marker order; unmatched definitions carry their own
+    def-start marker form, in input (page, y) order."""
+    from collections import Counter
+
     n_m, n_d, n_x = len(markers), len(definitions), len(matches)
     rate = n_x / n_m if n_m else 1.0
     status = "GOOD" if rate >= 0.85 else ("WARNING" if rate >= 0.5 else "POOR")
+    remaining = Counter(m["marker"] for m in matches)
+    unmatched_markers: list[str] = []
+    for mk in sorted(markers, key=lambda k: (k.page, k.y, k.x)):
+        if remaining.get(mk.marker, 0) > 0:
+            remaining[mk.marker] -= 1
+        else:
+            unmatched_markers.append(mk.marker)
+    unmatched_definitions = [d.marker for d in definitions if not d.used]
     return {
         "n_markers": n_m,
         "n_definitions": n_d,
         "n_matched": n_x,
         "match_rate": round(rate, 6),
         "status": status,
+        "unmatched_markers": unmatched_markers,
+        "unmatched_definitions": unmatched_definitions,
     }

@@ -117,6 +117,16 @@ OUTPUT_SCHEMA = T.StructType(
                     T.StructField("n_matched", T.IntegerType()),
                     T.StructField("match_rate", T.DoubleType()),
                     T.StructField("status", T.StringType()),
+                    # D4 unmatched sets (reference
+                    # footnote_extractor.py:418-422) — the review-queue
+                    # payload, not just counts
+                    T.StructField(
+                        "unmatched_markers", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "unmatched_definitions",
+                        T.ArrayType(T.StringType()),
+                    ),
                 ]
             ),
         ),
@@ -232,29 +242,28 @@ def partition_pages(
 
 
 def _routing_key(num_partitions: int, cfg: ExtractConfig):
-    """Composite skew-defusing shuffle key, evaluated in ONE scan.
+    """Skew-defusing shuffle key, evaluated in ONE scan, at FULL hash
+    cardinality.
 
-    Normal docs key on ``pmod(xxhash64(url), P)`` — uniform url-hash
-    buckets. Oversized docs key on an INDEPENDENT salted hash with its
-    own value range, so a multi-hundred-MB payload never lands in the
-    hash bucket its url would have put it in; with few oversized rows
-    per bucket they spread ~one per task instead of hiding inside a
-    full normal bucket (SURVEY.md §4.2 — AQE cannot split a straggler
-    map task, so the layout must prevent it up front)."""
+    Normal docs key on ``xxhash64(url)``; oversized docs key on an
+    independently-salted ``xxhash64(url, 1)``, so a multi-hundred-MB
+    payload's placement is decorrelated from its url's normal bucket
+    (SURVEY.md §4.2 — AQE cannot split a straggler map task, so the
+    layout must spread the heavy tail up front).
+
+    Both sides keep the full 64-bit value range: an earlier variant
+    pre-modded each side down to ~P distinct strings, which
+    ``repartition`` then re-hashed mod P — balls-in-bins collisions
+    left ~1/3 of partitions empty and stacked 2-3 bucket-groups (or an
+    oversized bucket on top of a full normal bucket) into others.
+    Full-cardinality keys restore uniform balance; the salt still
+    guarantees oversized rows spread independently (~Poisson(1) per
+    partition when oversized ≪ P) rather than pinning to their url's
+    bucket."""
     size = F.length(F.col("html"))
-    normal_key = F.concat(
-        F.lit("n"),
-        F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("string"),
-    )
-    oversized_key = F.concat(
-        F.lit("b"),
-        F.pmod(
-            F.xxhash64("url", F.lit(1)), F.lit(max(4, num_partitions))
-        ).cast("string"),
-    )
-    return F.when(size > cfg.oversize_bytes, oversized_key).otherwise(
-        normal_key
-    )
+    return F.when(
+        size > cfg.oversize_bytes, F.xxhash64("url", F.lit(1))
+    ).otherwise(F.xxhash64("url"))
 
 
 def extract_pages(

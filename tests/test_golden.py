@@ -78,6 +78,15 @@ def test_specific_behaviors_pinned():
     assert "wordnextfar apart" in t      # gaps 1/3 no space, 5 space
     assert "日本語句間隔。" in t            # JP cleanup collapses JP spaces
 
+    r = recs["pdf-footnote-unmatched"]
+    t = r["extracted_text"]
+    # ADVICE-r1 HIGH: a definition with no body marker must not vanish
+    assert "orphan definition must not vanish" in t
+    assert r["footnote_stats"]["unmatched_markers"] == ["[9]"]
+    assert r["footnote_stats"]["unmatched_definitions"] == ["※"]
+    # matched entries precede unmatched ones in the footnote section
+    assert t.index("matched definition body text") < t.index("orphan")
+
     t = recs["html-linkfarm"]["extracted_text"]
     assert "link number" not in t and "honest paragraph" in t
 
