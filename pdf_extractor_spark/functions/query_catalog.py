@@ -26,8 +26,13 @@ from pyspark.sql.window import Window
 
 from ..sources.docwrap import full_extract_stats, html_roundtrip, pdf_roundtrip
 from .dedup import (
+    MUTANT_OFFSET,
+    N_BANDS as DEDUP_N_BANDS,
+    duck_melted_pairs,
+    duck_signature_cte,
     exact_dedup_stats,
     lsh_pair_count,
+    lsh_precision_stats,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_mapinpandas,
@@ -741,41 +746,55 @@ def _minhash(spark, sf_dir):
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-_MINHASH_SQL = f"""
-SELECT doc_id,
-       list_aggregate(list_transform(sh, s -> md5('0:' || s)), 'min') AS mh0,
-       list_aggregate(list_transform(sh, s -> md5('1:' || s)), 'min') AS mh1,
-       list_aggregate(list_transform(sh, s -> md5('2:' || s)), 'min') AS mh2,
-       list_aggregate(list_transform(sh, s -> md5('3:' || s)), 'min') AS mh3
-FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
-"""
+_MINHASH_SQL = (
+    "WITH " + duck_signature_cte("documents") + "\n"
+    "SELECT doc_id, "
+    + ", ".join(f"band{b}" for b in range(DEDUP_N_BANDS))
+    + " FROM sig"
+)
 
 
 def _lsh_pairs(spark, sf_dir):
     return lsh_pair_count(_t(spark, sf_dir, "documents"))
 
 
-_LSH_PAIRS_SQL = f"""
-WITH sig AS (
-  SELECT doc_id,
-       list_aggregate(list_transform(sh, s -> md5('0:' || s)), 'min') AS mh0,
-       list_aggregate(list_transform(sh, s -> md5('1:' || s)), 'min') AS mh1,
-       list_aggregate(list_transform(sh, s -> md5('2:' || s)), 'min') AS mh2,
-       list_aggregate(list_transform(sh, s -> md5('3:' || s)), 'min') AS mh3
-  FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
-), melted AS (
-  SELECT doc_id, 0 AS band, mh0 AS mh FROM sig WHERE mh0 IS NOT NULL
-  UNION ALL SELECT doc_id, 1, mh1 FROM sig WHERE mh1 IS NOT NULL
-  UNION ALL SELECT doc_id, 2, mh2 FROM sig WHERE mh2 IS NOT NULL
-  UNION ALL SELECT doc_id, 3, mh3 FROM sig WHERE mh3 IS NOT NULL
+_LSH_PAIRS_SQL = (
+    duck_melted_pairs("documents")
+    + "\nSELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM pairs"
 )
-SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs
-FROM (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM melted a JOIN melted b
-    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
-)
+
+
+_PLANTED_SRC = f"""(
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {MUTANT_OFFSET} AS doc_id,
+           regexp_replace(text, '^((?:\\S+ ){{3}})\\S+', '\\1xmutx')
+             AS text
+    FROM documents
+  )"""
+
+
+def _lsh_precision(spark, sf_dir):
+    """Sub-quadratic gate: LSH over documents + planted mutated
+    near-duplicates (round-1 verdict item #1) — recall of planted
+    pairs with a candidate set far below n²/2."""
+    return lsh_precision_stats(_t(spark, sf_dir, "documents"))
+
+
+_LSH_PRECISION_SQL = (
+    duck_melted_pairs(_PLANTED_SRC)
+    + f"""
+SELECT CAST((SELECT count(*) FROM documents) * 2 AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN doc_b = doc_a + {MUTANT_OFFSET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_found,
+       round(CAST(count(*) AS DOUBLE)
+             / ((SELECT count(*) FROM documents) * 2
+                * ((SELECT count(*) FROM documents) * 2 - 1) / 2.0), 6)
+         AS candidate_frac
+FROM pairs
 """
+)
 
 
 def _knn_cosine(spark, sf_dir):
@@ -933,32 +952,21 @@ FROM bits GROUP BY doc_id
 
 
 def _ngram_jaccard(spark, sf_dir):
-    # low threshold: the synthetic corpus shares vocabulary but has no
-    # true near-dups; 0.1 exercises the candidate→exact pipeline with
-    # non-empty output
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+    # exact-verify stage over the planted near-dup corpus: the r×b
+    # banding admits (almost) only true near-duplicates as candidates,
+    # and the exact Jaccard pass scores them — the full two-stage
+    # recall→precision pipeline with non-trivial output
+    from .dedup import planted_near_dups
+
+    return ngram_jaccard_pairs(
+        planted_near_dups(_t(spark, sf_dir, "documents")), threshold=0.7
+    )
 
 
-_NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
-), sig AS (
-  SELECT doc_id,
-       list_aggregate(list_transform(sh, s -> md5('0:' || s)), 'min') AS mh0,
-       list_aggregate(list_transform(sh, s -> md5('1:' || s)), 'min') AS mh1,
-       list_aggregate(list_transform(sh, s -> md5('2:' || s)), 'min') AS mh2,
-       list_aggregate(list_transform(sh, s -> md5('3:' || s)), 'min') AS mh3
-  FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
-), melted AS (
-  SELECT doc_id, 0 AS band, mh0 AS mh FROM sig WHERE mh0 IS NOT NULL
-  UNION ALL SELECT doc_id, 1, mh1 FROM sig WHERE mh1 IS NOT NULL
-  UNION ALL SELECT doc_id, 2, mh2 FROM sig WHERE mh2 IS NOT NULL
-  UNION ALL SELECT doc_id, 3, mh3 FROM sig WHERE mh3 IS NOT NULL
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM melted a JOIN melted b
-    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
-)
+_NGRAM_JACCARD_SQL = (
+    duck_melted_pairs(_PLANTED_SRC)
+    + """,
+  shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM base)
 SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
 FROM (
   SELECT p.doc_a, p.doc_b,
@@ -966,11 +974,12 @@ FROM (
          / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
            AS jaccard
   FROM pairs p
-  JOIN sh sa ON sa.doc_id = p.doc_a
-  JOIN sh sb ON sb.doc_id = p.doc_b
+  JOIN shd sa ON sa.doc_id = p.doc_a
+  JOIN shd sb ON sb.doc_id = p.doc_b
 )
-WHERE jaccard >= 0.1
+WHERE jaccard >= 0.7
 """
+)
 
 
 def _ann_srp(spark, sf_dir):
@@ -1177,6 +1186,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
+    "dedup_lsh_precision": QueryDef(_lsh_precision, _LSH_PRECISION_SQL),
     "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
     "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),

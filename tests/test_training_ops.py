@@ -89,6 +89,64 @@ class TestJaccard:
         assert ngram_jaccard_pairs(df, threshold=0.1).count() == 0
 
 
+class TestLshBanding:
+    """Production r×b banding (round-1 verdict item #1): b=16 bands ×
+    r=8 rows from k=128 minhashes — near-dup recall with a
+    sub-quadratic candidate set."""
+
+    def test_signature_shape_and_null_guard(self, spark):
+        from pdf_extractor_spark.functions.dedup import (
+            N_BANDS,
+            minhash_signatures,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "too short")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in minhash_signatures(df).collect()}
+        assert len(rows[1].asDict()) == 1 + N_BANDS
+        assert all(rows[1][f"band{b}"] is not None for b in range(N_BANDS))
+        # < 3 tokens → no shingles → NULL band keys, never joins
+        assert all(rows[2][f"band{b}"] is None for b in range(N_BANDS))
+
+    def test_planted_near_dups_recall_and_subquadratic(self, docs):
+        from pdf_extractor_spark.functions.dedup import lsh_precision_stats
+
+        row = lsh_precision_stats(docs).collect()[0]
+        n = row["n_docs"]
+        # sub-quadratic: candidate set far below n(n-1)/2
+        assert row["candidate_frac"] < 0.01, row
+        # recall: most planted near-dups recovered (short docs whose
+        # 1-token mutation drops true Jaccard below the ~0.7 banding
+        # threshold are legitimately missed)
+        assert row["n_planted_found"] >= 0.7 * (n / 2), row
+
+    def test_single_shared_shingle_not_a_candidate(self, spark):
+        from pdf_extractor_spark.functions.dedup import lsh_candidate_pairs
+
+        # round-1 failure mode: docs sharing ONE rare shingle became
+        # candidates under 1-row bands; with r=8 rows a full band of
+        # minimums must agree
+        df = spark.createDataFrame(
+            [
+                (1, "shared tri gram " + "alpha beta gamma delta " * 5),
+                (2, "shared tri gram " + "omega sigma theta lambda " * 5),
+            ],
+            "doc_id long, text string",
+        )
+        assert lsh_candidate_pairs(df).count() == 0
+
+    def test_exact_duplicates_are_candidates(self, spark):
+        from pdf_extractor_spark.functions.dedup import lsh_candidate_pairs
+
+        df = spark.createDataFrame(
+            [(1, "x y z w v u t s r q"), (2, "x y z w v u t s r q")],
+            "doc_id long, text string",
+        )
+        assert lsh_candidate_pairs(df).count() == 1
+
+
 class TestAnn:
     def test_bucketed_subset_of_exact_domain(self, emb):
         qvec = [
