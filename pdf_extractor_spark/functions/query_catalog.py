@@ -39,7 +39,12 @@ from .dedup import (
 )
 from .multimodal import decode_image_meta, resize_plan
 from .similarity import (
+    ann_recall_stats,
     cosine_topk,
+    duck_ivf_topk_sql,
+    duck_near_dup_sql,
+    duck_recall_sql,
+    duck_srp_topk_sql,
     embedding_near_dup_pairs,
     ivf_probe_topk,
     srp_bucketed_topk,
@@ -982,118 +987,60 @@ WHERE jaccard >= 0.7
 )
 
 
-def _ann_srp(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = [
+# testdata embeddings are 64-dimensional at every SF (TESTDATA.md)
+_EMB_DIM = 64
+
+
+def _qvec(emb):
+    return [
         float(v)
         for v in emb.where("vec_id = 0").select("embedding").first()[0]
     ]
-    return srp_bucketed_topk(emb, qvec, k=10)
 
 
-_ANN_SRP_SQL = """
-WITH q AS (
-  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
-         list_aggregate(list_transform(embedding[1:4],
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-           'string_agg', '') AS qbucket
-  FROM embeddings WHERE vec_id = 0
-)
-SELECT vec_id,
-       round(
-         list_dot_product(list_transform(embedding,
-                          x -> CAST(x AS DOUBLE)), qv)
-         / (sqrt(list_dot_product(list_transform(embedding,
-                          x -> CAST(x AS DOUBLE)),
-                          list_transform(embedding,
-                          x -> CAST(x AS DOUBLE))))
-            * sqrt(list_dot_product(qv, qv))), 3) AS cosine
-FROM embeddings, q
-WHERE list_aggregate(list_transform(embedding[1:4],
-        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-        'string_agg', '') = qbucket
-ORDER BY cosine DESC, vec_id
-LIMIT 10
-"""
+def _ann_srp(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_bucketed_topk(emb, _qvec(emb), k=10, n_bits=6, n_flip=2)
+
+
+_ANN_SRP_SQL = duck_srp_topk_sql(_EMB_DIM, n_bits=6, k=10)
 
 
 def _ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [
-        float(v)
-        for v in emb.where("vec_id = 0").select("embedding").first()[0]
-    ]
     return ivf_probe_topk(
-        emb, qvec, k=10, n_cells=8, n_probe=2, exclude_id=0
+        emb, _qvec(emb), k=10, n_cells=8, n_probe=2, exclude_id=0
     )
 
 
-_ANN_IVF_SQL = """
-WITH cents AS (
-  -- cell ids are POSITIONS in the vec_id-sorted codebook (matches the
-  -- Spark side, which never assumes centroid vec_ids are contiguous)
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-  FROM embeddings WHERE vec_id < 8
-), vecs AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-), assigned AS (
-  SELECT vec_id, e, cell_id FROM (
-    SELECT v.vec_id, v.e, c.cell_id,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY list_dot_product(v.e, c.c)
-                      / (sqrt(list_dot_product(v.e, v.e))
-                         * sqrt(list_dot_product(c.c, c.c))) DESC,
-                      c.cell_id) AS rn
-    FROM vecs v CROSS JOIN cents c
-  ) WHERE rn = 1
-), q AS (SELECT e AS qv FROM vecs WHERE vec_id = 0),
-probe AS (
-  SELECT cell_id FROM cents, q
-  ORDER BY list_dot_product(c, qv)
-           / (sqrt(list_dot_product(c, c))
-              * sqrt(list_dot_product(qv, qv))) DESC, cell_id
-  LIMIT 2
+_ANN_IVF_SQL = duck_ivf_topk_sql(_EMB_DIM, n_cells=8, n_probe=2, k=10)
+
+
+def _ann_recall(spark, sf_dir):
+    """Recall@10 of the SRP-probed and IVF-probed searches vs the
+    exact cosine top-10 (round-1 verdict item #2 'done' gate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_recall_stats(
+        emb, _qvec(emb), k=10, n_bits=6, n_flip=2, n_cells=8,
+        n_probe=2, exclude_id=0,
+    )
+
+
+_ANN_RECALL_SQL = duck_recall_sql(
+    _EMB_DIM, k=10, n_bits=6, n_cells=8, n_probe=2
 )
-SELECT vec_id,
-       round(list_dot_product(e, qv)
-             / (sqrt(list_dot_product(e, e))
-                * sqrt(list_dot_product(qv, qv))), 3) AS cosine
-FROM assigned, q
-WHERE cell_id IN (SELECT cell_id FROM probe) AND vec_id != 0
-ORDER BY cosine DESC, vec_id
-LIMIT 10
-"""
 
 
 def _embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4, k=20
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_tables=2,
+        n_bits=6, k=20,
     )
 
 
-_EMBEDDING_NEAR_DUP_SQL = """
-WITH b AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-         list_aggregate(list_transform(embedding[1:4],
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-           'string_agg', '') AS bucket
-  FROM embeddings
+_EMBEDDING_NEAR_DUP_SQL = duck_near_dup_sql(
+    _EMB_DIM, threshold=0.3, n_tables=2, n_bits=6, k=20
 )
-SELECT vec_a, vec_b, cosine FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(list_dot_product(a.e, b.e)
-               / (sqrt(list_dot_product(a.e, a.e))
-                  * sqrt(list_dot_product(b.e, b.e))), 3) AS cosine
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
-WHERE cosine >= 0.3
-ORDER BY cosine DESC, vec_a, vec_b
-LIMIT 20
-"""
 
 
 # ======================================================== multimodal stubs
@@ -1192,6 +1139,7 @@ CATALOG: dict[str, QueryDef] = {
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_ivf_probe": QueryDef(_ann_ivf, _ANN_IVF_SQL),
+    "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
     "sim_embedding_near_dup": QueryDef(
         _embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL
     ),
