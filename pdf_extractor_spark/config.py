@@ -94,6 +94,17 @@ class ExtractConfig:
     w_footnotes: float = 0.15
     w_readability: float = 0.10
 
+    # --- P11 encoding scrub (reference error_handler.py:509-540:
+    # strip U+FFFD/NUL, decode \xNN escapes — reference both flags AND
+    # fixes; on by default as in the reference's recovery path) ---
+    encoding_scrub_enabled: bool = True
+
+    # --- F7 OCR-confusion fix chain (the deterministic subset of the
+    # reference's mock LLM-verify fixes, llm_verifier.py:341-404;
+    # verification itself is off by default in the reference
+    # (config.py:65), so the chain defaults off here too) ---
+    ocr_fix_enabled: bool = False
+
     # --- scale knobs (Spark layer) ---
     oversize_bytes: int = 8 * 1024 * 1024   # docs larger than this get
     # routed to a dedicated repartition bucket (skew defusal; SURVEY §4.2)

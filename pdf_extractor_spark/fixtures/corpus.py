@@ -224,6 +224,22 @@ def _pdf_footnote_unmatched() -> bytes:
     return build_pdf([p])
 
 
+def _pdf_ocr_confusions() -> bytes:
+    """F7: planted OCR confusions (rn / Il1 / O0 / digit-in-word /
+    broken affixes). DEFAULT config keeps them verbatim (the fix chain
+    is off by default, like reference LLM verification); the ocrfix
+    tests pin the chain's output on this extraction."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put_words(72, 200, 12, ["Th1s", "mis5ing", "c0nnect", "needs",
+                              "fixing", "badly"])
+    p.put_words(72, 230, 12, ["process", "ing", "then", "dis", "connect",
+                              "cleanly"])
+    p.put_words(72, 260, 12, ["rnany", "Il1", "O0", "stay", "flagged",
+                              "unfixed"])
+    return build_pdf([p])
+
+
 def _pdf_zorder() -> bytes:
     """Duplicate boxes at the same rounded position (D1 dedup) and a
     half-overlapping pair (J5 z-order flag)."""
@@ -339,6 +355,20 @@ def _html_entities() -> bytes:
     ).encode("utf-8")
 
 
+def _html_encoding_damage() -> bytes:
+    """P11: U+FFFD damage inside kept content — flagged (encoding
+    warning) AND scrubbed from the output, like the reference's
+    flag+fix pair (error_handler.py:509-540)."""
+    return (
+        "<html><body>"
+        "<p>A clean opening paragraph long enough to be kept as main "
+        "content by the density rules of the classifier.</p>"
+        "<p>dam�aged te�xt with enough length to stay kept "
+        "as genuine article content after scrubbing.</p>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
 def _html_short_blocks() -> bytes:
     return (
         "<html><body>"
@@ -365,6 +395,7 @@ _PDF_CASES = {
     "pdf-sidebar": _pdf_sidebar,
     "pdf-table": _pdf_table,
     "pdf-zorder": _pdf_zorder,
+    "pdf-ocr-confusions": _pdf_ocr_confusions,
     "pdf-mixed-spacing": _pdf_mixed_spacing,
     "pdf-join-lines": _pdf_join_lines,
     "pdf-empty-page": _pdf_empty_page,
@@ -379,6 +410,7 @@ _HTML_CASES = {
     "html-tables-lists": _html_tables_lists,
     "html-entities": _html_entities,
     "html-short-blocks": _html_short_blocks,
+    "html-encoding-damage": _html_encoding_damage,
 }
 
 _CASE_LANG = {
@@ -387,12 +419,13 @@ _CASE_LANG = {
     "pdf-footnotes": "en", "pdf-footnote-match": "mixed",
     "pdf-footnote-unmatched": "en",
     "pdf-scripts": "en", "pdf-sidebar": "en",
-    "pdf-table": "en", "pdf-zorder": "en",
+    "pdf-table": "en", "pdf-zorder": "en", "pdf-ocr-confusions": "en",
     "pdf-mixed-spacing": "mixed", "pdf-join-lines": "mixed",
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",
+    "html-encoding-damage": "en",
 }
 
 

@@ -24,7 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.docwrap import full_extract_stats, html_roundtrip, pdf_roundtrip
+from ..operators.encoding import duck_fix_encoding_expr, fix_encoding_col
+from ..operators.ocrfix import (
+    duck_ocr_fix_expr,
+    duck_ocr_issue_exprs,
+    ocr_fix_col,
+    ocr_issue_flags,
+)
+from ..sources.docwrap import (
+    error_rollup,
+    full_extract_stats,
+    html_roundtrip,
+    pdf_roundtrip,
+)
 from .dedup import (
     MUTANT_OFFSET,
     N_BANDS as DEDUP_N_BANDS,
@@ -1043,6 +1055,100 @@ _EMBEDDING_NEAR_DUP_SQL = duck_near_dup_sql(
 )
 
 
+# ============================================= F7 / P11 / A11 operators
+
+# planted confusions exercising every F7 fix rule + the flag-only
+# patterns (rn/Il1/O0 stay detected-not-fixed, as in the reference)
+_F7_NOISE = (
+    "Th1s mis5ing c0nnect process ing then dis connect "
+    "rnany Il1 O0 spaced   out done。。 "
+)
+
+
+def _f7_ocr_fix(spark, sf_dir):
+    """F7: deterministic OCR-confusion fix chain as a native
+    regexp_replace chain + rlike detection flags — no UDF, whole-stage
+    codegen (reference llm_verifier.py:117-139 detection,
+    :341-404 mock fixes)."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit(_F7_NOISE), F.col("text"))
+    fixed = ocr_fix_col(noisy)
+    return docs.select(
+        "doc_id",
+        *ocr_issue_flags(noisy),
+        F.md5(fixed).alias("fixed_md5"),
+        F.length(fixed).cast("long").alias("fixed_len"),
+    )
+
+
+def _f7_sql() -> str:
+    noise_sql = _F7_NOISE.replace("'", "''")
+    noisy = f"'{noise_sql}' || text"
+    flags = ",\n       ".join(duck_ocr_issue_exprs(noisy))
+    fixed = duck_ocr_fix_expr(noisy)
+    return f"""
+SELECT doc_id,
+       {flags},
+       md5({fixed}) AS fixed_md5,
+       CAST(length({fixed}) AS BIGINT) AS fixed_len
+FROM documents
+"""
+
+
+_F7_SQL = _f7_sql()
+
+
+def _p11_encoding_scrub(spark, sf_dir):
+    """P11: encoding scrub as a transform (reference
+    error_handler.py:509-540) — planted U+FFFD damage stripped
+    natively; n_bad = pre/post length delta."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit("da�mage� "), F.col("text"))
+    scrubbed = fix_encoding_col(noisy)
+    return docs.select(
+        "doc_id",
+        (F.length(noisy) - F.length(scrubbed)).cast("long").alias("n_bad"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_P11_SQL = f"""
+SELECT doc_id,
+       CAST(length(noisy) - length(scrubbed) AS BIGINT) AS n_bad,
+       md5(scrubbed) AS scrubbed_md5
+FROM (
+  SELECT doc_id, noisy, {duck_fix_encoding_expr('noisy')} AS scrubbed
+  FROM (
+    SELECT doc_id,
+           'da' || chr(65533) || 'mage' || chr(65533) || ' ' || text
+             AS noisy
+    FROM documents
+  )
+)
+"""
+
+
+def _a11_error_rollup(spark, sf_dir):
+    """A11: error-report rollup — explode(errors) → type × severity
+    hash aggregate over deterministically planted failures."""
+    return error_rollup(_t(spark, sf_dir, "documents"))
+
+
+_A11_SQL = """
+SELECT * FROM (
+  SELECT 'empty_page' AS error_type, 'error' AS severity,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT 'encoding', 'error', CAST(count(*) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id % 10 = 7
+)
+ORDER BY error_type, severity
+"""
+
+
 # ======================================================== multimodal stubs
 
 def _multimodal_decode(spark, sf_dir):
@@ -1121,6 +1227,9 @@ CATALOG: dict[str, QueryDef] = {
     "d1_dedup_rounded": QueryDef(_dedup_rounded, _DEDUP_ROUNDED_SQL),
     "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
     "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
+    "f7_ocr_fix_chain": QueryDef(_f7_ocr_fix, _F7_SQL),
+    "p11_encoding_scrub": QueryDef(_p11_encoding_scrub, _P11_SQL),
+    "a11_error_rollup": QueryDef(_a11_error_rollup, _A11_SQL),
     "a2_trimmed_mean": QueryDef(_a2_trimmed_mean, _A2_TRIMMED_SQL),
     "a3_inventory_bands": QueryDef(_a3_inventory_bands, _A3_INVENTORY_SQL),
     "j1_range_containment": QueryDef(_j1_range_containment, _J1_RANGE_SQL),

@@ -39,7 +39,9 @@ from .footnotes import (
     find_markers,
     match_markers,
 )
+from .encoding import count_bad_chars, fix_encoding_text
 from .html_extract import extract_html
+from .ocrfix import ocr_fix_text
 from .inventory import (
     coverage_status,
     dedup_words,
@@ -194,6 +196,22 @@ def _extract_pdf_once(
             # fused C1/C2/O1/O2/W2 array path (layout.column_texts) —
             # byte-identical to the pandas chain, tested both ways
             body = cleanup_text("\n\n".join(column_texts(words, cfg)))
+        if body and cfg.encoding_scrub_enabled:
+            # P11: flag pre-scrub damage, then fix (reference both
+            # flags and fixes — error_handler.py:509-540)
+            n_bad = count_bad_chars(body)
+            if n_bad:
+                errors.append(
+                    {"type": "encoding", "severity": "warning",
+                     "page": page.page_number,
+                     "message": f"{n_bad} bad chars scrubbed"}
+                )
+                body = fix_encoding_text(body)
+        if body and cfg.ocr_fix_enabled:
+            # F7: deterministic OCR-confusion fix chain (the mock
+            # backend's fixes, llm_verifier.py:341-404); off by
+            # default like reference LLM verification (config.py:65)
+            body = ocr_fix_text(body)
         # O5 + trap 6: tables, then textboxes, appended at page end
         table_blocks = [t.text for t in tables]
         box_blocks = [b.text for b in boxes]
@@ -339,20 +357,31 @@ def extract_html_document(
 ) -> dict[str, Any]:
     """HTML branch (H1-H6)."""
     errors: list[dict] = []
+    n_bad = 0
+    n_pre = 0
     try:
-        text, spans = extract_html(payload, cfg)
+        text, spans, n_bad, n_pre = extract_html(payload, cfg)
     except Exception as exc:
         errors.append(
             {"type": "malformed", "severity": "error", "page": 0,
              "message": f"html parse failed: {exc}"}
         )
         text, spans = "", []
-    # P11 analog (reference error_handler.py:509-540): a payload that is
-    # mostly undecodable bytes is not text — flag it instead of shipping
-    # mojibake as "content". When extraction came back empty, scan the
-    # decoded payload instead, so binary garbage routed here (neither
-    # %PDF- nor markup) surfaces as encoding/malformed rather than a
-    # silent ok=True empty row (U3: errors recorded, never swallowed).
+    # P11 flag+fix (reference error_handler.py:509-540): blocks are
+    # scrubbed inside extract_html (spans index the cleaned text);
+    # pre-scrub damage in KEPT content is graded here — light damage
+    # is a recoverable warning, mostly-undecodable content (> 5% bad)
+    # was never really text and stays an ERROR even though scrubbed
+    # (U3: errors recorded, never swallowed; a mojibake payload must
+    # not ship as a silent ok=True row).
+    if n_bad:
+        severity = (
+            "error" if n_bad / max(1, n_pre) > 0.05 else "warning"
+        )
+        errors.append(
+            {"type": "encoding", "severity": severity, "page": 0,
+             "message": f"{n_bad}/{n_pre} bad chars scrubbed"}
+        )
     scan = text if text else payload.decode("utf-8", errors="replace")
     if scan:
         bad = scan.count("�") + scan.count("\x00")

@@ -172,24 +172,43 @@ def classify_blocks(blocks: list[Block], cfg: ExtractConfig) -> list[bool]:
 
 def extract_html(
     html_bytes: bytes, cfg: ExtractConfig
-) -> tuple[str, list[tuple[int, int, str, int]]]:
-    """H6: full branch — returns (extracted_text, spans).
+) -> tuple[str, list[tuple[int, int, str, int]], int, int]:
+    """H6: full branch — returns
+    (extracted_text, spans, n_bad_chars, n_pre_chars).
 
     Spans are (start, end, kind, page) character offsets into the
     output; kind ∈ {heading, body}; page is 0 for HTML.
+
+    P11 (reference ``error_handler.py:509-540``): each kept block is
+    encoding-scrubbed BEFORE offsets are assigned, so spans index the
+    cleaned text; ``n_bad_chars`` / ``n_pre_chars`` report the
+    pre-scrub damage count and kept-content size so the caller can
+    grade the flag (light damage → recoverable warning; mostly-
+    undecodable content → error, it was never really text).
     """
+    from .encoding import count_bad_chars, fix_encoding_text
+
     blocks = segment_blocks(html_bytes)
     keep = classify_blocks(blocks, cfg)
     parts: list[str] = []
     spans: list[tuple[int, int, str, int]] = []
     pos = 0
+    n_bad = 0
+    n_pre = 0
     for b, k in zip(blocks, keep):
         if not k:
             continue
+        text = b.text
+        n_pre += len(text)
+        if cfg.encoding_scrub_enabled:
+            n_bad += count_bad_chars(text)
+            text = fix_encoding_text(text)
+            if not text:
+                continue
         if parts:
             pos += 2  # "\n\n"
         start = pos
-        parts.append(b.text)
-        pos += len(b.text)
+        parts.append(text)
+        pos += len(text)
         spans.append((start, pos, "heading" if b.heading else "body", 0))
-    return "\n\n".join(parts), spans
+    return "\n\n".join(parts), spans, n_bad, n_pre

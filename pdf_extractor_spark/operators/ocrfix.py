@@ -46,17 +46,23 @@ OCR_FIXES: list[tuple[str, str, str, int]] = [
     (r"([a-z])1([a-z])", r"$1i$2", r"\1i\2", 2),
     (r"([a-z])0([a-z])", r"$1o$2", r"\1o\2", 2),
     (r"([a-z])5([a-z])", r"$1s$2", r"\1s\2", 2),
-    # broken suffix join (llm_verifier.py:377-379)
+    # broken suffix join (llm_verifier.py:377-379). The reference list
+    # also holds "ed|er|able" — legitimate standalone English words
+    # ("was able", "better er...") that the reference only ever sees
+    # inside a flagged ±100-char issue snippet; a TEXT-GLOBAL chain
+    # must drop them or it corrupts ordinary prose.
     (
-        r"([A-Za-z]{3,}) +(ing|ed|tion|ment|ness|ly|er|est|ous|ive|"
-        r"able|ible)($|[^A-Za-z])",
+        r"([A-Za-z]{3,}) +(ing|tion|ment|ness|ly|est|ous|ive|"
+        r"ible)($|[^A-Za-z])",
         r"$1$2$3",
         r"\1\2\3",
         1,
     ),
-    # broken prefix join (llm_verifier.py:383-385)
+    # broken prefix join (llm_verifier.py:383-385); "over|under" from
+    # the reference list are prepositions ("over the") — excluded from
+    # the global chain for the same reason as above.
     (
-        r"(^|[^A-Za-z])(un|re|pre|dis|mis|non|over|under) +([A-Za-z]{3,})",
+        r"(^|[^A-Za-z])(un|re|pre|dis|mis|non) +([A-Za-z]{3,})",
         r"$1$2$3",
         r"\1\2\3",
         1,

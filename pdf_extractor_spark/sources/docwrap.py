@@ -86,6 +86,52 @@ def pdf_roundtrip(docs: DataFrame, num_partitions: int | None = None) -> DataFra
     )
 
 
+GARBAGE_PAYLOAD = b"\x80\x81\x82\x83garbage\x9f\x9e"
+
+
+def error_rollup(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """A11 error-report rollup (reference ``error_handler.py:354-416``:
+    counts by type × severity). Deterministic error taxonomy exercise:
+    ``doc_id % 10 == 3`` docs get an EMPTY payload (→ empty_page),
+    ``doc_id % 10 == 7`` get undecodable binary garbage (→ encoding),
+    the rest wrap cleanly (→ no errors) — so the DuckDB oracle can
+    predict every row from doc_id arithmetic while the counts flow
+    through the real kernel + explode + hash-aggregate path."""
+    from pyspark.sql import functions as F
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 10 == 3:
+                    payload = b""
+                elif doc_id % 10 == 7:
+                    payload = GARBAGE_PAYLOAD
+                else:
+                    payload = wrap_html(text)
+                r = extract_document(payload, DEFAULT_CONFIG)
+                for e in r["errors"]:
+                    rows.append(
+                        {"doc_id": doc_id, "error_type": e["type"],
+                         "severity": e["severity"]}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "error_type", "severity"]
+            )
+
+    recs = _spread(docs, num_partitions).mapInPandas(
+        it, "doc_id long, error_type string, severity string"
+    )
+    return (
+        recs.groupBy("error_type", "severity")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("error_type", "severity")
+    )
+
+
 FULL_RECORD_SCHEMA = (
     "doc_id long, branch string, ok boolean, score double, grade string, "
     "coverage double, status string, n_spans int, n_errors int, "
