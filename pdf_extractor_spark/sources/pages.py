@@ -91,6 +91,26 @@ def append_extracted(extracted: DataFrame, out_path: str) -> None:
     extracted.write.mode("append").parquet(out_path)
 
 
+def write_report_csv(extracted: DataFrame, path: str) -> None:
+    """S8 CSV report sink (reference ``batch_processor.py:320-362``:
+    per-document comparison report ordered by quality desc — O7).
+    Scalar projection of the extraction record; a single CSV directory
+    written by executors (never collected to the driver)."""
+    report = extracted.select(
+        "url",
+        "branch",
+        "ok",
+        F.col("quality.score").alias("score"),
+        F.col("quality.grade").alias("grade"),
+        F.col("quality.status").alias("status"),
+        "n_pages",
+        "bytes_in",
+        "chars_out",
+        F.size("errors").alias("n_errors"),
+    ).orderBy(F.desc("score"), F.asc("url"))
+    report.write.mode("overwrite").option("header", "true").csv(path)
+
+
 def run_extraction_job(
     spark: SparkSession,
     pages: DataFrame,
