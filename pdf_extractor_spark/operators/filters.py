@@ -134,21 +134,68 @@ def detect_repeating_elements(
     return headers, footers
 
 
+_NEARBY_MATRIX_MAX = 1024    # full-matrix path below this (≈ 8 MB)
+_NEARBY_TILE = (256, 4096)   # member × candidate tile (≈ 8 MB)
+
+
 def has_nearby_content(words: pd.DataFrame, cfg: ExtractConfig) -> np.ndarray:
-    """P10 (reference ``extractor.py:385-418``): True per word if another
-    word's center lies within ``isolation_dist``. The reference is
-    O(n²); n ≈ 10³ words/page makes a vectorized distance matrix fine
-    inside the Arrow batch (SURVEY.md §2.2 P10)."""
+    """P10 (reference ``extractor.py:385-418``): True per word if
+    another word's center lies within ``isolation_dist``.
+
+    Typical pages (n ≈ 10²-10³) take the full distance-matrix path.
+    Larger pages switch to a GRID-BUCKETED sweep (cell = radius; only
+    the 3×3 neighborhood can contain a hit) with fixed-size tiles, so
+    memory stays bounded — a pathological 10⁵-word page previously
+    allocated an 80 GB matrix (round-1 verdict item #7, the same
+    guard its sibling ``zorder_overlap_count`` already had). Both
+    paths are exact and return identical answers."""
     n = len(words)
     if n <= 1:
         return np.zeros(n, dtype=bool)
-    cx = ((words["x0"] + words["x1"]) / 2).to_numpy()
-    cy = ((words["top"] + words["bottom"]) / 2).to_numpy()
-    dx = cx[:, None] - cx[None, :]
-    dy = cy[:, None] - cy[None, :]
-    dist2 = dx * dx + dy * dy
-    np.fill_diagonal(dist2, np.inf)
-    return (dist2 < cfg.isolation_dist**2).any(axis=1)
+    cx = ((words["x0"] + words["x1"]) / 2).to_numpy(dtype=np.float64)
+    cy = ((words["top"] + words["bottom"]) / 2).to_numpy(dtype=np.float64)
+    d2 = cfg.isolation_dist**2
+    if n <= _NEARBY_MATRIX_MAX:
+        dx = cx[:, None] - cx[None, :]
+        dy = cy[:, None] - cy[None, :]
+        dist2 = dx * dx + dy * dy
+        np.fill_diagonal(dist2, np.inf)
+        return (dist2 < d2).any(axis=1)
+
+    d = cfg.isolation_dist
+    gx = np.floor(cx / d).astype(np.int64)
+    gy = np.floor(cy / d).astype(np.int64)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        cells.setdefault((int(gx[i]), int(gy[i])), []).append(i)
+    cell_arrays = {k: np.asarray(v) for k, v in cells.items()}
+    out = np.zeros(n, dtype=bool)
+    m_tile, c_tile = _NEARBY_TILE
+    for (cgx, cgy), idx in cell_arrays.items():
+        cand_parts = [
+            cell_arrays[(cgx + ox, cgy + oy)]
+            for ox in (-1, 0, 1)
+            for oy in (-1, 0, 1)
+            if (cgx + ox, cgy + oy) in cell_arrays
+        ]
+        cand = np.concatenate(cand_parts)
+        for ms in range(0, len(idx), m_tile):
+            mem = idx[ms:ms + m_tile]
+            todo = mem[~out[mem]]
+            if not len(todo):
+                continue
+            for cs in range(0, len(cand), c_tile):
+                cc = cand[cs:cs + c_tile]
+                dx = cx[todo][:, None] - cx[cc][None, :]
+                dy = cy[todo][:, None] - cy[cc][None, :]
+                hit = (dx * dx + dy * dy < d2) & (
+                    todo[:, None] != cc[None, :]
+                )
+                out[todo] |= hit.any(axis=1)
+                todo = todo[~out[todo]]
+                if not len(todo):
+                    break
+    return out
 
 
 def filter_metadata(

@@ -88,12 +88,23 @@ def _content_stream(page: PageSpec) -> bytes:
     return ("\n".join(parts)).encode("latin-1", errors="strict")
 
 
-def build_pdf(pages: list[PageSpec], compress: bool = False) -> bytes:
-    """Serialize pages into a complete single-xref PDF byte string.
+def build_pdf(
+    pages: list[PageSpec], compress: bool = False,
+    xref_stream: bool = False,
+) -> bytes:
+    """Serialize pages into a complete PDF byte string.
 
     ``compress=True`` Flate-encodes each content stream (zlib level 9,
     deterministic) the way real-world PDFs ship — exercises the
-    tokenizer's ``/Filter /FlateDecode`` path."""
+    tokenizer's ``/Filter /FlateDecode`` path.
+
+    ``xref_stream=True`` emits the PDF 1.5+ layout modern producers
+    write: dictionary objects packed into a Flate ``/ObjStm`` and a
+    binary ``/Type /XRef`` cross-reference stream (W [1 4 2], Flate +
+    PNG Up predictor) instead of the classic xref table — exercises
+    the tokenizer's §7.5.7/§7.5.8 paths end to end."""
+    if xref_stream:
+        return _build_pdf_xref_stream(pages, compress)
     # object numbering: 1=catalog, 2=pages, 3=/F1, 4=/F2,
     # then per page: page object, content object.
     objs: dict[int, bytes] = {}
@@ -155,4 +166,121 @@ def build_pdf(pages: list[PageSpec], compress: bool = False) -> bytes:
         f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode("latin-1")
+    return bytes(out)
+
+
+def _png_up_encode(rows: list[bytes]) -> bytes:
+    """PNG Up-predictor (filter type 2) encoding of fixed-width rows."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def _build_pdf_xref_stream(pages: list[PageSpec], compress: bool) -> bytes:
+    """PDF 1.5 layout: dict objects in an /ObjStm, binary /XRef stream.
+
+    Object numbering: 1=catalog, 2=pages, 3=/F1, 4=/F2, then per page
+    (page obj, content obj); content streams stay standalone (streams
+    cannot live in an ObjStm); ObjStm and XRef stream take the last
+    two ids."""
+    import zlib
+
+    packed: dict[int, bytes] = {}   # members of the ObjStm
+    direct: dict[int, bytes] = {}   # standalone stream objects
+    page_ids = []
+    next_id = 5
+    for p in pages:
+        page_id, content_id = next_id, next_id + 1
+        next_id += 2
+        page_ids.append(page_id)
+        stream = _content_stream(p)
+        filt = ""
+        if compress:
+            stream = zlib.compress(stream, 9)
+            filt = " /Filter /FlateDecode"
+        rotate = f" /Rotate {p.rotate}" if p.rotate else ""
+        packed[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {p.width:g} "
+            f"{p.height:g}]{rotate} /Contents {content_id} 0 R "
+            f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> >>"
+        ).encode("latin-1")
+        direct[content_id] = (
+            f"<< /Length {len(stream)}{filt} >>\nstream\n".encode("latin-1")
+            + stream
+            + b"\nendstream"
+        )
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    packed[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    packed[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>"
+    ).encode("latin-1")
+    packed[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    packed[4] = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
+        b"/Encoding /Identity-H >>"
+    )
+
+    objstm_id = next_id
+    xref_id = next_id + 1
+    # ObjStm payload: "(id off)*" header then concatenated bodies
+    member_ids = sorted(packed)
+    offs, bodyparts, cursor = [], [], 0
+    for oid in member_ids:
+        offs.append((oid, cursor))
+        bodyparts.append(packed[oid])
+        cursor += len(packed[oid]) + 1  # "\n" separator
+    header = " ".join(f"{oid} {off}" for oid, off in offs) + "\n"
+    payload = header.encode("latin-1") + b"\n".join(bodyparts) + b"\n"
+    first = len(header)
+    zpayload = zlib.compress(payload, 9)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for oid in sorted(direct):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode("latin-1") + direct[oid] + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += (
+        f"{objstm_id} 0 obj\n<< /Type /ObjStm /N {len(member_ids)} "
+        f"/First {first} /Filter /FlateDecode /Length {len(zpayload)} "
+        f">>\nstream\n".encode("latin-1")
+        + zpayload
+        + b"\nendstream\nendobj\n"
+    )
+
+    # xref stream: W [1 4 2], entries 0..size-1, PNG Up predictor
+    xref_pos = len(out)
+    offsets[xref_id] = xref_pos
+    size = xref_id + 1
+    rows: list[bytes] = []
+    objstm_index = {oid: i for i, (oid, _off) in enumerate(offs)}
+    for oid in range(size):
+        if oid == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))
+        elif oid in offsets:
+            rows.append(b"\x01" + offsets[oid].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+        elif oid in objstm_index:
+            rows.append(
+                b"\x02" + objstm_id.to_bytes(4, "big")
+                + objstm_index[oid].to_bytes(2, "big")
+            )
+        else:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    xdata = zlib.compress(_png_up_encode(rows), 9)
+    out += (
+        f"{xref_id} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Index [0 {size}] /Root 1 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+        f"/Length {len(xdata)} >>\nstream\n".encode("latin-1")
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode("latin-1")
     return bytes(out)

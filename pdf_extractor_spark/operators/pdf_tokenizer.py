@@ -106,6 +106,94 @@ def _scan_objects(data: bytes) -> dict[int, int]:
     return {int(m.group(1)): m.start() for m in _OBJ_RE.finditer(data)}
 
 
+def _parse_xref_stream_chain(
+    data: bytes,
+) -> tuple[dict[int, int], dict[int, tuple[int, int]]]:
+    """Cross-reference STREAMS (PDF 1.5+, ``/Type /XRef`` — ISO 32000
+    §7.5.8): startxref points at a stream object whose decoded payload
+    holds binary entries of widths ``/W [w1 w2 w3]`` over the ranges
+    in ``/Index``. Follows the ``/Prev`` chain (incremental updates;
+    first-seen entry wins, since the newest section is visited first).
+
+    Returns (direct offsets, {obj_id: (container ObjStm id, index)})
+    for type-1 and type-2 entries respectively."""
+    tail = data[-256:]
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not m:
+        raise ValueError("no startxref")
+    pos: int | None = int(m.group(1))
+    offsets: dict[int, int] = {}
+    in_objstm: dict[int, tuple[int, int]] = {}
+    seen: set[int] = set()
+    while pos is not None and pos not in seen:
+        seen.add(pos)
+        body = _object_body(data, pos)
+        if b"/XRef" not in body:
+            raise ValueError("startxref does not point at an xref stream")
+        ws = [int(x) for x in (_dict_numarray(body, b"W") or [])]
+        if len(ws) != 3:
+            raise ValueError("bad /W")
+        size = _dict_int(body, b"Size") or 0
+        idx = _dict_numarray(body, b"Index")
+        index = [int(x) for x in idx] if idx else [0, size]
+        raw = _stream_bytes(body)
+        entry_len = sum(ws)
+        cursor = 0
+        for k in range(0, len(index) - 1, 2):
+            start, count = index[k], index[k + 1]
+            for n in range(count):
+                if cursor + entry_len > len(raw):
+                    raise ValueError("xref stream truncated")
+                fields: list[int] = []
+                for wlen in ws:
+                    if wlen == 0:
+                        # omitted field: type defaults to 1, others to 0
+                        fields.append(1 if not fields else 0)
+                    else:
+                        fields.append(
+                            int.from_bytes(
+                                raw[cursor : cursor + wlen], "big"
+                            )
+                        )
+                        cursor += wlen
+                etype, f2, f3 = fields
+                oid = start + n
+                if oid in offsets or oid in in_objstm:
+                    continue
+                if etype == 1:
+                    offsets[oid] = f2
+                elif etype == 2:
+                    in_objstm[oid] = (f2, f3)
+                # type 0 = free: skip
+        pos = _dict_int(body, b"Prev")
+    if not offsets and not in_objstm:
+        raise ValueError("empty xref stream")
+    return offsets, in_objstm
+
+
+def _objstm_members(body: bytes) -> dict[int, bytes]:
+    """Extract the member objects of an OBJECT STREAM (``/Type
+    /ObjStm`` — ISO 32000 §7.5.7): the decoded payload starts with
+    ``/N`` (obj-id, offset) integer pairs; offsets are relative to
+    ``/First``. Members are bare object bodies (no ``N 0 obj``
+    header)."""
+    n = _dict_int(body, b"N")
+    first = _dict_int(body, b"First")
+    if n is None or first is None:
+        raise ValueError("ObjStm missing /N or /First")
+    payload = _stream_bytes(body)
+    header = payload[:first].split()
+    pairs = [
+        (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+    ]
+    members: dict[int, bytes] = {}
+    body_len = len(payload) - first
+    for i, (oid, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < n else body_len
+        members[oid] = payload[first + off : first + end]
+    return members
+
+
 def _object_body(data: bytes, offset: int) -> bytes:
     m = _OBJ_RE.match(data, offset)
     if not m:
@@ -149,23 +237,113 @@ def _dict_refarray(body: bytes, key: bytes) -> list[int]:
 # indirect ref ("/Length 27 0 R" must not match "2"); the second
 # lookahead then rejects the full indirect-ref form.
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
-# /Filter value when Flate is the SOLE filter: a bare name or a
-# one-element array. Chains ([/ASCII85Decode /FlateDecode]) and
-# predictors (/DecodeParms) are unsupported → explicit error.
-_FLATE_ONLY_RE = re.compile(
-    rb"/Filter\s*(?:/FlateDecode(?![A-Za-z])|\[\s*/FlateDecode\s*\])"
+
+# decode filters supported by the pipeline; anything else (DCTDecode,
+# JBIG2, CCITT — raster codecs) raises, which page-level recovery
+# records as a corruption error (U3)
+_SUPPORTED_FILTERS = {b"FlateDecode", b"ASCIIHexDecode", b"ASCII85Decode"}
+
+_FILTER_VALUE_RE = re.compile(
+    rb"/Filter\s*(/[A-Za-z0-9]+|\[[^\]]*\])"
+)
+_PARMS_VALUE_RE = re.compile(
+    rb"/DecodeParms\s*(<<[^>]*(?:>(?!>)[^>]*)*>>|\[.*?\]|null)", re.DOTALL
 )
 
 
+def _parse_filter_chain(
+    head: bytes,
+) -> list[tuple[bytes, dict[bytes, int]]]:
+    """``/Filter`` + ``/DecodeParms`` → ordered [(name, parms)] pairs.
+    Parms dicts are reduced to the integer keys the predictors need."""
+    m = _FILTER_VALUE_RE.search(head)
+    if not m:
+        return []
+    names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+    parms: list[dict[bytes, int]] = [{} for _ in names]
+    pm = _PARMS_VALUE_RE.search(head)
+    if pm:
+        v = pm.group(1)
+        dicts = re.findall(rb"<<(.*?)>>|(null)", v, re.DOTALL)
+        vals = [d[0] for d in dicts] if dicts else []
+        if v.startswith(b"<<"):
+            vals = [v[2:-2]]
+        for i, dv in enumerate(vals[: len(names)]):
+            if not dv:
+                continue
+            for key in (b"Predictor", b"Columns", b"Colors",
+                        b"BitsPerComponent"):
+                km = re.search(rb"/" + key + rb"\s+(\d+)", dv)
+                if km:
+                    parms[i][key] = int(km.group(1))
+    return list(zip(names, parms))
+
+
+def _apply_predictor(data: bytes, parms: dict[bytes, int]) -> bytes:
+    """Undo TIFF (2) / PNG (10-15) predictors after inflation
+    (ISO 32000 §7.4.4.4). 8-bit components only — the case that
+    occurs in xref streams and text-PDF content."""
+    pred = parms.get(b"Predictor", 1)
+    if pred <= 1:
+        return data
+    columns = parms.get(b"Columns", 1)
+    colors = parms.get(b"Colors", 1)
+    bpc = parms.get(b"BitsPerComponent", 8)
+    if bpc != 8:
+        raise ValueError(f"unsupported predictor bpc {bpc}")
+    bpp = colors
+    rowlen = columns * colors
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: per-row filter-type byte
+    stride = rowlen + 1
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), stride):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if ft == 1:    # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _stream_bytes(body: bytes) -> bytes:
-    """Extract (and decompress) a content stream.
+    """Extract (and decode) a stream.
 
     When the stream dict carries a direct ``/Length``, slice exactly
     that many bytes — binary (Flate) data may legitimately end in 0x0A,
     so the trailing-newline heuristic is only used as the fallback for
-    length-less dicts. ``/Filter /FlateDecode`` payloads are inflated
-    with zlib (stdlib, deterministic); other filters raise, which the
-    page-level recovery records as a corruption error (U3)."""
+    length-less dicts. The decode pipeline applies ``/Filter`` chains
+    (Flate / ASCIIHex / ASCII85) with per-filter ``/DecodeParms``
+    TIFF/PNG predictors; raster codecs raise (→ U3 corruption error).
+    """
     i = body.find(b"stream")
     if i < 0:
         return b""
@@ -185,13 +363,28 @@ def _stream_bytes(body: bytes) -> bytes:
         # the generator writes ...stream\n<data>\nendstream
         if out.endswith(b"\n"):
             out = out[:-1]
-    if b"/Filter" in head:
-        if _FLATE_ONLY_RE.search(head) and b"/DecodeParms" not in head:
+    for name, parms in _parse_filter_chain(head):
+        if name not in _SUPPORTED_FILTERS:
+            raise ValueError(f"unsupported stream filter {name!r}")
+        if name == b"FlateDecode":
             import zlib
 
             out = zlib.decompress(out)
-        else:
-            raise ValueError("unsupported stream filter")
+        elif name == b"ASCIIHexDecode":
+            hexpart = out.split(b">")[0]
+            hexpart = re.sub(rb"\s+", b"", hexpart)
+            if len(hexpart) % 2:
+                hexpart += b"0"
+            out = bytes.fromhex(hexpart.decode("ascii"))
+        elif name == b"ASCII85Decode":
+            import base64
+
+            payload = out.split(b"~>")[0]
+            out = base64.a85decode(
+                payload, foldspaces=True,
+                ignorechars=b" \t\n\r\x0b\x0c",
+            )
+        out = _apply_predictor(out, parms)
     return out
 
 
@@ -411,15 +604,31 @@ def parse_pdf(data: bytes) -> PdfDoc:
     """Full pipeline: bytes → PdfDoc(pages=[PdfPage(words=frame)])."""
     doc = PdfDoc()
     try:
+        in_objstm: dict[int, tuple[int, int]] = {}
         try:
             offsets = _parse_xref_offsets(data)
         except Exception:
-            offsets = _scan_objects(data)
-            doc.errors.append(
-                {"type": "malformed", "severity": "warning", "page": 0,
-                 "message": "xref unusable; recovered via object scan"}
-            )
+            try:
+                offsets, in_objstm = _parse_xref_stream_chain(data)
+            except Exception:
+                offsets = _scan_objects(data)
+                doc.errors.append(
+                    {"type": "malformed", "severity": "warning",
+                     "page": 0,
+                     "message": "xref unusable; recovered via object scan"}
+                )
         bodies = {oid: _object_body(data, off) for oid, off in offsets.items()}
+        # expand object streams: containers named by xref type-2
+        # entries, plus any /ObjStm found by the scan path (so modern
+        # PDFs with a broken xref still recover fully)
+        stm_ids = {sid for sid, _idx in in_objstm.values()} | {
+            oid for oid, b in bodies.items() if b"/ObjStm" in b
+        }
+        for sid in sorted(stm_ids):
+            if sid not in bodies:
+                continue
+            for oid, member in _objstm_members(bodies[sid]).items():
+                bodies.setdefault(oid, member)
 
         # find catalog → pages root → kids (one level; our grammar is flat,
         # but walk nested /Kids defensively)

@@ -169,6 +169,89 @@ class TestFootnotes:
         assert completeness(ms, [], [])["status"] == "POOR"
         assert completeness([], [], [])["match_rate"] == 1.0
 
+
+class TestNearbyContentGuard:
+    """P10 grid sweep (round-1 verdict item #7): exact-equal to the
+    matrix oracle, bounded memory on pathological pages."""
+
+    @staticmethod
+    def _frame(xs, ys):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"text": ["w"] * len(xs), "x0": xs, "x1": [x + 8 for x in xs],
+             "top": ys, "bottom": [y + 10 for y in ys]}
+        )
+
+    @staticmethod
+    def _matrix_oracle(words, cfg):
+        import numpy as np
+
+        cx = ((words["x0"] + words["x1"]) / 2).to_numpy()
+        cy = ((words["top"] + words["bottom"]) / 2).to_numpy()
+        dx = cx[:, None] - cx[None, :]
+        dy = cy[:, None] - cy[None, :]
+        dist2 = dx * dx + dy * dy
+        np.fill_diagonal(dist2, np.inf)
+        return (dist2 < cfg.isolation_dist**2).any(axis=1)
+
+    def test_grid_equals_matrix_on_random_pages(self):
+        import numpy as np
+
+        from pdf_extractor_spark.config import DEFAULT_CONFIG
+        from pdf_extractor_spark.operators.filters import (
+            _NEARBY_MATRIX_MAX,
+            has_nearby_content,
+        )
+
+        rng = np.random.default_rng(11)
+        # force the grid path: n just above the matrix threshold,
+        # points spread so both isolated and clustered words exist
+        n = _NEARBY_MATRIX_MAX + 200
+        xs = rng.uniform(0, 3000, n)
+        ys = rng.uniform(0, 3000, n)
+        w = self._frame(xs, ys)
+        got = has_nearby_content(w, DEFAULT_CONFIG)
+        want = self._matrix_oracle(w, DEFAULT_CONFIG)
+        assert (got == want).all()
+        assert 0 < got.sum() < n  # both classes present
+
+    def test_cell_boundary_pairs_found(self):
+        from pdf_extractor_spark.config import DEFAULT_CONFIG
+        from pdf_extractor_spark.operators.filters import (
+            _NEARBY_MATRIX_MAX,
+            has_nearby_content,
+        )
+
+        # two points in adjacent grid cells, 2px apart across the
+        # boundary — must be found by the 3×3 neighborhood scan; pad
+        # with far-away isolated points to trip the grid path
+        pad_n = _NEARBY_MATRIX_MAX + 10
+        xs = [49.0, 51.0] + [10000.0 + 200 * i for i in range(pad_n)]
+        ys = [10.0, 10.0] + [10000.0] * pad_n
+        w = self._frame(xs, ys)
+        got = has_nearby_content(w, DEFAULT_CONFIG)
+        assert got[0] and got[1]
+        assert not got[2:].any()
+
+    def test_pathological_page_bounded(self):
+        import time
+
+        from pdf_extractor_spark.config import DEFAULT_CONFIG
+        from pdf_extractor_spark.operators.filters import (
+            has_nearby_content,
+        )
+
+        # 50k words at the same position: the old matrix path would
+        # allocate 50000² floats (~20 GB); the grid path satisfies
+        # every member inside the first tile
+        n = 50_000
+        w = self._frame([100.0] * n, [100.0] * n)
+        t0 = time.perf_counter()
+        got = has_nearby_content(w, DEFAULT_CONFIG)
+        assert time.perf_counter() - t0 < 30
+        assert got.all()
+
     def test_normalize(self):
         assert normalize_marker("(*1)") == "1"
         assert normalize_marker("[2]") == "2"

@@ -138,22 +138,148 @@ def test_indirect_length_ref_not_misparsed():
     assert _stream_bytes(body) == b"BT (hello world) Tj ET xx"
 
 
-def test_filter_chain_not_raw_inflated():
-    """'/Filter [/ASCII85Decode /FlateDecode]' is a chain — must raise
-    (caller records corruption), never raw-inflate the outer encoding."""
+def test_filter_chain_decoded_in_order():
+    """'/Filter [/ASCII85Decode /FlateDecode]' is a chain — decoded
+    left to right (outer encoding first); a one-element array is
+    sole-Flate; raster codecs raise (→ U3 corruption)."""
+    import base64
+    import zlib
+
     import pytest as _pytest
 
     from pdf_extractor_spark.operators.pdf_tokenizer import _stream_bytes
 
-    body = (b"<< /Length 5 /Filter [/ASCII85Decode /FlateDecode] >>\n"
-            b"stream\nabcde\nendstream")
-    with _pytest.raises(ValueError):
-        _stream_bytes(body)
-    # one-element array IS sole-Flate: must inflate
-    import zlib
+    inner = zlib.compress(b"BT (chained) Tj ET", 9)
+    outer = base64.a85encode(inner) + b"~>"
+    body = (b"<< /Length " + str(len(outer)).encode()
+            + b" /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+            + outer + b"\nendstream")
+    assert _stream_bytes(body) == b"BT (chained) Tj ET"
+
+    hexed = zlib.compress(b"BT ET", 9).hex().upper().encode() + b">"
+    body_hex = (b"<< /Length " + str(len(hexed)).encode()
+                + b" /Filter [/ASCIIHexDecode /FlateDecode] >>\nstream\n"
+                + hexed + b"\nendstream")
+    assert _stream_bytes(body_hex) == b"BT ET"
 
     data = zlib.compress(b"BT ET", 9)
     body2 = (b"<< /Length " + str(len(data)).encode()
              + b" /Filter [ /FlateDecode ] >>\nstream\n" + data
              + b"\nendstream")
     assert _stream_bytes(body2) == b"BT ET"
+
+    body3 = b"<< /Length 3 /Filter /DCTDecode >>\nstream\nabc\nendstream"
+    with _pytest.raises(ValueError):
+        _stream_bytes(body3)
+
+
+def test_png_predictors_roundtrip():
+    """Flate + /DecodeParms PNG predictors (all five filter types) and
+    TIFF predictor 2 decode correctly."""
+    import zlib
+
+    from pdf_extractor_spark.operators.pdf_tokenizer import _stream_bytes
+
+    cols = 7
+    rows = [bytes((r * 31 + c * 7) & 0xFF for c in range(cols))
+            for r in range(6)]
+    plain = b"".join(rows)
+
+    def body_for(encoded: bytes, pred: int) -> bytes:
+        z = zlib.compress(encoded, 9)
+        return (b"<< /Length " + str(len(z)).encode()
+                + b" /Filter /FlateDecode /DecodeParms << /Predictor "
+                + str(pred).encode() + b" /Columns 7 >> >>\nstream\n"
+                + z + b"\nendstream")
+
+    # PNG: encode each row with one filter type, decode must invert
+    for ft in range(5):
+        enc = bytearray()
+        prev = bytes(cols)
+        for row in rows:
+            enc.append(ft)
+            if ft == 0:
+                enc += row
+            elif ft == 1:
+                enc += bytes(
+                    (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                    for i in range(cols)
+                )
+            elif ft == 2:
+                enc += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+            elif ft == 3:
+                enc += bytes(
+                    (row[i] - ((row[i - 1] if i else 0) + prev[i]) // 2)
+                    & 0xFF
+                    for i in range(cols)
+                )
+            else:  # paeth: with a=left, b=up, c=up-left
+                out_row = bytearray()
+                for i in range(cols):
+                    a = row[i - 1] if i else 0
+                    b = prev[i]
+                    c = prev[i - 1] if i else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    out_row.append((row[i] - pr) & 0xFF)
+                enc += out_row
+            prev = row
+        assert _stream_bytes(body_for(bytes(enc), 10 + ft)) == plain, ft
+
+    # TIFF predictor 2: horizontal differencing, no row-type bytes
+    enc2 = bytearray()
+    for row in rows:
+        enc2 += bytes(
+            (row[i] - (row[i - 1] if i else 0)) & 0xFF
+            for i in range(cols)
+        )
+    assert _stream_bytes(body_for(bytes(enc2), 2)) == plain
+
+
+def test_xref_stream_pdf_parses_identically():
+    """PDF 1.5 layout (ObjStm + binary /XRef stream, Flate + PNG Up
+    predictor) must extract the same words as the classic layout."""
+    from pdf_extractor_spark.operators.pdf_generator import (
+        PageSpec,
+        build_pdf,
+    )
+    from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+    p = PageSpec()
+    p.put_words(72, 100, 12, ["modern", "layout", "parses", "the",
+                              "same", "words", "as", "classic", "ok",
+                              "fine"])
+    p.put(72, 130, 12, "日本語テキスト行")
+    classic = parse_pdf(build_pdf([p]))
+    for kw in (dict(xref_stream=True),
+               dict(xref_stream=True, compress=True)):
+        modern = parse_pdf(build_pdf([p], **kw))
+        assert not modern.errors, (kw, modern.errors)
+        assert modern.pages[0].words.equals(classic.pages[0].words), kw
+
+
+def test_objstm_recovered_by_scan_when_xref_broken():
+    """A modern PDF with a corrupted startxref must still recover via
+    the object scan, which now expands /ObjStm containers."""
+    import re as _re
+
+    from pdf_extractor_spark.operators.pdf_generator import (
+        PageSpec,
+        build_pdf,
+    )
+    from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+    p = PageSpec()
+    p.put_words(72, 100, 12, ["recovered", "from", "scan", "path",
+                              "with", "objstm", "members", "intact",
+                              "all", "good"])
+    pdf = build_pdf([p], xref_stream=True)
+    broken = _re.sub(rb"startxref\s+\d+", b"startxref\n999999999", pdf)
+    doc = parse_pdf(broken)
+    assert any(e["type"] == "malformed" for e in doc.errors)
+    assert list(doc.pages[0].words["text"])[:3] == [
+        "recovered", "from", "scan"
+    ]
