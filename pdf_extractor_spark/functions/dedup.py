@@ -129,11 +129,74 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return _with_minhashes(docs).select("doc_id", *cols)
 
 
+def band_keys_python(text: str) -> list[str | None]:
+    """Python/NumPy twin of :func:`minhash_signatures` for one
+    document — identical band keys (same md5/15-hex base hash, same
+    XOR masks, same md5-of-joined-minimums band key)."""
+    import numpy as np
+
+    toks = text.split(" ")
+    if len(toks) < 3:
+        return [None] * N_BANDS
+    hs = np.array(
+        [
+            int(
+                hashlib.md5(
+                    f"{a} {b} {c}".encode("utf-8")
+                ).hexdigest()[:15],
+                16,
+            )
+            for a, b, c in zip(toks, toks[1:], toks[2:])
+        ],
+        dtype=np.int64,
+    )
+    masks = np.array(_R, dtype=np.int64)
+    mhs = (hs[:, None] ^ masks[None, :]).min(axis=0)  # (N_HASHES,)
+    out = []
+    for b in range(N_BANDS):
+        seg = mhs[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        joined = ",".join(str(int(v)) for v in seg)
+        out.append(hashlib.md5(joined.encode("ascii")).hexdigest())
+    return out
+
+
+def minhash_mapinpandas(docs: DataFrame) -> DataFrame:
+    """Arrow-batched banded signatures — the scale path, bit-identical
+    to :func:`minhash_signatures` (asserted in tests). The SQL
+    higher-order-function form evaluates 128 interpreted lambdas per
+    shingle (no whole-stage codegen inside ``transform``) — ~35 s for
+    50k docs; the NumPy XOR-min matrix is one vectorized reduction
+    (~1 s). Pure map stage: no shuffle, one JVM↔Python hop per
+    batch."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = [f"band{b}" for b in range(N_BANDS)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = [band_keys_python(t) for t in pdf["text"]]
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for b, c in enumerate(cols):
+                out[c] = [k[b] for k in keys]
+            yield pd.DataFrame(out)
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id long, " + ", ".join(f"{c} string" for c in cols)
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n, F.col("doc_id"))
+        .mapInPandas(fn, schema)
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH bucket join: docs agreeing on ANY full band (all 8 row
     minimums, i.e. the band-key md5) become candidate near-duplicate
-    pairs (doc_a < doc_b)."""
-    sigs = minhash_signatures(docs)
+    pairs (doc_a < doc_b). Signatures come from the Arrow scale path
+    (bit-identical to the SQL form — tested)."""
+    sigs = minhash_mapinpandas(docs)
     melted = sigs.selectExpr(
         "doc_id",
         "stack({n}, {args}) as (band, bkey)".format(

@@ -760,7 +760,11 @@ FROM documents
 
 
 def _minhash(spark, sf_dir):
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    # Arrow-batched scale path; bit-identical to the pure-SQL
+    # minhash_signatures (asserted in tests), same DuckDB oracle.
+    from .dedup import minhash_mapinpandas
+
+    return minhash_mapinpandas(_t(spark, sf_dir, "documents"))
 
 
 _MINHASH_SQL = (

@@ -32,19 +32,28 @@ _BAD_CHARS_RE = re.compile(BAD_CHARS_PATTERN)
 
 def count_bad_chars(text: str) -> int:
     """Pre-scrub damage count — drives the encoding error FLAG, which
-    must fire on the damaged input, not the cleaned output."""
+    must fire on the damaged input, not the cleaned output. The
+    membership fast path keeps the clean-document hot path (every doc
+    in a 100 TB corpus passes through here) at two C-level scans
+    instead of a regex findall allocation."""
+    if "�" not in text and "\x00" not in text:
+        return 0
     return len(_BAD_CHARS_RE.findall(text))
 
 
 def fix_encoding_text(text: str) -> str:
-    """Kernel twin: strip bad chars, then decode ``\\xNN`` escapes."""
-    text = _BAD_CHARS_RE.sub("", text)
-    try:
-        text = _HEX_ESCAPE_RE.sub(
-            lambda m: chr(int(m.group(1), 16)), text
-        )
-    except Exception:
-        pass  # reference swallows decode failures (error_handler.py:538)
+    """Kernel twin: strip bad chars, then decode ``\\xNN`` escapes.
+    Membership fast paths skip both regex passes on clean text."""
+    if "�" in text or "\x00" in text:
+        text = _BAD_CHARS_RE.sub("", text)
+    if "\\x" in text:
+        try:
+            text = _HEX_ESCAPE_RE.sub(
+                lambda m: chr(int(m.group(1), 16)), text
+            )
+        except Exception:
+            # reference swallows decode failures (error_handler.py:538)
+            pass
     return text
 
 

@@ -110,6 +110,23 @@ class TestLshBanding:
         # < 3 tokens → no shingles → NULL band keys, never joins
         assert all(rows[2][f"band{b}"] is None for b in range(N_BANDS))
 
+    def test_sql_and_arrow_signatures_identical(self, docs):
+        from pdf_extractor_spark.functions.dedup import (
+            minhash_mapinpandas,
+            minhash_signatures,
+        )
+
+        sample = docs.limit(30)
+        sql_rows = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in minhash_signatures(sample).collect()
+        }
+        arrow_rows = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in minhash_mapinpandas(sample).collect()
+        }
+        assert sql_rows == arrow_rows
+
     def test_planted_near_dups_recall_and_subquadratic(self, docs):
         from pdf_extractor_spark.functions.dedup import lsh_precision_stats
 
