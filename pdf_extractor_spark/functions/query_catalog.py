@@ -1341,37 +1341,77 @@ def _full_extract_stats(spark, sf_dir):
     return full_extract_stats(_t(spark, sf_dir, "documents"))
 
 
-# the quality-score weights and A4/A5/A6 thresholds, replayed in SQL
-# (operators/document.py _quality + scanned/footnote semantics)
+# the A6 five-dimension battery (operators/quality.py) replayed in SQL
+# for wrapped single-page docs: text roundtrips byte-exactly and has
+# no newlines, so every dimension reduces to string functions of the
+# source text. The scanned-PDF case (< 10 tokens) swaps in the
+# "[SCANNED PAGE 1]" placeholder semantics.
 _FULL_STATS_SQL = r"""
 WITH per AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
     CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS branch,
     len(string_split(text, ' ')) AS ntok,
-    (length(text) - length(replace(text, chr(10), ''))) + 1 AS n_lines,
+    length(text) AS n_chars,
     len(list_filter(string_split(text, ' '),
         t -> regexp_full_match(t,
           '(\*\d+|※\d*|注\d+|†|‡|\[\d+\]|\(\*?\d+\))'))) > 0
       AS has_marker
   FROM documents
+), dims AS (
+  SELECT doc_id, branch, ntok,
+    (branch = 'pdf' AND ntok < 10) AS scanned,
+    -- completeness: min(coverage%, 100); no extraction-error marker
+    CASE WHEN branch = 'pdf' AND ntok < 10 THEN 0.0 ELSE 100.0 END
+      AS d_completeness,
+    -- structure: -10 when "page" absent (scanned placeholder contains
+    -- it); single page => no section/table penalties; +5 for [TABLE
+    CASE WHEN branch = 'pdf' AND ntok < 10 THEN 100.0
+         ELSE least(100.0, 100.0
+              - CASE WHEN contains(lower(text), 'page')
+                     THEN 0 ELSE 10 END
+              + CASE WHEN contains(text, '[TABLE') THEN 5 ELSE 0 END)
+    END AS d_structure,
+    -- accuracy: -10 per OCR pattern over 5 matches; no U+FFFD
+    CASE WHEN branch = 'pdf' AND ntok < 10 THEN 100.0
+         ELSE 100.0
+           - CASE WHEN len(regexp_extract_all(text, '[a-z][0-9][a-z]'))
+                       > 5 THEN 10 ELSE 0 END
+           - CASE WHEN len(regexp_extract_all(text, '\?\?\?+')) > 5
+                  THEN 10 ELSE 0 END
+           - CASE WHEN len(regexp_extract_all(text, '□+')) > 5
+                  THEN 10 ELSE 0 END
+    END AS d_accuracy,
+    -- footnotes: markers with no definitions => 0; none => 100;
+    -- scanned pages never collect markers
+    CASE WHEN branch = 'pdf' AND ntok >= 10 AND has_marker THEN 0.0
+         ELSE 100.0 END AS d_footnotes,
+    -- readability on one line: -10 avg<20 (scanned placeholder is 16
+    -- chars), -5 when the line exceeds 200 chars, -15 when 100-char
+    -- chunk unique-ratio < 0.5
+    CASE WHEN branch = 'pdf' AND ntok < 10 THEN 90.0
+         ELSE 100.0
+           - CASE WHEN n_chars < 20 THEN 10 ELSE 0 END
+           - CASE WHEN n_chars > 200 THEN 5 ELSE 0 END
+           - CASE WHEN n_chars >= 101 AND
+                  (SELECT CAST(len(list_distinct(ch)) AS DOUBLE)
+                          / len(ch)
+                   FROM (SELECT list_transform(
+                           generate_series(0,
+                             CAST(floor((n_chars - 101) / 100.0)
+                                  AS INT)),
+                           i -> substr(text, i * 100 + 1, 100)) AS ch)
+                  ) < 0.5 THEN 15 ELSE 0 END
+    END AS d_readability
+  FROM per
 ), scored AS (
   SELECT doc_id, branch,
-    CASE WHEN branch = 'pdf' AND ntok < 10 THEN 0.0 ELSE 1.0 END
-      AS coverage,
-    round(100 * (
-        0.30 * (CASE WHEN branch = 'pdf' AND ntok < 10
-                     THEN 0.0 ELSE 1.0 END)
-      + 0.25 * least(1.0,
-          (CASE WHEN branch = 'pdf' AND ntok < 10
-                THEN 1 ELSE n_lines END) / 3.0)
-      + 0.20 * 1.0
-      + 0.15 * (CASE WHEN branch = 'pdf' AND ntok >= 10 AND has_marker
-                     THEN 0.0 ELSE 1.0 END)
-      + 0.10 * 1.0), 4) AS score,
-    CASE WHEN branch = 'pdf' AND ntok < 10 THEN 'POOR' ELSE 'GOOD' END
-      AS status,
+    CASE WHEN scanned THEN 0.0 ELSE 1.0 END AS coverage,
+    round(0.30 * d_completeness + 0.25 * d_structure
+          + 0.20 * d_accuracy + 0.15 * d_footnotes
+          + 0.10 * d_readability, 4) AS score,
+    CASE WHEN scanned THEN 'POOR' ELSE 'GOOD' END AS status,
     CASE WHEN branch = 'pdf' THEN ntok ELSE 0 END AS inv_total
-  FROM per
+  FROM dims
 ), graded AS (
   SELECT *, CASE WHEN score >= 90 THEN 'A' WHEN score >= 80 THEN 'B'
                  WHEN score >= 70 THEN 'C' WHEN score >= 60 THEN 'D'

@@ -43,7 +43,6 @@ from .encoding import count_bad_chars, fix_encoding_text
 from .html_extract import extract_html
 from .ocrfix import ocr_fix_text
 from .inventory import (
-    coverage_status,
     dedup_words,
     element_inventory,
     hallucination_scan,
@@ -51,6 +50,7 @@ from .inventory import (
 )
 from .layout import column_texts
 from .pdf_tokenizer import parse_pdf
+from .quality import score_quality
 from .scripts import attach_scripts
 from .spacing import cleanup_text
 from .tables import dedup_tables, detect_tables, exclude_table_words
@@ -65,48 +65,8 @@ _EMPTY_INVENTORY = {
 }
 
 
-def _grade(score: float) -> str:
-    """A-F grade bands (reference ``quality_scorer.py:359-364``)."""
-    if score >= 90:
-        return "A"
-    if score >= 80:
-        return "B"
-    if score >= 70:
-        return "C"
-    if score >= 60:
-        return "D"
-    return "F"
-
-
-def _quality(
-    total_words: int, kept_words: int, n_lines: int, text: str,
-    footnote_rate: float, cfg: ExtractConfig,
-) -> dict[str, Any]:
-    """A4+A6: coverage + weighted score (reference
-    ``quality_scorer.py:81-413`` — completeness .30, structure .25,
-    accuracy .20, footnotes .15, readability .10). Deterministic
-    column math only. ``status`` carries the A4 coverage verdict
-    (GOOD/WARNING/POOR, ``element_inventory.py:204-269``)."""
-    coverage = kept_words / total_words if total_words else 0.0
-    completeness_dim = min(1.0, coverage / 0.85)  # GOOD threshold (A4)
-    structure = min(1.0, n_lines / 3.0) if text else 0.0
-    bad_chars = text.count("�") + text.count("\x00")
-    accuracy = max(0.0, 1.0 - bad_chars / max(1, len(text)))
-    readability = 1.0 if text.strip() else 0.0
-    score = 100.0 * (
-        cfg.w_completeness * completeness_dim
-        + cfg.w_structure * structure
-        + cfg.w_accuracy * accuracy
-        + cfg.w_footnotes * footnote_rate
-        + cfg.w_readability * readability
-    )
-    score = round(score, 4)
-    return {
-        "score": score,
-        "grade": _grade(score),
-        "coverage": round(coverage, 6),
-        "status": coverage_status(coverage),
-    }
+# A6 quality battery lives in operators/quality.py (reference
+# quality_scorer.py:81-413 five-dimension sub-batteries)
 
 
 def _extract_pdf_once(
@@ -226,7 +186,6 @@ def _extract_pdf_once(
     parts: list[str] = []
     spans: list[tuple[int, int, str, int]] = []
     pos = 0
-    n_lines = 0
     for page_no, body, table_blocks, box_blocks in page_texts:
         if body:
             if parts:
@@ -235,7 +194,6 @@ def _extract_pdf_once(
             parts.append(body)
             pos += len(body)
             spans.append((start, pos, "body", page_no))
-            n_lines += body.count("\n") + 1
         for tb in table_blocks:
             if parts:
                 pos += 2
@@ -271,9 +229,14 @@ def _extract_pdf_once(
         pos += len(line)
         spans.append((start, pos, "footnote", m["page"]))
     text = "\n\n".join(parts)
-    quality = _quality(
-        total_words, kept_words, n_lines, text,
-        fn_stats["match_rate"], cfg,
+    quality = score_quality(
+        text,
+        coverage=(kept_words / total_words if total_words else 0.0),
+        n_pages=len(doc.pages),
+        n_tables=len(all_tables),
+        n_markers=len(all_markers),
+        match_rate=fn_stats["match_rate"],
+        cfg=cfg,
     )
     suspicious = hallucination_scan(text)  # A7/P9 detection pass
     for name in suspicious:
@@ -402,10 +365,15 @@ def extract_html_document(
                  "message": "payload is neither PDF nor markup; "
                             "no content blocks found"}
             )
-    n_lines = text.count("\n") + 1 if text else 0
     n_blocks = len(spans)
-    quality = _quality(
-        max(1, n_blocks), n_blocks, n_lines, text, 1.0, cfg
+    quality = score_quality(
+        text,
+        coverage=(n_blocks / max(1, n_blocks)),
+        n_pages=1,
+        n_tables=0,
+        n_markers=0,
+        match_rate=1.0,
+        cfg=cfg,
     )
     return {
         "branch": "html",
@@ -441,7 +409,10 @@ def extract_document(
             "footnotes": [],
             "textboxes": [],
             "quality": {"score": 0.0, "grade": "F", "coverage": 0.0,
-                        "status": "POOR"},
+                        "status": "POOR",
+                        "dims": {"completeness": 0.0, "structure": 0.0,
+                                 "accuracy": 0.0, "footnotes": 0.0,
+                                 "readability": 0.0}},
             "errors": [
                 {"type": "unknown", "severity": "critical", "page": 0,
                  "message": f"unhandled: {exc}"}

@@ -87,6 +87,11 @@ OUTPUT_SCHEMA = T.StructType(
                     T.StructField("grade", T.StringType()),
                     T.StructField("coverage", T.DoubleType()),
                     T.StructField("status", T.StringType()),
+                    # A6 per-dimension sub-scores (quality_scorer.py
+                    # five-dim battery)
+                    T.StructField(
+                        "dims", T.MapType(T.StringType(), T.DoubleType())
+                    ),
                 ]
             ),
         ),
