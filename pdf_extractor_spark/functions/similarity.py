@@ -241,20 +241,27 @@ def ivf_codebook(
 
 def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment via broadcast join + integer L2
-    argmin (ties → lowest cell_id). vecs: (vec_id, xq [, ...])."""
-    from pyspark.sql.window import Window
+    argmin (ties → lowest cell_id). vecs: (vec_id, xq [, ...]).
 
+    The argmin is ``min(struct(dist, cell_id))`` — a PARTIAL+FINAL
+    hash aggregate with map-side combine (one exchange on vec_id),
+    not a window sort; the lexicographic struct ordering encodes the
+    deterministic tie-break. Payload columns ride along via first()
+    (constant per vec_id)."""
     dist = F.expr(
         "aggregate(zip_with(xq, cxq, (a, b) -> (a - b) * (a - b)), "
         "0L, (acc, v) -> acc + v)"
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    carry = [c for c in vecs.columns if c != "vec_id"]
     return (
         vecs.join(F.broadcast(cents))
         .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .drop("dist", "rn", "cxq")
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cell_id")).alias("_m"),
+            *[F.first(c).alias(c) for c in carry],
+        )
+        .select("vec_id", *carry, F.col("_m.cell_id").alias("cell_id"))
     )
 
 
@@ -267,13 +274,20 @@ def ivf_probe_topk(
     (integer metric, ties → cell_id). Final scoring is exact float
     cosine over the probed subset."""
     cents, _n = ivf_codebook(embeddings, n_cells)
-    cents = cents.cache()
     qxq = quantize(query_vec)
     crows = sorted(
-        ((r["cell_id"], list(r["cxq"])) for r in cents.collect())
+        ((r["cell_id"], [int(v) for v in r["cxq"]])
+         for r in cents.collect())
     )
     if not crows:
         return cosine_topk(embeddings.limit(0), query_vec, k)
+    # the codebook is tiny and already on the driver (standard IVF);
+    # re-materialize it as a literal DataFrame so the scan→assign→topk
+    # plan does NOT drag the codebook-construction lineage (windows,
+    # posexplode aggregates) into every execution
+    cents = embeddings.sparkSession.createDataFrame(
+        crows, "cell_id int, cxq array<bigint>"
+    )
 
     def _qdist(c: list[int]) -> int:
         return sum((a - b) * (a - b) for a, b in zip(qxq, c))
