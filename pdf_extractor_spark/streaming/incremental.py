@@ -21,9 +21,13 @@ also what a scheduled incremental crawl ingest would run. A continuous
 deployment would swap the trigger for a processing-time one; nothing
 else changes.
 
-Watermarks/event-time windows are intentionally absent: the reference
-has no late-data semantics (SURVEY.md §2.11 — the only session windows
-are the intra-document gap clusterings, which live inside the kernel).
+The extraction KERNEL has no late-data semantics (the reference's only
+session windows are the intra-document gap clusterings — SURVEY.md
+§2.11); event-time watermarking lives on the crawl-INGEST side, where
+:func:`stream_windowed_ingest_stats` maintains per-hour per-lang
+arrival statistics over ``warc_ts`` with bounded state: the watermark
+finalizes each window once, and records arriving later than the
+allowed lateness are dropped instead of reopening emitted windows.
 """
 
 from __future__ import annotations
@@ -67,6 +71,51 @@ def stream_extract(
 
     return (
         stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_windowed_ingest_stats(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> StreamingQuery:
+    """Event-time tumbling-window ingest statistics with a watermark —
+    the Structured Streaming shape for late crawl data.
+
+    ``groupBy(window(warc_ts), lang).agg(count, sum(bytes))`` in APPEND
+    mode: a window row is emitted exactly once, when the watermark
+    (max event time − ``watermark_delay``) passes its end. Late
+    records inside the delay merge into their open window; records
+    later than the watermark are DROPPED (bounded state — the property
+    that matters at 10^12 rows: without the watermark every window
+    stays open forever). The batch-mode twin of this plan is the
+    ``w_tumbling_hour`` catalog query, which DuckDB oracle-checks the
+    same aggregation semantics."""
+    stream = spark.readStream.schema(PAGES_SCHEMA_DDL).parquet(pages_path)
+    agg = (
+        stream.withWatermark("warc_ts", watermark_delay)
+        .groupBy(
+            F.window("warc_ts", window_duration).alias("w"), F.col("lang")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang", "n_docs", "bytes_in",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_path)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

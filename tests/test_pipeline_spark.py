@@ -116,6 +116,32 @@ def test_oversized_docs_routed_separately(spark):
     assert oversized.select("url").first()["url"].endswith("huge")
 
 
+def test_routing_key_balances_partitions(spark):
+    """ADVICE-r1: the routing key must keep full hash cardinality — the
+    pre-modded ~2P-value key left ~1/3 of partitions empty and stacked
+    bucket-groups. With 512 urls over 16 partitions, every partition
+    must be non-empty and no partition grossly overloaded."""
+    from pdf_extractor_spark.plans.pipeline import _routing_key
+
+    n_parts = 16
+    frame = pd.DataFrame(
+        [
+            {"url": f"https://fixture.test/doc/{i}",
+             "warc_ts": dt.datetime(2025, 1, 1),
+             "html": b"<p>body</p>", "text": "", "lang": "en"}
+            for i in range(512)
+        ]
+    )
+    df = pages_from_pandas(spark, frame)
+    routed = df.repartition(
+        n_parts, _routing_key(n_parts, DEFAULT_CONFIG)
+    )
+    sizes = routed.rdd.glom().map(len).collect()
+    assert len(sizes) == n_parts
+    assert min(sizes) > 0, sizes                  # no empty partitions
+    assert max(sizes) < 3 * (512 / n_parts), sizes  # no pile-ups
+
+
 def test_output_schema_stable(spark, pages_df):
     extracted = extract_pages(pages_df.limit(1), num_partitions=1)
     names = [f.name for f in extracted.schema.fields]

@@ -134,3 +134,59 @@ def test_stateful_running_stats_across_restarts(spark, dirs, tmp_path):
         for lang, g in frame.groupby("lang")
     }
     assert got2 == want2
+
+
+def test_windowed_watermark_finalizes_and_drops_late(spark, tmp_path):
+    """Event-time windows + watermark: a window is emitted exactly once
+    when the watermark passes it; records later than the allowed
+    lateness are dropped, not re-opened."""
+    import datetime as dt
+
+    from pdf_extractor_spark.streaming.incremental import (
+        stream_windowed_ingest_stats,
+    )
+
+    pages = str(tmp_path / "pages_w")
+    sink = str(tmp_path / "win_stats")
+    ckpt = str(tmp_path / "ckpt_win")
+    t0 = dt.datetime(2025, 3, 1, 0, 30)
+
+    def frame(rows):
+        return pd.DataFrame(
+            [
+                {"url": f"https://fixture.test/w/{i}",
+                 "warc_ts": ts, "html": b"<p>windowed body text</p>",
+                 "text": "", "lang": "en"}
+                for i, ts in rows
+            ]
+        )
+
+    # wave 1: hours 0,0,1,4 — watermark lands at 04:30-1h = 03:30, so
+    # windows [00:00) and [01:00) finalize; [04:00) stays open
+    wave1 = frame([(0, t0), (1, t0), (2, t0 + dt.timedelta(hours=1)),
+                   (3, t0 + dt.timedelta(hours=4))])
+    pages_from_pandas(spark, wave1).write.mode("append").parquet(pages)
+    stream_windowed_ingest_stats(spark, pages, sink, ckpt
+                                 ).awaitTermination(120)
+    out1 = spark.read.parquet(sink).toPandas()
+    got1 = {
+        r["window_start"].hour: r["n_docs"] for _i, r in out1.iterrows()
+    }
+    assert got1 == {0: 2, 1: 1}
+
+    # wave 2: one LATE record for hour 0 (already finalized → dropped)
+    # and fresh records at hours 4 and 7; the new watermark (06:30)
+    # finalizes [04:00) — which must NOT include the late row
+    wave2 = frame([(10, t0 + dt.timedelta(minutes=1)),
+                   (11, t0 + dt.timedelta(hours=4, minutes=5)),
+                   (12, t0 + dt.timedelta(hours=7))])
+    pages_from_pandas(spark, wave2).write.mode("append").parquet(pages)
+    stream_windowed_ingest_stats(spark, pages, sink, ckpt
+                                 ).awaitTermination(120)
+    out2 = spark.read.parquet(sink).toPandas()
+    got2 = {
+        r["window_start"].hour: r["n_docs"] for _i, r in out2.iterrows()
+    }
+    # hour-0 window emitted once with the original count; hour-4 window
+    # finalized with both on-time rows; hour-7 still open
+    assert got2 == {0: 2, 1: 1, 4: 2}
