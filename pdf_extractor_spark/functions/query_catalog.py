@@ -277,6 +277,170 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
+def _q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one
+    late lineitem, counted by priority. The physical plan is a
+    LeftSemi join (no row multiplication, no distinct needed)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.expr(
+            "o_orderdate >= timestamp'1997-01-01 00:00:00' AND "
+            "o_orderdate < timestamp'1997-04-01 00:00:00'"
+        )
+    )
+    # testdata lineitem carries no commit/receipt dates; the semi-join
+    # shape is identical with the returned-flag predicate
+    late = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: CORRELATED AGGREGATE — lineitems under 20% of
+    their part's average quantity. Decorrelated as a per-part
+    aggregate broadcast back onto the fact (the plan Catalyst produces
+    for the correlated subquery as well)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_floor")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       CAST(count(*) AS BIGINT)             AS n_rows
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def _q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: GROUP-HAVING on the fact, then join back to
+    orders/customer, deterministic top-10."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total_price,
+       round(total_qty, 2)    AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape: ANTI-join + substring bucketing — customers in
+    selected phone prefixes with above-average balance and NO orders
+    in a window."""
+    # testdata customer has no c_phone; the name suffix plays the
+    # country-code role — same substring-bucket + anti-join shape
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.expr("right(c_name, 2)")
+    )
+    prefixes = ["10", "13", "17", "21", "29", "30", "31"]
+    eligible = cust.where(F.col("cntrycode").isin(prefixes))
+    avg_bal = (
+        eligible.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            F.expr(
+                "o_orderdate >= timestamp'1995-01-01 00:00:00' AND "
+                "o_orderdate < timestamp'1996-01-01 00:00:00'"
+            )
+        )
+        .select("o_custkey")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, eligible.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_SQL = """
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT right(c_name, 2) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE right(c_name, 2) IN ('10','13','17','21','29','30','31')
+    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0
+                       AND right(c_name, 2)
+                           IN ('10','13','17','21','29','30','31'))
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 # ================================================== survey-analog operators
 
 def _repeat_ratio(spark, sf_dir):
@@ -1439,6 +1603,10 @@ CATALOG: dict[str, QueryDef] = {
     "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
     "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
     "q14_promo_revenue": QueryDef(_q14_promo_revenue, _Q14_SQL),
+    "q4_order_priority": QueryDef(_q4_order_priority, _Q4_SQL),
+    "q17_small_quantity": QueryDef(_q17_small_quantity, _Q17_SQL),
+    "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
+    "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
     # survey-analog operators
     "a1_repeat_ratio": QueryDef(_repeat_ratio, _REPEAT_SQL),
     "a8_run_stats": QueryDef(_run_stats, _RUN_STATS_SQL),
@@ -1447,7 +1615,7 @@ CATALOG: dict[str, QueryDef] = {
     "d1_dedup_rounded": QueryDef(_dedup_rounded, _DEDUP_ROUNDED_SQL),
     "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
     "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
-    "f7_ocr_fix_chain": QueryDef(_f7_ocr_fix, _F7_SQL),
+    "f7_ocr_fix_chain": QueryDef(_f7_ocr_fix, _F7_SQL, True),
     "p11_encoding_scrub": QueryDef(_p11_encoding_scrub, _P11_SQL),
     "a11_error_rollup": QueryDef(_a11_error_rollup, _A11_SQL),
     "f5_page_markers": QueryDef(_f5_page_markers, _F5_SQL),
@@ -1464,12 +1632,14 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
-    "dedup_lsh_precision": QueryDef(_lsh_precision, _LSH_PRECISION_SQL),
+    "dedup_lsh_precision": QueryDef(
+        _lsh_precision, _LSH_PRECISION_SQL, True
+    ),
     "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
     "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
-    "ann_ivf_probe": QueryDef(_ann_ivf, _ANN_IVF_SQL),
+    "ann_ivf_probe": QueryDef(_ann_ivf, _ANN_IVF_SQL, True),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
     "sim_embedding_near_dup": QueryDef(
         _embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL
