@@ -533,6 +533,7 @@ def _parse_content(
 ) -> pd.DataFrame:
     rows = _WordSink()
     size = 12.0
+    leading = 0.0          # TL / TD-set text leading (for T*, ', ")
     x = y = 0.0
     lx = ly = 0.0          # line-start (Td is relative to line matrix)
     stack: list[bytes] = []  # pending operands
@@ -564,8 +565,17 @@ def _parse_content(
             size = float(stack[-1])
             stack.clear()
         elif tok in (b"Td", b"TD") and len(stack) >= 2:
+            if tok == b"TD":      # TD also SETS leading = -ty (ISO
+                leading = -float(stack[-1])  # 32000 §9.4.2)
             lx += float(stack[-2])
             ly += float(stack[-1])
+            x, y = lx, ly
+            stack.clear()
+        elif tok == b"TL" and stack:
+            leading = float(stack[-1])
+            stack.clear()
+        elif tok == b"T*":
+            ly -= leading
             x, y = lx, ly
             stack.clear()
         elif tok == b"Tm" and len(stack) >= 6:
@@ -576,6 +586,18 @@ def _parse_content(
             s = stack[-1]
             text = _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
             x = _emit_words(text, x, y, size, height, rows)
+            stack.clear()
+        elif tok in (b"'", b'"') and stack:
+            # move-to-next-line-and-show (the " form also carries
+            # word/char spacing operands, which this grammar ignores)
+            s = stack[-1]
+            if s[:1] in (b"(", b"<"):
+                ly -= leading
+                x, y = lx, ly
+                text = (
+                    _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
+                )
+                x = _emit_words(text, x, y, size, height, rows)
             stack.clear()
         elif tok == b"TJ":
             for item in in_array:

@@ -283,3 +283,28 @@ def test_objstm_recovered_by_scan_when_xref_broken():
     assert list(doc.pages[0].words["text"])[:3] == [
         "recovered", "from", "scan"
     ]
+
+
+def test_leading_line_operators():
+    """TL / T* / ' / TD-sets-leading (ISO 32000 9.4.2): line advances
+    driven by the text leading must place words on distinct lines."""
+    from pdf_extractor_spark.operators.pdf_tokenizer import _parse_content
+
+    stream = (
+        b"BT /F1 12 Tf 14 TL 72 700 Td (first line) Tj "
+        b"T* (second line) Tj "
+        b"(third line) ' "
+        b"2 0 (quoted form) \" "
+        b"72 -20 TD (after TD) Tj "
+        b"T* (leading from TD) Tj ET"
+    )
+    words = _parse_content(stream, 792.0, 1)
+    by_word = {t: round(r, 1) for t, r in zip(words["text"], words["top"])}
+    # successive lines move DOWN the page (top increases)
+    assert by_word["first"] < by_word["second"] < by_word["third"] \
+        < by_word["quoted"]
+    # T* after TD uses the TD-set leading (20), not the TL value (14)
+    assert round(by_word["leading"] - by_word["after"], 1) == 20.0
+    # the two T*-after-TL steps are 14pt each
+    assert round(by_word["second"] - by_word["first"], 1) == 14.0
+    assert round(by_word["third"] - by_word["second"], 1) == 14.0
