@@ -371,6 +371,104 @@ def simhash_mapinpandas(docs: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BANDS = 4  # 60 bits → 4 bands of 15: Hamming ≤ 3 guarantees
+#                    at least one band equal (pigeonhole)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs via the banded Hamming-ball join:
+    the 60-bit signature splits into 4 × 15-bit bands; two documents
+    within Hamming distance ≤ 3 MUST agree on at least one whole band
+    (pigeonhole), so the equi-join on (band, 15-bit value) is a
+    lossless candidate generator for that radius. Candidates are then
+    verified with an exact popcount — the same two-stage
+    recall→precision shape as MinHash-LSH, shuffling only
+    (band, value, doc_id, simhash) tuples.
+
+    Returns (doc_a, doc_b, hamming) for verified pairs."""
+    sigs = simhash_mapinpandas(docs)  # Arrow scale path
+    bands = sigs.selectExpr(
+        "doc_id",
+        "simhash",
+        "stack({n}, {args}) as (band, bval)".format(
+            n=SIMHASH_BANDS,
+            args=", ".join(
+                f"{b}, shiftright(simhash, {b * 15}) & 32767"
+                for b in range(SIMHASH_BANDS)
+            ),
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def duck_simhash_near_dup_sql(
+    max_hamming: int = 3, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`simhash_near_dup_pairs` (same banded
+    candidate join + exact popcount verify over the simhash CTE)."""
+    melts = "\n    UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * 15}) & 32767 AS bval FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {source}
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 59) t(j)
+  GROUP BY doc_id, j
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), bands AS (
+    {melts}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT)
+         AS hamming
+FROM cands
+WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates only: the scale-safe
     two-stage shape (cheap LSH recall → exact precision on survivors)."""

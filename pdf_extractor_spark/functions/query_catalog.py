@@ -42,6 +42,7 @@ from .dedup import (
     N_BANDS as DEDUP_N_BANDS,
     duck_melted_pairs,
     duck_signature_cte,
+    duck_simhash_near_dup_sql,
     exact_dedup_stats,
     lsh_pair_count,
     lsh_precision_stats,
@@ -1117,6 +1118,20 @@ def _simhash(spark, sf_dir):
     return simhash_mapinpandas(_t(spark, sf_dir, "documents"))
 
 
+def _simhash_near_dup(spark, sf_dir):
+    """SimHash Hamming-ball near-dup join over the planted corpus:
+    4×15-bit bands make the candidate join LOSSLESS for Hamming ≤ 3
+    (pigeonhole), exact popcount verifies."""
+    from .dedup import planted_near_dups, simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        planted_near_dups(_t(spark, sf_dir, "documents")), max_hamming=3
+    )
+
+
+_SIMHASH_NEAR_DUP_SQL = duck_simhash_near_dup_sql(3, _PLANTED_SRC)
+
+
 _SIMHASH_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1636,6 +1651,9 @@ CATALOG: dict[str, QueryDef] = {
         _lsh_precision, _LSH_PRECISION_SQL, True
     ),
     "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
+    "dedup_simhash_near_dup": QueryDef(
+        _simhash_near_dup, _SIMHASH_NEAR_DUP_SQL
+    ),
     "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),

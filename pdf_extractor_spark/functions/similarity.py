@@ -265,45 +265,85 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def ivf_probe_topk(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10,
-    n_cells: int = 8, n_probe: int = 2, exclude_id: int | None = None,
-) -> DataFrame:
-    """IVF ANN: build the deterministic codebook, assign vectors by
-    broadcast join, search only the query's ``n_probe`` nearest cells
-    (integer metric, ties → cell_id). Final scoring is exact float
-    cosine over the probed subset."""
+def ivf_index(
+    embeddings: DataFrame, n_cells: int = 8
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Build the reusable IVF index ONCE: returns
+    ``(assigned, codebook)`` where ``assigned`` is
+    ``(vec_id, embedding, cell_id)`` and ``codebook`` the
+    driver-resident ``[(cell_id, quantized centroid)]`` rows.
+
+    At scale ``assigned`` is what you persist — written as a table
+    clustered on ``cell_id`` it turns every probe into partition
+    pruning; queries amortize the codebook construction (count +
+    ranking window + one Lloyd pass) across the whole workload instead
+    of paying it per search. The codebook re-materializes as a literal
+    DataFrame so downstream plans do not drag the construction lineage
+    (standard IVF keeps the codebook driver-side anyway)."""
     cents, _n = ivf_codebook(embeddings, n_cells)
-    qxq = quantize(query_vec)
     crows = sorted(
         ((r["cell_id"], [int(v) for v in r["cxq"]])
          for r in cents.collect())
     )
     if not crows:
-        return cosine_topk(embeddings.limit(0), query_vec, k)
-    # the codebook is tiny and already on the driver (standard IVF);
-    # re-materialize it as a literal DataFrame so the scan→assign→topk
-    # plan does NOT drag the codebook-construction lineage (windows,
-    # posexplode aggregates) into every execution
-    cents = embeddings.sparkSession.createDataFrame(
+        return (
+            embeddings.select("vec_id", "embedding").limit(0)
+            .withColumn("cell_id", F.lit(0)),
+            [],
+        )
+    cents_df = embeddings.sparkSession.createDataFrame(
         crows, "cell_id int, cxq array<bigint>"
     )
+    vecs = embeddings.select(
+        "vec_id", "embedding", F.expr(_XQ).alias("xq")
+    )
+    assigned = _assign_cells(vecs, cents_df).select(
+        "vec_id", "embedding", "cell_id"
+    )
+    return assigned, crows
+
+
+def ivf_search(
+    assigned: DataFrame,
+    codebook: list[tuple[int, list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve one query from a prebuilt :func:`ivf_index`: pick the
+    ``n_probe`` nearest cells by the integer metric (ties → cell_id),
+    exact-cosine the probed subset."""
+    if not codebook:
+        return cosine_topk(assigned.select("vec_id", "embedding"),
+                           query_vec, k)
+    qxq = quantize(query_vec)
 
     def _qdist(c: list[int]) -> int:
         return sum((a - b) * (a - b) for a, b in zip(qxq, c))
 
     probe = [
         cid
-        for cid, _c in sorted(crows, key=lambda rc: (_qdist(rc[1]), rc[0]))
+        for cid, _c in sorted(
+            codebook, key=lambda rc: (_qdist(rc[1]), rc[0])
+        )
     ][:n_probe]
-    vecs = embeddings.select(
-        "vec_id", "embedding", F.expr(_XQ).alias("xq")
-    )
-    assigned = _assign_cells(vecs, cents)
     pruned = assigned.where(F.col("cell_id").isin(probe)).select(
         "vec_id", "embedding"
     )
     return cosine_topk(pruned, query_vec, k, exclude_id=exclude_id)
+
+
+def ivf_probe_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_cells: int = 8, n_probe: int = 2, exclude_id: int | None = None,
+) -> DataFrame:
+    """One-shot IVF ANN: :func:`ivf_index` + :func:`ivf_search`."""
+    assigned, codebook = ivf_index(embeddings, n_cells)
+    return ivf_search(
+        assigned, codebook, query_vec, k=k, n_probe=n_probe,
+        exclude_id=exclude_id,
+    )
 
 
 # -------------------------------------------------------------- near-dup

@@ -164,6 +164,54 @@ class TestLshBanding:
         assert lsh_candidate_pairs(df).count() == 1
 
 
+class TestSimhashNearDup:
+    def test_banded_join_lossless_for_radius(self, docs):
+        """4×15-bit banding must find EVERY pair within Hamming ≤ 3
+        (pigeonhole) — brute-force verified on a planted sample."""
+        from pdf_extractor_spark.functions.dedup import (
+            planted_near_dups,
+            simhash_near_dup_pairs,
+            simhash_pandas,
+        )
+
+        sample = planted_near_dups(docs.limit(60))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_near_dup_pairs(sample, max_hamming=3)
+            .collect()
+        }
+        rows = sample.collect()
+        sigs = dict(
+            zip(
+                [r["doc_id"] for r in rows],
+                simhash_pandas([r["text"] for r in rows]),
+            )
+        )
+        ids = sorted(sigs)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        assert got == want and len(want) > 0
+
+    def test_identical_docs_hamming_zero(self, spark):
+        from pdf_extractor_spark.functions.dedup import (
+            simhash_near_dup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+             (3, "totally different words in this one here now")],
+            "doc_id long, text string",
+        )
+        out = simhash_near_dup_pairs(df, max_hamming=3).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in out] == [
+            (1, 2, 0)
+        ]
+
+
 class TestAnn:
     def test_bucketed_subset_of_exact_domain(self, emb):
         qvec = [
@@ -216,6 +264,31 @@ class TestAnn:
         assert [r["vec_id"] for r in got] == [
             r["vec_id"] * 3 + 100 for r in base
         ]
+
+    def test_ivf_index_reuse_matches_oneshot(self, emb):
+        """A prebuilt index must serve multiple queries identically to
+        the one-shot path (the amortized deployment shape)."""
+        from pdf_extractor_spark.functions.similarity import (
+            ivf_index,
+            ivf_search,
+        )
+
+        assigned, codebook = ivf_index(emb, n_cells=8)
+        assigned = assigned.cache()
+        for qid in (0, 7):
+            qvec = [
+                float(v)
+                for v in emb.where(f"vec_id = {qid}")
+                .select("embedding").first()[0]
+            ]
+            served = ivf_search(
+                assigned, codebook, qvec, k=10, n_probe=2,
+                exclude_id=qid,
+            ).collect()
+            oneshot = ivf_probe_topk(
+                emb, qvec, k=10, n_cells=8, n_probe=2, exclude_id=qid
+            ).collect()
+            assert served == oneshot, qid
 
     def test_near_dup_pairs_sorted_and_bounded(self, emb):
         out = embedding_near_dup_pairs(
