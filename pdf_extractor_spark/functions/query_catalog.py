@@ -46,7 +46,6 @@ from .dedup import (
     exact_dedup_stats,
     lsh_pair_count,
     lsh_precision_stats,
-    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_mapinpandas,
 )
