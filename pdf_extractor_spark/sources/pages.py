@@ -91,6 +91,47 @@ def append_extracted(extracted: DataFrame, out_path: str) -> None:
     extracted.write.mode("append").parquet(out_path)
 
 
+def upsert_extracted(
+    spark: SparkSession, batch: DataFrame, out_path: str
+) -> None:
+    """The MERGE ``WHEN MATCHED`` branch for RE-CRAWLED pages: a new
+    extraction of an existing url replaces the stored row iff its
+    ``warc_ts`` is strictly newer; otherwise the stored row wins.
+    (``run_extraction_job``'s anti-join covers only the NOT MATCHED
+    insert path — first-crawl semantics.)
+
+    Iceberg would express this as ``MERGE INTO extracted USING batch
+    ON url WHEN MATCHED AND batch.warc_ts > extracted.warc_ts THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT``; the parquet stand-in
+    resolves per-url winners with one window over the union and
+    rewrites via a temp directory (atomic swap). Deterministic
+    tie-break: newer warc_ts wins, then the incoming row."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    if not _output_exists(out_path):
+        batch.write.mode("overwrite").parquet(out_path)
+        return
+    existing = spark.read.parquet(out_path).withColumn(
+        "_src", F.lit(0)
+    )
+    incoming = batch.withColumn("_src", F.lit(1))
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("_src")
+    )
+    merged = (
+        existing.unionByName(incoming)
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn", "_src")
+    )
+    tmp = out_path.rstrip("/") + ".__merge_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(out_path)
+    os.rename(tmp, out_path)
+
+
 def write_report_csv(extracted: DataFrame, path: str) -> None:
     """S8 CSV report sink (reference ``batch_processor.py:320-362``:
     per-document comparison report ordered by quality desc — O7).

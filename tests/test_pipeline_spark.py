@@ -81,6 +81,50 @@ def test_resume_processes_only_missing(spark, tmp_path):
     assert e.select("url").distinct().count() == len(frame)
 
 
+def test_upsert_replaces_only_newer_recrawls(spark, tmp_path):
+    """MERGE WHEN MATCHED semantics (re-crawl): a newer warc_ts replaces
+    the stored row, an older one loses, an unseen url inserts, and the
+    url set stays unique."""
+    from pdf_extractor_spark.sources.pages import upsert_extracted
+
+    frame = build_pages_frame().iloc[:4]
+    out = str(tmp_path / "extracted")
+    run_extraction_job(
+        spark, pages_from_pandas(spark, frame), out, num_partitions=2
+    )
+    base = spark.read.parquet(out)
+    n0 = base.count()
+    urls = sorted(r["url"] for r in base.select("url").collect())
+    newer_url, older_url = urls[0], urls[1]
+
+    newer = base.where(F.col("url") == newer_url).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    ).withColumn("extracted_text", F.lit("RECRAWLED"))
+    older = base.where(F.col("url") == older_url).withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 1 DAY")
+    ).withColumn("extracted_text", F.lit("STALE"))
+    fresh = base.where(F.col("url") == urls[2]).withColumn(
+        "url", F.lit("https://fixture.test/brand-new")
+    )
+    upsert_extracted(
+        spark, newer.unionByName(older).unionByName(fresh), out
+    )
+
+    after = spark.read.parquet(out)
+    assert after.count() == n0 + 1
+    assert after.select("url").distinct().count() == n0 + 1
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in after.where(
+            F.col("url").isin(newer_url, older_url)
+        ).collect()
+    }
+    assert got[newer_url] == "RECRAWLED"   # newer re-crawl wins
+    assert got[older_url] != "STALE"       # stored row beats older crawl
+    assert after.where(F.col("url") == "https://fixture.test/brand-new") \
+        .count() == 1                      # NOT MATCHED insert
+
+
 def test_metrics_invariants(spark, pages_df):
     extracted = extract_pages(pages_df, num_partitions=4).cache()
     try:
