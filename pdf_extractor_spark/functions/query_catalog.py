@@ -657,6 +657,113 @@ FROM (
 """
 
 
+def _a7_detect_rollup(spark, sf_dir):
+    """A7 anti-hallucination DETECTION battery as a dataset rollup
+    (reference ``anti_hallucination.py:51-70``; the P9 entry covers the
+    removal chain, this covers the scan): markup / AI-phrase markers are
+    injected into deterministic doc_id slices, and the battery must
+    count exactly the affected documents per pattern. Native ``rlike``
+    into one partial/final aggregate, unpivoted with ``stack`` — no
+    UDF, one exchange of five rows."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.col("text")
+    noisy = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("## "), noisy)
+    ).otherwise(noisy)
+    noisy = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(noisy, F.lit(" **"),
+                 F.coalesce(F.col("lang"), F.lit("xx")), F.lit("**")),
+    ).otherwise(noisy)
+    noisy = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(noisy, F.lit(" ```"))
+    ).otherwise(noisy)
+    noisy = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<div class="c">'), noisy, F.lit("</div>")),
+    ).otherwise(noisy)
+    noisy = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(noisy, F.lit(" As an AI, I cannot verify this.")),
+    ).otherwise(noisy)
+
+    def _hit(pat):
+        return F.sum(noisy.rlike(pat).cast("long"))
+
+    agg = docs.agg(
+        _hit(r"(?m)^#{1,6} ").alias("c_heading"),
+        _hit(r"\*\*[^*\n]+\*\*").alias("c_bold"),
+        _hit(r"```").alias("c_fence"),
+        _hit(r"</?(?:div|span|p|br|table|h[1-6])\b[^>]*>").alias("c_tag"),
+        _hit(
+            r"(?i)\b(?:as an ai|i cannot|i'm sorry|here is the|"
+            r"certainly[,!]|based on the (?:provided|above))\b"
+        ).alias("c_ai"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'ai_phrase', c_ai, 'html_tag', c_tag,"
+        " 'markdown_bold', c_bold, 'markdown_fence', c_fence,"
+        " 'markdown_heading', c_heading) AS (pattern, n_docs)"
+    ).orderBy("pattern")
+
+
+_A7_DETECT_SQL = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN s4 || ' As an AI, I cannot verify this.' ELSE s4 END
+           AS noisy
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN '<div class="c">' || s3 || '</div>' ELSE s3 END AS s4
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN s2 || ' ```' ELSE s2 END AS s3
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN s1 || ' **' || coalesce(lang, 'xx') || '**'
+                    ELSE s1 END AS s2
+        FROM (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 7 = 0 THEN '## ' || text
+                      ELSE text END AS s1
+          FROM documents
+        )
+      )
+    )
+  )
+), agg AS (
+  SELECT
+    SUM(CASE WHEN regexp_matches(noisy, '(?m)^#{1,6} ')
+             THEN 1 ELSE 0 END) AS c_heading,
+    SUM(CASE WHEN regexp_matches(noisy, '\*\*[^*\n]+\*\*')
+             THEN 1 ELSE 0 END) AS c_bold,
+    SUM(CASE WHEN regexp_matches(noisy, '```')
+             THEN 1 ELSE 0 END) AS c_fence,
+    SUM(CASE WHEN regexp_matches(noisy,
+             '</?(?:div|span|p|br|table|h[1-6])\b[^>]*>')
+             THEN 1 ELSE 0 END) AS c_tag,
+    SUM(CASE WHEN regexp_matches(noisy,
+             '(?i)\b(?:as an ai|i cannot|i''m sorry|here is the|' ||
+             'certainly[,!]|based on the (?:provided|above))\b')
+             THEN 1 ELSE 0 END) AS c_ai
+  FROM noisy
+)
+SELECT 'ai_phrase' AS pattern, CAST(c_ai AS BIGINT) AS n_docs FROM agg
+UNION ALL
+SELECT 'html_tag', CAST(c_tag AS BIGINT) FROM agg
+UNION ALL
+SELECT 'markdown_bold', CAST(c_bold AS BIGINT) FROM agg
+UNION ALL
+SELECT 'markdown_fence', CAST(c_fence AS BIGINT) FROM agg
+UNION ALL
+SELECT 'markdown_heading', CAST(c_heading AS BIGINT) FROM agg
+ORDER BY pattern
+"""
+
+
 def _a2_trimmed_mean(spark, sf_dir):
     """A2 trimmed-mean (reference ``superscript_detector.py:161-177``:
     drop top/bottom 10% then mean) at dataset scale: exact via
@@ -1629,6 +1736,7 @@ CATALOG: dict[str, QueryDef] = {
     "d1_dedup_rounded": QueryDef(_dedup_rounded, _DEDUP_ROUNDED_SQL),
     "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
     "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
+    "a7_detect_rollup": QueryDef(_a7_detect_rollup, _A7_DETECT_SQL),
     "f7_ocr_fix_chain": QueryDef(_f7_ocr_fix, _F7_SQL, True),
     "p11_encoding_scrub": QueryDef(_p11_encoding_scrub, _P11_SQL),
     "a11_error_rollup": QueryDef(_a11_error_rollup, _A11_SQL),
