@@ -764,6 +764,108 @@ ORDER BY pattern
 """
 
 
+def _c8_chunk_roundtrip(spark, sf_dir):
+    """C8/W6/D3 chunking roundtrip (reference ``context_windows.py:
+    181-213`` split, ``:353-374`` overlap, ``:428-443`` dedup): chunk
+    every document into 120-char windows with a 20-char overlap, then
+    reassemble by stripping each non-first chunk's leading overlap.
+    The Spark side counts REAL chunk rows and hashes the REAL
+    reassembled text; the oracle computes the chunk count closed-form
+    and hashes the original — so both the window arithmetic and the
+    byte-exact roundtrip are verified."""
+    from .chunking import chunk_text, reassemble_text
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, chunk_size=120, overlap=20)
+    out = reassemble_text(chunks, overlap=20)
+    return out.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.md5("reassembled").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+_C8_ROUNDTRIP_SQL = r"""
+SELECT doc_id,
+       GREATEST(1, (length(text) - 20 + 99) // 100) AS n_chunks,
+       md5(text) AS content_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _d6_section_boundaries(spark, sf_dir):
+    """D6 section-boundary scan (reference ``context_windows.py:
+    318-329``: regex positions, sorted + deduplicated): deterministic
+    section headings are injected into each document, then boundary
+    POSITIONS are recovered relationally — a sentinel is prefixed to
+    every heading match (RE2-safe: no lookarounds), the text is split
+    on the sentinel, and positions fall out as a running sum of part
+    lengths. Pure narrow ops + one window over the per-doc parts."""
+    docs = _t(spark, sf_dir, "documents")
+    sectioned = F.concat(
+        F.lit("1. intro "),
+        F.expr("substring(text, 1, 100)"),
+        F.lit("\n2.1 detail "),
+        F.expr("substring(text, 101, 150)"),
+        F.lit("\n=== "),
+        F.expr("substring(text, 251)"),
+    )
+    pat = r"(?m)(^\d+\.\d+ |^\d+\. |^={3,} )"
+    marked = F.regexp_replace(sectioned, pat, "\x01$1")
+    parts = docs.select(
+        "doc_id", F.posexplode(F.split(marked, "\x01")).alias("pos", "part")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parts.select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.sum(F.length("part")).over(w), F.lit(0))
+            .alias("boundary_pos"),
+        )
+        .where(F.col("pos") >= 1)
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("boundary_idx"),
+            F.col("boundary_pos").cast("long").alias("boundary_pos"),
+        )
+        .orderBy("doc_id", "boundary_idx")
+    )
+
+
+_D6_SECTIONS_SQL = r"""
+WITH marked AS (
+  SELECT doc_id,
+         regexp_replace(
+           '1. intro ' || substr(text, 1, 100) || chr(10) ||
+           '2.1 detail ' || substr(text, 101, 150) || chr(10) ||
+           '=== ' || substr(text, 251),
+           '(?m)(^\d+\.\d+ |^\d+\. |^={3,} )',
+           chr(1) || '\1', 'g') AS m
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         unnest(range(1, len(string_split(m, chr(1))) + 1)) AS pos1,
+         unnest(string_split(m, chr(1))) AS part
+  FROM marked
+)
+SELECT doc_id,
+       CAST(pos1 - 1 AS BIGINT) AS boundary_idx,
+       CAST(COALESCE(SUM(length(part)) OVER (
+         PARTITION BY doc_id ORDER BY pos1
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS boundary_pos
+FROM parts
+QUALIFY pos1 >= 2
+ORDER BY doc_id, boundary_idx
+"""
+
+
 def _a2_trimmed_mean(spark, sf_dir):
     """A2 trimmed-mean (reference ``superscript_detector.py:161-177``:
     drop top/bottom 10% then mean) at dataset scale: exact via
@@ -1737,6 +1839,10 @@ CATALOG: dict[str, QueryDef] = {
     "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
     "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
     "a7_detect_rollup": QueryDef(_a7_detect_rollup, _A7_DETECT_SQL),
+    "c8_chunk_roundtrip": QueryDef(_c8_chunk_roundtrip, _C8_ROUNDTRIP_SQL),
+    "d6_section_boundaries": QueryDef(
+        _d6_section_boundaries, _D6_SECTIONS_SQL
+    ),
     "f7_ocr_fix_chain": QueryDef(_f7_ocr_fix, _F7_SQL, True),
     "p11_encoding_scrub": QueryDef(_p11_encoding_scrub, _P11_SQL),
     "a11_error_rollup": QueryDef(_a11_error_rollup, _A11_SQL),
