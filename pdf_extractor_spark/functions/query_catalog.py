@@ -866,6 +866,154 @@ ORDER BY doc_id, boundary_idx
 """
 
 
+def _consensus_variants(docs):
+    """Three deterministic 'engine' variants per document (reference
+    ``multi_engine_extractor.py:75-160`` runs three PDF libraries; the
+    variants model their disagreement shapes): e1 = clean output, e2 =
+    an engine that truncates (badly for doc_id%7, mildly otherwise) or
+    appends a page marker on even ids, e3 = an engine with a word-level
+    substitution on doc_id%5."""
+    e2 = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr("substring(text, 1, length(text) div 3)"),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\nPage 1")),
+        )
+        .otherwise(
+            F.expr("substring(text, 1, greatest(length(text) - 30, 1))")
+        )
+    )
+    e3 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.regexp_replace(F.col("text"), " fast ", " quick "),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id", F.col("text").alias("e1"), e2.alias("e2"), e3.alias("e3")
+    )
+
+
+def _j6_consensus_pick(spark, sf_dir):
+    """J6 multi-engine consensus (reference ``multi_engine_extractor.py:
+    171-235``): longest output wins (earliest engine on ties, Python
+    ``max`` semantics), mean pairwise similarity scores agreement, and
+    mean < 0.7 raises the low_consensus flag. All comparisons are
+    INTEGER-exact: raw Levenshtein distances, the flag via the
+    cross-multiplied inequality 10·Σ(d·∏L_other) > 9·∏L (avoiding any
+    float division), and the mean similarity as a floor-scaled e4
+    integer — so the DuckDB oracle reproduces every value bit-for-bit.
+    Pure per-row map, no shuffle, no UDF."""
+    v = _consensus_variants(_t(spark, sf_dir, "documents"))
+    d = v.selectExpr(
+        "doc_id",
+        "length(e1) AS len1",
+        "length(e2) AS len2",
+        "length(e3) AS len3",
+        "levenshtein(e1, e2) AS d12",
+        "levenshtein(e1, e3) AS d13",
+        "levenshtein(e2, e3) AS d23",
+        "greatest(length(e1), length(e2), 1L) AS l12",
+        "greatest(length(e1), length(e3), 1L) AS l13",
+        "greatest(length(e2), length(e3), 1L) AS l23",
+    )
+    return d.selectExpr(
+        "doc_id",
+        "CASE WHEN len1 >= len2 AND len1 >= len3 THEN 'e1' "
+        "WHEN len2 >= len3 THEN 'e2' ELSE 'e3' END AS picked_engine",
+        "CAST(d12 AS BIGINT) AS d12",
+        "CAST(d13 AS BIGINT) AS d13",
+        "CAST(d23 AS BIGINT) AS d23",
+        "(10000 * (3 * l12 * l13 * l23 - (d12 * l13 * l23 + "
+        "d13 * l12 * l23 + d23 * l12 * l13))) div (3 * l12 * l13 * l23) "
+        "AS mean_sim_e4",
+        "10 * (d12 * l13 * l23 + d13 * l12 * l23 + d23 * l12 * l13) "
+        "> 9 * l12 * l13 * l23 AS low_consensus",
+    ).orderBy("doc_id")
+
+
+_J6_VARIANT_CTE = r"""
+WITH v AS (
+  SELECT doc_id,
+         text AS e1,
+         CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, length(text) // 3)
+              WHEN doc_id % 2 = 0 THEN text || chr(10) || 'Page 1'
+              ELSE substr(text, 1, GREATEST(length(text) - 30, 1)) END
+           AS e2,
+         CASE WHEN doc_id % 5 = 0
+              THEN replace(text, ' fast ', ' quick ')
+              ELSE text END AS e3
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         length(e1) AS len1, length(e2) AS len2, length(e3) AS len3,
+         levenshtein(e1, e2) AS d12,
+         levenshtein(e1, e3) AS d13,
+         levenshtein(e2, e3) AS d23,
+         GREATEST(length(e1), length(e2), 1) AS l12,
+         GREATEST(length(e1), length(e3), 1) AS l13,
+         GREATEST(length(e2), length(e3), 1) AS l23
+  FROM v
+)
+"""
+
+_J6_CONSENSUS_SQL = _J6_VARIANT_CTE + r"""
+SELECT doc_id,
+       CASE WHEN len1 >= len2 AND len1 >= len3 THEN 'e1'
+            WHEN len2 >= len3 THEN 'e2' ELSE 'e3' END AS picked_engine,
+       CAST(d12 AS BIGINT) AS d12,
+       CAST(d13 AS BIGINT) AS d13,
+       CAST(d23 AS BIGINT) AS d23,
+       (10000 * (3 * l12 * l13 * l23 - (d12 * l13 * l23 +
+         d13 * l12 * l23 + d23 * l12 * l13))) // (3 * l12 * l13 * l23)
+         AS mean_sim_e4,
+       10 * (d12 * l13 * l23 + d13 * l12 * l23 + d23 * l12 * l13)
+         > 9 * l12 * l13 * l23 AS low_consensus
+FROM d
+ORDER BY doc_id
+"""
+
+
+def _a9_consensus_similarity(spark, sf_dir):
+    """A9 consensus-similarity rollup (reference
+    ``multi_engine_extractor.py:199-208``): distribution of per-document
+    mean pairwise similarity, bucketed to 0.1-wide bands — an
+    integer-exact histogram (partial/final hash aggregate over the J6
+    per-row map)."""
+    j6 = _j6_consensus_pick(spark, sf_dir)
+    return (
+        j6.groupBy(
+            F.expr("mean_sim_e4 div 1000").cast("long").alias("sim_band")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("low_consensus").cast("long")).alias("n_flagged"),
+        )
+        .orderBy("sim_band")
+    )
+
+
+_A9_CONSENSUS_SQL = _J6_VARIANT_CTE + r"""
+, j6 AS (
+  SELECT doc_id,
+         (10000 * (3 * l12 * l13 * l23 - (d12 * l13 * l23 +
+           d13 * l12 * l23 + d23 * l12 * l13))) // (3 * l12 * l13 * l23)
+           AS mean_sim_e4,
+         10 * (d12 * l13 * l23 + d13 * l12 * l23 + d23 * l12 * l13)
+           > 9 * l12 * l13 * l23 AS low_consensus
+  FROM d
+)
+SELECT CAST(mean_sim_e4 // 1000 AS BIGINT) AS sim_band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN low_consensus THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM j6
+GROUP BY 1
+ORDER BY sim_band
+"""
+
+
 def _a2_trimmed_mean(spark, sf_dir):
     """A2 trimmed-mean (reference ``superscript_detector.py:161-177``:
     drop top/bottom 10% then mean) at dataset scale: exact via
@@ -1840,6 +1988,10 @@ CATALOG: dict[str, QueryDef] = {
     "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
     "a7_detect_rollup": QueryDef(_a7_detect_rollup, _A7_DETECT_SQL),
     "c8_chunk_roundtrip": QueryDef(_c8_chunk_roundtrip, _C8_ROUNDTRIP_SQL),
+    "j6_consensus_pick": QueryDef(_j6_consensus_pick, _J6_CONSENSUS_SQL),
+    "a9_consensus_similarity": QueryDef(
+        _a9_consensus_similarity, _A9_CONSENSUS_SQL
+    ),
     "d6_section_boundaries": QueryDef(
         _d6_section_boundaries, _D6_SECTIONS_SQL
     ),
