@@ -1750,6 +1750,58 @@ FROM (SELECT doc_id, text, {marked} AS marked FROM documents)
 _F5_SQL = _f5_sql()
 
 
+def _f8_quality_markers(spark, sf_dir):
+    """F8 quality/confidence markers (reference ``output_formatter.py:
+    38-47`` taxonomy, ``:165-187`` add_quality_marker): positional
+    insert of ``[illegible]`` at char 10 on doc_id%4, appended ``[?]``
+    on doc_id%3, unknown types a no-op — verified by hash plus a
+    marker-count column. Pure per-row map (concat/substring splice)."""
+    from ..operators.markers import add_quality_marker_col
+
+    docs = _t(spark, sf_dir, "documents")
+    marked = F.col("text")
+    marked = F.when(
+        F.col("doc_id") % 4 == 0,
+        add_quality_marker_col(F.col("text"), "illegible", position=10),
+    ).otherwise(marked)
+    marked = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(marked, F.lit(" [?]")),
+    ).otherwise(marked)
+    n_markers = F.size(
+        F.regexp_extract_all(
+            marked, F.lit(r"\[(?:illegible|\?)\]"), F.lit(0)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(marked).alias("marked_md5"),
+        n_markers.cast("long").alias("n_markers"),
+    ).orderBy("doc_id")
+
+
+_F8_SQL = r"""
+WITH marked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN m1 || ' [?]' ELSE m1 END AS m
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN substr(text, 1, 10) || '[illegible]' ||
+                     substr(text, 11)
+                ELSE text END AS m1
+    FROM documents
+  )
+)
+SELECT doc_id,
+       md5(m) AS marked_md5,
+       CAST(len(regexp_extract_all(m, '\[(?:illegible|\?)\]'))
+            AS BIGINT) AS n_markers
+FROM marked
+ORDER BY doc_id
+"""
+
+
 def _d4_unmatched_sets(spark, sf_dir):
     """D4 matched/unmatched set difference at dataset scale
     (reference footnote_extractor.py:418-422 unmatched lists → the
@@ -1999,6 +2051,7 @@ CATALOG: dict[str, QueryDef] = {
     "p11_encoding_scrub": QueryDef(_p11_encoding_scrub, _P11_SQL),
     "a11_error_rollup": QueryDef(_a11_error_rollup, _A11_SQL),
     "f5_page_markers": QueryDef(_f5_page_markers, _F5_SQL),
+    "f8_quality_markers": QueryDef(_f8_quality_markers, _F8_SQL),
     "d4_unmatched_sets": QueryDef(_d4_unmatched_sets, _D4_SQL),
     "a2_trimmed_mean": QueryDef(_a2_trimmed_mean, _A2_TRIMMED_SQL),
     "a3_inventory_bands": QueryDef(_a3_inventory_bands, _A3_INVENTORY_SQL),

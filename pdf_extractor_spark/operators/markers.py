@@ -85,6 +85,51 @@ def remove_markers_col(col: Column) -> Column:
     return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
+#  F8 — quality/confidence markers (reference ``output_formatter.py:
+#  38-47`` taxonomy, ``:165-187`` insertion)
+QUALITY_MARKERS: dict[str, str] = {
+    "illegible": "[illegible]",
+    "uncertain": "[?]",
+    "order_uncertain": "[order uncertain]",
+    "possibly_superscript": "[possibly superscript]",
+    "possibly_subscript": "[possibly subscript]",
+    "empty_cell": "[empty]",
+    "corrected": "[corrected]",
+    "missing": "[missing text]",
+}
+
+
+def add_quality_marker(
+    text: str, marker_type: str, position: int | None = None
+) -> str:
+    """Reference ``add_quality_marker``: insert the marker at
+    ``position``, else append with a space; unknown types are a
+    no-op."""
+    marker = QUALITY_MARKERS.get(marker_type)
+    if marker is None:
+        return text
+    if position is not None:
+        return text[:position] + marker + text[position:]
+    return text + " " + marker
+
+
+def add_quality_marker_col(
+    col: Column, marker_type: str, position: int | None = None
+) -> Column:
+    """Native twin of :func:`add_quality_marker` (``concat`` /
+    ``substring`` splice — codegen, no UDF)."""
+    marker = QUALITY_MARKERS.get(marker_type)
+    if marker is None:
+        return col
+    if position is not None:
+        return F.concat(
+            F.substring(col, 1, position),
+            F.lit(marker),
+            col.substr(F.lit(position + 1), F.length(col)),
+        )
+    return F.concat(col, F.lit(" " + marker))
+
+
 def duck_remove_markers_expr(expr: str) -> str:
     """DuckDB twin of the removal chain. DuckDB single-quoted strings
     do NOT process backslash escapes, so regex patterns pass through

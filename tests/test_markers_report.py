@@ -56,6 +56,55 @@ class TestMarkers:
         assert got == want
 
 
+class TestQualityMarkers:
+    def test_append_and_position_insert(self):
+        from pdf_extractor_spark.operators.markers import (
+            add_quality_marker,
+        )
+
+        assert add_quality_marker("some text", "uncertain") == \
+            "some text [?]"
+        assert add_quality_marker("0123456789rest", "illegible", 10) == \
+            "0123456789[illegible]rest"
+        # unknown marker type is a no-op (reference behavior)
+        assert add_quality_marker("x", "bogus_type") == "x"
+
+    def test_taxonomy_matches_reference(self):
+        from pdf_extractor_spark.operators.markers import QUALITY_MARKERS
+
+        assert QUALITY_MARKERS["missing"] == "[missing text]"
+        assert len(QUALITY_MARKERS) == 8
+
+    def test_spark_twin_matches_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.operators.markers import (
+            add_quality_marker,
+            add_quality_marker_col,
+        )
+
+        texts = ["alpha beta gamma", "short", "0123456789 and the rest"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        for mtype, pos in [("uncertain", None), ("illegible", 10),
+                           ("bogus_type", None)]:
+            got = {
+                r["i"]: r["m"]
+                for r in df.select(
+                    "i",
+                    add_quality_marker_col(
+                        F.col("t"), mtype, pos
+                    ).alias("m"),
+                ).collect()
+            }
+            want = {
+                i: add_quality_marker(t, mtype, pos)
+                for i, t in enumerate(texts)
+            }
+            assert got == want, (mtype, pos)
+
+
 class TestCsvReport:
     def test_write_report_csv(self, spark, tmp_path):
         from pdf_extractor_spark.fixtures.corpus import build_pages_frame
