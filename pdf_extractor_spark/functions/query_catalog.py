@@ -441,6 +441,261 @@ ORDER BY cntrycode
 """
 
 
+# Revenue sums in EXACT decimal arithmetic (order-independent, so the
+# DuckDB oracle matches bit-for-bit regardless of aggregation order),
+# rounded while still decimal, cast to double last. FP sums occasionally straddle a
+# rounding boundary between engines; decimals cannot. Identical text in
+# Spark SQL and DuckDB.
+_REV_DECIMAL = (
+    "cast(round(sum(cast(l_extendedprice as decimal(18,2)) * "
+    "(cast(1.0 as decimal(4,2)) - cast(l_discount as decimal(4,2)))), 2) "
+    "as double)"
+)
+
+
+def _q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join (lineitem ⋈ orders ⋈ customer ⋈
+    broadcast nation) filtered to returned items in a quarter →
+    per-customer revenue → deterministic top-20. The two small dims
+    broadcast; the fact-side join shuffles once on orderkey."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.expr(
+            "o_orderdate >= timestamp'1996-01-01 00:00:00' AND "
+            "o_orderdate <  timestamp'1996-04-01 00:00:00'"
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.expr(_REV_DECIMAL).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1.0 as decimal(4,2)) - cast(l_discount as decimal(4,2)))), 2) as double) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape (CASE aggregation over a join): the schema has
+    no l_shipmode/receiptdate, so lateness = shipped more than 90 days
+    after the order date; count high-priority (1-URGENT/2-HIGH) vs low
+    per returnflag — the same conditional partial-aggregate pattern,
+    fully inside whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def _q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue-per-supplier view over one quarter,
+    then an equality join against the view's scalar MAX — the
+    classic aggregate-then-self-compare plan (the view computes once;
+    AQE reuses the exchange)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr(
+            "l_shipdate >= timestamp'1996-01-01 00:00:00' AND "
+            "l_shipdate <  timestamp'1996-04-01 00:00:00'"
+        )
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(_REV_DECIMAL).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("m"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(
+            F.broadcast(top),
+            F.col("total_revenue") == F.col("m"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1.0 as decimal(4,2)) - cast(l_discount as decimal(4,2)))), 2) as double)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def _q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides
+    (brand × size-range × quantity-range). Catalyst extracts the
+    common part-side conjuncts below the join and pushes them to the
+    scan; the part side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(cond).agg(
+        F.expr(_REV_DECIMAL).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_Q19_SQL = """
+SELECT cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1.0 as decimal(4,2)) - cast(l_discount as decimal(4,2)))), 2) as double) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the
+    same fact table. A supplier 'kept an order waiting' if it shipped
+    late (> 60 days after order) on a finished multi-supplier order
+    where NO other supplier shipped late. The schema lacks
+    commit/receipt dates, so lateness = shipdate vs orderdate; the
+    plan is the reference one: semi-join (another supplier on the
+    order) + anti-join (no other LATE supplier), both shuffled on
+    orderkey — no correlated per-row subquery execution."""
+    li = _t(spark, sf_dir, "lineitem").alias("l1")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        li.join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .where(F.expr("l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS"))
+        .select(
+            F.col("l1.l_orderkey").alias("lk"),
+            F.col("l1.l_suppkey").alias("sk"),
+        )
+    )
+    others = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_lk"), F.col("l_suppkey").alias("o_sk")
+    )
+    with_other = late.join(
+        others,
+        (F.col("lk") == F.col("o_lk")) & (F.col("sk") != F.col("o_sk")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("lk").alias("x_lk"), F.col("sk").alias("x_sk")
+    )
+    sole_late = with_other.join(
+        other_late,
+        (F.col("lk") == F.col("x_lk")) & (F.col("sk") != F.col("x_sk")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(
+            F.broadcast(supp), F.col("sk") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("lk").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey AS lk, l_suppkey AS sk
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(count(DISTINCT lk) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.sk = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.lk AND l2.l_suppkey <> l1.sk)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.lk = l1.lk AND l3.sk <> l1.sk)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
 # ================================================== survey-analog operators
 
 def _repeat_ratio(spark, sf_dir):
@@ -2030,6 +2285,13 @@ CATALOG: dict[str, QueryDef] = {
     "q17_small_quantity": QueryDef(_q17_small_quantity, _Q17_SQL),
     "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
     "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
+    "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
+    "q12_late_shipments": QueryDef(_q12_late_shipments, _Q12_SQL),
+    "q15_top_supplier": QueryDef(_q15_top_supplier, _Q15_SQL),
+    "q19_disjunctive_revenue": QueryDef(
+        _q19_disjunctive_revenue, _Q19_SQL
+    ),
+    "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     # survey-analog operators
     "a1_repeat_ratio": QueryDef(_repeat_ratio, _REPEAT_SQL),
     "a8_run_stats": QueryDef(_run_stats, _RUN_STATS_SQL),
