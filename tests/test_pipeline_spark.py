@@ -265,3 +265,37 @@ def test_oversized_doc_extracts_end_to_end(spark):
     huge = [r for r in rows if r["url"].endswith("huge-doc")][0]
     assert huge["ok"] and huge["chars_out"] > 100_000
     assert "big payload sentence." in huge["extracted_text"]
+
+
+def test_eta_from_metrics(spark, pages_df):
+    """F12: ETA scales linearly with remaining docs and formats with
+    the reference thresholds."""
+    from pdf_extractor_spark.plans.pipeline import (
+        eta_from_metrics,
+        format_eta,
+    )
+
+    # real metrics: positive ETA (wall_ms is timing-dependent, so pin
+    # the linearity check to a fixed metrics frame below)
+    real = metrics_from_extracted(extract_pages(pages_df,
+                                                num_partitions=4))
+    assert eta_from_metrics(real, 100) > 0
+
+    fixed = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"part_id": 0, "n_docs": 50, "wall_ms": 1000},
+                {"part_id": 1, "n_docs": 50, "wall_ms": 3000},
+            ]
+        )
+    )
+    # 100 docs over 2 partitions averaging 2 s -> 50 docs/sec
+    eta1 = eta_from_metrics(fixed, 100)
+    eta2 = eta_from_metrics(fixed, 200)
+    assert eta1 == pytest.approx(2.0)
+    assert eta2 == pytest.approx(2 * eta1)
+    assert eta_from_metrics(fixed, 0) == 0.0
+    assert format_eta(0) == ""
+    assert format_eta(30) == "(ETA: 30s)"
+    assert format_eta(120) == "(ETA: 2.0m)"
+    assert format_eta(7200) == "(ETA: 2.0h)"
