@@ -265,6 +265,102 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def ivf_codebook_rows(
+    embeddings: DataFrame, n_cells: int, sample_cap: int = 4096
+) -> tuple[list[tuple[int, list[int]]], int]:
+    """Driver-trained codebook — the fast path of :func:`ivf_codebook`,
+    bit-identical to it whenever ``n <= sample_cap`` (asserted in
+    tests; true at every test SF, so the DuckDB oracle is unchanged).
+
+    Standard IVF trains the codebook on a bounded sample: collect the
+    first ``sample_cap`` vectors by vec_id ranking (ALL vectors when n
+    fits, reproducing the relational form exactly), run the strided
+    seeding + one Lloyd iteration in exact int64 NumPy, return
+    ``(centroid_rows, n_sampled)`` (``n_sampled`` is the true corpus
+    size whenever it fits the cap). One bounded collect replaces four
+    chained Spark jobs (count, window rank, HOF assignment, explode
+    re-aggregation + collect) — at 100 TB only the sample moves to the
+    driver and the full-corpus pass happens once, in
+    :func:`assign_cells_mapinpandas`."""
+    import numpy as np
+
+    # single job: pull at most cap+1 rows so the in-cap case needs no
+    # separate count() (n == len(rows) exactly when the +1 probe comes
+    # back short)
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap + 1)
+        .collect()
+    )
+    n = len(rows)
+    rows = rows[:sample_cap]
+    if not rows:
+        return [], 0
+    e = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    xq = np.floor(e * QUANT).astype(np.int64)
+    m = len(rows)
+    stride = max(1, math.ceil(m / n_cells))
+    seed_idx = list(range(0, m, stride))[:n_cells]
+    seeds = xq[seed_idx]                      # ordered by cell_id
+    # one Lloyd iteration: int64 L2 argmin (ties -> lowest cell), then
+    # floor(sum/count) centroids — identical arithmetic to the SQL form
+    d = ((xq[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    crows: list[tuple[int, list[int]]] = []
+    for cid in range(len(seed_idx)):
+        mask = assign == cid
+        if not mask.any():
+            continue
+        s = xq[mask].sum(axis=0)
+        cv = np.floor(s.astype(np.float64) / int(mask.sum()))
+        crows.append((cid, [int(v) for v in cv.astype(np.int64)]))
+    return crows, n
+
+
+def assign_cells_mapinpandas(
+    embeddings: DataFrame, crows: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow map stage: the codebook
+    rides to executors as a broadcast int64 ndarray, each batch
+    computes the integer L2 argmin vectorized (chunked to bound the
+    rows×cells×dim temporary). Bit-identical to :func:`_assign_cells`
+    (asserted in tests): same quantization, same int64 distances, and
+    NumPy argmin's first-minimum == the struct-min lowest-cell
+    tie-break because centroids are ordered by cell_id."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.array([c for _, c in crows], dtype=np.int64)
+    cell_ids = np.array([cid for cid, _ in crows], dtype=np.int64)
+    out_schema = StructType(
+        list(embeddings.schema.fields)
+        + [StructField("cell_id", IntegerType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            e = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            if len(e) == 0:
+                pdf["cell_id"] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            xq = np.floor(e * QUANT).astype(np.int64)
+            out = np.empty(len(xq), dtype=np.int64)
+            for lo in range(0, len(xq), 1024):
+                chunk = xq[lo : lo + 1024]
+                d = ((chunk[:, None, :] - cents[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                out[lo : lo + 1024] = cell_ids[d.argmin(axis=1)]
+            pdf["cell_id"] = out.astype(np.int32)
+            yield pdf
+
+    return embeddings.mapInPandas(fn, out_schema)
+
+
 def ivf_index(
     embeddings: DataFrame, n_cells: int = 8
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
@@ -275,30 +371,24 @@ def ivf_index(
 
     At scale ``assigned`` is what you persist — written as a table
     clustered on ``cell_id`` it turns every probe into partition
-    pruning; queries amortize the codebook construction (count +
-    ranking window + one Lloyd pass) across the whole workload instead
-    of paying it per search. The codebook re-materializes as a literal
-    DataFrame so downstream plans do not drag the construction lineage
-    (standard IVF keeps the codebook driver-side anyway)."""
-    cents, _n = ivf_codebook(embeddings, n_cells)
-    crows = sorted(
-        ((r["cell_id"], [int(v) for v in r["cxq"]])
-         for r in cents.collect())
-    )
+    pruning; queries amortize the codebook construction across the
+    whole workload instead of paying it per search.
+
+    Construction is the fast path: :func:`ivf_codebook_rows` trains on
+    a driver-side sample in exact int64 NumPy (bit-identical to the
+    relational :func:`ivf_codebook` while n ≤ the sample cap), and
+    :func:`assign_cells_mapinpandas` assigns the full corpus in one
+    Arrow map stage (bit-identical to :func:`_assign_cells`, which
+    remains as the oracle-shaped twin)."""
+    crows, _n = ivf_codebook_rows(embeddings, n_cells)
     if not crows:
         return (
             embeddings.select("vec_id", "embedding").limit(0)
             .withColumn("cell_id", F.lit(0)),
             [],
         )
-    cents_df = embeddings.sparkSession.createDataFrame(
-        crows, "cell_id int, cxq array<bigint>"
-    )
-    vecs = embeddings.select(
-        "vec_id", "embedding", F.expr(_XQ).alias("xq")
-    )
-    assigned = _assign_cells(vecs, cents_df).select(
-        "vec_id", "embedding", "cell_id"
+    assigned = assign_cells_mapinpandas(
+        embeddings.select("vec_id", "embedding"), crows
     )
     return assigned, crows
 

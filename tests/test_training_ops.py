@@ -420,3 +420,63 @@ class TestCharclassLangid:
             for r in charclass_langid(df).collect()
         }
         assert got == {1: "cjk", 2: "latin", 3: "other", 4: "other"}
+
+
+class TestIvfFastPathTwins:
+    """The NumPy fast path (driver codebook + Arrow assignment) must be
+    bit-identical to the relational oracle-shaped forms."""
+
+    def test_codebook_rows_match_relational_form(self, emb):
+        from pdf_extractor_spark.functions.similarity import (
+            ivf_codebook,
+            ivf_codebook_rows,
+        )
+
+        cents, n_sql = ivf_codebook(emb, 8)
+        sql_rows = sorted(
+            (r["cell_id"], [int(v) for v in r["cxq"]])
+            for r in cents.collect()
+        )
+        np_rows, n_np = ivf_codebook_rows(emb, 8)
+        assert n_sql == n_np
+        assert np_rows == sql_rows
+
+    def test_assignment_matches_relational_form(self, emb):
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.similarity import (
+            _XQ,
+            _assign_cells,
+            assign_cells_mapinpandas,
+            ivf_codebook_rows,
+        )
+
+        crows, _ = ivf_codebook_rows(emb, 8)
+        cents_df = emb.sparkSession.createDataFrame(
+            crows, "cell_id int, cxq array<bigint>"
+        )
+        vecs = emb.select("vec_id", "embedding", F.expr(_XQ).alias("xq"))
+        a_sql = {
+            r["vec_id"]: r["cell_id"]
+            for r in _assign_cells(vecs, cents_df).collect()
+        }
+        a_np = {
+            r["vec_id"]: r["cell_id"]
+            for r in assign_cells_mapinpandas(
+                emb.select("vec_id", "embedding"), crows
+            ).collect()
+        }
+        assert a_np == a_sql
+
+    def test_sample_cap_truncates_deterministically(self, emb):
+        from pdf_extractor_spark.functions.similarity import (
+            ivf_codebook_rows,
+        )
+
+        # cap smaller than the corpus: trains on the first cap vectors
+        # by id order, still deterministic and full-coverage cells
+        rows_a, n_a = ivf_codebook_rows(emb, 8, sample_cap=64)
+        rows_b, n_b = ivf_codebook_rows(emb, 8, sample_cap=64)
+        assert rows_a == rows_b
+        assert n_a == n_b == 65  # cap+1 probe saw the truncation
+        assert 0 < len(rows_a) <= 8
