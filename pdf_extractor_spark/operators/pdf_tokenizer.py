@@ -626,6 +626,16 @@ def parse_pdf(data: bytes) -> PdfDoc:
     """Full pipeline: bytes → PdfDoc(pages=[PdfPage(words=frame)])."""
     doc = PdfDoc()
     try:
+        # Encrypted documents: streams are RC4/AES payloads our Flate
+        # path cannot read. The reference has no decryption either (its
+        # recovery cascade just catches the library failure); diagnose
+        # explicitly so the error rollup names the cause instead of a
+        # cascade of per-page corruption errors.
+        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data[-2048:]):
+            doc.errors.append(
+                {"type": "encryption", "severity": "error", "page": 0,
+                 "message": "document is encrypted; streams unreadable"}
+            )
         in_objstm: dict[int, tuple[int, int]] = {}
         try:
             offsets = _parse_xref_offsets(data)

@@ -41,7 +41,13 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..plans.pipeline import extract_pages
-from ..sources.pages import PAGES_SCHEMA_DDL, append_extracted, resume_filter
+from ..sources.pages import (
+    PAGES_SCHEMA_DDL,
+    _output_exists,
+    append_extracted,
+    resume_filter,
+    upsert_extracted,
+)
 
 
 def stream_extract(
@@ -71,6 +77,57 @@ def stream_extract(
 
     return (
         stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_extract_upsert(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    num_partitions: int = 8,
+) -> StreamingQuery:
+    """Re-crawl-aware incremental extraction: the MERGE ``WHEN
+    MATCHED`` counterpart of :func:`stream_extract` (which covers only
+    first-crawl inserts). Each micro-batch:
+
+    1. skips rows whose url already exists with a same-or-newer
+       ``warc_ts`` (no wasted extraction on stale replays — the skip
+       is a shuffled equi-join on url, never a broadcast of the big
+       side);
+    2. extracts the remaining rows;
+    3. merges with newest-wins semantics (``upsert_extracted`` — one
+       window over the union, atomic directory swap).
+
+    A batch carrying several crawls of the same url extracts them all;
+    the merge window keeps the newest. Idempotent under batch replay:
+    re-running a landed batch finds every url up to date and skips."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        todo = batch_df
+        if _output_exists(out_path):
+            existing = s.read.parquet(out_path).select(
+                "url", F.col("warc_ts").alias("_seen_ts")
+            )
+            todo = (
+                batch_df.join(existing, "url", "left")
+                .where(
+                    F.col("_seen_ts").isNull()
+                    | (F.col("warc_ts") > F.col("_seen_ts"))
+                )
+                .drop("_seen_ts")
+            )
+        extracted = extract_pages(todo, num_partitions=num_partitions)
+        upsert_extracted(s, extracted, out_path)
+
+    return (
+        spark.readStream.schema(PAGES_SCHEMA_DDL)
+        .parquet(pages_path)
+        .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -190,3 +190,69 @@ def test_windowed_watermark_finalizes_and_drops_late(spark, tmp_path):
     # hour-0 window emitted once with the original count; hour-4 window
     # finalized with both on-time rows; hour-7 still open
     assert got2 == {0: 2, 1: 1, 4: 2}
+
+
+def test_streaming_upsert_replaces_recrawls(spark, dirs):
+    """Re-crawl-aware stream: wave 1 inserts; wave 2 re-crawls one url
+    with a newer warc_ts (must replace) and one with an older warc_ts
+    (must be skipped), plus a brand-new url (must insert)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.streaming.incremental import (
+        stream_extract_upsert,
+    )
+
+    def drain():
+        q = stream_extract_upsert(
+            spark, dirs["pages"], dirs["out"], dirs["ckpt"],
+            num_partitions=2,
+        )
+        q.awaitTermination()
+
+    frame = build_pages_frame().iloc[:6].reset_index(drop=True)
+    pages_from_pandas(spark, frame).write.mode("append").parquet(
+        dirs["pages"]
+    )
+    drain()
+    n0 = spark.read.parquet(dirs["out"]).count()
+    assert n0 == len(frame)
+    urls = sorted(frame["url"])
+    newer_url, older_url = urls[0], urls[1]
+    old_text = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(dirs["out"]).select(
+            "url", "extracted_text"
+        ).collect()
+    }
+
+    wave2 = frame.iloc[:3].copy().reset_index(drop=True)
+    recrawl_html = b"<html><body><p>recrawled body text entirely new" \
+        b" content here</p></body></html>"
+    wave2.loc[0, "url"] = newer_url
+    wave2.loc[0, "warc_ts"] = frame["warc_ts"].max() + dt.timedelta(days=2)
+    wave2.loc[0, "html"] = recrawl_html
+    wave2.loc[1, "url"] = older_url
+    wave2.loc[1, "warc_ts"] = frame["warc_ts"].min() - dt.timedelta(days=2)
+    wave2.loc[1, "html"] = recrawl_html
+    wave2.loc[2, "url"] = "https://fixture.test/html/brand-new"
+    wave2.loc[2, "html"] = recrawl_html
+    pages_from_pandas(spark, wave2).write.mode("append").parquet(
+        dirs["pages"]
+    )
+    drain()
+
+    after = spark.read.parquet(dirs["out"])
+    assert after.count() == n0 + 1
+    assert after.select("url").distinct().count() == n0 + 1
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in after.select("url", "extracted_text").collect()
+    }
+    assert got[newer_url] != old_text[newer_url]       # replaced
+    assert "recrawled body text" in got[newer_url]
+    assert got[older_url] == old_text[older_url]       # stale skipped
+    assert "recrawled body text" in got[
+        "https://fixture.test/html/brand-new"
+    ]

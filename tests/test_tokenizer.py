@@ -308,3 +308,23 @@ def test_leading_line_operators():
     # the two T*-after-TL steps are 14pt each
     assert round(by_word["second"] - by_word["first"], 1) == 14.0
     assert round(by_word["third"] - by_word["second"], 1) == 14.0
+
+
+def test_encrypted_pdf_diagnosed_not_crashed():
+    """A /Encrypt trailer entry must surface a clear 'encryption'
+    error (instead of only downstream per-page corruption noise) and
+    never raise (U3)."""
+    p = PageSpec()
+    p.put_words(72, 100, 12, ["Secret", "Words"])
+    payload = build_pdf([p])
+    assert b"trailer" in payload
+    doctored = payload.replace(
+        b"/Root", b"/Encrypt 9 0 R /Root", 1
+    )
+    doc = parse_pdf(doctored)
+    kinds = {e["type"] for e in doc.errors}
+    assert "encryption" in kinds
+    # clean documents never carry the marker
+    assert "encryption" not in {
+        e["type"] for e in parse_pdf(payload).errors
+    }
