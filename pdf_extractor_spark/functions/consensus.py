@@ -58,11 +58,21 @@ def consensus_pick(
     """
     if not engines:
         raise ValueError("need at least one engine column")
+    if probe_chars is not None and probe_chars <= 0:
+        raise ValueError("probe_chars must be positive (or None)")
+    # NULL engine output = failed engine. The kernel twin excludes
+    # failed engines from the pairwise mean; natively that would need
+    # a per-row variable pair set, so the scale form folds NULL to ''
+    # instead: an empty output scores ~0 similarity against any real
+    # one (dragging the mean DOWN, flagging low consensus — never
+    # silently NULL) and can only win the length pick when every
+    # engine failed.
+    folded = {e: F.coalesce(F.col(e), F.lit("")) for e in engines}
     cols = {
         e: (
-            F.expr(f"substring({e}, 1, {probe_chars})")
-            if probe_chars
-            else F.col(e)
+            F.substring(folded[e], 1, probe_chars)
+            if probe_chars is not None
+            else folded[e]
         )
         for e in engines
     }
@@ -76,18 +86,20 @@ def consensus_pick(
     else:
         score = F.lit(1.0)
 
-    # longest wins, first-listed wins ties: engine i is picked iff its
-    # length beats every earlier engine strictly-or-equal and every
-    # later engine strictly... simpler: >= all later, > none earlier
-    # ⇒ iterate: picked = first engine whose length >= max of all.
-    max_len = F.greatest(*[F.length(e) for e in engines]) \
-        if len(engines) > 1 else F.length(engines[0])
+    # longest wins, first-listed wins ties (reference ``max``): picked
+    # = first engine whose (NULL-folded) length reaches the maximum
+    lens = {e: F.length(folded[e]) for e in engines}
+    max_len = (
+        F.greatest(*lens.values())
+        if len(engines) > 1
+        else lens[engines[0]]
+    )
     picked = F.lit(engines[-1])
-    final = F.col(engines[-1])
+    final = folded[engines[-1]]
     for e in reversed(engines[:-1]):
-        cond = F.length(e) == max_len
+        cond = lens[e] == max_len
         picked = F.when(cond, F.lit(e)).otherwise(picked)
-        final = F.when(cond, F.col(e)).otherwise(final)
+        final = F.when(cond, folded[e]).otherwise(final)
 
     return df.select(
         id_col,

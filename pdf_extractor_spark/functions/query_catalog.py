@@ -1161,17 +1161,30 @@ def _j6_consensus_pick(spark, sf_dir):
     integer — so the DuckDB oracle reproduces every value bit-for-bit.
     Pure per-row map, no shuffle, no UDF."""
     v = _consensus_variants(_t(spark, sf_dir, "documents"))
-    d = v.selectExpr(
+    # distances on a 2000-char prefix probe: bounds the O(len^2)
+    # Levenshtein cost AND keeps every int64 product below overflow
+    # (10^4 * 3 * 2000^3 < 2^63); an identity at the test corpus's
+    # <=600-char documents, so the oracle values are unchanged
+    probed = v.selectExpr(
         "doc_id",
         "length(e1) AS len1",
         "length(e2) AS len2",
         "length(e3) AS len3",
-        "levenshtein(e1, e2) AS d12",
-        "levenshtein(e1, e3) AS d13",
-        "levenshtein(e2, e3) AS d23",
-        "greatest(length(e1), length(e2), 1L) AS l12",
-        "greatest(length(e1), length(e3), 1L) AS l13",
-        "greatest(length(e2), length(e3), 1L) AS l23",
+        "substring(e1, 1, 2000) AS p1",
+        "substring(e2, 1, 2000) AS p2",
+        "substring(e3, 1, 2000) AS p3",
+    )
+    d = probed.selectExpr(
+        "doc_id",
+        "len1",
+        "len2",
+        "len3",
+        "levenshtein(p1, p2) AS d12",
+        "levenshtein(p1, p3) AS d13",
+        "levenshtein(p2, p3) AS d23",
+        "greatest(length(p1), length(p2), 1L) AS l12",
+        "greatest(length(p1), length(p3), 1L) AS l13",
+        "greatest(length(p2), length(p3), 1L) AS l23",
     )
     return d.selectExpr(
         "doc_id",
@@ -1200,16 +1213,22 @@ WITH v AS (
               THEN replace(text, ' fast ', ' quick ')
               ELSE text END AS e3
   FROM documents
-), d AS (
+), p AS (
   SELECT doc_id,
          length(e1) AS len1, length(e2) AS len2, length(e3) AS len3,
-         levenshtein(e1, e2) AS d12,
-         levenshtein(e1, e3) AS d13,
-         levenshtein(e2, e3) AS d23,
-         GREATEST(length(e1), length(e2), 1) AS l12,
-         GREATEST(length(e1), length(e3), 1) AS l13,
-         GREATEST(length(e2), length(e3), 1) AS l23
+         substr(e1, 1, 2000) AS p1,
+         substr(e2, 1, 2000) AS p2,
+         substr(e3, 1, 2000) AS p3
   FROM v
+), d AS (
+  SELECT doc_id, len1, len2, len3,
+         levenshtein(p1, p2) AS d12,
+         levenshtein(p1, p3) AS d13,
+         levenshtein(p2, p3) AS d23,
+         GREATEST(length(p1), length(p2), 1) AS l12,
+         GREATEST(length(p1), length(p3), 1) AS l13,
+         GREATEST(length(p2), length(p3), 1) AS l23
+  FROM p
 )
 """
 

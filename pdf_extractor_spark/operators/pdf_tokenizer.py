@@ -622,20 +622,26 @@ def _parse_content(
 
 # --------------------------------------------------------------- parse
 
+_ENCRYPT_REF = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+
+def _is_encrypted(data: bytes, bodies: dict[int, bytes]) -> bool:
+    """True iff a classic ``trailer`` dict (last occurrence) or an
+    xref-stream object's dict carries an ``/Encrypt`` reference."""
+    t = data.rfind(b"trailer")
+    if t != -1 and _ENCRYPT_REF.search(data[t : t + 1024]):
+        return True
+    for body in bodies.values():
+        head = body.split(b"stream", 1)[0]
+        if b"/XRef" in head and _ENCRYPT_REF.search(head):
+            return True
+    return False
+
+
 def parse_pdf(data: bytes) -> PdfDoc:
     """Full pipeline: bytes → PdfDoc(pages=[PdfPage(words=frame)])."""
     doc = PdfDoc()
     try:
-        # Encrypted documents: streams are RC4/AES payloads our Flate
-        # path cannot read. The reference has no decryption either (its
-        # recovery cascade just catches the library failure); diagnose
-        # explicitly so the error rollup names the cause instead of a
-        # cascade of per-page corruption errors.
-        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data[-2048:]):
-            doc.errors.append(
-                {"type": "encryption", "severity": "error", "page": 0,
-                 "message": "document is encrypted; streams unreadable"}
-            )
         in_objstm: dict[int, tuple[int, int]] = {}
         try:
             offsets = _parse_xref_offsets(data)
@@ -650,6 +656,19 @@ def parse_pdf(data: bytes) -> PdfDoc:
                      "message": "xref unusable; recovered via object scan"}
                 )
         bodies = {oid: _object_body(data, off) for oid, off in offsets.items()}
+        # Encrypted documents: streams are RC4/AES payloads our Flate
+        # path cannot read. The reference has no decryption either (its
+        # recovery cascade just catches the library failure); diagnose
+        # explicitly so the error rollup names the cause instead of a
+        # cascade of per-page corruption errors. /Encrypt lives in the
+        # classic trailer dict OR, for xref-stream PDFs, in the xref
+        # stream's own dict — check both anchored locations (never a
+        # blind byte scan, which stream content could false-positive).
+        if _is_encrypted(data, bodies):
+            doc.errors.append(
+                {"type": "encryption", "severity": "error", "page": 0,
+                 "message": "document is encrypted; streams unreadable"}
+            )
         # expand object streams: containers named by xref type-2
         # entries, plus any /ObjStm found by the scan path (so modern
         # PDFs with a broken xref still recover fully)

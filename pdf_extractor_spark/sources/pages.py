@@ -103,33 +103,43 @@ def upsert_extracted(
     Iceberg would express this as ``MERGE INTO extracted USING batch
     ON url WHEN MATCHED AND batch.warc_ts > extracted.warc_ts THEN
     UPDATE WHEN NOT MATCHED THEN INSERT``; the parquet stand-in
-    resolves per-url winners with one window over the union and
-    rewrites via a temp directory (atomic swap). Deterministic
-    tie-break: newer warc_ts wins, then the incoming row."""
+    resolves per-url winners with one window over the union (over the
+    batch alone on first write — a batch carrying several crawls of
+    one url still keeps exactly the newest) and swaps directories via
+    two renames, so the merged data always exists on disk: a crash
+    between the renames leaves it in ``<out>.__merge_old__`` /
+    ``.__merge_tmp__`` rather than lost. Deterministic tie-break:
+    newer warc_ts wins, then the incoming row."""
     import shutil
 
     from pyspark.sql.window import Window
 
-    if not _output_exists(out_path):
-        batch.write.mode("overwrite").parquet(out_path)
-        return
-    existing = spark.read.parquet(out_path).withColumn(
-        "_src", F.lit(0)
-    )
     incoming = batch.withColumn("_src", F.lit(1))
+    if _output_exists(out_path):
+        existing = spark.read.parquet(out_path).withColumn(
+            "_src", F.lit(0)
+        )
+        union = existing.unionByName(incoming)
+    else:
+        union = incoming
     w = Window.partitionBy("url").orderBy(
         F.desc("warc_ts"), F.desc("_src")
     )
     merged = (
-        existing.unionByName(incoming)
-        .withColumn("_rn", F.row_number().over(w))
+        union.withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")
         .drop("_rn", "_src")
     )
     tmp = out_path.rstrip("/") + ".__merge_tmp__"
+    old = out_path.rstrip("/") + ".__merge_old__"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(out_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(out_path):
+        os.rename(out_path, old)
     os.rename(tmp, out_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def write_report_csv(extracted: DataFrame, path: str) -> None:

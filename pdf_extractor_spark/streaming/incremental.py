@@ -121,6 +121,10 @@ def stream_extract_upsert(
                 )
                 .drop("_seen_ts")
             )
+        # replayed / all-stale batches: nothing survived the skip-join,
+        # so do NOT pay a full read+rewrite of the store for a no-op
+        if todo.isEmpty():
+            return
         extracted = extract_pages(todo, num_partitions=num_partitions)
         upsert_extracted(s, extracted, out_path)
 

@@ -99,3 +99,28 @@ def test_spark_operator_single_engine(spark):
 def test_spark_operator_rejects_empty_engine_list(spark):
     with pytest.raises(ValueError):
         consensus_pick(spark.range(1), [])
+
+
+def test_spark_operator_null_engine_flags_not_nulls(spark):
+    """A failed engine (NULL text) must drag the score down and flag
+    low consensus — never propagate NULL through score/flag — and can
+    only win the pick when every engine failed (code-review r2)."""
+    base = "seven eight nine ten eleven twelve thirteen fourteen " * 5
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 0, "e1": base, "e2": None, "e3": base},
+                {"doc_id": 1, "e1": None, "e2": None, "e3": None},
+            ]
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in consensus_pick(df, ["e1", "e2", "e3"]).collect()
+    }
+    r0 = rows[0]
+    assert r0["consensus_score"] is not None
+    assert r0["low_consensus"] is True      # empty engine vs real text
+    assert r0["picked_engine"] == "e1" and r0["final_text"] == base
+    r1 = rows[1]
+    assert r1["final_text"] == "" and r1["consensus_score"] is not None

@@ -299,3 +299,29 @@ def test_eta_from_metrics(spark, pages_df):
     assert format_eta(30) == "(ETA: 30s)"
     assert format_eta(120) == "(ETA: 2.0m)"
     assert format_eta(7200) == "(ETA: 2.0h)"
+
+
+def test_upsert_bootstrap_dedups_first_batch(spark, tmp_path):
+    """First write (no existing store) must STILL resolve per-url
+    winners: a batch carrying two crawls of one url keeps exactly the
+    newest (code-review r2 finding)."""
+    from pdf_extractor_spark.sources.pages import upsert_extracted
+
+    frame = build_pages_frame().iloc[:2]
+    out = str(tmp_path / "extracted")
+    run_extraction_job(
+        spark, pages_from_pandas(spark, frame), out, num_partitions=2
+    )
+    seed = spark.read.parquet(out)
+    url0 = seed.select("url").orderBy("url").first()["url"]
+    one = seed.where(F.col("url") == url0)
+    newer = one.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    ).withColumn("extracted_text", F.lit("NEWEST"))
+    batch = one.unionByName(newer)
+
+    fresh_out = str(tmp_path / "fresh")
+    upsert_extracted(spark, batch, fresh_out)
+    got = spark.read.parquet(fresh_out)
+    assert got.count() == 1
+    assert got.first()["extracted_text"] == "NEWEST"

@@ -328,3 +328,12 @@ def test_encrypted_pdf_diagnosed_not_crashed():
     assert "encryption" not in {
         e["type"] for e in parse_pdf(payload).errors
     }
+
+    # xref-stream flavor: /Encrypt lives in the xref stream's dict,
+    # not a classic trailer — must still be diagnosed
+    xs = build_pdf([p], xref_stream=True)
+    assert b"trailer" not in xs
+    doctored_xs = xs.replace(b"/Type /XRef", b"/Encrypt 9 0 R /Type /XRef", 1)
+    kinds_xs = {e["type"] for e in parse_pdf(doctored_xs).errors}
+    assert "encryption" in kinds_xs, kinds_xs
+    assert "encryption" not in {e["type"] for e in parse_pdf(xs).errors}
