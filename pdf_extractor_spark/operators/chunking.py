@@ -94,6 +94,9 @@ def _chunk_by_characters(
     chunks: list[Chunk] = []
     content, page_nums = "", []
     for page_num, page_text in enumerate(pages, 1):
+        # the budget test ignores the 2-char page joiner — replicated
+        # from the reference (``:189-190``), which makes the same
+        # comparison before appending "\n\n" + page
         if (
             len(content) + len(page_text) > strategy.max_chunk_size
             and len(content) >= strategy.min_chunk_size
@@ -199,6 +202,10 @@ def chunk_pages(
             if i > 0:
                 chunk.overlap_start_text = chunks[i - 1].content[-ov:]
             if i < len(chunks) - 1:
+                # the reference stores the chunk's OWN tail here
+                # (``:370-372``) — i.e. the overlap it SHARES with the
+                # next chunk's start context, not lookahead text;
+                # replicated as-is
                 chunk.overlap_end_text = chunk.content[-ov:]
     return chunks
 
