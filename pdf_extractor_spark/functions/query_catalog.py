@@ -1160,7 +1160,16 @@ def _j6_consensus_pick(spark, sf_dir):
     float division), and the mean similarity as a floor-scaled e4
     integer — so the DuckDB oracle reproduces every value bit-for-bit.
     Pure per-row map, no shuffle, no UDF."""
-    v = _consensus_variants(_t(spark, sf_dir, "documents"))
+    # repartition BEFORE the quadratic distance stage: the documents
+    # table is a handful of parquet files, and without the spread the
+    # O(len^2) Levenshtein work of the whole corpus lands on 1-2 tasks
+    # (measured 23 s -> ~2 s at sf0.1 on local[32])
+    docs = _t(spark, sf_dir, "documents")
+    v = _consensus_variants(
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
     # distances on a 2000-char prefix probe: bounds the O(len^2)
     # Levenshtein cost AND keeps every int64 product below overflow
     # (10^4 * 3 * 2000^3 < 2^63); an identity at the test corpus's
@@ -2320,8 +2329,12 @@ CATALOG: dict[str, QueryDef] = {
     "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
     "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
     "a7_detect_rollup": QueryDef(_a7_detect_rollup, _A7_DETECT_SQL),
-    "c8_chunk_roundtrip": QueryDef(_c8_chunk_roundtrip, _C8_ROUNDTRIP_SQL),
-    "j6_consensus_pick": QueryDef(_j6_consensus_pick, _J6_CONSENSUS_SQL),
+    "c8_chunk_roundtrip": QueryDef(
+        _c8_chunk_roundtrip, _C8_ROUNDTRIP_SQL, True
+    ),
+    "j6_consensus_pick": QueryDef(
+        _j6_consensus_pick, _J6_CONSENSUS_SQL, True
+    ),
     "a9_consensus_similarity": QueryDef(
         _a9_consensus_similarity, _A9_CONSENSUS_SQL
     ),
