@@ -208,3 +208,64 @@ def test_extract_document_never_raises_on_garbage(data):
         rec = extract_document(payload)
         assert isinstance(rec["extracted_text"], str)
         assert isinstance(rec["errors"], list)
+
+
+# ------------------------------------------------- chunking (C8/W6/D3)
+
+@given(
+    st.text(alphabet=_ALPHABET + " \n", min_size=0, max_size=800),
+    st.integers(min_value=2, max_value=200),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=60, deadline=None)
+def test_kernel_window_math_roundtrips_any_text(text, chunk_size, overlap):
+    """The sliding-window chunk/reassemble algebra (pure-Python mirror
+    of functions/chunking.py) must be an exact inverse for ANY text,
+    chunk size, and overlap < size."""
+    if overlap >= chunk_size:
+        return
+    stride = chunk_size - overlap
+    n = max(1, -(-max(len(text) - overlap, 1) // stride))
+    chunks = [text[i * stride : i * stride + chunk_size] for i in range(n)]
+    # coverage: every char appears in some chunk
+    reassembled = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+    assert reassembled == text
+    # every non-first chunk begins with the previous chunk's tail
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert cur[: min(overlap, len(cur))] == prev[
+            stride : stride + min(overlap, len(cur))
+        ]
+
+
+@given(
+    st.lists(
+        st.text(alphabet=_ALPHABET + " ", min_size=1, max_size=120),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=50, max_value=400),
+    st.integers(min_value=10, max_value=100),
+)
+@settings(max_examples=40, deadline=None)
+def test_chunk_pages_covers_everything_in_order(pages, max_size, min_size):
+    from pdf_extractor_spark.operators.chunking import (
+        ChunkingStrategy,
+        chunk_pages,
+        reassemble_chunks,
+    )
+
+    strat = ChunkingStrategy(
+        max_chunk_size=max_size,
+        min_chunk_size=min(min_size, max_size),
+        overlap_size=20,
+    )
+    chunks = chunk_pages(pages, strat)
+    # dense ids, page ranges cover 1..n contiguously
+    assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+    assert chunks[0].page_start == 1
+    assert chunks[-1].page_end == len(pages)
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.page_start == a.page_end + 1
+    # characters-strategy cuts land on page boundaries -> exact inverse
+    full, _ = reassemble_chunks(chunks)
+    assert full == "\n\n".join(pages)
