@@ -1715,6 +1715,47 @@ def _quality(spark, sf_dir):
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+def _unigram_cost(spark, sf_dir):
+    """CCNet-style unigram LM cost filter: explode tokens → broadcast
+    vocab join (OOV penalty) → per-doc rollup → integer-exact
+    keep/drop threshold. One shuffle (the doc_id aggregate)."""
+    from .textstats import unigram_costs
+
+    return unigram_costs(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _unigram_sql() -> str:
+    from .textstats import (
+        UNIGRAM_KEEP_BELOW,
+        UNIGRAM_OOV_COST,
+        UNIGRAM_VOCAB,
+    )
+
+    values = ", ".join(f"('{w}', {c})" for w, c in UNIGRAM_VOCAB)
+    return f"""
+WITH vocab(token, cost) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(cost, {UNIGRAM_OOV_COST})) AS BIGINT)
+         AS total_cost_e2,
+       CAST(sum(coalesce(cost, {UNIGRAM_OOV_COST})) // count(*)
+         AS BIGINT) AS avg_cost_e2,
+       (sum(coalesce(cost, {UNIGRAM_OOV_COST})) // count(*))
+         < {UNIGRAM_KEEP_BELOW} AS keep
+FROM toks
+LEFT JOIN vocab USING (token)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+_UNIGRAM_SQL = _unigram_sql()
+
+
 _QUALITY_SQL = """
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
@@ -2382,6 +2423,7 @@ CATALOG: dict[str, QueryDef] = {
         _charclass_langid, _CHARCLASS_LANGID_SQL
     ),
     "text_quality_scores": QueryDef(_quality, _QUALITY_SQL),
+    "text_unigram_cost": QueryDef(_unigram_cost, _UNIGRAM_SQL),
     "text_fingerprints": QueryDef(_fingerprint, _FINGERPRINT_SQL),
     # extraction roundtrips (the flagship correctness gates)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),

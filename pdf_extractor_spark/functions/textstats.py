@@ -128,3 +128,58 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(norm).alias("fingerprint")
     )
+
+
+# Embedded unigram "language model": deterministic token costs in
+# centinats (scaled negative log-probs — integers so Spark and DuckDB
+# aggregate bit-identically). The CCNet-style perplexity filter shape:
+# cheap LM cost per document, threshold on the per-token average.
+UNIGRAM_VOCAB: tuple[tuple[str, int], ...] = tuple(
+    (w, 100 + 5 * i)
+    for i, w in enumerate(
+        (
+            "the", "fast", "key", "order", "sort", "table", "scan",
+            "merge", "part", "window", "small", "hash", "join", "batch",
+            "stream", "spark", "dup", "of", "and", "to", "in", "a",
+            "is", "for", "on", "that", "with", "as", "by", "at",
+            "from", "query",
+        )
+    )
+)
+UNIGRAM_OOV_COST = 800       # centinats charged per out-of-vocab token
+UNIGRAM_KEEP_BELOW = 400     # keep documents averaging under this
+
+
+def unigram_costs(docs: DataFrame) -> DataFrame:
+    """Unigram LM cost scoring (the perplexity-filter shape of
+    CCNet-style corpus cleaning): explode whitespace tokens, price
+    each against the embedded vocabulary (OOV pays a flat penalty),
+    roll up per document, keep documents whose per-token average cost
+    stays under the threshold.
+
+    Plan shape at 100 TB: explode is a narrow map, the vocabulary is a
+    broadcast hash join (thousands of rows at most — a real LM table
+    still broadcasts), and the rollup is one partial/final hash
+    aggregate on doc_id — the same single-shuffle profile as a word
+    count. All arithmetic integer-exact for the DuckDB oracle."""
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(
+        list(UNIGRAM_VOCAB), "token string, cost long"
+    )
+    toks = docs.select("doc_id", F.explode(ws_tokens()).alias("token"))
+    priced = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cost"), F.lit(UNIGRAM_OOV_COST)).alias("cost"),
+    )
+    agg = priced.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("cost").alias("total_cost_e2"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "total_cost_e2",
+        F.expr("total_cost_e2 div n_tokens").alias("avg_cost_e2"),
+        (F.expr("total_cost_e2 div n_tokens") < UNIGRAM_KEEP_BELOW)
+        .alias("keep"),
+    )

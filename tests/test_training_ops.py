@@ -520,3 +520,38 @@ class TestIvfPersistence:
         assert "PartitionFilters: [cell_id" in plan.replace(
             "PartitionFilters: [isnotnull(cell_id", "PartitionFilters: [cell_id"
         ), plan[:2000]
+
+
+class TestUnigramCost:
+    def test_hand_computed_costs(self, spark):
+        import pandas as pd
+
+        from pdf_extractor_spark.functions.textstats import (
+            UNIGRAM_OOV_COST,
+            UNIGRAM_VOCAB,
+            unigram_costs,
+        )
+
+        vocab = dict(UNIGRAM_VOCAB)
+        texts = {
+            0: "the fast table scan",          # all in-vocab -> keep
+            1: "zzz qqq xxx www",              # all OOV -> drop
+            2: "the zzz",                      # mixed
+        }
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [{"doc_id": k, "text": v} for k, v in texts.items()]
+            )
+        )
+        got = {r["doc_id"]: r for r in unigram_costs(df).collect()}
+        for did, text in texts.items():
+            toks = text.split(" ")
+            want_total = sum(
+                vocab.get(t, UNIGRAM_OOV_COST) for t in toks
+            )
+            assert got[did]["n_tokens"] == len(toks)
+            assert got[did]["total_cost_e2"] == want_total
+            assert got[did]["avg_cost_e2"] == want_total // len(toks)
+        assert got[0]["keep"] is True
+        assert got[1]["keep"] is False
+        assert got[2]["keep"] is False  # (100+800)//2 = 450 >= 400
