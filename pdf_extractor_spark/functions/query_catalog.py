@@ -696,6 +696,82 @@ LIMIT 25
 """
 
 
+def _json_props_rollup(spark, sf_dir):
+    """Semi-structured extraction (the WARC-metadata shape of a crawl
+    pipeline): parse the JSON ``props`` column with a TYPED schema
+    (``from_json`` — schema-on-read stays JVM-side, no UDF), then a
+    per-type rollup. At 100 TB the parse is a narrow map fused into the
+    scan stage; only the small rollup shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_unparsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_PROPS_SQL = r"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unparsed
+FROM (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _events_pivot_hourly(spark, sf_dir):
+    """Pivot (wide rollup): hour-of-day × event_type count matrix with
+    an EXPLICIT pivot value list — without it Spark runs an extra
+    distinct-collect job to discover the columns, and the output
+    schema would depend on the data. One partial/final aggregate; the
+    pivot itself is just a conditional-count projection."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("hour")
+    )
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour,
+       {cols}
+FROM events
+GROUP BY 1
+ORDER BY hour
+""".format(
+    cols=",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+)
+
+
 # ================================================== survey-analog operators
 
 def _repeat_ratio(spark, sf_dir):
@@ -2361,6 +2437,10 @@ CATALOG: dict[str, QueryDef] = {
         _q19_disjunctive_revenue, _Q19_SQL
     ),
     "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
+    "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
+    "events_pivot_hourly": QueryDef(
+        _events_pivot_hourly, _EVENTS_PIVOT_SQL
+    ),
     # survey-analog operators
     "a1_repeat_ratio": QueryDef(_repeat_ratio, _REPEAT_SQL),
     "a8_run_stats": QueryDef(_run_stats, _RUN_STATS_SQL),
