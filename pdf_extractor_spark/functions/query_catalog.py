@@ -772,6 +772,86 @@ ORDER BY hour
 )
 
 
+def _rollup_returns(spark, sf_dir):
+    """ROLLUP (grouping sets): per (returnflag, linestatus) counts plus
+    per-flag and grand-total subtotal rows in ONE aggregate pass —
+    Catalyst expands the sets and keeps the partial/final combine.
+    NULL group keys are coalesced to a sentinel so the subtotal rows
+    compare stably across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def _set_ops_customers(spark, sf_dir):
+    """Relational set operators: customers active in BOTH 1996 and
+    1997 (INTERSECT), only in 1996 (EXCEPT), and either (UNION) — each
+    distinct-set op is a shuffled aggregate on the key, counted into
+    one summary row."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def active(year):
+        return orders.where(
+            F.expr(
+                f"o_orderdate >= timestamp'{year}-01-01 00:00:00' AND "
+                f"o_orderdate < timestamp'{year + 1}-01-01 00:00:00'"
+            )
+        ).select("o_custkey")
+
+    y96, y97 = active(1996).distinct(), active(1997).distinct()
+    both = y96.intersect(y97)
+    only96 = y96.subtract(y97)   # EXCEPT (distinct-set) semantics
+    either = y96.union(y97).distinct()
+    return (
+        both.agg(F.count("*").alias("n_both"))
+        .crossJoin(only96.agg(F.count("*").alias("n_only_1996")))
+        .crossJoin(either.agg(F.count("*").alias("n_either")))
+    )
+
+
+_SET_OPS_SQL = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT
+  CAST((SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97))
+       AS BIGINT) AS n_both,
+  CAST((SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97))
+       AS BIGINT) AS n_only_1996,
+  CAST((SELECT count(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97))
+       AS BIGINT) AS n_either
+"""
+
+
 # ================================================== survey-analog operators
 
 def _repeat_ratio(spark, sf_dir):
@@ -2441,6 +2521,8 @@ CATALOG: dict[str, QueryDef] = {
     "events_pivot_hourly": QueryDef(
         _events_pivot_hourly, _EVENTS_PIVOT_SQL
     ),
+    "rollup_returns": QueryDef(_rollup_returns, _ROLLUP_SQL),
+    "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
     # survey-analog operators
     "a1_repeat_ratio": QueryDef(_repeat_ratio, _REPEAT_SQL),
     "a8_run_stats": QueryDef(_run_stats, _RUN_STATS_SQL),
