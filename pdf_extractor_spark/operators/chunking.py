@@ -234,3 +234,23 @@ def reassemble_chunks(
     full_text = "\n\n".join(deduped)
     full_text = re.sub(r"\n{4,}", "\n\n\n", full_text)
     return full_text, removed
+
+
+def get_chunk_for_page(chunks: list[Chunk], page_num: int) -> Chunk | None:
+    """Reference ``get_chunk_for_page`` (``context_windows.py:467-472``):
+    first chunk whose page range contains the page."""
+    for chunk in chunks:
+        if chunk.page_start <= page_num <= chunk.page_end:
+            return chunk
+    return None
+
+
+def process_chunks_streaming(chunks, processor_func):
+    """Reference ``process_chunks_streaming`` (``:386-405``): apply a
+    function to each chunk with its leading overlap as context,
+    yielding ``(chunk_id, result)`` lazily — the per-document
+    generator the Arrow batch loop drives when a processor needs
+    cross-cut context."""
+    for chunk in chunks:
+        context = chunk.overlap_start_text or ""
+        yield chunk.chunk_id, processor_func(chunk.content, context)

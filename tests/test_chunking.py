@@ -188,3 +188,34 @@ def test_spark_window_chunker_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_text(spark.range(1), chunk_size=10, overlap=10)
+
+
+def test_chunk_page_lookup_and_streaming_process():
+    from pdf_extractor_spark.operators.chunking import (
+        ChunkingStrategy,
+        chunk_pages,
+        get_chunk_for_page,
+        process_chunks_streaming,
+    )
+
+    strat = ChunkingStrategy(
+        max_chunk_size=900, min_chunk_size=300, overlap_size=40
+    )
+    pages = _pages(8, 400)
+    chunks = chunk_pages(pages, strat)
+    # every page resolves to exactly the chunk holding it
+    for p in range(1, len(pages) + 1):
+        c = get_chunk_for_page(chunks, p)
+        assert c is not None and c.page_start <= p <= c.page_end
+    assert get_chunk_for_page(chunks, 999) is None
+
+    seen = list(
+        process_chunks_streaming(
+            chunks, lambda content, ctx: (len(content), len(ctx))
+        )
+    )
+    assert [cid for cid, _ in seen] == [c.chunk_id for c in chunks]
+    # first chunk has no context; later ones get the 40-char overlap
+    assert seen[0][1][1] == 0
+    for _, (_, ctx_len) in seen[1:]:
+        assert ctx_len == 40
