@@ -75,8 +75,6 @@ def detect_sidebars(
     """
     if len(words) < cfg.sidebar_min_words:
         return [], pd.Index([])
-    import numpy as np
-
     x0 = words["x0"].to_numpy()
     x1 = words["x1"].to_numpy()
     left_mask = x1 <= cfg.sidebar_strip_frac * page_width
