@@ -1,6 +1,6 @@
 """Local replica of the driver's correctness gate: run every catalog
 query on Spark AND its oracle on DuckDB, compare row count + sorted
-values. Usage: python scripts/crosscheck.py [sf_dir]"""
+values. Usage: python scripts/crosscheck.py [sf_dir] [q1,q2,...]"""
 
 from __future__ import annotations
 
@@ -58,8 +58,11 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     failures = []
     for name, qd in CATALOG.items():
+        if only is not None and name not in only:
+            continue
         try:
             sdf = qd.spark(spark, sf_dir).toPandas()
             if qd.oracle is None:
