@@ -2093,6 +2093,135 @@ ORDER BY doc_id
 _UNIGRAM_SQL = _unigram_sql()
 
 
+def _gopher_rules(spark, sf_dir):
+    """Gopher web-corpus quality battery (Rae et al. 2021 A1.1) over
+    the deterministically web-ified documents table: word/line rules
+    are scan-local; the top-bigram repetition rule is one explode +
+    hash-aggregate shuffle on doc_id."""
+    from .textstats import gopher_rules, webify
+
+    return gopher_rules(
+        _t(spark, sf_dir, "documents"), text_col=webify()
+    ).orderBy("doc_id")
+
+
+def _gopher_sql() -> str:
+    from .textstats import (
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_TOP_BIGRAM_FRAC,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_WLEN,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        duck_webify,
+    )
+
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH webified AS (
+  SELECT doc_id, {duck_webify('text')} AS t FROM documents
+), words AS (
+  SELECT doc_id, t,
+         string_split(t, ' ') AS ws,
+         string_split(t, e'\\n') AS ls
+  FROM webified
+), metrics AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+          / len(ws), 4) AS mean_word_len,
+    round(CAST(len(list_filter(ws,
+            w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          / len(ws), 4) AS alpha_word_frac,
+    round(CAST(length(t)
+            - length(regexp_replace(t, '[#…]', '', 'g')) AS DOUBLE)
+          / len(ws), 4) AS symbol_ratio,
+    CAST(len(list_filter(ws, w -> list_contains([{stop_list}], w)))
+         AS BIGINT) AS n_stopwords,
+    round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+          / len(ls), 4) AS dup_line_frac
+  FROM words
+), bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 2 THEN
+           list_transform(generate_series(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1])
+         ELSE [] END) AS bg
+  FROM words
+), bgc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+), top AS (
+  SELECT doc_id,
+         round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+           AS top_bigram_frac
+  FROM bgc GROUP BY doc_id
+)
+SELECT m.doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+       n_stopwords, dup_line_frac,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MEAN_WLEN[0]}
+        AND mean_word_len <= {GOPHER_MEAN_WLEN[1]}
+        AND alpha_word_frac >= {GOPHER_MIN_ALPHA_RATIO}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+        AND coalesce(top_bigram_frac, 0.0) <= {GOPHER_MAX_TOP_BIGRAM_FRAC}
+        AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS gopher_pass
+FROM metrics m LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+_GOPHER_SQL = _gopher_sql()
+
+
+def _c4_rules(spark, sf_dir):
+    """C4 cleanup battery (Raffel et al. 2020 §2.2) over the web-ified
+    documents table — pure scan-local expressions, no shuffle."""
+    from .textstats import c4_rules, webify
+
+    return c4_rules(
+        _t(spark, sf_dir, "documents"), text_col=webify()
+    ).orderBy("doc_id")
+
+
+def _c4_sql() -> str:
+    from .textstats import C4_MIN_LINE_WORDS, C4_MIN_SENTENCES, duck_webify
+
+    return f"""
+WITH webified AS (
+  SELECT doc_id, {duck_webify('text')} AS t FROM documents
+), l AS (
+  SELECT doc_id, t, string_split(t, e'\\n') AS ls FROM webified
+), m AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(t, '[.!?]')) - 1 AS BIGINT)
+      AS n_sentences,
+    round(CAST(len(list_filter(ls,
+            x -> regexp_matches(x, '[.!?"”]$'))) AS DOUBLE)
+          / len(ls), 4) AS end_punct_line_frac,
+    round(CAST(len(list_filter(ls,
+            x -> len(string_split(x, ' ')) >= {C4_MIN_LINE_WORDS}))
+          AS DOUBLE) / len(ls), 4) AS ge5w_line_frac,
+    contains(lower(t), 'lorem ipsum') AS has_lorem,
+    contains(t, '{{') AS has_brace,
+    regexp_matches(lower(t), '\\bjavascript\\b') AS has_js
+  FROM l
+)
+SELECT doc_id, n_sentences, end_punct_line_frac, ge5w_line_frac,
+       has_lorem, has_brace, has_js,
+       (n_sentences >= {C4_MIN_SENTENCES}
+        AND NOT has_lorem AND NOT has_brace AND NOT has_js) AS c4_keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+_C4_SQL = _c4_sql()
+
+
 _QUALITY_SQL = """
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
@@ -2772,6 +2901,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_quality_scores": QueryDef(_quality, _QUALITY_SQL),
     "text_unigram_cost": QueryDef(_unigram_cost, _UNIGRAM_SQL),
+    "text_gopher_rules": QueryDef(_gopher_rules, _GOPHER_SQL),
+    "text_c4_rules": QueryDef(_c4_rules, _C4_SQL),
     "text_fingerprints": QueryDef(_fingerprint, _FINGERPRINT_SQL),
     # extraction roundtrips (the flagship correctness gates)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),

@@ -183,3 +183,196 @@ def unigram_costs(docs: DataFrame) -> DataFrame:
         (F.expr("total_cost_e2 div n_tokens") < UNIGRAM_KEEP_BELOW)
         .alias("keep"),
     )
+
+
+# ------------------------------------------------- web-corpus rule batteries
+#
+# Gopher quality rules (Rae et al. 2021, appendix A1.1) and C4 cleanup
+# rules (Raffel et al. 2020 §2.2) — the standard web-corpus filters a
+# training-data pipeline applies right after extraction. All native
+# expressions (one codegen'd scan per document; the bigram mode adds
+# one hash-aggregate shuffle) with exact DuckDB twins.
+#
+# The synthetic `documents` table is one unbroken line of unpunctuated
+# vocab words, so line- and sentence-based rules would be degenerate on
+# it. The catalog queries therefore apply a deterministic "web-ify"
+# rewrite first — a '.' after every 11th token, a newline after every
+# 8th — identically in both engines; unit tests exercise the rules on
+# hand-built multi-line docs with bullets/ellipses as well.
+
+# insert '. ' after every 11 tokens, then '\n' after every 8
+_SENTENCE_EVERY = 11
+_LINE_EVERY = 8
+GOPHER_MIN_WORDS = 50          # published defaults (Gopher A1.1)
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WLEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MAX_DUP_LINE_FRAC = 0.3
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.2
+GOPHER_MIN_STOPWORDS = 2
+
+
+def webify(col: str = "text") -> Column:
+    """Deterministic re-punctuation/re-lining of the single-line
+    fixture text (sequential non-overlapping regex replace — RE2 and
+    Java regex agree on this pattern class)."""
+    dotted = F.regexp_replace(
+        F.col(col),
+        r"(\S+(?: \S+){%d}) " % (_SENTENCE_EVERY - 1),
+        "$1. ",
+    )
+    return F.regexp_replace(
+        dotted, r"(\S+(?: \S+){%d}) " % (_LINE_EVERY - 1), "$1\n"
+    )
+
+
+def duck_webify(col: str = "text") -> str:
+    """DuckDB twin of :func:`webify` (RE2 ``\\1`` backrefs, 'g' flag)."""
+    dotted = (
+        rf"regexp_replace({col}, '(\S+(?: \S+){{{_SENTENCE_EVERY - 1}}}) ',"
+        r" '\1. ', 'g')"
+    )
+    return (
+        rf"regexp_replace({dotted}, '(\S+(?: \S+){{{_LINE_EVERY - 1}}}) ',"
+        r" e'\\1\n', 'g')"
+    )
+
+
+def gopher_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
+    """Gopher repetition/quality rule battery per document. Returns the
+    rule inputs plus the combined ``gopher_pass`` flag.
+
+    Plan shape: one narrow codegen'd projection for the word/line
+    rules; the top-bigram mode is explode → (doc_id, bigram) partial/
+    final count → per-doc max — ONE extra shuffle on doc_id, never on
+    text. At 100 TB the bigram aggregate is the word-count profile; all
+    other rules are scan-local."""
+    t = (text_col if text_col is not None else F.col("text")).alias("t")
+    base = docs.select("doc_id", t)
+    words = F.split(F.col("t"), " ")
+    n_words = F.size(words)
+    sum_wlen = F.expr(
+        "aggregate(transform(split(t, ' '), w -> length(w)), 0L,"
+        " (a, x) -> a + x)"
+    )
+    mean_wlen = sum_wlen.cast("double") / n_words.cast("double")
+    n_alpha_words = F.size(
+        F.expr("filter(split(t, ' '), w -> w rlike '[A-Za-z]')")
+    )
+    alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
+    n_symbols = F.length("t") - F.length(
+        F.regexp_replace("t", "[#…]", "")
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words.cast("double")
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(split(t, ' '), w -> w in ({stop_list}))")
+    )
+    lines = F.split(F.col("t"), "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = (
+        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        / n_lines.cast("double")
+    )
+    metrics = base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+    )
+    # top-bigram fraction: the repetition rule — distributed mode
+    # computation (explode + two-level aggregate), not a per-row loop
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(t, ' ')) >= 2 THEN "
+                "transform(sequence(0, size(split(t, ' ')) - 2), i -> "
+                "concat(split(t, ' ')[i], ' ', split(t, ' ')[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_bg"),
+            F.sum("count").alias("n_bg"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("top_bg").cast("double") / F.col("n_bg").cast("double"),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    out = metrics.join(top, "doc_id", "left").withColumn(
+        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    )
+    gpass = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MEAN_WLEN[0])
+        & (F.col("mean_word_len") <= GOPHER_MEAN_WLEN[1])
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+    )
+    return out.withColumn("gopher_pass", gpass)
+
+
+C4_MIN_SENTENCES = 3
+C4_MIN_LINE_WORDS = 5
+
+
+def c4_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
+    """C4 cleanup rule battery per document: sentence count, terminal-
+    punctuation and ≥5-word line fractions, the lorem-ipsum / curly-
+    brace / javascript page flags, and the combined ``c4_keep``. Pure
+    scan-local expressions — no shuffle at any scale."""
+    t = (text_col if text_col is not None else F.col("text")).alias("t")
+    base = docs.select("doc_id", t)
+    n_sentences = F.size(F.split(F.col("t"), "[.!?]")) - 1
+    lines = F.split(F.col("t"), "\n")
+    n_lines = F.size(lines)
+    end_punct = F.size(
+        F.expr(r"filter(split(t, '\n'), l -> l rlike '[.!?\"”]$')")
+    )
+    ge5w = F.size(
+        F.expr(
+            "filter(split(t, '\\n'), "
+            f"l -> size(split(l, ' ')) >= {C4_MIN_LINE_WORDS})"
+        )
+    )
+    has_lorem = F.lower(F.col("t")).contains("lorem ipsum")
+    has_brace = F.col("t").contains("{")
+    has_js = F.lower(F.col("t")).rlike("\\bjavascript\\b")
+    out = base.select(
+        "doc_id",
+        n_sentences.cast("long").alias("n_sentences"),
+        F.round(
+            end_punct.cast("double") / n_lines.cast("double"), 4
+        ).alias("end_punct_line_frac"),
+        F.round(ge5w.cast("double") / n_lines.cast("double"), 4).alias(
+            "ge5w_line_frac"
+        ),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_js"),
+    )
+    keep = (
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_js")
+    )
+    return out.withColumn("c4_keep", keep)

@@ -1,0 +1,112 @@
+"""Tests for the web-corpus rule batteries (Gopher A1.1 / C4 §2.2)
+added in round 2 — hand-built documents exercise the rule edges that
+the synthetic vocab table can't (bullets, dup lines, lorem ipsum,
+braces, sentence punctuation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_extractor_spark.functions.textstats import (
+    C4_MIN_SENTENCES,
+    GOPHER_MIN_WORDS,
+    c4_rules,
+    gopher_rules,
+)
+
+GOOD_TEXT = (
+    "the quick brown fox jumps over a lazy dog near the river bank "
+    "and then walks on to find some food for the long winter that "
+    "is coming soon with snow and ice on every hill and field "
+    "while birds fly south in large flocks looking for warm places "
+    "to stay until spring returns with flowers and green leaves"
+)  # 59 words, all alpha, stopword-rich
+
+DUP_LINES_TEXT = "alpha beta gamma\nalpha beta gamma\nalpha beta gamma\ndelta"
+REPEAT_BIGRAM_TEXT = "spam ham " * 30 + "end"  # one bigram dominates
+SHORT_TEXT = "tiny doc"
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestGopherRules:
+    def test_good_doc_passes(self, spark):
+        out = gopher_rules(_frame(spark, [(1, GOOD_TEXT)])).collect()[0]
+        assert out.n_words >= GOPHER_MIN_WORDS
+        assert out.alpha_word_frac == 1.0
+        assert out.symbol_ratio == 0.0
+        assert out.n_stopwords >= 2
+        assert bool(out.gopher_pass)
+
+    def test_short_doc_fails_min_words(self, spark):
+        out = gopher_rules(_frame(spark, [(1, SHORT_TEXT)])).collect()[0]
+        assert out.n_words == 2
+        assert not bool(out.gopher_pass)
+
+    def test_duplicate_lines_detected(self, spark):
+        out = gopher_rules(
+            _frame(spark, [(1, DUP_LINES_TEXT)])
+        ).collect()[0]
+        # 4 lines, 2 distinct -> 0.5 duplicate fraction
+        assert out.dup_line_frac == 0.5
+        assert not bool(out.gopher_pass)
+
+    def test_repeated_bigram_detected(self, spark):
+        out = gopher_rules(
+            _frame(spark, [(1, REPEAT_BIGRAM_TEXT)])
+        ).collect()[0]
+        # "ham spam" and "spam ham" each ~half of all bigrams
+        assert out.top_bigram_frac > 0.2
+        assert not bool(out.gopher_pass)
+
+    def test_symbol_ratio(self, spark):
+        text = "# # # # " + GOOD_TEXT
+        out = gopher_rules(_frame(spark, [(1, text)])).collect()[0]
+        assert out.symbol_ratio > 0.05
+
+    def test_single_word_doc_no_bigrams(self, spark):
+        out = gopher_rules(_frame(spark, [(1, "solo")])).collect()[0]
+        assert out.top_bigram_frac == 0.0
+        assert out.n_words == 1
+
+
+class TestC4Rules:
+    def test_sentences_counted(self, spark):
+        text = "One sentence here. Two now! Three maybe? And four."
+        out = c4_rules(_frame(spark, [(1, text)])).collect()[0]
+        assert out.n_sentences == 4
+        assert bool(out.c4_keep)
+
+    def test_lorem_ipsum_dropped(self, spark):
+        text = "Lorem Ipsum dolor sit amet. Fine text. More text here."
+        out = c4_rules(_frame(spark, [(1, text)])).collect()[0]
+        assert bool(out.has_lorem)
+        assert not bool(out.c4_keep)
+
+    def test_brace_dropped(self, spark):
+        text = "var x = {a: 1}. Good sentence. Another one. And more."
+        out = c4_rules(_frame(spark, [(1, text)])).collect()[0]
+        assert bool(out.has_brace)
+        assert not bool(out.c4_keep)
+
+    def test_javascript_flag(self, spark):
+        text = (
+            "Please enable javascript to view. Real content. More. Yes."
+        )
+        out = c4_rules(_frame(spark, [(1, text)])).collect()[0]
+        assert bool(out.has_js)
+        assert not bool(out.c4_keep)
+
+    def test_too_few_sentences_dropped(self, spark):
+        out = c4_rules(_frame(spark, [(1, "No terminal punct")]))
+        row = out.collect()[0]
+        assert row.n_sentences < C4_MIN_SENTENCES
+        assert not bool(row.c4_keep)
+
+    def test_line_fractions(self, spark):
+        text = "short\na line with at least five words here.\nmid one"
+        row = c4_rules(_frame(spark, [(1, text)])).collect()[0]
+        assert row.ge5w_line_frac == pytest.approx(1 / 3, abs=1e-3)
+        assert row.end_punct_line_frac == pytest.approx(1 / 3, abs=1e-3)
