@@ -499,6 +499,106 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+OVERLAP_NGRAM = 5          # n-gram width for cross-doc overlap
+OVERLAP_MIN_SHARED = 3     # pair survives with >= this many shared grams
+OVERLAP_MAX_FREQ = 20      # drop grams occurring in more docs (boilerplate)
+
+
+def _ngram_hashes(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g) — distinct per-doc n-gram md5 over whitespace
+    tokens. Explode is a narrow map; the 16-byte hash, never the gram
+    text, is what shuffles downstream."""
+    expr = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), i -> "
+        "md5(concat_ws(' ', "
+        + ", ".join(f"toks[i+{j}]" for j in range(n))
+        + "))) ELSE array() END"
+    )
+    return (
+        docs.withColumn("toks", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(expr))).alias("g"),
+        )
+    )
+
+
+def ngram_overlap_pairs(
+    docs: DataFrame,
+    n: int = OVERLAP_NGRAM,
+    min_shared: int = OVERLAP_MIN_SHARED,
+    max_gram_freq: int = OVERLAP_MAX_FREQ,
+) -> DataFrame:
+    """Cross-document exact n-gram overlap (the Lee et al. 2021
+    "Deduplicating Training Data" shape): documents sharing >=
+    ``min_shared`` distinct ``n``-grams become a pair, catching
+    CONTAINMENT (one doc quoting a chunk of another) that Jaccard
+    similarity dilutes away.
+
+    Scale shape: explode distinct gram hashes (narrow) → gram
+    frequency aggregate → **frequency cap** (grams in more than
+    ``max_gram_freq`` docs are boilerplate — navigation chrome,
+    licenses — and are DROPPED before pairing; without the cap one
+    hot gram in d docs emits d²/2 pairs, with it the per-gram fan-out
+    is bounded by cap²/2) → self-equi-join on the gram hash → pair
+    count aggregate. Every join key is a 16-byte hash; document text
+    never shuffles."""
+    grams = _ngram_hashes(docs, n)
+    freq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    keep = freq.where(
+        (F.col("df") >= 2) & (F.col("df") <= max_gram_freq)
+    ).select("g")
+    shared = grams.join(keep, "g")
+    a, b = shared.alias("a"), shared.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def duck_ngram_overlap_sql(
+    source: str = "documents",
+    n: int = OVERLAP_NGRAM,
+    min_shared: int = OVERLAP_MIN_SHARED,
+    max_gram_freq: int = OVERLAP_MAX_FREQ,
+) -> str:
+    """DuckDB twin of :func:`ngram_overlap_pairs` (1-based lists)."""
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+  grams AS MATERIALIZED (
+    SELECT DISTINCT doc_id, g FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= {n} THEN
+               list_transform(generate_series(1, len(ws) - {n - 1}),
+                 i -> md5({concat}))
+             ELSE [] END) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {source})
+    )
+  ), keepg AS (
+    SELECT g FROM grams GROUP BY g
+    HAVING count(*) >= 2 AND count(*) <= {max_gram_freq}
+  ), shared AS (
+    SELECT doc_id, g FROM grams JOIN keepg USING (g)
+  ), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM shared a JOIN shared b
+      ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {min_shared}
+  )"""
+
+
 # ---------------------------------------------------------------- oracles
 #
 # DuckDB SQL generators — built from the SAME parameter lists as the

@@ -1959,6 +1959,100 @@ FROM pairs
 )
 
 
+def _ngram_overlap(spark, sf_dir):
+    """Cross-doc exact n-gram overlap dedup (Lee et al. 2021 shape)
+    over documents + planted mutants: frequency-capped gram hash
+    self-join — containment-sensitive where Jaccard is not."""
+    from .dedup import ngram_overlap_pairs, planted_near_dups
+
+    return ngram_overlap_pairs(
+        planted_near_dups(_t(spark, sf_dir, "documents"))
+    ).orderBy("doc_a", "doc_b")
+
+
+def _ngram_overlap_sql() -> str:
+    from .dedup import duck_ngram_overlap_sql
+
+    return (
+        "WITH "
+        + duck_ngram_overlap_sql(_PLANTED_SRC)
+        + "\nSELECT doc_a, doc_b, n_shared FROM pairs"
+        + "\nORDER BY doc_a, doc_b"
+    )
+
+
+_NGRAM_OVERLAP_SQL = _ngram_overlap_sql()
+
+
+def _domain_cap(spark, sf_dir):
+    """Per-domain capping (the host-quota step of a crawl pipeline):
+    host extraction → per-host row_number window → totals vs kept."""
+    from .sampling import domain_cap_stats
+
+    return domain_cap_stats(_t(spark, sf_dir, "documents"))
+
+
+def _domain_cap_sql() -> str:
+    from .sampling import (
+        DOMAIN_CAP_DEFAULT,
+        DUCK_SYNTH_URL,
+        HOST_REGEX,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, {DUCK_SYNTH_URL} AS url FROM documents
+), h AS (
+  SELECT doc_id,
+         regexp_extract(url, '{HOST_REGEX}', 1) AS host
+  FROM d
+), r AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM h
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP_DEFAULT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM r
+GROUP BY host
+ORDER BY host
+"""
+
+
+_DOMAIN_CAP_SQL = _domain_cap_sql()
+
+
+def _hash_sample(spark, sf_dir):
+    """Deterministic hash-mod sampling with a per-language
+    unbiasedness report — scan-local predicate, no shuffle beyond the
+    rollup."""
+    from .sampling import hash_sample_stats
+
+    return hash_sample_stats(_t(spark, sf_dir, "documents"))
+
+
+def _hash_sample_sql() -> str:
+    from .sampling import duck_hash_bucket
+
+    return f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {duck_hash_bucket()} < 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled,
+       round(CAST(sum(CASE WHEN {duck_hash_bucket()} < 10
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS observed_frac
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_HASH_SAMPLE_SQL = _hash_sample_sql()
+
+
 def _knn_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
@@ -2885,6 +2979,9 @@ CATALOG: dict[str, QueryDef] = {
         _simhash_near_dup, _SIMHASH_NEAR_DUP_SQL
     ),
     "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "dedup_ngram_overlap": QueryDef(_ngram_overlap, _NGRAM_OVERLAP_SQL),
+    "corpus_domain_cap": QueryDef(_domain_cap, _DOMAIN_CAP_SQL),
+    "corpus_hash_sample": QueryDef(_hash_sample, _HASH_SAMPLE_SQL),
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_ivf_probe": QueryDef(_ann_ivf, _ANN_IVF_SQL, True),

@@ -1,0 +1,102 @@
+"""Tests for corpus-management operators (round 2): cross-doc n-gram
+overlap dedup, per-domain capping, deterministic hash sampling."""
+
+from __future__ import annotations
+
+from pdf_extractor_spark.functions.dedup import ngram_overlap_pairs
+from pdf_extractor_spark.functions.sampling import (
+    domain_cap_stats,
+    hash_sample_stats,
+)
+
+BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestNgramOverlap:
+    def test_containment_detected(self, spark):
+        # doc 2 quotes a 10-word chunk of doc 1 inside unrelated text:
+        # Jaccard over full shingle sets is low, but exact 5-gram
+        # overlap sees the shared chunk
+        chunk = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        other = "one two three four five six seven eight nine ten " * 3
+        docs = _docs(
+            spark, [(1, BASE), (2, other.strip() + " " + chunk)]
+        )
+        pairs = ngram_overlap_pairs(docs, min_shared=3).collect()
+        assert len(pairs) == 1
+        assert (pairs[0].doc_a, pairs[0].doc_b) == (1, 2)
+        assert pairs[0].n_shared == 6  # 10-word chunk -> 6 5-grams
+
+    def test_unrelated_docs_no_pair(self, spark):
+        docs = _docs(
+            spark,
+            [(1, BASE), (2, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        )
+        assert ngram_overlap_pairs(docs).count() == 0
+
+    def test_frequency_cap_drops_boilerplate(self, spark):
+        # the same boilerplate gram in MANY docs must not create pairs
+        boiler = "all rights reserved by the site owner today"
+        rows = [(i, f"unique{i} word{i} tail{i} " + boiler) for i in range(30)]
+        pairs = ngram_overlap_pairs(
+            _docs(spark, rows), min_shared=1, max_gram_freq=20
+        )
+        assert pairs.count() == 0  # df=30 > cap=20 -> grams dropped
+        # with the cap above the corpus size the blowup happens
+        blown = ngram_overlap_pairs(
+            _docs(spark, rows), min_shared=1, max_gram_freq=50
+        )
+        assert blown.count() == 30 * 29 / 2
+
+    def test_short_docs_no_grams(self, spark):
+        docs = _docs(spark, [(1, "too short"), (2, "too short")])
+        assert ngram_overlap_pairs(docs).count() == 0
+
+
+def _corpus(spark, n=40):
+    rows = [
+        (i, f"text {i}", "en" if i % 2 == 0 else "ja", f"src{i % 3}", 7)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+class TestDomainCap:
+    def test_cap_applied_per_host(self, spark):
+        out = {
+            r.host: (r.n_docs, r.n_kept)
+            for r in domain_cap_stats(_corpus(spark, 40), k=5).collect()
+        }
+        assert len(out) == 3
+        for host, (n_docs, n_kept) in out.items():
+            assert host.endswith(".example.com")
+            assert n_kept == min(n_docs, 5)
+
+    def test_no_cap_when_under(self, spark):
+        out = domain_cap_stats(_corpus(spark, 9), k=5).collect()
+        assert all(r.n_kept == r.n_docs for r in out)
+
+
+class TestHashSample:
+    def test_deterministic_across_runs(self, spark):
+        a = hash_sample_stats(_corpus(spark, 40)).collect()
+        b = hash_sample_stats(
+            _corpus(spark, 40).repartition(7)
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_fraction_near_pct(self, spark):
+        rows = hash_sample_stats(_corpus(spark, 400), pct=10).collect()
+        total = sum(r.n_docs for r in rows)
+        sampled = sum(r.n_sampled for r in rows)
+        assert total == 400
+        assert 0.04 <= sampled / total <= 0.2  # 10% +- noise
