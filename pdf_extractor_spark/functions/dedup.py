@@ -599,6 +599,151 @@ def duck_ngram_overlap_sql(
   )"""
 
 
+CC_MAX_ITER = 25
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """Connected components over an undirected pair list
+    ``(doc_a, doc_b)`` → ``(id, component)`` where ``component`` is
+    the minimum doc_id in the component — the canonical-representative
+    step that turns near-dup PAIRS into dedup DECISIONS.
+
+    Implementation: distributed min-label propagation. Each round
+    joins current labels onto the symmetric edge list, takes the
+    neighborhood minimum, and lowers each node's label
+    (``least(own, min(neighbors))``); labels decrease monotonically,
+    so the cheap scalar ``sum(label)`` is a convergence certificate
+    (unchanged sum ⇔ fixpoint — no per-row old/new comparison join).
+    Rounds needed = graph diameter. Near-dup graphs are unions of
+    near-cliques (tiny diameter), so this converges in 2-4 rounds;
+    for adversarial long-path graphs the log-round large-star/
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce") swaps in behind the same signature.
+
+    Scale notes: every round is one equi-join on doc_id + one hash
+    aggregate — both AQE-eligible; ``localCheckpoint`` truncates the
+    iterative lineage so the plan doesn't grow by two joins per round
+    (the classic iterative-DataFrame trap). Labels are (id, long)
+    pairs — document text never enters the loop."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        edges.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(nmin, labels.id == nmin.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def cluster_stats(edges: DataFrame) -> DataFrame:
+    """Per-cluster summary from a near-dup pair list: canonical
+    representative (the kept document), member count, and how many
+    documents dedup removes."""
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            "component",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_removed"),
+        )
+        .orderBy("component")
+    )
+
+
+def dedup_resolution(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Annotate each document with its cluster and the keep/drop
+    decision: keep singletons (no near-dup) and each cluster's
+    minimum doc_id. The final step of the LSH → verify → cluster
+    pipeline; a real run follows with ``.where("keep")``."""
+    comp = connected_components(edges)
+    joined = docs.join(
+        comp, docs.doc_id == comp.id, "left"
+    ).drop("id")
+    return joined.withColumn(
+        "keep",
+        F.col("component").isNull()
+        | (F.col("doc_id") == F.col("component")),
+    )
+
+
+def duck_cluster_sql(
+    source: str = "documents", threshold: float = 0.7
+) -> str:
+    """DuckDB twin of ``cluster_stats(ngram_jaccard_pairs(...))``:
+    the same banded-LSH candidate pairs + exact-Jaccard verify, then
+    transitive closure by recursive CTE and min-label components."""
+    return f"""WITH RECURSIVE {duck_band_ctes(source)},
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandkeys a JOIN bandkeys b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  ),
+  shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM base),
+  jp AS (
+    SELECT doc_a, doc_b FROM (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+                    AS DOUBLE) AS jaccard
+      FROM pairs p
+      JOIN shd sa ON sa.doc_id = p.doc_a
+      JOIN shd sb ON sb.doc_id = p.doc_b
+    ) WHERE jaccard >= {threshold}
+  ),
+  edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jp
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM jp
+  ),
+  reach AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+  ),
+  comp AS (
+    SELECT a AS id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+  )
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_removed
+FROM comp
+GROUP BY component
+ORDER BY component
+"""
+
+
 # ---------------------------------------------------------------- oracles
 #
 # DuckDB SQL generators — built from the SAME parameter lists as the

@@ -1959,6 +1959,32 @@ FROM pairs
 )
 
 
+def _cluster_resolve(spark, sf_dir):
+    """The dedup END-GAME: LSH candidates → exact-Jaccard verify →
+    connected components (iterative min-label propagation) → one
+    kept representative per cluster. Oracle: the same pipeline with
+    transitive closure via recursive CTE."""
+    from .dedup import (
+        cluster_stats,
+        ngram_jaccard_pairs,
+        planted_near_dups,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        planted_near_dups(_t(spark, sf_dir, "documents")), threshold=0.7
+    ).select("doc_a", "doc_b")
+    return cluster_stats(pairs)
+
+
+def _cluster_resolve_sql() -> str:
+    from .dedup import duck_cluster_sql
+
+    return duck_cluster_sql(_PLANTED_SRC, threshold=0.7)
+
+
+_CLUSTER_RESOLVE_SQL = _cluster_resolve_sql()
+
+
 def _ngram_overlap(spark, sf_dir):
     """Cross-doc exact n-gram overlap dedup (Lee et al. 2021 shape)
     over documents + planted mutants: frequency-capped gram hash
@@ -2980,6 +3006,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "dedup_ngram_overlap": QueryDef(_ngram_overlap, _NGRAM_OVERLAP_SQL),
+    "dedup_cluster_resolve": QueryDef(
+        _cluster_resolve, _CLUSTER_RESOLVE_SQL
+    ),
     "corpus_domain_cap": QueryDef(_domain_cap, _DOMAIN_CAP_SQL),
     "corpus_hash_sample": QueryDef(_hash_sample, _HASH_SAMPLE_SQL),
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
