@@ -129,3 +129,60 @@ def duck_ocr_issue_exprs(expr: str) -> list[str]:
         f"regexp_matches({expr}, '{pat}') AS has_{name}"
         for name, pat in OCR_ISSUE_PATTERNS
     ]
+
+
+# W7: issue-overlap resolution (reference ``llm_verifier.py:265-282``:
+# when detected text issues overlap, keep the higher-confidence one).
+# The reference gets confidences from its verifier backends; this
+# deterministic engine assigns a fixed confidence per issue TYPE
+# (ordered by how unambiguous the pattern is — our constants, chosen
+# so the ordering below is total and documented here, not copied).
+ISSUE_CONFIDENCE: dict[str, float] = {
+    "duplicate_punct": 0.95,
+    "excess_spaces": 0.9,
+    "digit_in_word": 0.8,
+    "ambiguous_o0": 0.7,
+    "ambiguous_il1": 0.65,
+    "rn_as_m": 0.5,
+}
+
+
+def detect_issue_spans(text: str) -> list[dict]:
+    """Run the detection battery with SPANS (``re.finditer``) — the
+    input to overlap resolution. Kernel-side only: match positions are
+    not expressible natively in Spark SQL or DuckDB, so this runs
+    inside the extraction ``mapInPandas`` stage (per-document work on
+    an Arrow batch), exactly like the other kernel operators."""
+    issues = []
+    for name, pat in OCR_ISSUE_PATTERNS:
+        for m in re.finditer(pat, text):
+            issues.append(
+                {
+                    "start": m.start(),
+                    "end": m.end(),
+                    "type": name,
+                    "confidence": ISSUE_CONFIDENCE[name],
+                }
+            )
+    issues.sort(key=lambda i: (i["start"], i["end"], i["type"]))
+    return issues
+
+
+def resolve_issue_overlaps(issues: list[dict]) -> list[dict]:
+    """W7 (reference ``llm_verifier.py:265-282``): of two overlapping
+    issues keep the higher-confidence one. Deterministic greedy sweep:
+    accept issues in (confidence DESC, start, end, type) order, reject
+    any that overlaps an accepted span. Output in document order."""
+    ordered = sorted(
+        issues,
+        key=lambda i: (-i["confidence"], i["start"], i["end"], i["type"]),
+    )
+    kept: list[dict] = []
+    for cand in ordered:
+        if all(
+            cand["end"] <= k["start"] or cand["start"] >= k["end"]
+            for k in kept
+        ):
+            kept.append(cand)
+    kept.sort(key=lambda i: (i["start"], i["end"], i["type"]))
+    return kept

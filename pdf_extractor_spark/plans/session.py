@@ -10,6 +10,7 @@ same code ships via ``spark-submit --py-files`` (see
 from __future__ import annotations
 
 import os
+import tempfile
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -59,6 +60,17 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # bucketed-table home (plans/bucketing.py) — kept out of the
+        # repo tree; on a cluster this is the metastore warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(
+                    tempfile.gettempdir(), "spark_graft_warehouse"
+                ),
+            ),
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

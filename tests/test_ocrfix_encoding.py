@@ -153,3 +153,85 @@ class TestErrorRollup:
         assert rows[("empty_page", "error")] == (n3, n3)
         assert rows[("encoding", "error")] == (n7, n7)
         assert set(rows) == {("empty_page", "error"), ("encoding", "error")}
+
+
+class TestIssueOverlapResolution:
+    """W7 (reference llm_verifier.py:265-282): overlapping detected
+    issues resolve to the higher-confidence one."""
+
+    def test_spans_detected_in_order(self):
+        from pdf_extractor_spark.operators.ocrfix import (
+            detect_issue_spans,
+        )
+
+        text = "word w1th   spaces and rnore"
+        spans = detect_issue_spans(text)
+        types = [s["type"] for s in spans]
+        assert "digit_in_word" in types
+        assert "excess_spaces" in types
+        assert "rn_as_m" in types
+        starts = [s["start"] for s in spans]
+        assert starts == sorted(starts)
+
+    def test_overlap_keeps_higher_confidence(self):
+        from pdf_extractor_spark.operators.ocrfix import (
+            resolve_issue_overlaps,
+        )
+
+        issues = [
+            {"start": 0, "end": 5, "type": "rn_as_m", "confidence": 0.5},
+            {"start": 3, "end": 8, "type": "digit_in_word",
+             "confidence": 0.8},
+        ]
+        kept = resolve_issue_overlaps(issues)
+        assert len(kept) == 1
+        assert kept[0]["type"] == "digit_in_word"
+
+    def test_non_overlapping_all_kept_in_doc_order(self):
+        from pdf_extractor_spark.operators.ocrfix import (
+            resolve_issue_overlaps,
+        )
+
+        issues = [
+            {"start": 10, "end": 15, "type": "rn_as_m",
+             "confidence": 0.5},
+            {"start": 0, "end": 5, "type": "digit_in_word",
+             "confidence": 0.8},
+        ]
+        kept = resolve_issue_overlaps(issues)
+        assert [k["start"] for k in kept] == [0, 10]
+
+    def test_chain_overlap_greedy_by_confidence(self):
+        from pdf_extractor_spark.operators.ocrfix import (
+            resolve_issue_overlaps,
+        )
+
+        # A overlaps B, B overlaps C, A and C disjoint: B (highest)
+        # wins, then A and C are both rejected? No — only spans that
+        # overlap an ACCEPTED span are rejected: B accepted first,
+        # A and C each overlap B, so only B survives.
+        issues = [
+            {"start": 0, "end": 6, "type": "ambiguous_il1",
+             "confidence": 0.65},
+            {"start": 4, "end": 10, "type": "excess_spaces",
+             "confidence": 0.9},
+            {"start": 8, "end": 14, "type": "rn_as_m",
+             "confidence": 0.5},
+        ]
+        kept = resolve_issue_overlaps(issues)
+        assert [k["type"] for k in kept] == ["excess_spaces"]
+
+    def test_deterministic_tie_break(self):
+        from pdf_extractor_spark.operators.ocrfix import (
+            resolve_issue_overlaps,
+        )
+
+        issues = [
+            {"start": 0, "end": 4, "type": "ambiguous_o0",
+             "confidence": 0.7},
+            {"start": 2, "end": 6, "type": "ambiguous_o0",
+             "confidence": 0.7},
+        ]
+        kept = resolve_issue_overlaps(issues)
+        assert len(kept) == 1
+        assert kept[0]["start"] == 0  # earlier span wins the tie
