@@ -3007,7 +3007,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
     "dedup_ngram_overlap": QueryDef(_ngram_overlap, _NGRAM_OVERLAP_SQL),
     "dedup_cluster_resolve": QueryDef(
-        _cluster_resolve, _CLUSTER_RESOLVE_SQL
+        _cluster_resolve, _CLUSTER_RESOLVE_SQL, True
     ),
     "corpus_domain_cap": QueryDef(_domain_cap, _DOMAIN_CAP_SQL),
     "corpus_hash_sample": QueryDef(_hash_sample, _HASH_SAMPLE_SQL),
@@ -3027,7 +3027,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_quality_scores": QueryDef(_quality, _QUALITY_SQL),
     "text_unigram_cost": QueryDef(_unigram_cost, _UNIGRAM_SQL),
-    "text_gopher_rules": QueryDef(_gopher_rules, _GOPHER_SQL),
+    "text_gopher_rules": QueryDef(_gopher_rules, _GOPHER_SQL, True),
     "text_c4_rules": QueryDef(_c4_rules, _C4_SQL),
     "text_fingerprints": QueryDef(_fingerprint, _FINGERPRINT_SQL),
     # extraction roundtrips (the flagship correctness gates)

@@ -183,6 +183,45 @@ def stream_windowed_ingest_stats(
     )
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    watermark_delay: str = "1 hour",
+) -> StreamingQuery:
+    """Re-crawl duplicate suppression ON the ingest stream: duplicate
+    fetches of the same url arriving within the watermark horizon are
+    dropped BEFORE the expensive extraction stage ever sees them
+    (the MERGE resume dedups re-runs; this dedups the stream itself).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-url state only until
+    the watermark passes — bounded state, unlike a plain
+    ``dropDuplicates`` whose key set grows with the whole 10^12-row
+    crawl. First arrival wins within the horizon; a re-fetch after the
+    horizon flows through and the downstream newest-wins upsert sink
+    (``stream_extract_upsert``) resolves it at the table level."""
+    stream = spark.readStream.schema(PAGES_SCHEMA_DDL).parquet(pages_path)
+    deduped = (
+        stream.withWatermark("warc_ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["url"])
+        .select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.length("html").alias("bytes_in"),
+        )
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 _STATS_OUT_DDL = "lang string, n_docs long, bytes_in long"
 _STATS_STATE_DDL = "n_docs long, bytes_in long"
 

@@ -1,0 +1,116 @@
+"""Physical-plan regression tests: the BASELINE.md plan audit, encoded
+so a future change can't silently trade a broadcast join for a shuffle
+or un-push a filter. These assert PLAN SHAPE (the 100 TB contract),
+not timings."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    """STATIC physical plan (pre-execution): join strategies, scans,
+    pushdown, and exchanges as Catalyst planned them — each operator
+    printed exactly once (an executed AQE plan string interleaves
+    materialized query stages with the result-stage tree, printing
+    shared operators twice). AQE can only improve on what's asserted
+    here (e.g. SMJ→BHJ at runtime), never regress it."""
+    df = CATALOG[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n(plan: str, op: str) -> int:
+    return plan.count(op)
+
+
+class TestJoinStrategies:
+    def test_q3_broadcasts_dims(self, spark):
+        plan = _plan(spark, "q3_shipping_priority")
+        assert _n(plan, "BroadcastHashJoin") >= 2
+        assert _n(plan, "SortMergeJoin") == 0
+
+    def test_q5_snowflake_all_broadcast(self, spark):
+        plan = _plan(spark, "q5_region_volume")
+        assert _n(plan, "SortMergeJoin") == 0
+        assert _n(plan, "CartesianProduct") == 0
+
+    def test_q7_two_role_dims_broadcast(self, spark):
+        plan = _plan(spark, "q7_volume_shipping")
+        assert _n(plan, "BroadcastHashJoin") >= 4
+        assert _n(plan, "SortMergeJoin") == 0
+
+    def test_j1_range_join_broadcasts_small_side(self, spark):
+        plan = _plan(spark, "j1_range_containment")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert _n(plan, "CartesianProduct") == 0
+
+    def test_no_cartesian_anywhere_in_relational_battery(self, spark):
+        for name in (
+            "q1_pricing_summary", "q6_forecast_revenue",
+            "q13_customer_distribution", "q8_market_share",
+        ):
+            assert _n(_plan(spark, name), "CartesianProduct") == 0, name
+
+
+class TestPushdownAndPruning:
+    def test_q6_predicates_reach_scan(self, spark):
+        plan = _plan(spark, "q6_forecast_revenue")
+        # the plan string truncates long fields — assert the range
+        # predicate appears after the PushedFilters marker
+        idx = plan.find("PushedFilters: [")
+        assert idx >= 0
+        assert "GreaterThanOrEqual(l_shipda" in plan[idx:idx + 400]
+
+    def test_q1_reads_only_needed_columns(self, spark):
+        plan = _plan(spark, "q1_pricing_summary")
+        m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+        assert m is not None
+        cols = [c.split("#")[0].strip() for c in m.group(1).split(",")]
+        assert "l_orderkey" not in cols  # unused keys pruned
+        # 6 needed columns, not the full 11-column lineitem
+        assert len(cols) <= 7
+
+
+class TestExtractionPipeline:
+    def test_pdf_roundtrip_single_exchange_single_arrow_stage(
+        self, spark
+    ):
+        plan = _plan(spark, "extract_pdf_roundtrip")
+        assert _n(plan, "MapInPandas") == 1
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    def test_roundtrip_scan_is_column_pruned(self, spark):
+        plan = _plan(spark, "extract_html_roundtrip")
+        m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+        assert m is not None
+        cols = [c.split("#")[0].strip() for c in m.group(1).split(",")]
+        assert "lang" not in cols  # only doc_id/text enter
+
+
+class TestDedupShapes:
+    def test_lsh_pairs_shuffle_keys_never_text(self, spark):
+        # the LSH candidate join must shuffle band keys, not documents
+        from pdf_extractor_spark.functions.dedup import (
+            lsh_candidate_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = lsh_candidate_pairs(docs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffle_keys = "".join(
+            re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        )
+        assert shuffle_keys  # there are shuffles...
+        assert "text#" not in shuffle_keys  # ...but never on text
+
+    @pytest.mark.parametrize(
+        "name", ["dedup_exact", "dedup_minhash_signatures"]
+    )
+    def test_signature_stages_have_no_cartesian(self, spark, name):
+        assert _n(_plan(spark, name), "CartesianProduct") == 0

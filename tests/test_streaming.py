@@ -256,3 +256,39 @@ def test_streaming_upsert_replaces_recrawls(spark, dirs):
     assert "recrawled body text" in got[
         "https://fixture.test/html/brand-new"
     ]
+
+
+def test_stream_dedup_suppresses_in_window_refetches(spark, dirs):
+    """dropDuplicatesWithinWatermark on the ingest stream: re-fetches
+    of a url inside the watermark horizon never reach the sink; each
+    url lands exactly once, first-arrival-wins, bounded state."""
+    import datetime as dt
+
+    from pdf_extractor_spark.streaming.incremental import (
+        stream_dedup_ingest,
+    )
+
+    frame = build_pages_frame().iloc[:6].reset_index(drop=True)
+    dup = frame.iloc[:2].copy().reset_index(drop=True)
+    # re-fetch two urls a few minutes later — inside the 1h horizon
+    dup["warc_ts"] = dup["warc_ts"] + dt.timedelta(minutes=5)
+    wave = pd.concat([frame, dup], ignore_index=True)
+    pages_from_pandas(spark, wave).write.mode("append").parquet(
+        dirs["pages"]
+    )
+
+    q = stream_dedup_ingest(
+        spark, dirs["pages"], dirs["out"], dirs["ckpt"]
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == len(frame)  # 8 in, 6 out
+    assert out.select("url").distinct().count() == len(frame)
+
+    # drain again with nothing new: no duplicates appear
+    q2 = stream_dedup_ingest(
+        spark, dirs["pages"], dirs["out"], dirs["ckpt"]
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(dirs["out"]).count() == len(frame)
