@@ -249,16 +249,24 @@ def gopher_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
     text. At 100 TB the bigram aggregate is the word-count profile; all
     other rules are scan-local."""
     t = (text_col if text_col is not None else F.col("text")).alias("t")
-    base = docs.select("doc_id", t)
-    words = F.split(F.col("t"), " ")
-    n_words = F.size(words)
+    # materialize the token and line arrays ONCE — six downstream
+    # expressions reference them; inlining split() into each lambda
+    # would re-tokenize the document per rule (measured ~2× on the
+    # bench battery, and the webified text_col pays its regex chain
+    # per copy too)
+    base = docs.select("doc_id", t).select(
+        "doc_id",
+        "t",
+        F.split(F.col("t"), " ").alias("ws"),
+        F.split(F.col("t"), "\n").alias("ls"),
+    )
+    n_words = F.size(F.col("ws"))
     sum_wlen = F.expr(
-        "aggregate(transform(split(t, ' '), w -> length(w)), 0L,"
-        " (a, x) -> a + x)"
+        "aggregate(transform(ws, w -> length(w)), 0L, (a, x) -> a + x)"
     )
     mean_wlen = sum_wlen.cast("double") / n_words.cast("double")
     n_alpha_words = F.size(
-        F.expr("filter(split(t, ' '), w -> w rlike '[A-Za-z]')")
+        F.expr("filter(ws, w -> w rlike '[A-Za-z]')")
     )
     alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
     n_symbols = F.length("t") - F.length(
@@ -266,13 +274,10 @@ def gopher_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
     )
     symbol_ratio = n_symbols.cast("double") / n_words.cast("double")
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    n_stop = F.size(
-        F.expr(f"filter(split(t, ' '), w -> w in ({stop_list}))")
-    )
-    lines = F.split(F.col("t"), "\n")
-    n_lines = F.size(lines)
+    n_stop = F.size(F.expr(f"filter(ws, w -> w in ({stop_list}))"))
+    n_lines = F.size(F.col("ls"))
     dup_line_frac = (
-        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        (n_lines - F.size(F.array_distinct(F.col("ls")))).cast("double")
         / n_lines.cast("double")
     )
     metrics = base.select(
@@ -290,9 +295,9 @@ def gopher_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(t, ' ')) >= 2 THEN "
-                "transform(sequence(0, size(split(t, ' ')) - 2), i -> "
-                "concat(split(t, ' ')[i], ' ', split(t, ' ')[i+1])) "
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2), i -> "
+                "concat(ws[i], ' ', ws[i+1])) "
                 "ELSE array() END"
             )
         ).alias("bg"),
@@ -340,17 +345,18 @@ def c4_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
     brace / javascript page flags, and the combined ``c4_keep``. Pure
     scan-local expressions — no shuffle at any scale."""
     t = (text_col if text_col is not None else F.col("text")).alias("t")
-    base = docs.select("doc_id", t)
+    # materialize the line array once (three rules reference it)
+    base = docs.select("doc_id", t).select(
+        "doc_id", "t", F.split(F.col("t"), "\n").alias("ls")
+    )
     n_sentences = F.size(F.split(F.col("t"), "[.!?]")) - 1
-    lines = F.split(F.col("t"), "\n")
-    n_lines = F.size(lines)
+    n_lines = F.size(F.col("ls"))
     end_punct = F.size(
-        F.expr(r"filter(split(t, '\n'), l -> l rlike '[.!?\"”]$')")
+        F.expr(r"filter(ls, l -> l rlike '[.!?\"”]$')")
     )
     ge5w = F.size(
         F.expr(
-            "filter(split(t, '\\n'), "
-            f"l -> size(split(l, ' ')) >= {C4_MIN_LINE_WORDS})"
+            f"filter(ls, l -> size(split(l, ' ')) >= {C4_MIN_LINE_WORDS})"
         )
     )
     has_lorem = F.lower(F.col("t")).contains("lorem ipsum")
