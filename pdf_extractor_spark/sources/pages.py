@@ -162,6 +162,59 @@ def write_report_csv(extracted: DataFrame, path: str) -> None:
     report.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def write_report_html(
+    extracted: DataFrame, path: str, top_n: int = 100
+) -> None:
+    """S8 HTML report sink (reference ``batch_processor.py:339-362``:
+    human-readable run summary). Unlike the row-level CSV report this
+    is a SUMMARY artifact: one aggregate row plus the ``top_n``
+    best/worst documents — the only part of a 10^12-row run a human
+    reads, so collecting it to the driver is correct (bounded by
+    ``top_n``, never by corpus size)."""
+    agg = extracted.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.round(F.avg("quality.score"), 2).alias("avg_score"),
+        F.sum("chars_out").alias("chars_out"),
+    ).collect()[0]
+    rows = (
+        extracted.select(
+            "url", "branch", F.col("quality.score").alias("score"),
+            F.col("quality.grade").alias("grade"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(top_n)
+        .collect()
+    )
+
+    def esc(s: object) -> str:
+        return (
+            str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    body = "\n".join(
+        f"<tr><td>{esc(r.url)}</td><td>{esc(r.branch)}</td>"
+        f"<td>{r.score:.1f}</td><td>{esc(r.grade)}</td></tr>"
+        for r in rows
+    )
+    html = (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        "<title>extraction report</title></head><body>"
+        f"<h1>Extraction report</h1>"
+        f"<p>docs: {agg.n_docs} ok: {agg.n_ok} "
+        f"avg score: {agg.avg_score} chars out: {agg.chars_out}</p>"
+        "<table border='1'><tr><th>url</th><th>branch</th>"
+        f"<th>score</th><th>grade</th></tr>{body}</table>"
+        "</body></html>"
+    )
+    import pathlib as _pl
+
+    p = _pl.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(html, encoding="utf-8")
+
+
 def run_extraction_job(
     spark: SparkSession,
     pages: DataFrame,

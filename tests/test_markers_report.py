@@ -126,3 +126,25 @@ class TestCsvReport:
         assert {"url", "score", "grade", "n_errors"} <= set(rows[0])
         scores = sorted((float(r["score"]) for r in rows), reverse=True)
         assert scores[0] >= scores[-1]
+
+
+class TestHtmlReport:
+    def test_write_report_html(self, spark, tmp_path):
+        from pdf_extractor_spark.fixtures.corpus import build_pages_frame
+        from pdf_extractor_spark.plans.pipeline import extract_pages
+        from pdf_extractor_spark.sources.pages import (
+            pages_from_pandas,
+            write_report_html,
+        )
+
+        pages = pages_from_pandas(spark, build_pages_frame())
+        extracted = extract_pages(pages, num_partitions=4)
+        out = tmp_path / "report.html"
+        write_report_html(extracted, str(out), top_n=5)
+        html = out.read_text(encoding="utf-8")
+        assert html.startswith("<!DOCTYPE html>")
+        assert f"docs: {pages.count()}" in html
+        # top_n bounds the table: 5 data rows + 1 header row
+        assert html.count("<tr>") == 6
+        # urls are escaped/present
+        assert "https://" in html
