@@ -51,7 +51,7 @@ def main() -> None:
     # with ~0% steal — memory-bandwidth noise, see BASELINE.md), so a
     # single sample can land 5x off steady-state. Min over N runs of
     # the SAME plan is the standard steady-state estimator here.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
     queries: dict[str, float] = {}
     for name, qd in CATALOG.items():

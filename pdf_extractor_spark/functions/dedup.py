@@ -649,6 +649,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nmin = (
             sym.join(labels, sym.src == labels.id)
@@ -667,8 +668,18 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning intermediate labels would silently split one true
+        # cluster into several (duplicates RETAINED by the resolve
+        # step) — fail loudly; a graph with diameter > max_iter needs
+        # the log-round large-star/small-star variant
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (graph diameter exceeds max_iter)"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

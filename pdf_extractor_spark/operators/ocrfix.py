@@ -146,6 +146,24 @@ ISSUE_CONFIDENCE: dict[str, float] = {
     "rn_as_m": 0.5,
 }
 
+# Span-accurate variants of the detection battery. The column flags
+# above must avoid lookarounds (RE2), so they consume their boundary
+# characters — fine for a boolean, wrong for SPANS: the consumed
+# boundary inflates the span (two disjoint issues separated by one
+# space would falsely "overlap") and eats the character the NEXT
+# occurrence needs ('ll ll ll' would match only twice). The kernel
+# runs under Python ``re``, which has lookarounds, so the span
+# patterns assert boundaries without consuming them. Flag parity with
+# OCR_ISSUE_PATTERNS is asserted in tests.
+OCR_ISSUE_SPAN_PATTERNS: list[tuple[str, str]] = [
+    ("digit_in_word", r"[a-zA-Z]+[0-9]+[a-zA-Z]+"),
+    ("ambiguous_il1", r"(?<![A-Za-z0-9])[Il1][Il1]+(?![A-Za-z0-9])"),
+    ("ambiguous_o0", r"(?<![A-Za-z0-9])[O0][O0]+(?![A-Za-z0-9])"),
+    ("rn_as_m", r"rn[a-z]"),
+    ("excess_spaces", r" {3,}"),
+    ("duplicate_punct", r"[。、]{2,}"),
+]
+
 
 def detect_issue_spans(text: str) -> list[dict]:
     """Run the detection battery with SPANS (``re.finditer``) — the
@@ -154,7 +172,7 @@ def detect_issue_spans(text: str) -> list[dict]:
     inside the extraction ``mapInPandas`` stage (per-document work on
     an Arrow batch), exactly like the other kernel operators."""
     issues = []
-    for name, pat in OCR_ISSUE_PATTERNS:
+    for name, pat in OCR_ISSUE_SPAN_PATTERNS:
         for m in re.finditer(pat, text):
             issues.append(
                 {

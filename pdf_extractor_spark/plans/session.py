@@ -61,13 +61,16 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # bucketed-table home (plans/bucketing.py) — kept out of the
-        # repo tree; on a cluster this is the metastore warehouse
+        # repo tree and suffixed per user+process so concurrent runs
+        # and other users never collide; on a cluster this is the
+        # metastore warehouse
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
                 "SPARK_GRAFT_WAREHOUSE",
                 os.path.join(
-                    tempfile.gettempdir(), "spark_graft_warehouse"
+                    tempfile.gettempdir(),
+                    f"spark_graft_warehouse_{os.getuid()}_{os.getpid()}",
                 ),
             ),
         )

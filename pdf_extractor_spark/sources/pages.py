@@ -170,28 +170,33 @@ def write_report_html(
     is a SUMMARY artifact: one aggregate row plus the ``top_n``
     best/worst documents — the only part of a 10^12-row run a human
     reads, so collecting it to the driver is correct (bounded by
-    ``top_n``, never by corpus size)."""
-    agg = extracted.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.col("ok").cast("long")).alias("n_ok"),
-        F.round(F.avg("quality.score"), 2).alias("avg_score"),
-        F.sum("chars_out").alias("chars_out"),
-    ).collect()[0]
-    rows = (
-        extracted.select(
-            "url", "branch", F.col("quality.score").alias("score"),
-            F.col("quality.grade").alias("grade"),
+    ``top_n``, never by corpus size). The input is persisted around
+    the two driver actions so the (expensive) upstream extraction
+    plan executes once, not twice."""
+    from html import escape
+
+    extracted = extracted.persist()
+    try:
+        agg = extracted.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.round(F.avg("quality.score"), 2).alias("avg_score"),
+            F.sum("chars_out").alias("chars_out"),
+        ).collect()[0]
+        rows = (
+            extracted.select(
+                "url", "branch", F.col("quality.score").alias("score"),
+                F.col("quality.grade").alias("grade"),
+            )
+            .orderBy(F.desc("score"), F.asc("url"))
+            .limit(top_n)
+            .collect()
         )
-        .orderBy(F.desc("score"), F.asc("url"))
-        .limit(top_n)
-        .collect()
-    )
+    finally:
+        extracted.unpersist()
 
     def esc(s: object) -> str:
-        return (
-            str(s).replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;")
-        )
+        return escape(str(s), quote=False)
 
     body = "\n".join(
         f"<tr><td>{esc(r.url)}</td><td>{esc(r.branch)}</td>"

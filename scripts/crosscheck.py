@@ -59,6 +59,10 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only is not None:
+        unknown = only - set(CATALOG)
+        if unknown:
+            sys.exit(f"unknown query names: {sorted(unknown)}")
     failures = []
     for name, qd in CATALOG.items():
         if only is not None and name not in only:

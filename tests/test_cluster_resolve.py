@@ -83,3 +83,14 @@ class TestDedupResolution:
             1: True, 2: False, 3: False,
             10: True, 11: False, 42: True,
         }
+
+
+class TestNonConvergence:
+    def test_raises_when_diameter_exceeds_max_iter(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(
+                _edges(spark, [(i, i + 1) for i in range(1, 9)]),
+                max_iter=2,
+            )

@@ -235,3 +235,44 @@ class TestIssueOverlapResolution:
         kept = resolve_issue_overlaps(issues)
         assert len(kept) == 1
         assert kept[0]["start"] == 0  # earlier span wins the tie
+
+    def test_adjacent_distinct_issues_are_disjoint(self):
+        # span patterns use lookarounds, not consumed boundary chars:
+        # 'O0 Il1' is TWO disjoint issues, both kept after resolution
+        from pdf_extractor_spark.operators.ocrfix import (
+            detect_issue_spans,
+            resolve_issue_overlaps,
+        )
+
+        spans = detect_issue_spans("O0 Il1")
+        assert [(s["start"], s["end"]) for s in spans] == [(0, 2), (3, 6)]
+        assert len(resolve_issue_overlaps(spans)) == 2
+
+    def test_adjacent_repeats_all_detected(self):
+        from pdf_extractor_spark.operators.ocrfix import (
+            detect_issue_spans,
+        )
+
+        spans = detect_issue_spans("ll ll ll")
+        assert len(spans) == 3  # boundary chars not consumed
+
+    def test_span_and_flag_patterns_agree_on_detection(self):
+        import re
+
+        from pdf_extractor_spark.operators.ocrfix import (
+            OCR_ISSUE_PATTERNS,
+            OCR_ISSUE_SPAN_PATTERNS,
+        )
+
+        flag = dict(OCR_ISSUE_PATTERNS)
+        span = dict(OCR_ISSUE_SPAN_PATTERNS)
+        assert set(flag) == set(span)
+        samples = [
+            "O0 Il1", "ll ll ll", "w1th", "rnore problems", "a   b",
+            "。。done", "clean text here", "x Il1x", "O0", "5O0 5",
+        ]
+        for text in samples:
+            for name in flag:
+                got_flag = bool(re.search(flag[name], text))
+                got_span = bool(re.search(span[name], text))
+                assert got_flag == got_span, (name, text)
