@@ -16,6 +16,7 @@ Pure pandas/NumPy — runs inside the Arrow batch, never per-row Spark.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ..config import ExtractConfig
@@ -36,16 +37,21 @@ def to_subscript(text: str) -> str:
 
 def trimmed_mean_size(sizes: pd.Series) -> float:
     """A2 (reference ``superscript_detector.py:161-177``): drop the top
-    and bottom 10% then mean. Deterministic: stable sort, fixed cut."""
-    s = sizes.dropna()
-    if len(s) == 0:
+    and bottom 10% then mean. NumPy path (pandas sort_values/iloc cost
+    ~0.45 ms per page-sized Series — hot in the kernel profile); the
+    mean is over the same sorted value multiset in the same order, so
+    the result is bit-identical to the pandas form (both sum via
+    NumPy pairwise summation)."""
+    vals = sizes.to_numpy(dtype=float, copy=False)
+    vals = vals[~np.isnan(vals)]
+    n = len(vals)
+    if n == 0:
         return 12.0
-    if len(s) >= 10:
-        vals = s.sort_values(kind="mergesort")
-        k = len(vals) // 10
-        vals = vals.iloc[k: len(vals) - k]
-        return float(vals.mean())
-    return float(s.mean())
+    if n >= 10:
+        v = np.sort(vals)  # values only — stability irrelevant to a mean
+        k = n // 10
+        return float(v[k: n - k].mean())
+    return float(vals.mean())
 
 
 def attach_scripts(words: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
