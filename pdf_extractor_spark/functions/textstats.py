@@ -254,12 +254,17 @@ def gopher_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
     # would re-tokenize the document per rule (measured ~2× on the
     # bench battery, and the webified text_col pays its regex chain
     # per copy too)
+    # localCheckpoint: `base` feeds BOTH the scan-local metrics
+    # projection and the bigram aggregate, which join at the end —
+    # Catalyst treats the two references as independent subplans, so
+    # without materialization the webify regex chain + both splits
+    # execute twice per action
     base = docs.select("doc_id", t).select(
         "doc_id",
         "t",
         F.split(F.col("t"), " ").alias("ws"),
         F.split(F.col("t"), "\n").alias("ls"),
-    )
+    ).localCheckpoint(eager=False)
     n_words = F.size(F.col("ws"))
     sum_wlen = F.expr(
         "aggregate(transform(ws, w -> length(w)), 0L, (a, x) -> a + x)"
