@@ -96,27 +96,36 @@ def detect_repeating_elements(
         """Per page: margin words clustered into LINES (band tolerance);
         one candidate string per line. Line granularity — not whole-band —
         so a varying page number on one line doesn't mask a repeating
-        header/footer on another."""
+        header/footer on another.
+
+        NumPy path (stable lexsort + consecutive-run split) — the
+        per-page frames are tiny, so pandas sort/groupby overhead used
+        to dominate this function (~20% of whole-kernel profile)."""
         counts: dict[str, int] = {}
         for words, h in zip(sample, heights):
             if len(words) == 0:
                 continue
+            top = words["top"].to_numpy()
             if top_band:
-                mask = words["top"] < cfg.header_band_frac * h
+                mask = top < cfg.header_band_frac * h
             else:
-                mask = words["bottom"] > (1 - cfg.footer_band_frac) * h
-            band = words.loc[mask].sort_values(
-                ["top", "x0"], kind="mergesort"
-            )
-            if len(band) == 0:
+                mask = words["bottom"].to_numpy() > (
+                    1 - cfg.footer_band_frac
+                ) * h
+            if not mask.any():
                 continue
-            line_id = (
-                (band["top"].diff() >= cfg.band_tolerance)
-                .fillna(False).astype(int).cumsum()
-            )
+            t = top[mask]
+            x = words["x0"].to_numpy()[mask]
+            txt = words["text"].to_numpy()[mask]
+            order = np.lexsort((x, t))  # stable, ties keep input order
+            t = t[order]
+            txt = txt[order]
+            # line breaks where the top-gap reaches the tolerance
+            # (first element never breaks — mirrors diff().fillna(False))
+            brk = np.diff(t) >= cfg.band_tolerance
             page_seen: set[str] = set()
-            for _lid, grp in band.groupby(line_id):
-                s = " ".join(grp["text"].astype(str))
+            for seg in np.split(txt, np.flatnonzero(brk) + 1):
+                s = " ".join(str(v) for v in seg)
                 if s:
                     page_seen.add(s)
             for s in page_seen:

@@ -127,18 +127,26 @@ def find_definitions(
         for i in np.flatnonzero(in_region)
     ):
         return [], pd.Index([])
-    region = words.loc[in_region]
-    r = region.sort_values(["top", "x0"], kind="mergesort")
-    line_id = (
-        (r["top"].diff() >= cfg.footnote_line_tol)
-        .fillna(False).astype(int).cumsum()
-    )
+    # NumPy line grouping (stable lexsort + run split) — identical to
+    # the former sort_values/groupby chain, minus small-frame overhead
+    idx_all = words.index.to_numpy()
+    reg = np.flatnonzero(in_region)
+    t = top_arr[reg]
+    x = words["x0"].to_numpy()[reg]
+    order = np.lexsort((x, t))  # stable (top, x0) sort
+    t_s = t[order]
+    x_s = x[order]
+    reg_s = reg[order]
+    brk = np.diff(t_s) >= cfg.footnote_line_tol
     lines: list[tuple[float, str, list]] = []  # (y, first_word, words_idx)
     texts: list[list[str]] = []
-    for _lid, grp in r.groupby(line_id, sort=True):
-        g = grp.sort_values("x0", kind="mergesort")
-        toks = list(g["text"].astype(str))
-        lines.append((float(g["top"].iloc[0]), toks[0], list(g.index)))
+    for seg in np.split(np.arange(len(reg_s)), np.flatnonzero(brk) + 1):
+        g = seg[np.argsort(x_s[seg], kind="stable")]  # x-sort within line
+        rows = reg_s[g]
+        toks = [str(texts_arr[i]) for i in rows]
+        lines.append(
+            (float(top_arr[rows[0]]), toks[0], list(idx_all[rows]))
+        )
         texts.append(toks)
 
     defs: list[Definition] = []

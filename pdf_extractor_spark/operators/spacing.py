@@ -55,36 +55,37 @@ def join_tokens(texts, x0s, x1s, cfg: ExtractConfig) -> str:
       3. JP ↔ JP                         → space iff gap > jp_jp_space_gap
       4. otherwise (EN involved)         → space iff gap > en_space_gap
     """
-    if len(texts) == 0:
+    n = len(texts)
+    if n == 0:
         return ""
-    if len(texts) == 1:
+    if n == 1:
         return str(texts[0])
-    gaps = x0s[1:] - x1s[:-1]
-    prev_last = np.array([t[-1] for t in texts[:-1]])
-    curr_first = np.array([t[0] for t in texts[1:]])
-    jp_prev = np.array([is_japanese_char(c) for c in prev_last])
-    jp_curr = np.array([is_japanese_char(c) for c in curr_first])
-    punct = np.array(
-        [p in JP_PUNCT or c in JP_PUNCT for p, c in zip(prev_last, curr_first)]
-    )
-    space = np.select(
-        [
-            gaps < cfg.no_space_gap,
-            punct,
-            jp_prev & jp_curr,
-        ],
-        [
-            False,
-            False,
-            gaps > cfg.jp_jp_space_gap,
-        ],
-        default=gaps > cfg.en_space_gap,
-    )
-    parts = [str(texts[0])]
-    for i in range(1, len(texts)):
-        if space[i - 1]:
+    # scalar loop, same first-match-wins table: typical lines are a
+    # handful of words, where numpy array setup + select costs more
+    # than the decisions themselves (profile-verified ~3x)
+    no_gap = cfg.no_space_gap
+    jp_gap = cfg.jp_jp_space_gap
+    en_gap = cfg.en_space_gap
+    prev = str(texts[0])
+    parts = [prev]
+    for i in range(1, n):
+        cur = str(texts[i])
+        gap = x0s[i] - x1s[i - 1]
+        if gap < no_gap:
+            space = False
+        else:
+            p = prev[-1]
+            c = cur[0]
+            if p in JP_PUNCT or c in JP_PUNCT:
+                space = False
+            elif is_japanese_char(p) and is_japanese_char(c):
+                space = gap > jp_gap
+            else:
+                space = gap > en_gap
+        if space:
             parts.append(" ")
-        parts.append(str(texts[i]))
+        parts.append(cur)
+        prev = cur
     return "".join(parts)
 
 
