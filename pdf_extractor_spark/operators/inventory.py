@@ -105,19 +105,22 @@ def dedup_words(words: pd.DataFrame) -> pd.DataFrame:
     keep first (stable)."""
     if len(words) < 2:
         return words
-    rx = np.round(words["x0"].to_numpy(), 1)
-    ry = np.round(words["top"].to_numpy(), 1)
-    texts = words["text"].to_numpy()
+    # plain-object loop: .tolist() converts once so the hot tuple keys
+    # are python floats (hash/eq in C) instead of numpy scalars
+    rx = np.round(words["x0"].to_numpy(), 1).tolist()
+    ry = np.round(words["top"].to_numpy(), 1).tolist()
+    texts = words["text"].to_numpy().tolist()
     seen: set = set()
-    keep = np.ones(len(words), dtype=bool)
-    for i in range(len(words)):
-        key = (rx[i], ry[i], texts[i])
+    dups: list[int] = []
+    for i, key in enumerate(zip(rx, ry, texts)):
         if key in seen:
-            keep[i] = False
+            dups.append(i)
         else:
             seen.add(key)
-    if keep.all():
+    if not dups:
         return words
+    keep = np.ones(len(words), dtype=bool)
+    keep[dups] = False
     return words.loc[keep]
 
 
@@ -133,12 +136,18 @@ def zorder_overlap_count(words: pd.DataFrame) -> int:
     n = len(words)
     if n < 2:
         return 0
-    x0 = words["x0"].to_numpy()
-    x1 = words["x1"].to_numpy()
-    t = words["top"].to_numpy()
-    b = words["bottom"].to_numpy()
-    area = (x1 - x0) * (b - t)
-    order = np.argsort(x0, kind="stable")
+    x0a = words["x0"].to_numpy()
+    x1a = words["x1"].to_numpy()
+    ta = words["top"].to_numpy()
+    ba = words["bottom"].to_numpy()
+    order = np.argsort(x0a, kind="stable").tolist()
+    # python-float lists: the sweep's scalar min/max/compare loop is
+    # ~2x faster on C doubles than on numpy scalar views
+    x0 = x0a.tolist()
+    x1 = x1a.tolist()
+    t = ta.tolist()
+    b = ba.tolist()
+    area = ((x1a - x0a) * (ba - ta)).tolist()
     count = 0
     active: list[int] = []
     for j in order:

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import ExtractConfig
-from .layout import group_bands
+
 
 # F4 — Unicode translation maps (reference extractor.py:757-792)
 SUPERSCRIPT_MAP = str.maketrans("0123456789+-=()n", "⁰¹²³⁴⁵⁶⁷⁸⁹⁺⁻⁼⁽⁾ⁿ")
@@ -64,32 +64,63 @@ def attach_scripts(words: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     """
     if len(words) < 2:
         return words
+    sizes = words["size"].to_numpy()
     avg_size = trimmed_mean_size(words["size"])
     threshold = cfg.script_size_ratio * avg_size
-    if not bool((words["size"] < threshold).any()):
+    small = sizes < threshold
+    if not small.any():
         return words  # fast path: no candidates anywhere on the page
 
-    banded = group_bands(words, cfg.band_tolerance)
-    out_rows: list[dict] = []
-    for _bid, band in banded.groupby("band_id", sort=True):
-        band = band.sort_values("x0", kind="mergesort")
-        rows = band.to_dict("records")
-        merged: list[dict] = []
-        for row in rows:
-            if merged:
-                base = merged[-1]
-                gap = row["x0"] - base["x1"]
-                is_small = row["size"] < threshold
-                if is_small and 0 <= gap < cfg.script_gap_max:
-                    base_mid = (base["top"] + base["bottom"]) / 2.0
-                    row_mid = (row["top"] + row["bottom"]) / 2.0
+    # NumPy band walk — same C3 banding (stable (top, x0) sort, gap
+    # breaks) and the same mid-loop x1 extension (trap 4), minus the
+    # per-band groupby/to_dict overhead of the former pandas form
+    top = words["top"].to_numpy()
+    bottom = words["bottom"].to_numpy()
+    x0 = words["x0"].to_numpy()
+    x1 = words["x1"].to_numpy()
+    texts = words["text"].to_numpy()
+    page = words["page"].to_numpy()
+    order = np.lexsort((x0, top))
+    brk = np.diff(top[order]) >= cfg.band_tolerance
+
+    t_out: list[str] = []
+    x0_out: list[float] = []
+    x1_out: list[float] = []
+    top_out: list[float] = []
+    bot_out: list[float] = []
+    size_out: list[float] = []
+    page_out: list[int] = []
+    gap_max = cfg.script_gap_max
+    for seg in np.split(order, np.flatnonzero(brk) + 1):
+        band = seg[np.argsort(x0[seg], kind="stable")]
+        start = len(t_out)
+        for i in band:
+            if len(t_out) > start:
+                gap = x0[i] - x1_out[-1]  # base x1 — possibly extended
+                if small[i] and 0 <= gap < gap_max:
+                    base_mid = (top_out[-1] + bot_out[-1]) / 2.0
+                    row_mid = (top[i] + bottom[i]) / 2.0
                     if row_mid < base_mid:
-                        base["text"] += to_superscript(str(row["text"]))
+                        t_out[-1] += to_superscript(str(texts[i]))
                     else:
-                        base["text"] += to_subscript(str(row["text"]))
-                    base["x1"] = row["x1"]  # trap 4: extend mid-loop
+                        t_out[-1] += to_subscript(str(texts[i]))
+                    x1_out[-1] = x1[i]  # trap 4: extend mid-loop
                     continue
-            merged.append(dict(row))
-        out_rows.extend(merged)
-    out = pd.DataFrame(out_rows)
-    return out.drop(columns=["band_id"]).reset_index(drop=True)
+            t_out.append(str(texts[i]))
+            x0_out.append(x0[i])
+            x1_out.append(x1[i])
+            top_out.append(top[i])
+            bot_out.append(bottom[i])
+            size_out.append(sizes[i])
+            page_out.append(page[i])
+    return pd.DataFrame(
+        {
+            "text": pd.Series(t_out, dtype=object),
+            "x0": np.asarray(x0_out, dtype=float),
+            "x1": np.asarray(x1_out, dtype=float),
+            "top": np.asarray(top_out, dtype=float),
+            "bottom": np.asarray(bot_out, dtype=float),
+            "size": np.asarray(size_out, dtype=float),
+            "page": np.asarray(page_out, dtype=page.dtype),
+        }
+    )
