@@ -31,6 +31,7 @@ from functools import lru_cache
 import pandas as pd
 
 from .charclass import is_wide_char
+from .words import Words, empty_words
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _NUM_RE = re.compile(rb"-?\d+(?:\.\d+)?")
@@ -46,7 +47,7 @@ class PdfPage:
     width: float
     height: float
     rotation: int
-    words: pd.DataFrame       # WORD_COLUMNS
+    words: Words              # WORD_COLUMNS (columnar struct)
 
 
 @dataclass
@@ -55,18 +56,8 @@ class PdfDoc:
     errors: list[dict] = field(default_factory=list)
 
 
-def empty_word_frame() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "text": pd.Series(dtype=object),
-            "x0": pd.Series(dtype=float),
-            "x1": pd.Series(dtype=float),
-            "top": pd.Series(dtype=float),
-            "bottom": pd.Series(dtype=float),
-            "size": pd.Series(dtype=float),
-            "page": pd.Series(dtype=int),
-        }
-    )
+def empty_word_frame() -> Words:
+    return empty_words()
 
 
 # ----------------------------------------------------------------- xref
@@ -511,20 +502,18 @@ class _WordSink:
         self.bottoms: list[float] = []
         self.sizes: list[float] = []
 
-    def frame(self, page_no: int) -> pd.DataFrame:
+    def frame(self, page_no: int) -> Words:
         import numpy as np
 
         n = len(self.texts)
-        return pd.DataFrame(
-            {
-                "text": pd.Series(self.texts, dtype=object),
-                "x0": np.asarray(self.x0s, dtype=float),
-                "x1": np.asarray(self.x1s, dtype=float),
-                "top": np.asarray(self.tops, dtype=float),
-                "bottom": np.asarray(self.bottoms, dtype=float),
-                "size": np.asarray(self.sizes, dtype=float),
-                "page": np.full(n, page_no, dtype=int),
-            }
+        return Words(
+            text=np.array(self.texts, dtype=object),
+            x0=np.asarray(self.x0s, dtype=float),
+            x1=np.asarray(self.x1s, dtype=float),
+            top=np.asarray(self.tops, dtype=float),
+            bottom=np.asarray(self.bottoms, dtype=float),
+            size=np.asarray(self.sizes, dtype=float),
+            page=np.full(n, page_no, dtype=np.int64),
         )
 
 

@@ -43,16 +43,19 @@ class Table:
     text: str
 
 
-def _cluster_1d(vals: pd.Series, tol: float, min_members: int) -> list[float]:
+def _cluster_1d(vals, tol: float, min_members: int) -> list[float]:
     """C5/C6 shared core: sorted 1-D clustering with tolerance; returns
     the mean position of clusters holding ≥ ``min_members`` values
-    (reference ``table_detector_enhanced.py:313-369``)."""
-    if len(vals) == 0:
+    (reference ``table_detector_enhanced.py:313-369``). NumPy run-split
+    over the value-sorted array — same clusters and means as the former
+    sort_values/groupby form (cluster membership depends only on sorted
+    values; the mean sums the same floats in the same order)."""
+    v = np.sort(np.asarray(vals, dtype=float))
+    if len(v) == 0:
         return []
-    s = vals.sort_values(kind="mergesort").reset_index(drop=True)
-    cluster_id = (s.diff() > tol).fillna(False).astype(int).cumsum()
+    brk = np.diff(v) > tol
     out: list[float] = []
-    for _cid, grp in s.groupby(cluster_id):
+    for grp in np.split(v, np.flatnonzero(brk) + 1):
         if len(grp) >= min_members:
             out.append(float(grp.mean()))
     return out
@@ -68,14 +71,21 @@ def _grid_text(
     apply the header heuristic (F10). Returns (text, populated, header)."""
     cx = words["x0"].to_numpy()
     cy = words["top"].to_numpy()
+    txt = words["text"].to_numpy()
     cols = np.abs(cx[:, None] - np.array(col_pos)[None, :]).argmin(axis=1)
     rows = np.abs(cy[:, None] - np.array(row_pos)[None, :]).argmin(axis=1)
+    # stable (row, col, x0) sort then run-split on (row, col) — same
+    # groups/order as the former assign/sort_values/groupby chain
+    order = np.lexsort((cx, cols, rows))
+    r_s, c_s = rows[order], cols[order]
+    grp_brk = np.flatnonzero(
+        (np.diff(r_s) != 0) | (np.diff(c_s) != 0)
+    ) + 1
     cells: dict[tuple[int, int], list[str]] = {}
-    frame = words.assign(_row=rows, _col=cols).sort_values(
-        ["_row", "_col", "x0"], kind="mergesort"
-    )
-    for (r, c), grp in frame.groupby(["_row", "_col"], sort=True):
-        cells[(int(r), int(c))] = list(grp["text"].astype(str))
+    for seg in np.split(order, grp_brk):
+        cells[(int(rows[seg[0]]), int(cols[seg[0]]))] = [
+            str(t) for t in txt[seg]
+        ]
     populated = len(cells)
 
     lines: list[str] = []

@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 
 from ..config import ExtractConfig
@@ -48,16 +49,19 @@ def classify_textbox(text: str) -> str:
     return "generic"
 
 
-def _strip_lines(strip: pd.DataFrame, cfg: ExtractConfig) -> str:
-    s = strip.sort_values(["top", "x0"], kind="mergesort")
-    line_id = (
-        (s["top"].diff() >= cfg.line_height_threshold)
-        .fillna(False).astype(int).cumsum()
-    )
-    lines = [
-        " ".join(grp.sort_values("x0", kind="mergesort")["text"].astype(str))
-        for _lid, grp in s.groupby(line_id, sort=True)
-    ]
+def _strip_lines(strip, cfg: ExtractConfig) -> str:
+    """Stable (top, x0) sort → gap-break lines → x-sort per line —
+    NumPy form of the former sort_values/groupby chain (same stable
+    tie order)."""
+    top = strip["top"].to_numpy()
+    x0 = strip["x0"].to_numpy()
+    txt = strip["text"].to_numpy()
+    order = np.lexsort((x0, top))
+    brk = np.diff(top[order]) >= cfg.line_height_threshold
+    lines = []
+    for seg in np.split(order, np.flatnonzero(brk) + 1):
+        g = seg[np.argsort(x0[seg], kind="stable")]
+        lines.append(" ".join(str(t) for t in txt[g]))
     return "\n".join(lines)
 
 
@@ -95,6 +99,7 @@ def detect_sidebars(
             continue
         strip = words.loc[mask]
         text = _strip_lines(strip, cfg)
+        strip_labels = words.index.to_numpy()[mask]
         boxes.append(
             TextBox(
                 page=page_no,
@@ -106,5 +111,8 @@ def detect_sidebars(
                 bottom=float(strip["bottom"].max()),
             )
         )
-        consumed.extend(strip.index)
+        # labels taken from the PARENT frame's index (mask-selected):
+        # identical to strip.index for pandas, and correct positional
+        # labels for Words (whose subsets reset their index)
+        consumed.extend(strip_labels)
     return boxes, pd.Index(consumed)
