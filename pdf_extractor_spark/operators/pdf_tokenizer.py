@@ -517,9 +517,55 @@ class _WordSink:
         )
 
 
+# Canonical single-show text block, the form word-processor-style PDF
+# writers emit one-per-word/run: BT <font> <size> Tf <tx> <ty> Td
+# (text|hex) Tj ET. A stream consisting ONLY of such blocks (modulo
+# whitespace) takes the one-match-per-word fast path below — ~3x fewer
+# Python dispatches than the general operator loop; ANY other
+# construct falls back to the general grammar.
+_SIMPLE_BLOCK_RE = re.compile(
+    rb"BT\s+/[A-Za-z0-9_.]+\s+(-?\d+(?:\.\d+)?)\s+Tf"
+    rb"\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Td"
+    rb"\s+(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s+Tj\s+ET"
+)
+_WS_ONLY = re.compile(rb"[\s]*\Z")
+
+
+def _parse_simple_blocks(
+    stream: bytes, height: float, page_no: int
+):
+    """Fast path for streams made solely of canonical show blocks.
+    Returns None (fall back to the general loop) unless every byte of
+    the stream is covered by block matches separated by whitespace —
+    so the result is exactly what the general grammar would produce:
+    each block resets the text matrix (BT), sets its own size (Tf),
+    positions once (Td), shows once (Tj)."""
+    rows = _WordSink()
+    pos = 0
+    for m in _SIMPLE_BLOCK_RE.finditer(stream):
+        if not _WS_ONLY.match(stream, pos, m.start()):
+            return None  # non-block content between matches
+        size = float(m.group(1))
+        x = float(m.group(2))
+        y = float(m.group(3))
+        s = m.group(4)
+        text = _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
+        _emit_words(text, x, y, size, height, rows)
+        pos = m.end()
+    if pos == 0 or not _WS_ONLY.match(stream, pos):
+        return None  # no matches, or trailing non-block content
+    if not rows.texts:
+        return empty_word_frame()
+    return rows.frame(page_no)
+
+
 def _parse_content(
     stream: bytes, height: float, page_no: int
 ) -> pd.DataFrame:
+    if stream.lstrip()[:5].startswith(b"BT"):
+        fast = _parse_simple_blocks(stream, height, page_no)
+        if fast is not None:
+            return fast
     rows = _WordSink()
     size = 12.0
     leading = 0.0          # TL / TD-set text leading (for T*, ', ")
