@@ -129,27 +129,35 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return _with_minhashes(docs).select("doc_id", *cols)
 
 
-def band_keys_python(text: str) -> list[str | None]:
+def band_keys_python(
+    text: str, _memo: dict | None = None
+) -> list[str | None]:
     """Python/NumPy twin of :func:`minhash_signatures` for one
     document — identical band keys (same md5/15-hex base hash, same
-    XOR masks, same md5-of-joined-minimums band key)."""
+    XOR masks, same md5-of-joined-minimums band key).
+
+    ``_memo`` (shingle → 60-bit hash) amortizes the Python-side md5
+    across a batch of documents: shingle distributions are Zipfian
+    (boilerplate, stock phrases — the bench corpus repeats each
+    distinct shingle ~10×), so hashing each DISTINCT shingle once per
+    Arrow batch removes most of the hashlib calls. Memoization cannot
+    change output — the hash is a pure function of the shingle."""
     import numpy as np
 
     toks = text.split(" ")
     if len(toks) < 3:
         return [None] * N_BANDS
-    hs = np.array(
-        [
-            int(
-                hashlib.md5(
-                    f"{a} {b} {c}".encode("utf-8")
-                ).hexdigest()[:15],
-                16,
-            )
-            for a, b, c in zip(toks, toks[1:], toks[2:])
-        ],
-        dtype=np.int64,
-    )
+    if _memo is None:
+        _memo = {}
+    vals = []
+    for a, b, c in zip(toks, toks[1:], toks[2:]):
+        s = f"{a} {b} {c}"
+        h = _memo.get(s)
+        if h is None:
+            h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            _memo[s] = h
+        vals.append(h)
+    hs = np.array(vals, dtype=np.int64)
     masks = np.array(_R, dtype=np.int64)
     mhs = (hs[:, None] ^ masks[None, :]).min(axis=0)  # (N_HASHES,)
     out = []
@@ -175,8 +183,9 @@ def minhash_mapinpandas(docs: DataFrame) -> DataFrame:
     cols = [f"band{b}" for b in range(N_BANDS)]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}  # shingle-hash memo shared across the batches
         for pdf in batches:
-            keys = [band_keys_python(t) for t in pdf["text"]]
+            keys = [band_keys_python(t, memo) for t in pdf["text"]]
             out = {"doc_id": pdf["doc_id"].to_numpy()}
             for b, c in enumerate(cols):
                 out[c] = [k[b] for k in keys]
@@ -335,15 +344,20 @@ def simhash_pandas(texts) -> "list[int]":
 
     out: list[int] = []
     js = np.arange(SIMHASH_BITS, dtype=np.int64)
+    # token-hash memo across the batch: token frequencies are Zipfian,
+    # so each distinct token is md5'd once instead of once per
+    # occurrence (pure function — cannot change output)
+    memo: dict[str, int] = {}
     for text in texts:
         toks = text.split(" ")
-        hs = np.array(
-            [
-                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                for t in toks
-            ],
-            dtype=np.int64,
-        )
+        vals = []
+        for t in toks:
+            h = memo.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                memo[t] = h
+            vals.append(h)
+        hs = np.array(vals, dtype=np.int64)
         bits = ((hs[:, None] >> js[None, :]) & 1) * 2 - 1  # ±1 per bit
         sig = int(((bits.sum(axis=0) > 0) << js).sum())
         out.append(sig)
