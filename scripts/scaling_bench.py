@@ -40,12 +40,14 @@ is the median.
 
     efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4
 
-Writes ``BENCH_SCALING.json`` at the repo root and prints a summary.
+Writes ``BENCH_SCALING.json`` (override with ``SCALE_OUT``) at the
+repo root and prints a summary.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import statistics
 import subprocess
@@ -54,7 +56,14 @@ import time
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 SF_DIR = "/root/testdata/sf0.1"
-REPL = 4           # row replication factor (distinct doc ids)
+# Env overrides (SCALE_REPL / SCALE_RUNS / SCALE_CORES / SCALE_OUT)
+# reach the --inner subprocess too, which re-imports this module —
+# monkeypatching module constants from a wrapper does NOT: the outer
+# loop would use the patched value while every measured subprocess
+# silently runs the default. Used for the secondary 4v16 pair (more
+# replication so the wide leg stays in the amortized regime).
+REPL = int(os.environ.get("SCALE_REPL", "4"))
+#                  row replication factor (distinct doc ids)
 LONG = 16          # in-row text replication: sf0.1 synthetic docs are
                    # ~250 chars, far below real web pages (10-100 KB);
                    # ×16 (~4 KB) makes per-document extraction cost
@@ -67,8 +76,11 @@ LONG = 16          # in-row text replication: sf0.1 synthetic docs are
                    # charge that constant against scaling efficiency —
                    # a 100 TB job is in the amortized regime, a 20 s toy
                    # job is not
-RUNS = 5
-CORES = (2, 8)
+RUNS = int(os.environ.get("SCALE_RUNS", "5"))
+CORES = tuple(
+    int(v) for v in os.environ.get("SCALE_CORES", "2,8").split(",")
+)
+OUT = os.environ.get("SCALE_OUT", "BENCH_SCALING.json")
 
 
 def inner(cores: int) -> None:
@@ -166,7 +178,7 @@ def main() -> None:
         "pass_0_8_gate": efficiency >= 0.8,
         "all_runs": {str(c): results[c] for c in CORES},
     }
-    (ROOT / "BENCH_SCALING.json").write_text(json.dumps(summary, indent=1))
+    (ROOT / OUT).write_text(json.dumps(summary, indent=1))
     print(json.dumps(
         {k: v for k, v in summary.items() if k != "all_runs"}, indent=1
     ))
