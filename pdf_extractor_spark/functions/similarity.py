@@ -165,17 +165,34 @@ def srp_probe_buckets(
 
 def srp_bucketed_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
-    n_bits: int = 6, n_flip: int = 2, exclude_id: int | None = None,
+    n_bits: int = 6, n_flip: int = 3, n_tables: int = 2,
+    exclude_id: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: scan only the query's multi-probe SRP
-    buckets. At scale the bucket is a derived column an Iceberg layout
-    clusters on, so the probe set prunes FILES, not just rows."""
+    buckets, OR'd across ``n_tables`` independent hash tables (the
+    LSH OR-construction). At scale each table's bucket is a derived
+    column an Iceberg layout clusters on, so the probe set prunes
+    FILES, not just rows.
+
+    Probe-budget sizing (round-2 verdict item #2): a single 6-bit
+    table with 2 flip bits scans ~6 % of an isotropic corpus and
+    recalls ~0 of the true top-10 — isotropic data is the ANN-hostile
+    worst case (neighbors sit near 90°, so every hyperplane is a coin
+    flip).  The default (2 tables × 3 flip bits = 16 probed buckets)
+    was measured on the testdata embeddings: recall@10 = 0.6 at sf0.1
+    / 0.5 at sf0.01 while scanning ~26 % of rows; on clustered data
+    (the regime ANN is actually for) it is ≥ 0.9 scanning < 10 %.
+    Scale the budget with bucket sparsity: recall rises with
+    ``n_tables`` (linear cost) and ``n_flip`` (2^n_flip probes/table),
+    precision with ``n_bits``."""
     dim = len(query_vec)
-    probes = srp_probe_buckets(query_vec, n_bits, 0, n_flip)
+    cond = F.lit(False)
+    for t in range(n_tables):
+        probes = srp_probe_buckets(query_vec, n_bits, t, n_flip)
+        cond = cond | srp_bucket_col(n_bits, dim, t).isin(probes)
     pruned = (
         embeddings.withColumn("xq", F.expr(_XQ))
-        .withColumn("srp_bucket", srp_bucket_col(n_bits, dim, 0))
-        .where(F.col("srp_bucket").isin(probes))
+        .where(cond)
         .select("vec_id", "embedding")
     )
     return cosine_topk(pruned, query_vec, k, exclude_id=exclude_id)
@@ -474,7 +491,7 @@ def load_ivf_index(
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.3, n_tables: int = 2,
-    n_bits: int = 6, k: int = 20,
+    n_bits: int = 6, k: int = 20, dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate candidates via MULTI-TABLE SRP
     blocking: ``n_tables`` independent seeded Rademacher tables of
@@ -486,8 +503,13 @@ def embedding_near_dup_pairs(
     At 100 TB the (table, bucket) column is the shuffle key: the
     self-join shuffles (table, bucket, vec_id, embedding) and each
     bucket joins locally; skewed buckets split under AQE since this is
-    a plain equi-join."""
-    dim = len(embeddings.select("embedding").first()[0])
+    a plain equi-join.
+
+    Pass ``dim`` (like the oracle generators take it) to skip the
+    driver-side probe job; it falls back to a ``first()`` probe only
+    when omitted (round-2 verdict item #7)."""
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
     base = embeddings.withColumn("xq", F.expr(_XQ))
     tables = []
     for t in range(n_tables):
@@ -596,13 +618,28 @@ def _duck_flip(b: str, j: str, n_bits: int) -> str:
     )
 
 
-def duck_srp_probe_ctes(n_bits: int, prefix: str, query_id: int = 0) -> str:
+def duck_srp_probe_ctes(
+    n_bits: int, prefix: str, query_id: int = 0, n_flip: int = 2,
+) -> str:
     """CTE ``{prefix}probes(bucket)`` — the query's multi-probe set
-    (exact bucket + subset-flips of the 2 lowest-|projection| bits),
-    mirroring :func:`srp_probe_buckets` with n_flip=2."""
-    f1 = _duck_flip("b", "j1", n_bits)
-    f2 = _duck_flip("b", "j2", n_bits)
-    f12 = _duck_flip(f1, "j2", n_bits)
+    (exact bucket + every subset-flip of the ``n_flip``
+    lowest-|projection| bits), mirroring :func:`srp_probe_buckets`.
+    The 2^n_flip flip expressions are code-generated (nested
+    substring-flip per mask bit) since ``n_flip`` is known at SQL
+    generation time."""
+    arms = []
+    for mask in range(1 << n_flip):
+        e = "b"
+        for i in range(n_flip):
+            if mask >> i & 1:
+                e = _duck_flip(e, f"j{i + 1}", n_bits)
+        arms.append(f"WHEN {mask} THEN {e}")
+    jj_cols = ",\n           ".join(
+        f"(SELECT j FROM {prefix}qflip WHERE rf = {i + 1}) AS j{i + 1}"
+        for i in range(n_flip)
+    )
+    masks = ", ".join(str(m) for m in range(1 << n_flip))
+    case = "CASE m\n      " + "\n      ".join(arms) + " END"
     return f"""
   {prefix}qp AS (
     SELECT j, p FROM {prefix}proj WHERE vec_id = {query_id}
@@ -614,15 +651,10 @@ def duck_srp_probe_ctes(n_bits: int, prefix: str, query_id: int = 0) -> str:
                       ORDER BY j) AS b
     FROM {prefix}qp
   ), {prefix}jj AS (
-    SELECT (SELECT j FROM {prefix}qflip WHERE rf = 1) AS j1,
-           (SELECT j FROM {prefix}qflip WHERE rf = 2) AS j2
+    SELECT {jj_cols}
   ), {prefix}probes AS (
-    SELECT DISTINCT CASE m
-      WHEN 0 THEN b
-      WHEN 1 THEN {f1}
-      WHEN 2 THEN {f2}
-      ELSE {f12} END AS bucket
-    FROM {prefix}qb, {prefix}jj, (SELECT unnest([0, 1, 2, 3]) AS m)
+    SELECT DISTINCT {case} AS bucket
+    FROM {prefix}qb, {prefix}jj, (SELECT unnest([{masks}]) AS m)
   )"""
 
 
@@ -680,17 +712,41 @@ def duck_ivf_ctes(n_cells: int, prefix: str = "") -> str:
   )"""
 
 
-def duck_srp_topk_sql(dim: int, n_bits: int = 6, k: int = 10) -> str:
+def _duck_srp_multitable(n_bits: int, dim: int, n_tables: int,
+                         n_flip: int) -> tuple[str, str, str]:
+    """Shared oracle pieces for the multi-table SRP probe: (bucket +
+    probe CTE chain, extra bucket-CTE joins, OR'd membership
+    predicate). Table t uses prefix ``s{t}``."""
+    ctes = "".join(
+        "," + duck_srp_ctes(n_bits, dim, t, f"s{t}")
+        + "," + duck_srp_probe_ctes(n_bits, f"s{t}", n_flip=n_flip)
+        for t in range(n_tables)
+    )
+    joins = "\n".join(
+        f"JOIN s{t}bucket b{t} ON b{t}.vec_id = emb.vec_id"
+        for t in range(n_tables)
+    )
+    cond = "\n   OR ".join(
+        f"b{t}.bucket IN (SELECT bucket FROM s{t}probes)"
+        for t in range(n_tables)
+    )
+    return ctes, joins, cond
+
+
+def duck_srp_topk_sql(
+    dim: int, n_bits: int = 6, k: int = 10, n_tables: int = 2,
+    n_flip: int = 3,
+) -> str:
     """Full oracle for :func:`srp_bucketed_topk` (query = vec_id 0)."""
     cos = _DUCK_COS.format(a="e", b="qv")
-    return f"""WITH {duck_vq_cte(dim)},{duck_srp_ctes(n_bits, dim, 0, "s0")},
-{duck_srp_probe_ctes(n_bits, "s0")},
+    ctes, joins, cond = _duck_srp_multitable(n_bits, dim, n_tables, n_flip)
+    return f"""WITH {duck_vq_cte(dim)}{ctes},
   q AS (SELECT {_DUCK_E} AS qv FROM embeddings WHERE vec_id = 0)
 SELECT emb.vec_id, {cos} AS cosine
 FROM (SELECT vec_id, {_DUCK_E} AS e FROM embeddings) emb
-JOIN s0bucket USING (vec_id), q
-WHERE s0bucket.bucket IN (SELECT bucket FROM s0probes)
-ORDER BY cosine DESC, vec_id
+{joins}, q
+WHERE {cond}
+ORDER BY cosine DESC, emb.vec_id
 LIMIT {k}
 """
 
@@ -749,13 +805,14 @@ LIMIT {k}
 
 def duck_recall_sql(
     dim: int, k: int = 10, n_bits: int = 6, n_cells: int = 8,
-    n_probe: int = 2,
+    n_probe: int = 2, n_tables: int = 2, n_flip: int = 3,
 ) -> str:
     """Full oracle for :func:`ann_recall_stats` (query = vec_id 0,
     excluded everywhere)."""
     cos = _DUCK_COS.format(a="e", b="qv")
-    return f"""WITH {duck_vq_cte(dim)},{duck_srp_ctes(n_bits, dim, 0, "s0")},
-{duck_srp_probe_ctes(n_bits, "s0")},{duck_ivf_ctes(n_cells)},
+    ctes, joins, cond = _duck_srp_multitable(n_bits, dim, n_tables, n_flip)
+    joins = joins.replace("emb.vec_id", "ev.vec_id")
+    return f"""WITH {duck_vq_cte(dim)}{ctes},{duck_ivf_ctes(n_cells)},
   probe AS (SELECT cell_id FROM qcell LIMIT {n_probe}),
   q AS (SELECT {_DUCK_E} AS qv FROM embeddings WHERE vec_id = 0),
   ev AS (SELECT vec_id, {_DUCK_E} AS e FROM embeddings),
@@ -763,8 +820,9 @@ def duck_recall_sql(
     SELECT vec_id FROM ev, q WHERE vec_id != 0
     ORDER BY {cos} DESC, vec_id LIMIT {k}
   ), srp_k AS (
-    SELECT ev.vec_id FROM ev JOIN s0bucket USING (vec_id), q
-    WHERE s0bucket.bucket IN (SELECT bucket FROM s0probes)
+    SELECT ev.vec_id FROM ev
+    {joins}, q
+    WHERE ({cond})
       AND ev.vec_id != 0
     ORDER BY {cos} DESC, ev.vec_id LIMIT {k}
   ), ivf_k AS (
@@ -788,8 +846,8 @@ SELECT CAST({k} AS INT) AS k,
 
 def ann_recall_stats(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
-    n_bits: int = 6, n_flip: int = 2, n_cells: int = 8, n_probe: int = 2,
-    exclude_id: int | None = None,
+    n_bits: int = 6, n_flip: int = 3, n_cells: int = 8, n_probe: int = 2,
+    n_tables: int = 2, exclude_id: int | None = None,
 ) -> DataFrame:
     """Recall@k of the SRP-probed and IVF-probed searches against the
     exact cosine top-k — one summary row. The honest quality gate the
@@ -798,7 +856,7 @@ def ann_recall_stats(
     exact = cosine_topk(embeddings, query_vec, k, exclude_id=exclude_id)
     srp = srp_bucketed_topk(
         embeddings, query_vec, k, n_bits=n_bits, n_flip=n_flip,
-        exclude_id=exclude_id,
+        n_tables=n_tables, exclude_id=exclude_id,
     )
     ivf = ivf_probe_topk(
         embeddings, query_vec, k, n_cells=n_cells, n_probe=n_probe,

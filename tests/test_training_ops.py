@@ -341,6 +341,31 @@ class TestAnnRecall:
         assert row["srp_recall"] >= 0.9, row
         assert row["ivf_recall"] >= 0.9, row
 
+    def test_srp_recall_on_isotropic_testdata(self, spark):
+        """Round-2 verdict item #2 'done' gate: the multi-table probe
+        budget (2 tables × 6 bits × 3 flips) must recall ≥ 0.5 of the
+        exact top-10 even on the near-isotropic sf0.1 testdata — the
+        ANN-hostile regime where the round-2 single-table config
+        scored 0.0."""
+        from pdf_extractor_spark.functions.similarity import (
+            ann_recall_stats,
+        )
+
+        emb01 = spark.read.parquet(
+            "/root/testdata/sf0.1/embeddings.parquet"
+        )
+        qvec = [
+            float(v)
+            for v in emb01.where("vec_id = 0")
+            .select("embedding").first()[0]
+        ]
+        row = ann_recall_stats(
+            emb01, qvec, k=10, n_bits=6, n_flip=3, n_cells=8,
+            n_probe=2, n_tables=2, exclude_id=0,
+        ).collect()[0]
+        assert row["srp_recall"] >= 0.5, row
+        assert row["ivf_recall"] >= 0.9, row
+
     def test_srp_probe_actually_prunes(self, clustered):
         from pdf_extractor_spark.functions.similarity import (
             srp_bucket_col,
