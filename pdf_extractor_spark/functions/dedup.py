@@ -496,16 +496,25 @@ ORDER BY doc_a, doc_b
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates only: the scale-safe
-    two-stage shape (cheap LSH recall → exact precision on survivors)."""
+    two-stage shape (cheap LSH recall → exact precision on survivors).
+
+    The verify join intersects the distinct 60-bit SHINGLE-HASH arrays
+    (``hs``, the same base hashes the minhash stage already computes),
+    not the raw shingle strings — identical Jaccard (a within-doc or
+    cross-doc collision needs two distinct shingles sharing a 60-bit
+    md5 prefix, ~2⁻⁶⁰), at ~1/10 the shuffled bytes, preserving the
+    "only hashes ever shuffle" invariant end-to-end (round-2 verdict
+    item #6)."""
     # materialized once: the frame feeds BOTH sides of the verify join
     # below, and Catalyst would otherwise re-run the shingling scan
     # per side (common subplans are not deduplicated) — one RDD is
     # shared by both join branches instead
     shingle_sets = (
         _with_shingles(docs)
+        .withColumn("hs", F.expr(_SHINGLE_H))
         .select(
             "doc_id",
-            F.array_distinct(F.col("shingles")).alias("sh"),
+            F.array_distinct(F.col("hs")).alias("sh"),
         )
         .localCheckpoint(eager=False)
     )
@@ -646,23 +655,31 @@ def connected_components(
     the minimum doc_id in the component — the canonical-representative
     step that turns near-dup PAIRS into dedup DECISIONS.
 
-    Implementation: distributed min-label propagation. Each round
-    joins current labels onto the symmetric edge list, takes the
-    neighborhood minimum, and lowers each node's label
-    (``least(own, min(neighbors))``); labels decrease monotonically,
-    so the cheap scalar ``sum(label)`` is a convergence certificate
-    (unchanged sum ⇔ fixpoint — no per-row old/new comparison join).
-    Rounds needed = graph diameter. Near-dup graphs are unions of
-    near-cliques (tiny diameter), so this converges in 2-4 rounds;
-    for adversarial long-path graphs the log-round large-star/
-    small-star variant (Kiveris et al., "Connected Components in
-    MapReduce") swaps in behind the same signature.
+    Implementation: distributed min-label propagation WITH pointer
+    jumping (round-2 verdict item #5). Each round (a) joins current
+    labels onto the symmetric edge list and lowers each node's label
+    to ``least(own, min(neighbors))``, then (b) shortcuts
+    ``label ← label(label)`` — the path-doubling step of the
+    MapReduce-CC family (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): label chains halve every round,
+    so convergence is O(log diameter) rounds, not O(diameter) — a
+    100-node path graph resolves in ~8 rounds instead of 99 (plain
+    propagation hit the round-2 ``max_iter`` wall there). Labels are
+    node ids and decrease monotonically under both steps
+    (label(m) ≤ m for every m), so the single scalar ``sum(label)``
+    remains a convergence certificate: unchanged sum ⇔ no label moved
+    ⇔ labels constant across every edge ⇔ fixpoint at the component
+    minimum.
 
-    Scale notes: every round is one equi-join on doc_id + one hash
-    aggregate — both AQE-eligible; ``localCheckpoint`` truncates the
-    iterative lineage so the plan doesn't grow by two joins per round
-    (the classic iterative-DataFrame trap). Labels are (id, long)
-    pairs — document text never enters the loop."""
+    Driver actions: ONE per round — the certificate aggregate doubles
+    as the job that materializes the round's lazy ``localCheckpoint``
+    (round 2 paid a separate eager-checkpoint job plus the
+    certificate, two actions/round). ``localCheckpoint`` truncates
+    the iterative lineage so the plan doesn't grow by three joins per
+    round (the classic iterative-DataFrame trap). Every round is two
+    equi-joins on bigint keys + one hash aggregate — AQE-eligible;
+    labels are (id, long) pairs — document text never enters the
+    loop."""
     # materialize the edge list ONCE, *before* the symmetric union —
     # the union's two branches are separate subplans, so without a
     # checkpoint here the entire upstream pair pipeline (LSH + exact-
@@ -695,7 +712,7 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        prop = (
             labels.join(nmin, labels.id == nmin.dst, "left")
             .select(
                 "id",
@@ -703,8 +720,30 @@ def connected_components(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: feeds BOTH sides of the jump self-join below;
+            # without it Catalyst re-runs the propagation join per
+            # side (computed once + block-cached within the round's
+            # single certificate action)
+            .localCheckpoint(eager=False)
         )
+        # pointer jump: label ← label(label). Every label value IS a
+        # node id present in `prop` (labels start as own ids and only
+        # ever adopt other nodes' labels), so the self-join always
+        # matches; "left" is belt-and-braces.
+        jump = prop.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        labels = (
+            prop.join(jump, prop.label == jump.pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("plabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # the certificate action also materializes the lazy checkpoint
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True
@@ -713,11 +752,12 @@ def connected_components(
     if not converged:
         # returning intermediate labels would silently split one true
         # cluster into several (duplicates RETAINED by the resolve
-        # step) — fail loudly; a graph with diameter > max_iter needs
-        # the log-round large-star/small-star variant
+        # step) — fail loudly; with path doubling this needs diameter
+        # > 2^max_iter, i.e. it cannot fire on any physical graph —
+        # kept as an invariant guard
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            "rounds (graph diameter exceeds max_iter)"
+            "rounds (graph diameter exceeds 2^max_iter)"
         )
     return labels.select("id", F.col("label").alias("component"))
 
@@ -767,7 +807,9 @@ def duck_cluster_sql(
     FROM bandkeys a JOIN bandkeys b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
   ),
-  shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM base),
+  shd AS (SELECT doc_id, list_distinct(list_transform(sh,
+            s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS sh
+          FROM base),
   jp AS (
     SELECT doc_a, doc_b FROM (
       SELECT p.doc_a, p.doc_b,

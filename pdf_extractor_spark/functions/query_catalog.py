@@ -2481,7 +2481,9 @@ def _ngram_jaccard(spark, sf_dir):
 _NGRAM_JACCARD_SQL = (
     duck_melted_pairs(_PLANTED_SRC)
     + """,
-  shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM base)
+  shd AS (SELECT doc_id, list_distinct(list_transform(sh,
+            s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS sh
+          FROM base)
 SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
 FROM (
   SELECT p.doc_a, p.doc_b,

@@ -109,6 +109,29 @@ class TestDedupShapes:
         assert shuffle_keys  # there are shuffles...
         assert "text#" not in shuffle_keys  # ...but never on text
 
+    def test_jaccard_verify_join_never_ships_text_or_shingles(self, spark):
+        """Round-2 verdict item #6: the exact-Jaccard verify join must
+        ship 60-bit shingle-HASH arrays, never raw shingle strings —
+        no string-array column crosses any exchange in the verify
+        pipeline (hash arrays are array<bigint>)."""
+        from pdf_extractor_spark.functions.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = ngram_jaccard_pairs(docs, threshold=0.7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffle_keys = "".join(
+            re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        )
+        assert shuffle_keys
+        # the shingling happens behind the checkpoint boundary: the
+        # executed verify plan references NO text or shingle-string
+        # column anywhere — its only wide inputs are (doc_id, band*)
+        # signatures and (doc_id, sh:array<bigint>) hash sets
+        assert "text#" not in plan
+        assert "shingles#" not in plan
+
     @pytest.mark.parametrize(
         "name", ["dedup_exact", "dedup_minhash_signatures"]
     )
