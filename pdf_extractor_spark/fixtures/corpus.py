@@ -302,6 +302,49 @@ def _pdf_rotated() -> bytes:
 
 # ------------------------------------------------------------ HTML cases
 
+def _encrypted_pages() -> list[PageSpec]:
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put(72, 170, 12, _BODY_JA[0])
+    p.put_words(72, 200, 12,
+                ["readable", "after", "standard", "security", "decrypt"])
+    return [p]
+
+
+def _pdf_encrypted_rc4() -> bytes:
+    """RC4-128 standard security, empty user password (the dominant
+    owner-restricted-but-readable web case) — tokenizer must decrypt
+    and extract identically to the unencrypted twin."""
+    return build_pdf(_encrypted_pages(), compress=True, encrypt="rc4-128")
+
+
+def _pdf_encrypted_aes() -> bytes:
+    """AES-128 (/V 4 /CFM /AESV2) variant of the same page."""
+    return build_pdf(_encrypted_pages(), compress=True, encrypt="aes-128")
+
+
+def _pdf_tounicode() -> bytes:
+    """Custom-encoded fonts: a simple font whose 1-byte codes decode
+    through a /ToUnicode CMap (bfchar incl. multi-char ligature dst +
+    scalar bfrange) and a Type0 CID font with a 2-byte CMap."""
+    p = PageSpec()
+    p.put_words(72, 100, 12, ["standard", "winansi", "words", "first"])
+    p.put_codes(72, 130, 12, b"ABC")        # bfchar -> "Map"
+    p.put_codes(140, 130, 12, b"D")         # ligature dst -> "fi"
+    p.put_codes(200, 130, 12, b"abcde")     # bfrange -> "ABCDE"
+    p.put_codes(
+        72, 160, 12, b"\x00\x01\x00\x02\x00\x03", font="F4",
+        hex_show=True,                       # CID cmap -> 日本語
+    )
+    p.put_words(72, 190, 12, ["closing", "plain", "line", "here"])
+    return build_pdf(
+        [p],
+        tounicode_chars={0x41: "M", 0x42: "a", 0x43: "p", 0x44: "fi"},
+        tounicode_ranges=[(0x61, 0x7A, "A")],
+        cid_tounicode_chars={0x0001: "日", 0x0002: "本", 0x0003: "語"},
+    )
+
+
 def _html_article() -> bytes:
     return (
         "<html><head><title>Article</title><style>p{margin:0}</style></head>"
@@ -401,6 +444,9 @@ _PDF_CASES = {
     "pdf-empty-page": _pdf_empty_page,
     "pdf-scanned": _pdf_scanned,
     "pdf-rotated": _pdf_rotated,
+    "pdf-encrypted-rc4": _pdf_encrypted_rc4,
+    "pdf-encrypted-aes": _pdf_encrypted_aes,
+    "pdf-tounicode": _pdf_tounicode,
 }
 
 _HTML_CASES = {
@@ -422,6 +468,8 @@ _CASE_LANG = {
     "pdf-table": "en", "pdf-zorder": "en", "pdf-ocr-confusions": "en",
     "pdf-mixed-spacing": "mixed", "pdf-join-lines": "mixed",
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
+    "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
+    "pdf-tounicode": "mixed",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

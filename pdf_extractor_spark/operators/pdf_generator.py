@@ -27,12 +27,19 @@ LETTER_H = 792.0
 @dataclass
 class TextOp:
     """One text-showing operation: place ``text`` at baseline (x, y)
-    in PDF coordinates (origin bottom-left) at ``size`` pt."""
+    in PDF coordinates (origin bottom-left) at ``size`` pt.
+
+    ``font`` forces a specific resource name (e.g. the ToUnicode
+    fixture fonts F3/F4); ``text`` then carries RAW CODE bytes as a
+    latin-1 string, shown as a literal (1-byte codes) or hex string
+    (``hex_show``, 2-byte CID codes)."""
 
     x: float
     y: float
     size: float
     text: str
+    font: str | None = None
+    hex_show: bool = False
 
 
 @dataclass
@@ -65,6 +72,22 @@ class PageSpec:
             cx += text_advance(w, size) + gap
         return cx
 
+    def put_codes(
+        self, x: float, y_top: float, size: float, codes: bytes,
+        font: str = "F3", hex_show: bool = False,
+    ) -> None:
+        """Place raw font CODE bytes under a named font resource (the
+        ToUnicode fixture fonts) — what the codes render as is decided
+        by the font's CMap, not by this writer."""
+        baseline = self.height - y_top - 0.8 * size
+        self.ops.append(
+            TextOp(
+                x=x, y=baseline, size=size,
+                text=codes.decode("latin-1"), font=font,
+                hex_show=hex_show,
+            )
+        )
+
 
 def _is_ascii(text: str) -> bool:
     return all(ord(c) < 128 for c in text)
@@ -77,7 +100,15 @@ def _escape_literal(text: str) -> str:
 def _content_stream(page: PageSpec) -> bytes:
     parts: list[str] = []
     for op in page.ops:
-        if _is_ascii(op.text):
+        if op.font is not None:
+            font = "/" + op.font
+            if op.hex_show:
+                shown = "<{}>".format(
+                    op.text.encode("latin-1").hex().upper()
+                )
+            else:
+                shown = f"({_escape_literal(op.text)})"
+        elif _is_ascii(op.text):
             font, shown = "/F1", f"({_escape_literal(op.text)})"
         else:
             hexs = op.text.encode("utf-16-be").hex().upper()
@@ -88,9 +119,88 @@ def _content_stream(page: PageSpec) -> bytes:
     return ("\n".join(parts)).encode("latin-1", errors="strict")
 
 
+def _cmap_stream(
+    chars: dict[int, str] | None,
+    ranges: list[tuple[int, int, str]] | None,
+    two_byte: bool,
+) -> bytes:
+    """Serialize a /ToUnicode CMap (Adobe CMap syntax, ISO 32000
+    §9.10.3): bfchar entries from ``chars``, scalar-form bfrange
+    entries from ``ranges`` (lo, hi, start-string)."""
+    cw = 4 if two_byte else 2
+    space = "<0000> <FFFF>" if two_byte else "<00> <FF>"
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /FixtureToUnicode def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        space,
+        "endcodespacerange",
+    ]
+    if chars:
+        lines.append(f"{len(chars)} beginbfchar")
+        for code in sorted(chars):
+            dst = chars[code].encode("utf-16-be").hex().upper()
+            lines.append(f"<{code:0{cw}X}> <{dst}>")
+        lines.append("endbfchar")
+    if ranges:
+        lines.append(f"{len(ranges)} beginbfrange")
+        for lo, hi, start in ranges:
+            dst = start.encode("utf-16-be").hex().upper()
+            lines.append(f"<{lo:0{cw}X}> <{hi:0{cw}X}> <{dst}>")
+        lines.append("endbfrange")
+    lines += ["endcmap", "CMap defined", "end", "end"]
+    return "\n".join(lines).encode("latin-1")
+
+
+# deterministic fixture file identifier (any value works — the id is
+# just salt in the key derivation; fixed for byte-stable fixtures)
+_FIXTURE_ID = bytes.fromhex("0123456789abcdef0123456789abcdef")
+_FIXTURE_P = -44  # typical owner-restricted permission bits
+
+_ENCRYPT_MODES = {
+    # mode: (V, R, key bits, aes)
+    "rc4-40": (1, 2, 40, False),
+    "rc4-128": (2, 3, 128, False),
+    "aes-128": (4, 4, 128, True),
+}
+
+
+def _encrypt_setup(mode: str):
+    """Standard-security parameters for an EMPTY user/owner password
+    fixture: returns (file_key, aes, encrypt-dict bytes)."""
+    from . import pdf_crypt
+
+    v, r, bits, aes = _ENCRYPT_MODES[mode]
+    o = pdf_crypt.compute_o_entry(b"", b"", r, bits)
+    sec = pdf_crypt.StdSecurity(
+        v=v, r=r, length=bits, p=_FIXTURE_P, o=o, u=b"\x00" * 32,
+        id0=_FIXTURE_ID, aes=aes,
+    )
+    key = pdf_crypt.compute_file_key(sec, b"")
+    u = pdf_crypt.compute_u_entry(key, r, _FIXTURE_ID)
+    cf = (
+        " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+        "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        if aes
+        else ""
+    )
+    enc_dict = (
+        f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
+        f"/P {_FIXTURE_P} /O <{o.hex().upper()}> "
+        f"/U <{u.hex().upper()}>{cf} >>"
+    ).encode("latin-1")
+    return key, aes, enc_dict
+
+
 def build_pdf(
     pages: list[PageSpec], compress: bool = False,
-    xref_stream: bool = False,
+    xref_stream: bool = False, encrypt: str | None = None,
+    tounicode_chars: dict[int, str] | None = None,
+    tounicode_ranges: list[tuple[int, int, str]] | None = None,
+    cid_tounicode_chars: dict[int, str] | None = None,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -102,13 +212,43 @@ def build_pdf(
     write: dictionary objects packed into a Flate ``/ObjStm`` and a
     binary ``/Type /XRef`` cross-reference stream (W [1 4 2], Flate +
     PNG Up predictor) instead of the classic xref table — exercises
-    the tokenizer's §7.5.7/§7.5.8 paths end to end."""
+    the tokenizer's §7.5.7/§7.5.8 paths end to end.
+
+    ``encrypt`` ∈ {"rc4-40", "rc4-128", "aes-128"} writes a
+    standard-security document with EMPTY user and owner passwords
+    (the owner-restricted-but-readable layout that dominates real
+    crawls) — content streams encrypted per-object (ISO 32000 §7.6.2,
+    encryption OUTSIDE the Flate filter), deterministic IVs for AES.
+    Exercises the tokenizer's :mod:`.pdf_crypt` path end to end.
+
+    ``tounicode_chars``/``tounicode_ranges`` add a simple font /F3
+    whose 1-byte codes decode through a /ToUnicode CMap;
+    ``cid_tounicode_chars`` adds a /Type0 font /F4 with 2-byte codes
+    and its own CMap — show raw codes with
+    :meth:`PageSpec.put_codes`. Exercises the tokenizer's §9.10.3
+    CMap path."""
     if xref_stream:
+        if encrypt or tounicode_chars or tounicode_ranges or \
+                cid_tounicode_chars:
+            raise ValueError(
+                "encrypt/tounicode supported on the classic layout only"
+            )
         return _build_pdf_xref_stream(pages, compress)
+    enc_key, enc_aes, enc_dict = (None, False, b"")
+    if encrypt is not None:
+        enc_key, enc_aes, enc_dict = _encrypt_setup(encrypt)
     # object numbering: 1=catalog, 2=pages, 3=/F1, 4=/F2,
+    # [5=/F3 6=its CMap] [7=/F4 8=its CMap],
     # then per page: page object, content object.
     objs: dict[int, bytes] = {}
+    font_refs = {"F1": 3, "F2": 4}
     n_fixed = 4
+    if tounicode_chars or tounicode_ranges:
+        font_refs["F3"] = n_fixed + 1
+        n_fixed += 2
+    if cid_tounicode_chars:
+        font_refs["F4"] = n_fixed + 1
+        n_fixed += 2
     page_ids = []
     next_id = n_fixed + 1
     for p in pages:
@@ -122,11 +262,23 @@ def build_pdf(
 
             stream = zlib.compress(stream, 9)
             filt = " /Filter /FlateDecode"
+        if enc_key is not None:
+            import hashlib
+
+            from . import pdf_crypt
+
+            iv = hashlib.md5(f"fixture-iv:{content_id}".encode()).digest()
+            stream = pdf_crypt.encrypt_object_bytes(
+                enc_aes, enc_key, content_id, 0, stream, iv=iv
+            )
         rotate = f" /Rotate {p.rotate}" if p.rotate else ""
+        font_dict = " ".join(
+            f"/{name} {oid} 0 R" for name, oid in font_refs.items()
+        )
         objs[page_id] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {p.width:g} "
             f"{p.height:g}]{rotate} /Contents {content_id} 0 R "
-            f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> >>"
+            f"/Resources << /Font << {font_dict} >> >> >>"
         ).encode("latin-1")
         objs[content_id] = (
             f"<< /Length {len(stream)}{filt} >>\nstream\n".encode("latin-1")
@@ -147,6 +299,56 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
         b"/Encoding /Identity-H >>"
     )
+    def _maybe_encrypt(oid: int, stream: bytes) -> bytes:
+        # every stream in an encrypted document is encrypted — the
+        # ToUnicode CMaps included (ISO 32000 §7.6.1)
+        if enc_key is None:
+            return stream
+        import hashlib
+
+        from . import pdf_crypt
+
+        iv = hashlib.md5(f"fixture-iv:{oid}".encode()).digest()
+        return pdf_crypt.encrypt_object_bytes(
+            enc_aes, enc_key, oid, 0, stream, iv=iv
+        )
+
+    if "F3" in font_refs:
+        fid, cid = font_refs["F3"], font_refs["F3"] + 1
+        cstream = _maybe_encrypt(
+            cid, _cmap_stream(tounicode_chars, tounicode_ranges, False)
+        )
+        objs[fid] = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /FixtureCustom "
+            f"/ToUnicode {cid} 0 R >>"
+        ).encode("latin-1")
+        objs[cid] = (
+            f"<< /Length {len(cstream)} >>\nstream\n".encode("latin-1")
+            + cstream
+            + b"\nendstream"
+        )
+    if "F4" in font_refs:
+        fid, cid = font_refs["F4"], font_refs["F4"] + 1
+        cstream = _maybe_encrypt(
+            cid, _cmap_stream(cid_tounicode_chars, None, True)
+        )
+        objs[fid] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID "
+            f"/Encoding /Identity-H /ToUnicode {cid} 0 R >>"
+        ).encode("latin-1")
+        objs[cid] = (
+            f"<< /Length {len(cstream)} >>\nstream\n".encode("latin-1")
+            + cstream
+            + b"\nendstream"
+        )
+    encrypt_ref = ""
+    if encrypt is not None:
+        enc_id = next_id
+        objs[enc_id] = enc_dict
+        idhex = _FIXTURE_ID.hex().upper()
+        encrypt_ref = (
+            f" /Encrypt {enc_id} 0 R /ID [<{idhex}> <{idhex}>]"
+        )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
@@ -163,7 +365,7 @@ def build_pdf(
     for oid in range(1, n_objs):
         out += f"{offsets[oid]:010d} 00000 n \n".encode("latin-1")
     out += (
-        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R{encrypt_ref} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode("latin-1")
     return bytes(out)

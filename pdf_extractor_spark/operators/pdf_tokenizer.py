@@ -3,9 +3,12 @@
 From-scratch replacement for the reference's pdfplumber dependency
 (S2/P1 in SURVEY.md §2.1-2.2; reference call sites
 ``extractor.py:101,164-169``): xref/trailer parse → object resolution →
-page-tree walk → content-stream token scan (``BT/ET Tf Td TD Tm Tj TJ``)
-→ glyph-to-Unicode decode (literal≈WinAnsi, hex=UTF-16BE/Identity-H) →
-word boxes with coordinates + font size.
+standard-security decryption (RC4-40/128 + AES-128, empty user
+password — :mod:`.pdf_crypt`) → page-tree walk → content-stream token
+scan (``BT/ET Tf Td TD Tm Tj TJ``) → glyph-to-Unicode decode
+(``/ToUnicode`` bfchar/bfrange CMaps when a font carries one, else
+literal≈WinAnsi, hex=UTF-16BE/Identity-H) → word boxes with
+coordinates + font size.
 
 Coordinates follow the reader convention the reference's word boxes use
 (pdfplumber-style): ``top``/``bottom`` measured from the page TOP edge,
@@ -162,17 +165,18 @@ def _parse_xref_stream_chain(
     return offsets, in_objstm
 
 
-def _objstm_members(body: bytes) -> dict[int, bytes]:
+def _objstm_members(body: bytes, transform=None) -> dict[int, bytes]:
     """Extract the member objects of an OBJECT STREAM (``/Type
     /ObjStm`` — ISO 32000 §7.5.7): the decoded payload starts with
     ``/N`` (obj-id, offset) integer pairs; offsets are relative to
     ``/First``. Members are bare object bodies (no ``N 0 obj``
-    header)."""
+    header). ``transform`` decrypts the raw stream payload (members
+    themselves are never individually encrypted — §7.6.1)."""
     n = _dict_int(body, b"N")
     first = _dict_int(body, b"First")
     if n is None or first is None:
         raise ValueError("ObjStm missing /N or /First")
-    payload = _stream_bytes(body)
+    payload = _stream_bytes(body, transform)
     header = payload[:first].split()
     pairs = [
         (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
@@ -325,13 +329,15 @@ def _apply_predictor(data: bytes, parms: dict[bytes, int]) -> bytes:
     return bytes(out)
 
 
-def _stream_bytes(body: bytes) -> bytes:
+def _stream_bytes(body: bytes, transform=None) -> bytes:
     """Extract (and decode) a stream.
 
     When the stream dict carries a direct ``/Length``, slice exactly
     that many bytes — binary (Flate) data may legitimately end in 0x0A,
     so the trailing-newline heuristic is only used as the fallback for
-    length-less dicts. The decode pipeline applies ``/Filter`` chains
+    length-less dicts. ``transform`` (per-object decryption, ISO 32000
+    §7.6.2) applies to the raw slice BEFORE filters — encryption wraps
+    the encoded bytes. The decode pipeline applies ``/Filter`` chains
     (Flate / ASCIIHex / ASCII85) with per-filter ``/DecodeParms``
     TIFF/PNG predictors; raster codecs raise (→ U3 corruption error).
     """
@@ -354,6 +360,8 @@ def _stream_bytes(body: bytes) -> bytes:
         # the generator writes ...stream\n<data>\nendstream
         if out.endswith(b"\n"):
             out = out[:-1]
+    if transform is not None:
+        out = transform(out)
     for name, parms in _parse_filter_chain(head):
         if name not in _SUPPORTED_FILTERS:
             raise ValueError(f"unsupported stream filter {name!r}")
@@ -438,6 +446,125 @@ def _decode_hex(tok: bytes) -> str:
         except UnicodeDecodeError:
             pass
     return raw.decode("latin-1")
+
+
+# -------------------------------------------------- /ToUnicode CMaps
+
+def _string_token_bytes(tok: bytes) -> bytes:
+    """Raw code bytes of a shown-string token (literal or hex) —
+    the input to a font's code→Unicode map."""
+    if tok[:1] == b"(":
+        # _decode_literal resolves escapes to chars ≤ 0xFF; latin-1
+        # encodes back to the exact code bytes
+        return _decode_literal(tok).encode("latin-1")
+    hexs = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(<[0-9A-Fa-f]+>|\[[^\]]*\])"
+)
+
+
+def _utf16be_hex_to_str(h: bytes) -> str:
+    if len(h) % 4:
+        h = h.ljust((len(h) + 3) // 4 * 4, b"0")
+    return bytes.fromhex(h.decode("ascii")).decode(
+        "utf-16-be", errors="replace"
+    )
+
+
+def _parse_cmap_stream(payload: bytes) -> dict[int, str]:
+    """Parse ``beginbfchar``/``beginbfrange`` sections of a
+    ``/ToUnicode`` CMap (ISO 32000 §9.10.3; round-2 verdict item #4)
+    into a code→Unicode map. Destination values are UTF-16BE; the
+    array form of bfrange enumerates per-code destinations, the
+    scalar form increments the LAST code unit (Adobe CMap spec
+    semantics, valid within a 256-code block)."""
+    mapping: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(payload):
+        for m in _HEXPAIR_RE.finditer(sec.group(1)):
+            mapping[int(m.group(1), 16)] = _utf16be_hex_to_str(m.group(2))
+    for sec in _BFRANGE_RE.finditer(payload):
+        for m in _RANGE_RE.finditer(sec.group(1)):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            dst = m.group(3)
+            if dst[:1] == b"[":
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for i, d in enumerate(dsts[: hi - lo + 1]):
+                    mapping[lo + i] = _utf16be_hex_to_str(d)
+            else:
+                h = dst[1:-1]
+                if len(h) % 4:
+                    h = h.ljust((len(h) + 3) // 4 * 4, b"0")
+                base = bytes.fromhex(h.decode("ascii"))
+                prefix, last = base[:-2], int.from_bytes(base[-2:], "big")
+                for c in range(lo, hi + 1):
+                    mapping[c] = (prefix + (last + c - lo).to_bytes(
+                        2, "big"
+                    )).decode("utf-16-be", errors="replace")
+    return mapping
+
+
+_FONT_ENTRY_RE = re.compile(rb"/([A-Za-z0-9_.]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _page_fonts(
+    body: bytes, bodies: dict[int, bytes], dec
+) -> dict[str, tuple[dict[int, str] | None, int]]:
+    """Resolve a page's ``/Resources /Font`` dict into
+    ``{name: (tounicode_map | None, code_width)}`` — code width 2 for
+    ``/Type0`` (CID) fonts, 1 for simple fonts. Fonts without a
+    ``/ToUnicode`` CMap keep a None map and decode through the
+    WinAnsi≈latin-1 / UTF-16BE default paths, byte-identical to the
+    pre-CMap tokenizer."""
+    fonts: dict[str, tuple[dict[int, str] | None, int]] = {}
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+    if rm:
+        res = bodies.get(int(rm.group(1)), b"")
+    else:
+        i = body.find(b"/Resources")
+        res = body[i:] if i >= 0 else b""
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.DOTALL)
+    if not fm:
+        return fonts
+    for m in _FONT_ENTRY_RE.finditer(fm.group(1)):
+        name, fid = m.group(1).decode("latin-1"), int(m.group(2))
+        fbody = bodies.get(fid)
+        if fbody is None:
+            continue
+        width = 2 if b"/Type0" in fbody else 1
+        cmap = None
+        tu = _dict_ref(fbody, b"ToUnicode")
+        if tu is not None and tu in bodies:
+            try:
+                cmap = _parse_cmap_stream(
+                    _stream_bytes(bodies[tu], dec(tu) if dec else None)
+                )
+            except Exception:
+                cmap = None  # unreadable CMap → default decode paths
+        fonts[name] = (cmap, width)
+    return fonts
+
+
+def _decode_with_cmap(tok: bytes, cmap: dict[int, str], width: int) -> str:
+    """Decode a shown string through a font's ToUnicode map; unmapped
+    codes fall back to their identity code point (deterministic)."""
+    raw = _string_token_bytes(tok)
+    if width == 2 and len(raw) % 2:
+        raw += b"\x00"
+    out: list[str] = []
+    for i in range(0, len(raw), width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        s = cmap.get(code)
+        out.append(chr(code) if s is None else s)
+    return "".join(out)
 
 
 @lru_cache(maxsize=1 << 16)
@@ -560,12 +687,26 @@ def _parse_simple_blocks(
 
 
 def _parse_content(
-    stream: bytes, height: float, page_no: int
+    stream: bytes, height: float, page_no: int,
+    fonts: dict[str, tuple[dict[int, str] | None, int]] | None = None,
 ) -> pd.DataFrame:
-    if stream.lstrip()[:5].startswith(b"BT"):
+    has_cmaps = fonts is not None and any(
+        c is not None for c, _w in fonts.values()
+    )
+    if not has_cmaps and stream.lstrip()[:5].startswith(b"BT"):
+        # the fast path ignores Tf font selection, so it is only valid
+        # when no font on the page carries a ToUnicode map
         fast = _parse_simple_blocks(stream, height, page_no)
         if fast is not None:
             return fast
+    cur_cmap: dict[int, str] | None = None
+    cur_width = 1
+
+    def decode_tok(s: bytes) -> str:
+        if cur_cmap is not None:
+            return _decode_with_cmap(s, cur_cmap, cur_width)
+        return _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
+
     rows = _WordSink()
     size = 12.0
     leading = 0.0          # TL / TD-set text leading (for T*, ', ")
@@ -598,6 +739,10 @@ def _parse_content(
             stack.clear()
         elif tok == b"Tf" and len(stack) >= 2:
             size = float(stack[-1])
+            if has_cmaps and stack[-2][:1] == b"/":
+                cur_cmap, cur_width = (fonts or {}).get(
+                    stack[-2][1:].decode("latin-1"), (None, 1)
+                )
             stack.clear()
         elif tok in (b"Td", b"TD") and len(stack) >= 2:
             if tok == b"TD":      # TD also SETS leading = -ty (ISO
@@ -619,8 +764,7 @@ def _parse_content(
             stack.clear()
         elif tok == b"Tj" and stack:
             s = stack[-1]
-            text = _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
-            x = _emit_words(text, x, y, size, height, rows)
+            x = _emit_words(decode_tok(s), x, y, size, height, rows)
             stack.clear()
         elif tok in (b"'", b'"') and stack:
             # move-to-next-line-and-show (the " form also carries
@@ -629,20 +773,13 @@ def _parse_content(
             if s[:1] in (b"(", b"<"):
                 ly -= leading
                 x, y = lx, ly
-                text = (
-                    _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
-                )
-                x = _emit_words(text, x, y, size, height, rows)
+                x = _emit_words(decode_tok(s), x, y, size, height, rows)
             stack.clear()
         elif tok == b"TJ":
             for item in in_array:
-                if item[:1] == b"(":
+                if item[:1] in (b"(", b"<"):
                     x = _emit_words(
-                        _decode_literal(item), x, y, size, height, rows,
-                    )
-                elif item[:1] == b"<":
-                    x = _emit_words(
-                        _decode_hex(item), x, y, size, height, rows,
+                        decode_tok(item), x, y, size, height, rows,
                     )
                 else:  # kerning adjustment, thousandths of em
                     x -= float(item) / 1000.0 * size
@@ -657,20 +794,101 @@ def _parse_content(
 
 # --------------------------------------------------------------- parse
 
-_ENCRYPT_REF = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_ENCRYPT_REF = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
 
 
-def _is_encrypted(data: bytes, bodies: dict[int, bytes]) -> bool:
-    """True iff a classic ``trailer`` dict (last occurrence) or an
-    xref-stream object's dict carries an ``/Encrypt`` reference."""
+def _find_encrypt_ref(data: bytes, bodies: dict[int, bytes]) -> int | None:
+    """Object id of the ``/Encrypt`` dictionary, from the classic
+    ``trailer`` dict (last occurrence) or an xref-stream object's
+    dict; None when the document is unencrypted."""
     t = data.rfind(b"trailer")
-    if t != -1 and _ENCRYPT_REF.search(data[t : t + 1024]):
-        return True
+    if t != -1:
+        m = _ENCRYPT_REF.search(data[t : t + 1024])
+        if m:
+            return int(m.group(1))
     for body in bodies.values():
         head = body.split(b"stream", 1)[0]
-        if b"/XRef" in head and _ENCRYPT_REF.search(head):
-            return True
-    return False
+        if b"/XRef" in head:
+            m = _ENCRYPT_REF.search(head)
+            if m:
+                return int(m.group(1))
+    return None
+
+
+def _find_file_id(data: bytes, bodies: dict[int, bytes]) -> bytes:
+    """First ``/ID`` identifier string (trailer or xref-stream dict);
+    empty when absent (tolerated — some writers omit it)."""
+    t = data.rfind(b"trailer")
+    if t != -1:
+        m = _ID_RE.search(data[t : t + 1024])
+        if m:
+            return bytes.fromhex(
+                re.sub(rb"\s", b"", m.group(1)).decode("ascii")
+            )
+    for body in bodies.values():
+        head = body.split(b"stream", 1)[0]
+        if b"/XRef" in head:
+            m = _ID_RE.search(head)
+            if m:
+                return bytes.fromhex(
+                    re.sub(rb"\s", b"", m.group(1)).decode("ascii")
+                )
+    return b""
+
+
+def _build_decryptor(data: bytes, bodies: dict[int, bytes], doc: "PdfDoc"):
+    """Resolve the document's encryption state (round-2 verdict item
+    #3). Returns a per-object transform factory
+    ``dec(oid) -> (raw -> plain)`` or None, appending the appropriate
+    error/info row:
+
+    - unencrypted → None, no row;
+    - standard security handler, RC4-40/128 or AES-128, EMPTY user
+      password verifying against /U → working decryptor + info row
+      (the overwhelming web case: owner-restricted but readable);
+    - anything else (real user password, V5/AES-256, custom handler)
+      → None + the explicit ``encryption`` error row round 2 emitted.
+    """
+    enc_id = _find_encrypt_ref(data, bodies)
+    if enc_id is None:
+        return None
+    from . import pdf_crypt
+
+    sec = key = None
+    if enc_id in bodies:
+        sec = pdf_crypt.parse_encrypt_dict(
+            bodies[enc_id], _find_file_id(data, bodies)
+        )
+    if sec is not None:
+        key = pdf_crypt.compute_file_key(sec, b"")
+        if not pdf_crypt.verify_user_password(sec, key):
+            key = None
+    if sec is None or key is None:
+        doc.errors.append(
+            {"type": "encryption", "severity": "error", "page": 0,
+             "message": "document is encrypted; streams unreadable"}
+        )
+        return None
+    doc.errors.append(
+        {"type": "encryption", "severity": "info", "page": 0,
+         "message": (
+             "standard security handler "
+             f"({'AESV2' if sec.aes else 'RC4'}-{sec.length}); "
+             "decrypted with empty user password"
+         )}
+    )
+    file_key = key
+
+    def dec(oid: int):
+        # generation numbers are 0 throughout this tokenizer's object
+        # model (the writer emits gen 0; incremental-update gens are
+        # not tracked), matching the xref paths above
+        return lambda raw: pdf_crypt.decrypt_object_bytes(
+            sec, file_key, oid, 0, raw
+        )
+
+    return dec
 
 
 def parse_pdf(data: bytes) -> PdfDoc:
@@ -691,29 +909,33 @@ def parse_pdf(data: bytes) -> PdfDoc:
                      "message": "xref unusable; recovered via object scan"}
                 )
         bodies = {oid: _object_body(data, off) for oid, off in offsets.items()}
-        # Encrypted documents: streams are RC4/AES payloads our Flate
-        # path cannot read. The reference has no decryption either (its
-        # recovery cascade just catches the library failure); diagnose
-        # explicitly so the error rollup names the cause instead of a
-        # cascade of per-page corruption errors. /Encrypt lives in the
-        # classic trailer dict OR, for xref-stream PDFs, in the xref
-        # stream's own dict — check both anchored locations (never a
-        # blind byte scan, which stream content could false-positive).
-        if _is_encrypted(data, bodies):
-            doc.errors.append(
-                {"type": "encryption", "severity": "error", "page": 0,
-                 "message": "document is encrypted; streams unreadable"}
-            )
+        # Encrypted documents: streams are RC4/AES payloads. The
+        # standard-security empty-user-password case (the overwhelming
+        # web case: owner-restricted but readable) is decrypted
+        # in-line; anything else keeps the explicit diagnosis so the
+        # error rollup names the cause instead of a cascade of
+        # per-page corruption errors (the reference only diagnoses —
+        # its recovery cascade catches the library failure). /Encrypt
+        # lives in the classic trailer dict OR, for xref-stream PDFs,
+        # in the xref stream's own dict — both anchored locations are
+        # checked (never a blind byte scan, which stream content could
+        # false-positive).
+        dec = _build_decryptor(data, bodies, doc)
         # expand object streams: containers named by xref type-2
         # entries, plus any /ObjStm found by the scan path (so modern
-        # PDFs with a broken xref still recover fully)
+        # PDFs with a broken xref still recover fully). The ObjStm
+        # payload is decrypted as the CONTAINER object; members are
+        # never individually encrypted (ISO 32000 §7.6.1).
         stm_ids = {sid for sid, _idx in in_objstm.values()} | {
             oid for oid, b in bodies.items() if b"/ObjStm" in b
         }
         for sid in sorted(stm_ids):
             if sid not in bodies:
                 continue
-            for oid, member in _objstm_members(bodies[sid]).items():
+            members = _objstm_members(
+                bodies[sid], dec(sid) if dec else None
+            )
+            for oid, member in members.items():
                 bodies.setdefault(oid, member)
 
         # find catalog → pages root → kids (one level; our grammar is flat,
@@ -748,12 +970,16 @@ def parse_pdf(data: bytes) -> PdfDoc:
             rotation = _dict_int(body, b"Rotate") or 0
             content_id = _dict_ref(body, b"Contents")
             try:
+                fonts = _page_fonts(body, bodies, dec)
                 stream = (
-                    _stream_bytes(bodies[content_id])
+                    _stream_bytes(
+                        bodies[content_id],
+                        dec(content_id) if dec else None,
+                    )
                     if content_id in bodies
                     else b""
                 )
-                words = _parse_content(stream, height, idx)
+                words = _parse_content(stream, height, idx, fonts)
             except Exception as exc:  # page-level recovery (U3)
                 doc.errors.append(
                     {"type": "corruption", "severity": "error", "page": idx,

@@ -337,3 +337,147 @@ def test_encrypted_pdf_diagnosed_not_crashed():
     kinds_xs = {e["type"] for e in parse_pdf(doctored_xs).errors}
     assert "encryption" in kinds_xs, kinds_xs
     assert "encryption" not in {e["type"] for e in parse_pdf(xs).errors}
+
+
+# ------------------------------------------------- standard security
+
+class TestDecryption:
+    """Round-2 verdict item #3: RC4-40/128 + AES-128 standard
+    security with empty user password must decrypt transparently."""
+
+    def _page(self):
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["Encrypted", "fixture", "words"])
+        p.put(72, 130, 12, "日本語行")
+        return [p]
+
+    def _boxes(self, doc):
+        return [
+            (t, x, y)
+            for pg in doc.pages
+            for t, x, y in zip(
+                pg.words["text"], pg.words["x0"], pg.words["top"]
+            )
+        ]
+
+    def test_all_modes_match_unencrypted_twin(self):
+        pages = self._page()
+        base = self._boxes(parse_pdf(build_pdf(pages, compress=True)))
+        assert base
+        for mode in ("rc4-40", "rc4-128", "aes-128"):
+            doc = parse_pdf(build_pdf(pages, compress=True, encrypt=mode))
+            assert self._boxes(doc) == base, mode
+            sev = {e["severity"] for e in doc.errors}
+            assert sev == {"info"}, (mode, doc.errors)
+            assert doc.errors[0]["type"] == "encryption"
+
+    def test_uncompressed_streams_also_decrypt(self):
+        pages = self._page()
+        base = self._boxes(parse_pdf(build_pdf(pages)))
+        doc = parse_pdf(build_pdf(pages, encrypt="rc4-128"))
+        assert self._boxes(doc) == base
+
+    def test_wrong_password_keeps_explicit_error(self):
+        """Tampered /U (≙ non-empty user password) must surface the
+        encryption error and extract nothing — never garbage text."""
+        data = build_pdf(self._page(), compress=True, encrypt="rc4-128")
+        bad = data.replace(b"/U <", b"/U <FF", 1)
+        doc = parse_pdf(bad)
+        assert "encryption" in {
+            e["type"] for e in doc.errors if e["severity"] == "error"
+        }
+        assert sum(len(pg.words["text"]) for pg in doc.pages) == 0
+
+    def test_unsupported_revision_keeps_error(self):
+        data = build_pdf(self._page(), compress=True, encrypt="rc4-128")
+        bad = data.replace(b"/V 2 /R 3", b"/V 5 /R 6", 1)
+        doc = parse_pdf(bad)
+        assert "encryption" in {
+            e["type"] for e in doc.errors if e["severity"] == "error"
+        }
+
+    def test_crypt_primitives_known_vectors(self):
+        """FIPS-197 Appendix B block vector + the canonical RC4 test
+        vector pin the from-scratch primitives."""
+        from pdf_extractor_spark.operators.pdf_crypt import (
+            _decrypt_block,
+            _encrypt_block,
+            _key_expansion,
+            rc4,
+        )
+
+        key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+        pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+        ct = _encrypt_block(pt, _key_expansion(key))
+        assert ct.hex() == "3925841d02dc09fbdc118597196a0b32"
+        assert _decrypt_block(ct, _key_expansion(key)) == pt
+        assert rc4(b"Key", b"Plaintext").hex().upper() == \
+            "BBF316E8D940AF0AD3"
+
+
+# ---------------------------------------------------- /ToUnicode CMaps
+
+class TestToUnicode:
+    """Round-2 verdict item #4: bfchar/bfrange CMaps for simple and
+    CID fonts."""
+
+    def _pdf(self, **kw):
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["plain", "words"])
+        p.put_codes(72, 130, 12, b"ABC")
+        p.put_codes(140, 130, 12, b"D")
+        p.put_codes(200, 130, 12, b"abcz")
+        p.put_codes(
+            72, 160, 12, b"\x00\x01\x00\x02", font="F4", hex_show=True
+        )
+        return build_pdf(
+            [p],
+            tounicode_chars={0x41: "M", 0x42: "a", 0x43: "p", 0x44: "fi"},
+            tounicode_ranges=[(0x61, 0x7A, "A")],
+            cid_tounicode_chars={0x0001: "日", 0x0002: "本"},
+            **kw,
+        )
+
+    def test_bfchar_bfrange_and_cid(self):
+        doc = parse_pdf(self._pdf())
+        assert not doc.errors
+        words = list(doc.pages[0].words["text"])
+        assert words == ["plain", "words", "Map", "fi", "ABCZ", "日本"]
+
+    def test_cmap_survives_compress_and_encrypt(self):
+        base = list(parse_pdf(self._pdf()).pages[0].words["text"])
+        for kw in ({"compress": True},
+                   {"compress": True, "encrypt": "aes-128"}):
+            doc = parse_pdf(self._pdf(**kw))
+            assert list(doc.pages[0].words["text"]) == base, kw
+
+    def test_unmapped_codes_fall_back_to_identity(self):
+        p = PageSpec()
+        p.put_codes(72, 100, 12, b"AZZ")  # only 0x41 mapped
+        data = build_pdf([p], tounicode_chars={0x41: "Q"})
+        doc = parse_pdf(data)
+        assert list(doc.pages[0].words["text"]) == ["QZZ"]
+
+    def test_array_form_bfrange_parsed(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_cmap_stream,
+        )
+
+        payload = (
+            b"begincmap\n1 beginbfrange\n"
+            b"<01> <03> [<0058> <0059005A> <005A>]\n"
+            b"endbfrange\nendcmap"
+        )
+        m = _parse_cmap_stream(payload)
+        assert m == {1: "X", 2: "YZ", 3: "Z"}
+
+    def test_fonts_without_cmap_keep_fast_path_output(self):
+        """A page with no ToUnicode font must decode byte-identically
+        to the pre-CMap tokenizer (fast path still eligible)."""
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["hello", "world"])
+        p.put(72, 130, 12, "日本語")
+        doc = parse_pdf(build_pdf([p]))
+        assert list(doc.pages[0].words["text"]) == [
+            "hello", "world", "日本語"
+        ]
