@@ -426,6 +426,90 @@ def _html_short_blocks() -> bytes:
     ).encode("utf-8")
 
 
+# --------------------------------------------- adversarial HTML cases
+#
+# Round-2 verdict item #9: the wrapper corpus above is clean; real
+# crawl HTML is not. Each case pins the extractor's behavior on a
+# specific pathology while still carrying unambiguous main content.
+
+def _html_nested_tables() -> bytes:
+    return (
+        "<html><body>"
+        "<table><tr><td>"
+        "<table><tr><td><a href='/1'>home</a></td>"
+        "<td><a href='/2'>about</a></td><td><a href='/3'>contact</a>"
+        "</td></tr></table>"
+        "</td></tr><tr><td>"
+        "<p>The article body lives inside a layout table as countless "
+        "legacy pages do and must still be recognized as content.</p>"
+        "<table><tr><td>inner data cell one with enough prose to be "
+        "kept as genuine tabular content</td>"
+        "<td>inner data cell two also long enough to stand on its own "
+        "as real content</td></tr></table>"
+        "</td></tr></table>"
+        "<p>A closing paragraph outside every table confirms the "
+        "parser rebalanced the nesting correctly.</p>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def _html_script_heavy() -> bytes:
+    js = (
+        "var layout = '<div class=\"fake\"><p>markup inside a string "
+        "must never surface</p></div>';\n"
+        "if (x < 10 && y > 2) { document.write(layout); }\n"
+    ) * 8
+    css = "body { margin: 0; } .nav > li::after { content: '<p>'; }\n" * 6
+    return (
+        "<html><head><title>never extracted</title>"
+        f"<style>{css}</style><script>{js}</script></head><body>"
+        f"<script>{js}</script>"
+        "<p>Real content paragraph one survives between the script "
+        "islands and carries the page's actual message.</p>"
+        f"<script type='module'>{js}</script>"
+        "<noscript><p>noscript fallback must not surface</p></noscript>"
+        "<template><p>template content must not surface</p></template>"
+        "<p>Real content paragraph two closes the document after the "
+        "last script block with more genuine prose.</p>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def _html_entity_storm() -> bytes:
+    return (
+        "<html><body>"
+        "<p>Named entities: caf&eacute; r&eacute;sum&eacute; "
+        "&lt;tag&gt; &amp; ampersand &quot;quoted&quot; "
+        "&nbsp;spaced&nbsp;words and a long enough line to keep.</p>"
+        "<p>Numeric forms: &#72;&#101;&#108;&#108;&#111; decimal and "
+        "&#x4E16;&#x754C; hex plus &#9731; snowman all decode in "
+        "place inside this kept paragraph.</p>"
+        "<p>Hostile forms: double-encoded &amp;amp; stays literal, "
+        "unknown &nosuch; passes through, bare & ampersand and "
+        "truncated &#x survive without crashing the parser.</p>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def _html_unclosed_tags() -> bytes:
+    return (
+        "<HTML><BODY>"
+        "<P>An unclosed uppercase paragraph streams straight into the "
+        "next one and both must be segmented at the open tags alone"
+        "<p>Second paragraph also never closed but clearly separate "
+        "content with plenty of characters to be kept"
+        "<ul><li>first unclosed item long enough to stand as content "
+        "on its own line<li>second unclosed item equally long enough "
+        "to be kept by the classifier</ul>"
+        "<b><i>mis-nested inline tags</b></i> trailing prose continues "
+        "the block after the bad nesting and keeps it long enough."
+        "</div></div>"
+        "<p align=center unquoted=yes>A final paragraph with unquoted "
+        "attributes and stray closing divs before it still extracts."
+        "</BODY></HTML>"
+    ).encode("utf-8")
+
+
 _PDF_CASES = {
     "pdf-single-col": _pdf_single_col,
     "pdf-two-col": _pdf_two_col,
@@ -457,6 +541,10 @@ _HTML_CASES = {
     "html-entities": _html_entities,
     "html-short-blocks": _html_short_blocks,
     "html-encoding-damage": _html_encoding_damage,
+    "html-nested-tables": _html_nested_tables,
+    "html-script-heavy": _html_script_heavy,
+    "html-entity-storm": _html_entity_storm,
+    "html-unclosed-tags": _html_unclosed_tags,
 }
 
 _CASE_LANG = {
@@ -474,6 +562,8 @@ _CASE_LANG = {
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",
     "html-encoding-damage": "en",
+    "html-nested-tables": "en", "html-script-heavy": "en",
+    "html-entity-storm": "mixed", "html-unclosed-tags": "en",
 }
 
 
