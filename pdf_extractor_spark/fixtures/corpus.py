@@ -345,6 +345,24 @@ def _pdf_tounicode() -> bytes:
     )
 
 
+def _pdf_inherited_split() -> bytes:
+    """Real-writer layout quirks: /MediaBox + /Resources live only on
+    the root /Pages node (attribute inheritance, ISO 32000 §7.7.3.4)
+    and each page's content is a /Contents ARRAY of three Flate
+    streams."""
+    pages = []
+    for pno in range(2):
+        p = PageSpec()
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put(72, 170, 12, _BODY_JA[0])
+        p.put_words(72, 200, 12,
+                    ["inherited", "attributes", "page",
+                     "number{}".format(pno + 1)])
+        pages.append(p)
+    return build_pdf(pages, compress=True, inherit_attrs=True,
+                     content_parts=3)
+
+
 def _html_article() -> bytes:
     return (
         "<html><head><title>Article</title><style>p{margin:0}</style></head>"
@@ -531,6 +549,7 @@ _PDF_CASES = {
     "pdf-encrypted-rc4": _pdf_encrypted_rc4,
     "pdf-encrypted-aes": _pdf_encrypted_aes,
     "pdf-tounicode": _pdf_tounicode,
+    "pdf-inherited-split": _pdf_inherited_split,
 }
 
 _HTML_CASES = {
@@ -557,7 +576,7 @@ _CASE_LANG = {
     "pdf-mixed-spacing": "mixed", "pdf-join-lines": "mixed",
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
     "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
-    "pdf-tounicode": "mixed",
+    "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -201,6 +201,7 @@ def build_pdf(
     tounicode_chars: dict[int, str] | None = None,
     tounicode_ranges: list[tuple[int, int, str]] | None = None,
     cid_tounicode_chars: dict[int, str] | None = None,
+    inherit_attrs: bool = False, content_parts: int = 1,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -226,7 +227,14 @@ def build_pdf(
     ``cid_tounicode_chars`` adds a /Type0 font /F4 with 2-byte codes
     and its own CMap — show raw codes with
     :meth:`PageSpec.put_codes`. Exercises the tokenizer's §9.10.3
-    CMap path."""
+    CMap path.
+
+    ``inherit_attrs=True`` moves /MediaBox and /Resources onto the
+    root /Pages node (pages carry neither) — the inherited-attribute
+    layout real writers emit (ISO 32000 §7.7.3.4).
+    ``content_parts > 1`` splits each page's content stream at text-
+    block boundaries into that many objects referenced as a
+    ``/Contents [..]`` array."""
     if xref_stream:
         if encrypt or tounicode_chars or tounicode_ranges or \
                 cid_tounicode_chars:
@@ -249,13 +257,14 @@ def build_pdf(
     if cid_tounicode_chars:
         font_refs["F4"] = n_fixed + 1
         n_fixed += 2
+    font_dict = " ".join(
+        f"/{name} {oid} 0 R" for name, oid in font_refs.items()
+    )
+    resources = f"/Resources << /Font << {font_dict} >> >>"
     page_ids = []
     next_id = n_fixed + 1
-    for p in pages:
-        page_id, content_id = next_id, next_id + 1
-        next_id += 2
-        page_ids.append(page_id)
-        stream = _content_stream(p)
+
+    def _finish_stream(stream: bytes, content_id: int) -> bytes:
         filt = ""
         if compress:
             import zlib
@@ -271,25 +280,59 @@ def build_pdf(
             stream = pdf_crypt.encrypt_object_bytes(
                 enc_aes, enc_key, content_id, 0, stream, iv=iv
             )
-        rotate = f" /Rotate {p.rotate}" if p.rotate else ""
-        font_dict = " ".join(
-            f"/{name} {oid} 0 R" for name, oid in font_refs.items()
-        )
-        objs[page_id] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {p.width:g} "
-            f"{p.height:g}]{rotate} /Contents {content_id} 0 R "
-            f"/Resources << /Font << {font_dict} >> >> >>"
-        ).encode("latin-1")
-        objs[content_id] = (
+        return (
             f"<< /Length {len(stream)}{filt} >>\nstream\n".encode("latin-1")
             + stream
             + b"\nendstream"
         )
 
+    for p in pages:
+        page_id = next_id
+        next_id += 1
+        page_ids.append(page_id)
+        stream = _content_stream(p)
+        if content_parts > 1:
+            # split at text-block boundaries into ~equal byte parts —
+            # tokens never span parts, per §7.8.2
+            blocks = stream.split(b"\n")
+            per = max(1, -(-len(blocks) // content_parts))
+            chunks = [
+                b"\n".join(blocks[i : i + per])
+                for i in range(0, len(blocks), per)
+            ]
+            cids = list(range(next_id, next_id + len(chunks)))
+            next_id += len(chunks)
+            for cid_, chunk in zip(cids, chunks):
+                objs[cid_] = _finish_stream(chunk, cid_)
+            contents_ref = "/Contents [{}]".format(
+                " ".join(f"{c} 0 R" for c in cids)
+            )
+        else:
+            content_id = next_id
+            next_id += 1
+            objs[content_id] = _finish_stream(stream, content_id)
+            contents_ref = f"/Contents {content_id} 0 R"
+        rotate = f" /Rotate {p.rotate}" if p.rotate else ""
+        page_attrs = (
+            "" if inherit_attrs
+            else f" /MediaBox [0 0 {p.width:g} {p.height:g}] {resources}"
+        )
+        objs[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R{page_attrs}{rotate} "
+            f"{contents_ref} >>"
+        ).encode("latin-1")
+
     kids = " ".join(f"{pid} 0 R" for pid in page_ids)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    pages_attrs = (
+        f" /MediaBox [0 0 {pages[0].width:g} {pages[0].height:g}] "
+        f"{resources}"
+        if inherit_attrs and pages
+        else ""
+    )
     objs[2] = (
-        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>"
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)}"
+        f"{pages_attrs} >>"
     ).encode("latin-1")
     objs[3] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "

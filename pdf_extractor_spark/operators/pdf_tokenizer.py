@@ -951,33 +951,63 @@ def parse_pdf(data: bytes) -> PdfDoc:
                     root_id = oid
                     break
         pages_root = _dict_ref(bodies[root_id], b"Pages")
-        page_ids: list[int] = []
+        # Page-tree walk with ATTRIBUTE INHERITANCE (ISO 32000
+        # §7.7.3.4): /MediaBox, /Rotate and /Resources may live on any
+        # ancestor /Pages node; the nearest definition wins. Each leaf
+        # records (page id, inherited attrs) so leaves lacking their
+        # own values fall back correctly — real writers routinely put
+        # one MediaBox/Resources on the root node only.
+        page_ids: list[tuple[int, list[float] | None, int | None,
+                             bytes | None]] = []
 
-        def walk(oid: int) -> None:
+        def walk(
+            oid: int,
+            mb: list[float] | None,
+            rot: int | None,
+            res_owner: bytes | None,
+        ) -> None:
             b = bodies[oid]
+            mb = _dict_numarray(b, b"MediaBox") or mb
+            r = _dict_int(b, b"Rotate")
+            rot = r if r is not None else rot
+            if b"/Resources" in b:
+                res_owner = b
             if b"/Kids" in b:
                 for kid in _dict_refarray(b, b"Kids"):
-                    walk(kid)
+                    walk(kid, mb, rot, res_owner)
             elif b"/Page" in b:
-                page_ids.append(oid)
+                page_ids.append((oid, mb, rot, res_owner))
 
-        walk(pages_root)
+        walk(pages_root, None, None, None)
 
-        for idx, pid in enumerate(page_ids, start=1):
+        for idx, (pid, inh_mb, inh_rot, res_owner) in enumerate(
+            page_ids, start=1
+        ):
             body = bodies[pid]
-            mb = _dict_numarray(body, b"MediaBox") or [0, 0, 612.0, 792.0]
+            mb = (
+                _dict_numarray(body, b"MediaBox") or inh_mb
+                or [0, 0, 612.0, 792.0]
+            )
             width, height = mb[2] - mb[0], mb[3] - mb[1]
-            rotation = _dict_int(body, b"Rotate") or 0
-            content_id = _dict_ref(body, b"Contents")
+            own_rot = _dict_int(body, b"Rotate")
+            rotation = own_rot if own_rot is not None else (inh_rot or 0)
+            # /Contents may be one stream ref or an ARRAY of refs whose
+            # decoded streams concatenate (with whitespace — tokens
+            # may not span parts, ISO 32000 §7.8.2 note)
+            content_ids = _dict_refarray(body, b"Contents")
+            if not content_ids:
+                single = _dict_ref(body, b"Contents")
+                content_ids = [single] if single is not None else []
             try:
-                fonts = _page_fonts(body, bodies, dec)
-                stream = (
-                    _stream_bytes(
-                        bodies[content_id],
-                        dec(content_id) if dec else None,
-                    )
-                    if content_id in bodies
-                    else b""
+                font_src = (
+                    body if b"/Resources" in body
+                    else (res_owner or body)
+                )
+                fonts = _page_fonts(font_src, bodies, dec)
+                stream = b"\n".join(
+                    _stream_bytes(bodies[c], dec(c) if dec else None)
+                    for c in content_ids
+                    if c in bodies
                 )
                 words = _parse_content(stream, height, idx, fonts)
             except Exception as exc:  # page-level recovery (U3)

@@ -481,3 +481,60 @@ class TestToUnicode:
         assert list(doc.pages[0].words["text"]) == [
             "hello", "world", "日本語"
         ]
+
+
+class TestInheritanceAndContentArrays:
+    """ISO 32000 §7.7.3.4 attribute inheritance + /Contents arrays —
+    the layout quirks real writers emit."""
+
+    def _pages(self):
+        pages = []
+        for pno in range(2):
+            p = PageSpec()
+            p.put_words(72, 100, 12, ["page", f"n{pno}", "words", "here"])
+            p.put(72, 130, 12, "日本語行")
+            p.put_words(72, 160, 12, ["more", "content", "below"])
+            pages.append(p)
+        return pages
+
+    def _boxes(self, doc):
+        return [
+            (pg.page_number, pg.width, pg.height,
+             tuple(pg.words["text"]), tuple(pg.words["x0"]))
+            for pg in doc.pages
+        ]
+
+    def test_inherited_mediabox_and_resources(self):
+        pages = self._pages()
+        base = self._boxes(parse_pdf(build_pdf(pages)))
+        doc = parse_pdf(build_pdf(pages, inherit_attrs=True))
+        assert not doc.errors
+        assert self._boxes(doc) == base
+
+    def test_contents_array_concatenates(self):
+        pages = self._pages()
+        base = self._boxes(parse_pdf(build_pdf(pages)))
+        for parts in (2, 3, 8):
+            doc = parse_pdf(build_pdf(pages, content_parts=parts))
+            assert self._boxes(doc) == base, parts
+
+    def test_combined_with_compress_and_encrypt(self):
+        pages = self._pages()
+        base = self._boxes(parse_pdf(build_pdf(pages)))
+        doc = parse_pdf(
+            build_pdf(pages, compress=True, inherit_attrs=True,
+                      content_parts=3, encrypt="rc4-128")
+        )
+        assert self._boxes(doc) == base
+        assert {e["severity"] for e in doc.errors} == {"info"}
+
+    def test_inherited_tounicode_resources(self):
+        """Fonts resolved through an INHERITED /Resources dict must
+        still route codes through their CMaps."""
+        p = PageSpec()
+        p.put_codes(72, 100, 12, b"AB")
+        data = build_pdf(
+            [p], inherit_attrs=True, tounicode_chars={0x41: "X", 0x42: "Y"}
+        )
+        doc = parse_pdf(data)
+        assert list(doc.pages[0].words["text"]) == ["XY"]
