@@ -363,6 +363,51 @@ def _pdf_inherited_split() -> bytes:
                      content_parts=3)
 
 
+def _html_sjis_meta() -> bytes:
+    """Legacy-charset page: Shift_JIS body declared via <meta charset>
+    (WHATWG sniffing resolves the label to cp932/windows-31j)."""
+    return (
+        '<html><head><meta charset="Shift_JIS"><title>記事</title></head>'
+        "<body><nav><a href='/'>ホーム</a> <a href='/a'>一覧</a></nav>"
+        "<article><h1>文字コード判定の検証</h1>"
+        "<p>シフトJISで符号化された本文段落であり、密度規則が本文と"
+        "分類するのに十分な長さを持つ日本語テキストです。</p>"
+        "<p>第二段落も同じ符号化で続き、複数ブロックの抽出が安定した"
+        "オフセットで直列化されることを確認します。</p>"
+        "</article></body></html>"
+    ).encode("cp932")
+
+
+def _html_win1252() -> bytes:
+    """Legacy-charset page: windows-1252 declared via the http-equiv
+    form; includes 0x93/0x94 curly quotes (C1 controls in latin-1 —
+    the WHATWG iso-8859-1 → cp1252 remap is observable)."""
+    return (
+        b"<html><head><meta http-equiv='Content-Type' "
+        b"content='text/html; charset=iso-8859-1'></head><body>"
+        b"<article><h1>Smart Quotes in Legacy Pages</h1>"
+        b"<p>He said \x93the archive predates the standard\x94 and the "
+        b"caf\xe9 discussion ran long \x96 a body paragraph easily past "
+        b"the short-block threshold.</p>"
+        b"<p>A second paragraph keeps the multi-block structure with "
+        b"another clean stretch of genuine readable content.</p>"
+        b"</article></body></html>"
+    )
+
+
+def _html_utf16() -> bytes:
+    """UTF-16LE page with BOM and no meta declaration — the BOM alone
+    must route the decode."""
+    return b"\xff\xfe" + (
+        "<html><body><article><h1>Sixteen-Bit Pages</h1>"
+        "<p>A UTF-16 encoded article body that only the byte-order "
+        "mark identifies, long enough to classify as main content.</p>"
+        "<p>日本語も混在する第二段落で、二バイト表現の往復を確認"
+        "します。Additional English tail keeps it long.</p>"
+        "</article></body></html>"
+    ).encode("utf-16-le")
+
+
 def _html_article() -> bytes:
     return (
         "<html><head><title>Article</title><style>p{margin:0}</style></head>"
@@ -564,6 +609,9 @@ _HTML_CASES = {
     "html-script-heavy": _html_script_heavy,
     "html-entity-storm": _html_entity_storm,
     "html-unclosed-tags": _html_unclosed_tags,
+    "html-sjis-meta": _html_sjis_meta,
+    "html-win1252": _html_win1252,
+    "html-utf16": _html_utf16,
 }
 
 _CASE_LANG = {
@@ -583,6 +631,7 @@ _CASE_LANG = {
     "html-encoding-damage": "en",
     "html-nested-tables": "en", "html-script-heavy": "en",
     "html-entity-storm": "mixed", "html-unclosed-tags": "en",
+    "html-sjis-meta": "ja", "html-win1252": "en", "html-utf16": "mixed",
 }
 
 

@@ -40,7 +40,7 @@ from .footnotes import (
     match_markers,
 )
 from .encoding import count_bad_chars, fix_encoding_text
-from .html_extract import extract_html
+from .html_extract import extract_html, sniff_charset
 from .ocrfix import ocr_fix_text
 from .inventory import (
     dedup_words,
@@ -322,6 +322,14 @@ def extract_html_document(
     errors: list[dict] = []
     n_bad = 0
     n_pre = 0
+    codec = sniff_charset(payload)
+    if codec not in ("utf-8", "utf-8-sig"):
+        # parity with the decrypt path: a non-default decode is an
+        # auditable INFO row, not silent behavior
+        errors.append(
+            {"type": "encoding", "severity": "info", "page": 0,
+             "message": f"decoded as {codec} (charset sniffed)"}
+        )
     try:
         text, spans, n_bad, n_pre = extract_html(payload, cfg)
     except Exception as exc:

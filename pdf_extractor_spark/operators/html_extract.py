@@ -30,6 +30,103 @@ from html.parser import HTMLParser
 
 from ..config import ExtractConfig
 
+# ---------------------------------------------------------------------------
+# Charset sniffing — WHATWG Encoding sniffing algorithm subset
+# (https://html.spec.whatwg.org/#determining-the-character-encoding):
+# BOM wins over everything; else a ``charset=`` declaration inside a
+# ``<meta>`` in the first 1024 bytes; else UTF-8 with replacement.
+# Label resolution follows the WHATWG Encoding registry where Python
+# codec names differ: ascii/iso-8859-1/latin1 → windows-1252 (the
+# superset browsers actually use), shift_jis → cp932 (windows-31j),
+# gb2312 → gbk, euc-kr → cp949 (uhc), big5 → big5hkscs, tis-620 →
+# cp874. A meta-declared UTF-16 is decoded as UTF-8 per spec (an
+# ASCII-readable <meta> proves the page is not UTF-16).
+# ---------------------------------------------------------------------------
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16"),  # LE; the utf-16 codec consumes the BOM
+    (b"\xfe\xff", "utf-16"),  # BE
+)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
+    re.IGNORECASE | re.DOTALL,
+)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "ascii": "windows-1252", "us-ascii": "windows-1252",
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "iso_8859-1": "windows-1252", "latin1": "windows-1252",
+    "l1": "windows-1252", "cp1252": "windows-1252",
+    "cp819": "windows-1252", "windows-1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "windows-1250": "windows-1250", "windows-1251": "windows-1251",
+    "windows-1253": "windows-1253", "windows-1254": "windows-1254",
+    "windows-1255": "windows-1255", "windows-1256": "windows-1256",
+    "windows-1257": "windows-1257", "windows-1258": "windows-1258",
+    "cp1251": "windows-1251",
+    "iso-8859-2": "iso-8859-2", "latin2": "iso-8859-2",
+    "iso-8859-3": "iso-8859-3", "iso-8859-4": "iso-8859-4",
+    "iso-8859-5": "iso-8859-5", "iso-8859-6": "iso-8859-6",
+    "iso-8859-7": "iso-8859-7", "iso-8859-8": "iso-8859-8",
+    "iso-8859-9": "windows-1254", "iso-8859-10": "iso-8859-10",
+    "iso-8859-13": "iso-8859-13", "iso-8859-14": "iso-8859-14",
+    "iso-8859-15": "iso-8859-15", "latin9": "iso-8859-15",
+    "iso-8859-16": "iso-8859-16",
+    "koi8-r": "koi8-r", "koi8": "koi8-r", "koi8-u": "koi8-u",
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "ms932": "cp932", "ms_kanji": "cp932",
+    "windows-31j": "cp932", "csshiftjis": "cp932",
+    "euc-jp": "euc-jp", "x-euc-jp": "euc-jp", "cseucpkdfmtjapanese":
+        "euc-jp",
+    "iso-2022-jp": "iso-2022-jp", "csiso2022jp": "iso-2022-jp",
+    "gb2312": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
+    "gbk": "gbk", "x-gbk": "gbk", "chinese": "gbk", "csgb2312": "gbk",
+    "gb18030": "gb18030",
+    "big5": "big5hkscs", "big5-hkscs": "big5hkscs", "x-x-big5":
+        "big5hkscs", "csbig5": "big5hkscs", "cn-big5": "big5hkscs",
+    "euc-kr": "cp949", "ks_c_5601-1987": "cp949", "korean": "cp949",
+    "csksc56011987": "cp949", "windows-949": "cp949",
+    "windows-874": "cp874", "tis-620": "cp874", "iso-8859-11":
+        "cp874", "dos-874": "cp874",
+    "macintosh": "mac-roman", "x-mac-roman": "mac-roman", "mac":
+        "mac-roman", "csmacintosh": "mac-roman",
+    "x-mac-cyrillic": "mac-cyrillic", "x-mac-ukrainian":
+        "mac-cyrillic",
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+    # x-user-defined maps 0x80-0xFF to U+F780-F7FF; windows-1252 is
+    # the deterministic stand-in (pages labeled so are byte-payload
+    # carriers, not text)
+    "x-user-defined": "windows-1252",
+}
+
+
+def sniff_charset(html_bytes: bytes) -> str:
+    """Resolve the page's charset: BOM, else first-1024-bytes
+    ``<meta ... charset=``, else ``utf-8``. Returns a Python codec
+    name; never raises."""
+    for bom, codec in _BOMS:
+        if html_bytes[: len(bom)] == bom:
+            return codec
+    m = _META_CHARSET_RE.search(html_bytes[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        codec = _CHARSET_ALIASES.get(label)
+        if codec is not None:
+            return codec
+    return "utf-8"
+
+
+def sniff_decode(html_bytes: bytes) -> tuple[str, str]:
+    """Decode a raw page per :func:`sniff_charset`; (text, codec).
+    Always ``errors="replace"`` — damage surfaces as U+FFFD and is
+    counted/scrubbed downstream (P11), never raised."""
+    codec = sniff_charset(html_bytes)
+    try:
+        return html_bytes.decode(codec, errors="replace"), codec
+    except LookupError:  # codec table entry missing in this runtime
+        return html_bytes.decode("utf-8", errors="replace"), "utf-8"
+
+
 _BLOCK_TAGS = {
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
     "blockquote", "pre", "article", "section", "header", "footer",
@@ -122,8 +219,8 @@ class _BlockParser(HTMLParser):
 
 
 def segment_blocks(html_bytes: bytes) -> list[Block]:
-    """H1+H2: bytes → ordered content blocks."""
-    text = html_bytes.decode("utf-8", errors="replace")
+    """H1+H2: bytes → ordered content blocks (charset-sniffed)."""
+    text, _codec = sniff_decode(html_bytes)
     parser = _BlockParser()
     parser.feed(text)
     parser.close()

@@ -21,6 +21,8 @@ from pdf_extractor_spark.operators.filters import (
 from pdf_extractor_spark.operators.html_extract import (
     classify_blocks,
     segment_blocks,
+    sniff_charset,
+    sniff_decode,
 )
 from pdf_extractor_spark.operators.layout import (
     detect_columns,
@@ -223,6 +225,63 @@ def test_html_segmentation_and_density():
     keep = classify_blocks(blocks, CFG)
     kept = [b.text for b, k in zip(blocks, keep) if k]
     assert len(kept) == 1 and kept[0].startswith("A long paragraph")
+
+
+class TestCharsetSniffing:
+    """WHATWG encoding sniffing: BOM > meta charset > utf-8."""
+
+    PARA = ("A long paragraph of genuine content that easily exceeds "
+            "the short-block threshold and has zero links.")
+
+    def test_utf8_bom_stripped(self):
+        text, codec = sniff_decode("﻿hello".encode("utf-8"))
+        assert (text, codec) == ("hello", "utf-8-sig")
+
+    def test_utf16_bom_both_endians(self):
+        for enc in ("utf-16-le", "utf-16-be"):
+            bom = b"\xff\xfe" if enc.endswith("le") else b"\xfe\xff"
+            payload = bom + f"<p>{self.PARA}</p>".encode(enc)
+            assert sniff_charset(payload) == "utf-16"
+            blocks = segment_blocks(payload)
+            assert blocks and blocks[0].text == self.PARA
+
+    def test_meta_charset_shift_jis(self):
+        body = "日本語の本文です。"
+        payload = (
+            '<html><head><meta charset="Shift_JIS"></head><body>'
+            f"<p>{body}</p></body></html>"
+        ).encode("cp932")
+        assert sniff_charset(payload) == "cp932"
+        blocks = segment_blocks(payload)
+        assert blocks[0].text == body
+
+    def test_http_equiv_windows_1252(self):
+        # 0x93/0x94 are curly quotes in cp1252, C1 controls in latin-1
+        payload = (
+            b"<html><head><meta http-equiv='Content-Type' "
+            b"content='text/html; charset=iso-8859-1'></head><body>"
+            b"<p>He said \x93hi\x94 and left.</p></body></html>"
+        )
+        assert sniff_charset(payload) == "windows-1252"
+        blocks = segment_blocks(payload)
+        assert blocks[0].text == "He said “hi” and left."
+
+    def test_meta_utf16_label_decodes_as_utf8(self):
+        # an ASCII-readable <meta> proves the page is not utf-16
+        payload = b'<meta charset="utf-16"><p>plain ascii body</p>'
+        assert sniff_charset(payload) == "utf-8"
+
+    def test_unknown_label_falls_back_utf8(self):
+        payload = b'<meta charset="klingon-8"><p>body</p>'
+        assert sniff_charset(payload) == "utf-8"
+
+    def test_meta_beyond_1024_bytes_ignored(self):
+        payload = b"<!--" + b"x" * 1100 + b'--><meta charset="cp1251">'
+        assert sniff_charset(payload) == "utf-8"
+
+    def test_bom_beats_meta(self):
+        payload = b"\xef\xbb\xbf" + b'<meta charset="cp1251"><p>a</p>'
+        assert sniff_charset(payload) == "utf-8-sig"
 
 
 def test_html_short_block_neighbor_smoothing():
