@@ -363,6 +363,20 @@ def _pdf_inherited_split() -> bytes:
                      content_parts=3)
 
 
+def _pdf_lzw() -> bytes:
+    """Pre-Flate-era writer: content streams carry /LZWDecode — the
+    filter old crawled PDFs use (ISO 32000 §7.4.4)."""
+    pages = []
+    for pno in range(2):
+        p = PageSpec()
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put(72, 170, 12, _BODY_JA[0])
+        p.put_words(72, 200, 12,
+                    ["lzw", "coded", "page", f"number{pno + 1}"])
+        pages.append(p)
+    return build_pdf(pages, compress="lzw")
+
+
 def _html_sjis_meta() -> bytes:
     """Legacy-charset page: Shift_JIS body declared via <meta charset>
     (WHATWG sniffing resolves the label to cp932/windows-31j)."""
@@ -595,6 +609,7 @@ _PDF_CASES = {
     "pdf-encrypted-aes": _pdf_encrypted_aes,
     "pdf-tounicode": _pdf_tounicode,
     "pdf-inherited-split": _pdf_inherited_split,
+    "pdf-lzw": _pdf_lzw,
 }
 
 _HTML_CASES = {
@@ -625,6 +640,7 @@ _CASE_LANG = {
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
     "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
+    "pdf-lzw": "mixed",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -195,8 +195,91 @@ def _encrypt_setup(mode: str):
     return key, aes, enc_dict
 
 
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """LZW compressor (ISO 32000 §7.4.4 / TIFF convention): 9→12-bit
+    MSB-first codes, 256 = clear, 257 = EOD. Width grows one step
+    AFTER the decoder's mirrored rule accounting for the decoder's
+    one-entry table lag: the decoder (pdf_tokenizer._lzw_decode)
+    bumps when its table length reaches ``2^w − early_change``; its
+    table trails this encoder's by exactly one entry, so the encoder
+    bumps when ``next_code > 2^w − early_change``. Emits a clear code
+    when the table fills (4096 entries)."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    def reset() -> tuple[dict[bytes, int], int]:
+        return {bytes([i]): i for i in range(256)}, 258
+
+    table, next_code = reset()
+    emit(256)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code > (1 << width) - early_change:
+            if width < 12:
+                width += 1
+            else:  # table full: clear and restart (spec-mandated)
+                emit(256)
+                table, next_code = reset()
+                width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:  # flush: pad the tail byte with zero bits
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (ISO 32000 §7.4.5): repeats
+    of ≥ 3 become (257−n, byte) runs, the rest literal blocks of
+    ≤ 128 bytes; 128 terminates."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    def flush_literal(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(end, j + 128)
+            out.append(k - j - 1)
+            out.extend(data[j:k])
+            j = k
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literal(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literal(n)
+    out.append(128)
+    return bytes(out)
+
+
 def build_pdf(
-    pages: list[PageSpec], compress: bool = False,
+    pages: list[PageSpec], compress: bool | str = False,
     xref_stream: bool = False, encrypt: str | None = None,
     tounicode_chars: dict[int, str] | None = None,
     tounicode_ranges: list[tuple[int, int, str]] | None = None,
@@ -205,7 +288,9 @@ def build_pdf(
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
-    ``compress=True`` Flate-encodes each content stream (zlib level 9,
+    ``compress=True`` (or ``"flate"``) Flate-encodes each content
+    stream; ``compress="lzw"`` / ``"rle"`` use LZWDecode /
+    RunLengthDecode instead (zlib level 9,
     deterministic) the way real-world PDFs ship — exercises the
     tokenizer's ``/Filter /FlateDecode`` path.
 
@@ -266,7 +351,13 @@ def build_pdf(
 
     def _finish_stream(stream: bytes, content_id: int) -> bytes:
         filt = ""
-        if compress:
+        if compress == "lzw":
+            stream = lzw_encode(stream)
+            filt = " /Filter /LZWDecode"
+        elif compress == "rle":
+            stream = rle_encode(stream)
+            filt = " /Filter /RunLengthDecode"
+        elif compress:
             import zlib
 
             stream = zlib.compress(stream, 9)

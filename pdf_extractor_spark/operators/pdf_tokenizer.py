@@ -236,7 +236,10 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 # decode filters supported by the pipeline; anything else (DCTDecode,
 # JBIG2, CCITT — raster codecs) raises, which page-level recovery
 # records as a corruption error (U3)
-_SUPPORTED_FILTERS = {b"FlateDecode", b"ASCIIHexDecode", b"ASCII85Decode"}
+_SUPPORTED_FILTERS = {
+    b"FlateDecode", b"ASCIIHexDecode", b"ASCII85Decode",
+    b"LZWDecode", b"RunLengthDecode",
+}
 
 _FILTER_VALUE_RE = re.compile(
     rb"/Filter\s*(/[A-Za-z0-9]+|\[[^\]]*\])"
@@ -267,7 +270,7 @@ def _parse_filter_chain(
             if not dv:
                 continue
             for key in (b"Predictor", b"Columns", b"Colors",
-                        b"BitsPerComponent"):
+                        b"BitsPerComponent", b"EarlyChange"):
                 km = re.search(rb"/" + key + rb"\s+(\d+)", dv)
                 if km:
                     parms[i][key] = int(km.group(1))
@@ -329,6 +332,80 @@ def _apply_predictor(data: bytes, parms: dict[bytes, int]) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (ISO 32000 §7.4.4): variable-width 9→12-bit codes
+    packed MSB-first; 256 = clear-table, 257 = EOD. ``early_change``
+    (default 1 per spec) bumps the code width one code early — the
+    TIFF convention virtually every writer uses. The code width grows
+    when the NEXT code to be assigned reaches ``2^width −
+    early_change`` (mirrored by the generator's encoder, so roundtrips
+    cross the 9→10→11-bit boundaries in tests). Old crawled PDFs
+    (pre-Flate tooling) use LZW routinely."""
+    initial: list[bytes | None] = [bytes([i]) for i in range(256)]
+    initial += [None, None]  # 256 clear / 257 EOD
+    table = list(initial)
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # missing EOD: accept what decoded
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == 257:
+            return bytes(out)
+        if code == 256:
+            table = list(initial)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"LZW: invalid first code {code}")
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):  # KwKwK: code not yet in the table
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW: code {code} out of range")
+        out += entry  # type: ignore[arg-type]
+        if prev is not None:
+            table.append(prev + entry[:1])  # type: ignore[index]
+            if len(table) >= (1 << width) - early_change and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte L — L ≤ 127
+    copies the next L+1 bytes literally; L ≥ 129 repeats the next
+    byte 257−L times; 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln <= 127:
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
 def _stream_bytes(body: bytes, transform=None) -> bytes:
     """Extract (and decode) a stream.
 
@@ -338,8 +415,9 @@ def _stream_bytes(body: bytes, transform=None) -> bytes:
     length-less dicts. ``transform`` (per-object decryption, ISO 32000
     §7.6.2) applies to the raw slice BEFORE filters — encryption wraps
     the encoded bytes. The decode pipeline applies ``/Filter`` chains
-    (Flate / ASCIIHex / ASCII85) with per-filter ``/DecodeParms``
-    TIFF/PNG predictors; raster codecs raise (→ U3 corruption error).
+    (Flate / ASCIIHex / ASCII85 / LZW / RunLength) with per-filter
+    ``/DecodeParms`` TIFF/PNG predictors and LZW ``/EarlyChange``;
+    raster codecs raise (→ U3 corruption error).
     """
     i = body.find(b"stream")
     if i < 0:
@@ -383,6 +461,10 @@ def _stream_bytes(body: bytes, transform=None) -> bytes:
                 payload, foldspaces=True,
                 ignorechars=b" \t\n\r\x0b\x0c",
             )
+        elif name == b"LZWDecode":
+            out = _lzw_decode(out, parms.get(b"EarlyChange", 1))
+        elif name == b"RunLengthDecode":
+            out = _rle_decode(out)
         out = _apply_predictor(out, parms)
     return out
 

@@ -483,6 +483,107 @@ class TestToUnicode:
         ]
 
 
+class TestLzwAndRleFilters:
+    """LZWDecode / RunLengthDecode (ISO 32000 §7.4.4-§7.4.5)."""
+
+    def _pack9(self, codes):
+        """MSB-first fixed-9-bit packer for hand-built short streams."""
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << 9) | c
+            nbits += 9
+            while nbits >= 8:
+                nbits -= 8
+                out.append((acc >> nbits) & 0xFF)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    def test_spec_example_decodes(self):
+        # ISO 32000-1 §7.4.4.2 worked example: 45×5 65 45×3 66
+        from pdf_extractor_spark.operators.pdf_tokenizer import _lzw_decode
+        codes = [256, 45, 258, 258, 65, 259, 66, 257]
+        assert _lzw_decode(self._pack9(codes)) == bytes(
+            [45, 45, 45, 45, 45, 65, 45, 45, 45, 66]
+        )
+
+    def test_kwkwk_code_not_yet_in_table(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import _lzw_decode
+        # 'a' then code 258 (= 'aa', assigned by this very step)
+        codes = [256, ord("a"), 258, 257]
+        assert _lzw_decode(self._pack9(codes)) == b"aaa"
+
+    def test_roundtrip_crosses_width_boundaries(self):
+        from pdf_extractor_spark.operators.pdf_generator import lzw_encode
+        from pdf_extractor_spark.operators.pdf_tokenizer import _lzw_decode
+        # deterministic pseudo-random bytes force thousands of distinct
+        # dictionary entries → 9→10→11→12-bit transitions
+        data = bytes((i * 131 + (i >> 3) * 17) & 0xFF for i in range(20000))
+        assert _lzw_decode(lzw_encode(data)) == data
+        # highly repetitive input exercises long matches + KwKwK
+        rep = b"abcabcabcab" * 400 + b"x" * 500
+        assert _lzw_decode(lzw_encode(rep)) == rep
+
+    def test_roundtrip_table_overflow_clears(self):
+        from pdf_extractor_spark.operators.pdf_generator import lzw_encode
+        from pdf_extractor_spark.operators.pdf_tokenizer import _lzw_decode
+        # > 4096 distinct entries → encoder must emit a mid-stream clear
+        data = bytes(
+            ((i * 7919) ^ (i >> 2)) & 0xFF for i in range(60000)
+        )
+        encoded = lzw_encode(data)
+        assert _lzw_decode(encoded) == data
+
+    def test_rle_roundtrip_and_edges(self):
+        from pdf_extractor_spark.operators.pdf_generator import rle_encode
+        from pdf_extractor_spark.operators.pdf_tokenizer import _rle_decode
+        cases = [
+            b"",
+            b"a",
+            b"ab",
+            b"a" * 3,
+            b"a" * 127,
+            b"a" * 128,
+            b"a" * 129,
+            b"x" * 200 + b"literal tail",
+            bytes(range(256)) * 3,
+            b"ab" * 100 + b"c" * 50 + b"de",
+        ]
+        for data in cases:
+            assert _rle_decode(rle_encode(data)) == data, data[:16]
+
+    def test_rle_decode_eod_and_truncation(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import _rle_decode
+        assert _rle_decode(b"\x02abc\x80trailing") == b"abc"
+        assert _rle_decode(b"\xfeZ\x80") == b"ZZZ"
+        assert _rle_decode(b"\x05ab") == b"ab"  # truncated literal
+
+    def _doc_pages(self):
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["lzw", "filter", "roundtrip", "words"])
+        p.put(72, 130, 12, "日本語の行")
+        return [p]
+
+    def test_pdf_with_lzw_content_stream(self):
+        pages = self._doc_pages()
+        base = parse_pdf(build_pdf(pages))
+        doc = parse_pdf(build_pdf(pages, compress="lzw"))
+        assert not doc.errors
+        assert list(doc.pages[0].words["text"]) == list(
+            base.pages[0].words["text"]
+        )
+
+    def test_pdf_with_rle_content_stream(self):
+        pages = self._doc_pages()
+        base = parse_pdf(build_pdf(pages))
+        doc = parse_pdf(build_pdf(pages, compress="rle"))
+        assert not doc.errors
+        assert list(doc.pages[0].words["text"]) == list(
+            base.pages[0].words["text"]
+        )
+
+
 class TestInheritanceAndContentArrays:
     """ISO 32000 §7.7.3.4 attribute inheritance + /Contents arrays —
     the layout quirks real writers emit."""
