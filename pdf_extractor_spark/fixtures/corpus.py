@@ -363,6 +363,23 @@ def _pdf_inherited_split() -> bytes:
                      content_parts=3)
 
 
+def _pdf_differences() -> bytes:
+    """Non-embedded custom-encoding font: /Encoding /Differences
+    remaps high codes to accented glyph names (no /ToUnicode) — text
+    recoverable only through the AGL (ISO 32000 §9.6.6.3)."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    # "café déjà-vu résumé" shown with codes 0x80→eacute, 0x81→agrave
+    p.put_codes(72, 170, 12, b"caf\x80 d\x80j\x81-vu r\x80sum\x80",
+                font="F5")
+    p.put_codes(72, 200, 12, b"quote \x82here\x83 end", font="F5")
+    return build_pdf(
+        [p],
+        differences={0x80: "eacute", 0x81: "agrave",
+                     0x82: "quotedblleft", 0x83: "quotedblright"},
+    )
+
+
 def _pdf_lzw() -> bytes:
     """Pre-Flate-era writer: content streams carry /LZWDecode — the
     filter old crawled PDFs use (ISO 32000 §7.4.4)."""
@@ -610,6 +627,7 @@ _PDF_CASES = {
     "pdf-tounicode": _pdf_tounicode,
     "pdf-inherited-split": _pdf_inherited_split,
     "pdf-lzw": _pdf_lzw,
+    "pdf-differences": _pdf_differences,
 }
 
 _HTML_CASES = {
@@ -640,7 +658,7 @@ _CASE_LANG = {
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
     "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
-    "pdf-lzw": "mixed",
+    "pdf-lzw": "mixed", "pdf-differences": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

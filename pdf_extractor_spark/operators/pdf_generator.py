@@ -284,6 +284,7 @@ def build_pdf(
     tounicode_chars: dict[int, str] | None = None,
     tounicode_ranges: list[tuple[int, int, str]] | None = None,
     cid_tounicode_chars: dict[int, str] | None = None,
+    differences: dict[int, str] | None = None,
     inherit_attrs: bool = False, content_parts: int = 1,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
@@ -314,6 +315,11 @@ def build_pdf(
     :meth:`PageSpec.put_codes`. Exercises the tokenizer's §9.10.3
     CMap path.
 
+    ``differences`` ({code: glyph name}) adds a simple font /F5 with
+    NO /ToUnicode but an indirect ``/Encoding << /Differences [..]
+    >>`` object (ISO 32000 §9.6.6.3) — the non-embedded custom-
+    encoding layout whose text is only recoverable through the AGL.
+
     ``inherit_attrs=True`` moves /MediaBox and /Resources onto the
     root /Pages node (pages carry neither) — the inherited-attribute
     layout real writers emit (ISO 32000 §7.7.3.4).
@@ -322,7 +328,7 @@ def build_pdf(
     ``/Contents [..]`` array."""
     if xref_stream:
         if encrypt or tounicode_chars or tounicode_ranges or \
-                cid_tounicode_chars:
+                cid_tounicode_chars or differences:
             raise ValueError(
                 "encrypt/tounicode supported on the classic layout only"
             )
@@ -342,6 +348,9 @@ def build_pdf(
     if cid_tounicode_chars:
         font_refs["F4"] = n_fixed + 1
         n_fixed += 2
+    if differences:
+        font_refs["F5"] = n_fixed + 1
+        n_fixed += 2  # font object + indirect /Encoding object
     font_dict = " ".join(
         f"/{name} {oid} 0 R" for name, oid in font_refs.items()
     )
@@ -475,6 +484,18 @@ def build_pdf(
             + cstream
             + b"\nendstream"
         )
+    if "F5" in font_refs:
+        fid, eid = font_refs["F5"], font_refs["F5"] + 1
+        diff_items = " ".join(
+            f"{c} /{n}" for c, n in sorted(differences.items())
+        )
+        objs[fid] = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /FixtureDiff "
+            f"/Encoding {eid} 0 R >>"
+        ).encode("latin-1")
+        objs[eid] = (
+            f"<< /Type /Encoding /Differences [ {diff_items} ] >>"
+        ).encode("latin-1")
     encrypt_ref = ""
     if encrypt is not None:
         enc_id = next_id

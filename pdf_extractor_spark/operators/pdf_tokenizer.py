@@ -594,6 +594,113 @@ def _parse_cmap_stream(payload: bytes) -> dict[int, str]:
     return mapping
 
 
+# ------------------------------------- simple-font /Differences arrays
+
+# Adobe Glyph List subset: the names non-embedded simple fonts use in
+# practice (Latin letters/digits resolve programmatically below).
+# Source: public AGL (github.com/adobe-type-tools/agl-aglfn).
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 supplement
+    "exclamdown": "¡", "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "brokenbar": "¦", "section": "§", "dieresis": "¨",
+    "copyright": "©", "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯", "degree": "°",
+    "plusminus": "±", "acute": "´", "mu": "µ", "paragraph": "¶",
+    "periodcentered": "·", "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Eth": "Ð", "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö",
+    "multiply": "×", "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú",
+    "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ",
+    "germandbls": "ß", "agrave": "à", "aacute": "á", "acircumflex":
+    "â", "atilde": "ã", "adieresis": "ä", "aring": "å", "ae": "æ",
+    "ccedilla": "ç", "egrave": "è", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ", "ograve": "ò",
+    "oacute": "ó", "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "divide": "÷", "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý", "thorn": "þ",
+    "ydieresis": "ÿ",
+    # typographic / WinAnsi 0x80-0x9F block
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "circumflex": "ˆ", "perthousand": "‰",
+    "Scaron": "Š", "guilsinglleft": "‹", "OE": "Œ", "Zcaron": "Ž",
+    "quoteleft": "‘", "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "bullet": "•", "endash": "–", "emdash": "—",
+    "tilde": "˜", "trademark": "™", "scaron": "š",
+    "guilsinglright": "›", "oe": "œ", "zcaron": "ž", "Ydieresis": "Ÿ",
+    "fi": "ﬁ", "fl": "ﬂ", "fraction": "⁄", "minus": "−",
+    "dotlessi": "ı", "Lslash": "Ł", "lslash": "ł", "nbspace": "\xa0",
+}
+for _ch in "abcdefghijklmnopqrstuvwxyz":
+    _AGL[_ch] = _ch
+    _AGL[_ch.upper()] = _ch.upper()
+for _dg, _nm in enumerate(
+    ("zero", "one", "two", "three", "four", "five", "six", "seven",
+     "eight", "nine")
+):
+    _AGL[_nm] = str(_dg)
+_UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$|^u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """AGL name → text (AGL spec resolution order: exact table hit,
+    then ``uniXXXX`` / ``uXXXXXX`` forms, then the pre-dot base name
+    for suffixed variants like ``a.sc``)."""
+    hit = _AGL.get(name)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        try:
+            return chr(int(m.group(1) or m.group(2), 16))
+        except ValueError:
+            return None
+    if "." in name:
+        return _glyph_to_unicode(name.split(".", 1)[0])
+    return None
+
+
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([A-Za-z0-9_.]+)")
+
+
+def _parse_differences(enc_body: bytes) -> dict[int, str]:
+    """``/Encoding << /Differences [ n /name /name ... ] >>`` →
+    code→text map (ISO 32000 §9.6.6.3: a number sets the next code,
+    each following name consumes one code). Names the AGL subset
+    cannot resolve keep their identity code point (the same fallback
+    the default decode path uses)."""
+    m = re.search(rb"/Differences\s*\[(.*?)\]", enc_body, re.DOTALL)
+    if not m:
+        return {}
+    mapping: dict[int, str] = {}
+    code = 0
+    for num, nm in _DIFF_TOKEN_RE.findall(m.group(1)):
+        if num:
+            code = int(num)
+            continue
+        uni = _glyph_to_unicode(nm.decode("latin-1"))
+        if uni is not None:
+            mapping[code] = uni
+        code += 1
+    return mapping
+
+
 _FONT_ENTRY_RE = re.compile(rb"/([A-Za-z0-9_.]+)\s+(\d+)\s+\d+\s+R")
 
 
@@ -631,6 +738,18 @@ def _page_fonts(
                 )
             except Exception:
                 cmap = None  # unreadable CMap → default decode paths
+        if cmap is None and width == 1:
+            # simple font without a ToUnicode map: an /Encoding
+            # /Differences array is the remaining text-extraction
+            # signal (ISO 32000 §9.6.6.3 + §9.10.2 resolution order —
+            # ToUnicode, when present, wins)
+            em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", fbody)
+            enc_body = (
+                bodies.get(int(em.group(1)), b"") if em else fbody
+            )
+            diffs = _parse_differences(enc_body)
+            if diffs:
+                cmap = diffs
         fonts[name] = (cmap, width)
     return fonts
 

@@ -483,6 +483,75 @@ class TestToUnicode:
         ]
 
 
+class TestDifferencesEncoding:
+    """Simple-font /Encoding /Differences arrays (ISO 32000
+    §9.6.6.3): custom code assignments resolved through the AGL."""
+
+    def test_differences_remap_decodes(self):
+        p = PageSpec()
+        # codes 0x41 0x42 0x43 remapped: A→é, B→“, C→Euro sign
+        p.put_codes(72, 100, 12, b"ABC", font="F5")
+        data = build_pdf(
+            [p],
+            differences={0x41: "eacute", 0x42: "quotedblleft",
+                         0x43: "Euro"},
+        )
+        doc = parse_pdf(data)
+        assert list(doc.pages[0].words["text"]) == ["é“€"]
+
+    def test_uniXXXX_and_suffixed_names(self):
+        p = PageSpec()
+        p.put_codes(72, 100, 12, b"\x80\x81\x82", font="F5")
+        data = build_pdf(
+            [p],
+            differences={0x80: "uni65E5", 0x81: "a.sc",
+                         0x82: "u1F600"},
+        )
+        doc = parse_pdf(data)
+        assert list(doc.pages[0].words["text"]) == ["日a😀"]
+
+    def test_unmapped_name_keeps_identity(self):
+        p = PageSpec()
+        p.put_codes(72, 100, 12, b"xy", font="F5")
+        data = build_pdf([p], differences={ord("x"): "glyph99x"})
+        doc = parse_pdf(data)
+        # unknown glyph name → identity code point; y untouched
+        assert list(doc.pages[0].words["text"]) == ["xy"]
+
+    def test_number_resets_code_counter(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_differences,
+        )
+        enc = b"<< /Differences [ 65 /eacute /egrave 97 /Euro ] >>"
+        assert _parse_differences(enc) == {
+            65: "é", 66: "è", 97: "€"
+        }
+
+    def test_tounicode_wins_over_differences(self):
+        # F3 carries a ToUnicode map; its decode must not change when
+        # an (unrelated) differences font is also present
+        p = PageSpec()
+        p.put_codes(72, 100, 12, b"AB", font="F3")
+        data = build_pdf(
+            [p],
+            tounicode_chars={0x41: "X", 0x42: "Y"},
+            differences={0x41: "eacute"},
+        )
+        doc = parse_pdf(data)
+        assert list(doc.pages[0].words["text"]) == ["XY"]
+
+    def test_default_fonts_unaffected(self):
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["plain", "words"])
+        base = parse_pdf(build_pdf([p]))
+        with_diff = parse_pdf(
+            build_pdf([p], differences={0x41: "eacute"})
+        )
+        assert list(with_diff.pages[0].words["text"]) == list(
+            base.pages[0].words["text"]
+        )
+
+
 class TestLzwAndRleFilters:
     """LZWDecode / RunLengthDecode (ISO 32000 §7.4.4-§7.4.5)."""
 
