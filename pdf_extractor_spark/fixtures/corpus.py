@@ -363,6 +363,21 @@ def _pdf_inherited_split() -> bytes:
                      content_parts=3)
 
 
+def _pdf_truncated() -> bytes:
+    """Crawl-truncated payload: a 3-page Flate document cut at 70% —
+    xref gone (object-scan recovery), last object unterminated, its
+    content stream salvaged as a decoded prefix."""
+    pages = []
+    for pno in range(3):
+        p = PageSpec()
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put_words(72, 200, 12,
+                    ["truncation", "page", f"number{pno + 1}"])
+        pages.append(p)
+    data = build_pdf(pages, compress=True)
+    return data[: int(len(data) * 0.7)]
+
+
 def _pdf_differences() -> bytes:
     """Non-embedded custom-encoding font: /Encoding /Differences
     remaps high codes to accented glyph names (no /ToUnicode) — text
@@ -628,6 +643,7 @@ _PDF_CASES = {
     "pdf-inherited-split": _pdf_inherited_split,
     "pdf-lzw": _pdf_lzw,
     "pdf-differences": _pdf_differences,
+    "pdf-truncated": _pdf_truncated,
 }
 
 _HTML_CASES = {
@@ -659,6 +675,7 @@ _CASE_LANG = {
     "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
+    "pdf-truncated": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -406,8 +406,15 @@ def _rle_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _stream_bytes(body: bytes, transform=None) -> bytes:
+def _stream_bytes(
+    body: bytes, transform=None, warn: list[str] | None = None
+) -> bytes:
     """Extract (and decode) a stream.
+
+    ``warn`` (when given) collects non-fatal salvage notes — currently
+    truncated-Flate partial recovery — instead of failing the page;
+    callers that pass None keep strict semantics (xref/ObjStm/CMap
+    streams, where partial data would corrupt structure silently).
 
     When the stream dict carries a direct ``/Length``, slice exactly
     that many bytes — binary (Flate) data may legitimately end in 0x0A,
@@ -446,7 +453,26 @@ def _stream_bytes(body: bytes, transform=None) -> bytes:
         if name == b"FlateDecode":
             import zlib
 
-            out = zlib.decompress(out)
+            try:
+                out = zlib.decompress(out)
+            except zlib.error:
+                # crawl truncation: decode the prefix that IS there
+                # (decompressobj consumes up to the cut), surface a
+                # warning via `warn`, and only fail when nothing at
+                # all decodes (genuinely corrupt data)
+                d = zlib.decompressobj()
+                try:
+                    partial = d.decompress(out)
+                except zlib.error:
+                    raise ValueError("flate data unreadable") from None
+                if not partial:
+                    raise ValueError("flate data unreadable") from None
+                out = partial
+                if warn is not None:
+                    warn.append(
+                        "truncated flate stream: "
+                        f"{len(partial)} bytes salvaged"
+                    )
         elif name == b"ASCIIHexDecode":
             hexpart = out.split(b">")[0]
             hexpart = re.sub(rb"\s+", b"", hexpart)
@@ -1109,7 +1135,26 @@ def parse_pdf(data: bytes) -> PdfDoc:
                      "page": 0,
                      "message": "xref unusable; recovered via object scan"}
                 )
-        bodies = {oid: _object_body(data, off) for oid, off in offsets.items()}
+        bodies: dict[int, bytes] = {}
+        for oid, off in offsets.items():
+            try:
+                bodies[oid] = _object_body(data, off)
+            except ValueError:
+                # crawl truncation: an unterminated tail object keeps
+                # its partial body (stream salvage recovers the text
+                # prefix); an offset pointing at garbage is skipped —
+                # neither may kill the remaining readable objects
+                m = _OBJ_RE.match(data, off) or _OBJ_RE.search(
+                    data, off, off + 64
+                )
+                if m is not None:
+                    bodies[oid] = data[m.end():]
+                    doc.errors.append(
+                        {"type": "malformed", "severity": "warning",
+                         "page": 0,
+                         "message": f"object {oid} unterminated "
+                                    "(truncated file); partial body kept"}
+                    )
         # Encrypted documents: streams are RC4/AES payloads. The
         # standard-security empty-user-password case (the overwhelming
         # web case: owner-restricted but readable) is decrypted
@@ -1167,7 +1212,15 @@ def parse_pdf(data: bytes) -> PdfDoc:
             rot: int | None,
             res_owner: bytes | None,
         ) -> None:
-            b = bodies[oid]
+            b = bodies.get(oid)
+            if b is None:  # kid object beyond a crawl truncation
+                doc.errors.append(
+                    {"type": "malformed", "severity": "warning",
+                     "page": 0,
+                     "message": f"page tree references missing object "
+                                f"{oid} (truncated file)"}
+                )
+                return
             mb = _dict_numarray(b, b"MediaBox") or mb
             r = _dict_int(b, b"Rotate")
             rot = r if r is not None else rot
@@ -1205,11 +1258,19 @@ def parse_pdf(data: bytes) -> PdfDoc:
                     else (res_owner or body)
                 )
                 fonts = _page_fonts(font_src, bodies, dec)
+                salvage: list[str] = []
                 stream = b"\n".join(
-                    _stream_bytes(bodies[c], dec(c) if dec else None)
+                    _stream_bytes(
+                        bodies[c], dec(c) if dec else None, warn=salvage
+                    )
                     for c in content_ids
                     if c in bodies
                 )
+                for note in salvage:
+                    doc.errors.append(
+                        {"type": "malformed", "severity": "warning",
+                         "page": idx, "message": note}
+                    )
                 words = _parse_content(stream, height, idx, fonts)
             except Exception as exc:  # page-level recovery (U3)
                 doc.errors.append(

@@ -483,6 +483,63 @@ class TestToUnicode:
         ]
 
 
+class TestTruncatedDocuments:
+    """Crawl-truncation salvage: a cut-off payload must yield the
+    decodable prefix plus warnings — never a dead document."""
+
+    def _full(self):
+        pages = []
+        for pno in range(3):
+            p = PageSpec()
+            for row in range(6):
+                p.put_words(
+                    72, 100 + 30 * row, 12,
+                    [f"p{pno}r{row}w{w}" for w in range(8)],
+                )
+            pages.append(p)
+        return build_pdf(pages, compress=True)
+
+    def test_truncated_flate_stream_salvages_prefix(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _stream_bytes,
+        )
+        import zlib
+        payload = b"BT /F1 12 Tf 72 700 Td (hello world again) Tj ET\n" * 40
+        z = zlib.compress(payload, 9)
+        body = (
+            f"<< /Length {len(z)} /Filter /FlateDecode >>\nstream\n".encode()
+            + z + b"\nendstream"
+        )
+        cut = body[: len(body) - len(z) // 2]
+        warn: list[str] = []
+        out = _stream_bytes(cut, warn=warn)
+        assert out and payload.startswith(out)
+        assert warn and "salvaged" in warn[0]
+
+    def test_truncated_document_keeps_prefix_pages(self):
+        data = self._full()
+        full = parse_pdf(data)
+        full_words = [
+            w for pg in full.pages for w in pg.words["text"]
+        ]
+        n_cuts_with_text = 0
+        for frac in (0.35, 0.55, 0.75, 0.9):
+            doc = parse_pdf(data[: int(len(data) * frac)])
+            got = [w for pg in doc.pages for w in pg.words["text"]]
+            # words recovered must be a prefix-set of the full doc's
+            assert got == full_words[: len(got)], frac
+            assert doc.errors, frac  # truncation is never silent
+            if got:
+                n_cuts_with_text += 1
+        assert n_cuts_with_text >= 3  # salvage actually recovers text
+
+    def test_tiny_prefix_never_raises(self):
+        data = self._full()
+        for n in (0, 1, 7, 64, 300):
+            doc = parse_pdf(data[:n])
+            assert doc.errors or not doc.pages
+
+
 class TestDifferencesEncoding:
     """Simple-font /Encoding /Differences arrays (ISO 32000
     §9.6.6.3): custom code assignments resolved through the AGL."""
