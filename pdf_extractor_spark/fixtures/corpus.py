@@ -454,6 +454,14 @@ def _html_utf16() -> bytes:
     ).encode("utf-16-le")
 
 
+def _html_gzip() -> bytes:
+    """gzip transport wrapper (WARC-body layout): the article arrives
+    as a gzip member; routing strips it before branch sniffing."""
+    import gzip
+
+    return gzip.compress(_html_article(), mtime=0)
+
+
 def _html_article() -> bytes:
     return (
         "<html><head><title>Article</title><style>p{margin:0}</style></head>"
@@ -661,6 +669,7 @@ _HTML_CASES = {
     "html-sjis-meta": _html_sjis_meta,
     "html-win1252": _html_win1252,
     "html-utf16": _html_utf16,
+    "html-gzip": _html_gzip,
 }
 
 _CASE_LANG = {
@@ -683,6 +692,7 @@ _CASE_LANG = {
     "html-nested-tables": "en", "html-script-heavy": "en",
     "html-entity-storm": "mixed", "html-unclosed-tags": "en",
     "html-sjis-meta": "ja", "html-win1252": "en", "html-utf16": "mixed",
+    "html-gzip": "en",
 }
 
 

@@ -403,11 +403,42 @@ def extract_document(
 ) -> dict[str, Any]:
     """Route by magic bytes and extract. Never raises — failures are
     recorded in the ``errors`` array (reference recovery contract,
-    ``error_handler.py:418-479``)."""
+    ``error_handler.py:418-479``).
+
+    A gzip transport wrapper (magic ``1f 8b`` — the layout WARC
+    bodies and mis-served Content-Encoding payloads arrive in) is
+    stripped before routing; an undecodable gzip member falls through
+    to the HTML branch raw, whose mojibake grading flags it."""
     try:
+        gz_note = None
+        if payload[:2] == b"\x1f\x8b":
+            import gzip
+            import zlib
+
+            try:
+                payload = gzip.decompress(payload)
+                gz_note = "gzip transport wrapper stripped"
+            except Exception:
+                d = zlib.decompressobj(wbits=31)  # 31 = gzip framing
+                try:
+                    partial = d.decompress(payload)
+                except Exception:
+                    partial = b""
+                if partial:  # truncated member: salvage the prefix
+                    payload = partial
+                    gz_note = ("truncated gzip transport wrapper: "
+                               f"{len(partial)} bytes salvaged")
+                # else: not really gzip — grade the raw bytes
         if payload[: len(PDF_MAGIC)] == PDF_MAGIC:
-            return extract_pdf_document(payload, cfg)
-        return extract_html_document(payload, cfg)
+            result = extract_pdf_document(payload, cfg)
+        else:
+            result = extract_html_document(payload, cfg)
+        if gz_note is not None:
+            result["errors"].append(
+                {"type": "encoding", "severity": "info", "page": 0,
+                 "message": gz_note}
+            )
+        return result
     except Exception as exc:  # absolute backstop — a doc must never kill a task
         return {
             "branch": "pdf" if payload[:5] == PDF_MAGIC else "html",

@@ -540,6 +540,52 @@ class TestTruncatedDocuments:
             assert doc.errors or not doc.pages
 
 
+class TestGzipTransport:
+    """gzip-wrapped payloads (WARC bodies / mis-served
+    Content-Encoding) are stripped before branch routing."""
+
+    def _extract(self, payload):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        return extract_document(payload)
+
+    def test_gzipped_pdf_routes_to_pdf_branch(self):
+        import gzip
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["gzip", "wrapped", "pdf", "body"])
+        raw = build_pdf([p])
+        base = self._extract(raw)
+        rec = self._extract(gzip.compress(raw, mtime=0))
+        assert rec["branch"] == "pdf"
+        assert rec["extracted_text"] == base["extracted_text"]
+        assert any("gzip" in e["message"] for e in rec["errors"])
+
+    def test_gzipped_html_routes_to_html_branch(self):
+        import gzip
+        html = (b"<html><body><p>A long paragraph of genuine content "
+                b"that easily exceeds the short-block threshold and "
+                b"has zero links.</p></body></html>")
+        base = self._extract(html)
+        rec = self._extract(gzip.compress(html, mtime=0))
+        assert rec["branch"] == "html"
+        assert rec["extracted_text"] == base["extracted_text"]
+
+    def test_truncated_gzip_salvages_prefix(self):
+        import gzip
+        html = (b"<html><body>" + b"<p>A long paragraph of genuine "
+                b"content that easily exceeds the threshold.</p>" * 30
+                + b"</body></html>")
+        z = gzip.compress(html, mtime=0)
+        rec = self._extract(z[: len(z) * 2 // 3])
+        assert rec["extracted_text"]  # prefix recovered
+        assert any("salvaged" in e["message"] for e in rec["errors"])
+
+    def test_fake_gzip_magic_graded_raw(self):
+        rec = self._extract(b"\x1f\x8bnot actually gzip at all")
+        assert rec["branch"] == "html"  # fell through, never raised
+
+
 class TestDifferencesEncoding:
     """Simple-font /Encoding /Differences arrays (ISO 32000
     §9.6.6.3): custom code assignments resolved through the AGL."""
