@@ -363,6 +363,22 @@ def _pdf_inherited_split() -> bytes:
                      content_parts=3)
 
 
+def _pdf_encrypted_modern() -> bytes:
+    """The layout current writers emit: xref stream + ObjStm +
+    AES-128 standard security (empty user password), /Encrypt
+    referenced from the XRef stream dict."""
+    pages = []
+    for pno in range(2):
+        p = PageSpec()
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put(72, 170, 12, _BODY_JA[0])
+        p.put_words(72, 200, 12,
+                    ["modern", "secure", "page", f"number{pno + 1}"])
+        pages.append(p)
+    return build_pdf(pages, compress=True, xref_stream=True,
+                     encrypt="aes-128")
+
+
 def _pdf_truncated() -> bytes:
     """Crawl-truncated payload: a 3-page Flate document cut at 70% —
     xref gone (object-scan recovery), last object unterminated, its
@@ -652,6 +668,7 @@ _PDF_CASES = {
     "pdf-lzw": _pdf_lzw,
     "pdf-differences": _pdf_differences,
     "pdf-truncated": _pdf_truncated,
+    "pdf-encrypted-modern": _pdf_encrypted_modern,
 }
 
 _HTML_CASES = {
@@ -684,7 +701,7 @@ _CASE_LANG = {
     "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
-    "pdf-truncated": "en",
+    "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

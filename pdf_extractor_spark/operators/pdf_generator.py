@@ -299,7 +299,10 @@ def build_pdf(
     write: dictionary objects packed into a Flate ``/ObjStm`` and a
     binary ``/Type /XRef`` cross-reference stream (W [1 4 2], Flate +
     PNG Up predictor) instead of the classic xref table — exercises
-    the tokenizer's §7.5.7/§7.5.8 paths end to end.
+    the tokenizer's §7.5.7/§7.5.8 paths end to end. Composes with
+    ``encrypt`` (the modern encrypted layout: /Encrypt referenced
+    from the XRef stream dict, ObjStm payload encrypted as the
+    container, XRef stream itself in the clear).
 
     ``encrypt`` ∈ {"rc4-40", "rc4-128", "aes-128"} writes a
     standard-security document with EMPTY user and owner passwords
@@ -327,12 +330,13 @@ def build_pdf(
     block boundaries into that many objects referenced as a
     ``/Contents [..]`` array."""
     if xref_stream:
-        if encrypt or tounicode_chars or tounicode_ranges or \
+        if tounicode_chars or tounicode_ranges or \
                 cid_tounicode_chars or differences:
             raise ValueError(
-                "encrypt/tounicode supported on the classic layout only"
+                "tounicode/differences supported on the classic "
+                "layout only"
             )
-        return _build_pdf_xref_stream(pages, compress)
+        return _build_pdf_xref_stream(pages, compress, encrypt)
     enc_key, enc_aes, enc_dict = (None, False, b"")
     if encrypt is not None:
         enc_key, enc_aes, enc_dict = _encrypt_setup(encrypt)
@@ -537,14 +541,38 @@ def _png_up_encode(rows: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def _build_pdf_xref_stream(pages: list[PageSpec], compress: bool) -> bytes:
+def _build_pdf_xref_stream(
+    pages: list[PageSpec], compress: bool, encrypt: str | None = None
+) -> bytes:
     """PDF 1.5 layout: dict objects in an /ObjStm, binary /XRef stream.
 
     Object numbering: 1=catalog, 2=pages, 3=/F1, 4=/F2, then per page
     (page obj, content obj); content streams stay standalone (streams
-    cannot live in an ObjStm); ObjStm and XRef stream take the last
-    two ids."""
+    cannot live in an ObjStm); [the /Encrypt dict,] ObjStm and XRef
+    stream take the last ids.
+
+    ``encrypt`` combines the modern layout with standard security —
+    what current writers actually emit. Per ISO 32000: the /Encrypt
+    dict is a DIRECT object (never in an ObjStm) referenced from the
+    XRef stream's dict alongside /ID; content streams and the ObjStm
+    payload encrypt per-object AFTER compression; the XRef stream
+    itself is never encrypted."""
+    import hashlib
     import zlib
+
+    enc_key, enc_aes, enc_dict = (None, False, b"")
+    if encrypt is not None:
+        enc_key, enc_aes, enc_dict = _encrypt_setup(encrypt)
+
+    def _maybe_encrypt(oid: int, stream: bytes) -> bytes:
+        if enc_key is None:
+            return stream
+        from . import pdf_crypt
+
+        iv = hashlib.md5(f"fixture-iv:{oid}".encode()).digest()
+        return pdf_crypt.encrypt_object_bytes(
+            enc_aes, enc_key, oid, 0, stream, iv=iv
+        )
 
     packed: dict[int, bytes] = {}   # members of the ObjStm
     direct: dict[int, bytes] = {}   # standalone stream objects
@@ -559,6 +587,7 @@ def _build_pdf_xref_stream(pages: list[PageSpec], compress: bool) -> bytes:
         if compress:
             stream = zlib.compress(stream, 9)
             filt = " /Filter /FlateDecode"
+        stream = _maybe_encrypt(content_id, stream)
         rotate = f" /Rotate {p.rotate}" if p.rotate else ""
         packed[page_id] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {p.width:g} "
@@ -584,6 +613,11 @@ def _build_pdf_xref_stream(pages: list[PageSpec], compress: bool) -> bytes:
         b"/Encoding /Identity-H >>"
     )
 
+    enc_id = None
+    if encrypt is not None:
+        enc_id = next_id
+        next_id += 1
+        direct[enc_id] = enc_dict  # direct object, never encrypted
     objstm_id = next_id
     xref_id = next_id + 1
     # ObjStm payload: "(id off)*" header then concatenated bodies
@@ -596,7 +630,7 @@ def _build_pdf_xref_stream(pages: list[PageSpec], compress: bool) -> bytes:
     header = " ".join(f"{oid} {off}" for oid, off in offs) + "\n"
     payload = header.encode("latin-1") + b"\n".join(bodyparts) + b"\n"
     first = len(header)
-    zpayload = zlib.compress(payload, 9)
+    zpayload = _maybe_encrypt(objstm_id, zlib.compress(payload, 9))
 
     out = bytearray(b"%PDF-1.5\n")
     offsets: dict[int, int] = {}
@@ -631,9 +665,16 @@ def _build_pdf_xref_stream(pages: list[PageSpec], compress: bool) -> bytes:
         else:
             rows.append(b"\x00" + (0).to_bytes(4, "big") + (0).to_bytes(2, "big"))
     xdata = zlib.compress(_png_up_encode(rows), 9)
+    encrypt_ref = ""
+    if enc_id is not None:
+        idhex = _FIXTURE_ID.hex().upper()
+        encrypt_ref = (
+            f" /Encrypt {enc_id} 0 R /ID [<{idhex}> <{idhex}>]"
+        )
     out += (
         f"{xref_id} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
-        f"/Index [0 {size}] /Root 1 0 R /Filter /FlateDecode "
+        f"/Index [0 {size}] /Root 1 0 R{encrypt_ref} "
+        f"/Filter /FlateDecode "
         f"/DecodeParms << /Predictor 12 /Columns 7 >> "
         f"/Length {len(xdata)} >>\nstream\n".encode("latin-1")
         + xdata

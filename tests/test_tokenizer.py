@@ -540,6 +540,47 @@ class TestTruncatedDocuments:
             assert doc.errors or not doc.pages
 
 
+class TestEncryptedXrefStreamLayout:
+    """Modern encrypted layout: xref stream + ObjStm + standard
+    security combined — what current writers actually emit."""
+
+    def _pages(self):
+        pages = []
+        for pno in range(2):
+            p = PageSpec()
+            p.put_words(72, 100, 12,
+                        ["modern", "secure", f"page{pno}", "words"])
+            p.put(72, 130, 12, "日本語行")
+            pages.append(p)
+        return pages
+
+    def _boxes(self, doc):
+        return [
+            (pg.page_number, tuple(pg.words["text"]),
+             tuple(pg.words["x0"]))
+            for pg in doc.pages
+        ]
+
+    def test_rc4_and_aes_roundtrip(self):
+        pages = self._pages()
+        base = self._boxes(parse_pdf(build_pdf(pages)))
+        for mode in ("rc4-128", "aes-128"):
+            doc = parse_pdf(
+                build_pdf(pages, compress=True, xref_stream=True,
+                          encrypt=mode)
+            )
+            assert self._boxes(doc) == base, mode
+            sev = {e["severity"] for e in doc.errors}
+            assert sev == {"info"}, (mode, doc.errors)
+
+    def test_unencrypted_xref_stream_unchanged(self):
+        pages = self._pages()
+        base = self._boxes(parse_pdf(build_pdf(pages)))
+        doc = parse_pdf(build_pdf(pages, compress=True, xref_stream=True))
+        assert self._boxes(doc) == base
+        assert not doc.errors
+
+
 class TestGzipTransport:
     """gzip-wrapped payloads (WARC bodies / mis-served
     Content-Encoding) are stripped before branch routing."""
