@@ -2079,6 +2079,38 @@ ORDER BY lang
 _HASH_SAMPLE_SQL = _hash_sample_sql()
 
 
+def _url_canonical(spark, sf_dir):
+    """URL canonicalization + canonical-url dedup (web-corpus op):
+    lowercase scheme/host, strip default ports, drop fragments and
+    tracking params, sort surviving params — then keep the lowest
+    doc_id per canonical url. Pure narrow map + one row_number window
+    on the canonical key (the pay-once dedup shuffle)."""
+    from .urlnorm import url_canonical_report
+
+    return url_canonical_report(_t(spark, sf_dir, "documents"))
+
+
+def _url_canonical_sql() -> str:
+    from .urlnorm import DUCK_MESSY_URL, duck_canonical_url
+
+    canon = duck_canonical_url("url")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {DUCK_MESSY_URL} AS url FROM documents
+), c AS (
+  SELECT doc_id, {canon} AS canonical_url FROM d
+)
+SELECT doc_id, canonical_url,
+       CAST(CASE WHEN row_number() OVER (
+                PARTITION BY canonical_url ORDER BY doc_id) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+FROM c
+"""
+
+
+_URL_CANONICAL_SQL = _url_canonical_sql()
+
+
 def _length_quantiles(spark, sf_dir):
     """Corpus length distribution per language: EXACT interpolated
     quantiles (Spark ``percentile``; both engines use the same
@@ -3015,6 +3047,7 @@ CATALOG: dict[str, QueryDef] = {
     # corpus sampling / text batteries
     "corpus_domain_cap": QueryDef(_domain_cap, _DOMAIN_CAP_SQL),
     "corpus_hash_sample": QueryDef(_hash_sample, _HASH_SAMPLE_SQL),
+    "corpus_url_canonical": QueryDef(_url_canonical, _URL_CANONICAL_SQL),
     "corpus_length_quantiles": QueryDef(
         _length_quantiles, _LENGTH_QUANTILES_SQL
     ),

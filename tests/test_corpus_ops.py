@@ -100,3 +100,61 @@ class TestHashSample:
         sampled = sum(r.n_sampled for r in rows)
         assert total == 400
         assert 0.04 <= sampled / total <= 0.2  # 10% +- noise
+
+
+class TestUrlCanonical:
+    def test_canonical_url_rules(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.urlnorm import canonical_url
+
+        cases = [
+            # (raw, expected canonical)
+            ("HTTP://WWW.Ex.COM:80/Path?b=2&a=1#frag",
+             "http://www.ex.com/Path?a=1&b=2"),
+            ("https://ex.com:443/", "https://ex.com/"),
+            ("https://ex.com", "https://ex.com/"),
+            ("https://ex.com/x?utm_source=a&utm_medium=b&gclid=1",
+             "https://ex.com/x"),
+            ("https://ex.com:8443/x?z=1", "https://ex.com:8443/x?z=1"),
+            ("http://ex.com:443/x", "http://ex.com:443/x"),
+            ("https://ex.com/x?ref=tw&q=cats&fbclid=9",
+             "https://ex.com/x?q=cats"),
+        ]
+        df = spark.createDataFrame(
+            [(i, r) for i, (r, _e) in enumerate(cases)], "i long, url string"
+        ).withColumn("canon", canonical_url(F.col("url")))
+        got = {r["i"]: r["canon"] for r in df.collect()}
+        for i, (_raw, exp) in enumerate(cases):
+            assert got[i] == exp, (cases[i], got[i])
+
+    def test_report_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.query_catalog import (
+            _URL_CANONICAL_SQL,
+            _url_canonical,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            _url_canonical(spark, sf)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = (
+            con.execute(_URL_CANONICAL_SQL)
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.doc_id) == list(exp.doc_id)
+        assert list(got.canonical_url) == list(exp.canonical_url)
+        assert list(got.is_kept) == list(exp.is_kept)
+        assert got.is_kept.sum() == 125  # 4-doc clusters, lowest kept
