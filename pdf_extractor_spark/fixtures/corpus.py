@@ -363,6 +363,21 @@ def _pdf_inherited_split() -> bytes:
                      content_parts=3)
 
 
+def _pdf_letterhead() -> bytes:
+    """Real-writer composition quirks: every page paints a shared
+    /Form XObject letterhead via ``Do`` and carries an inline image
+    (BI..EI) whose binary payload contains token-lookalike bytes."""
+    pages = []
+    for pno in range(2):
+        p = PageSpec(inline_image=True)
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put_words(72, 200, 12,
+                    ["letter", "body", "page", f"number{pno + 1}"])
+        pages.append(p)
+    return build_pdf(pages, compress=True,
+                     header_xobject=["Fixture", "Corp", "letterhead"])
+
+
 def _pdf_encrypted_modern() -> bytes:
     """The layout current writers emit: xref stream + ObjStm +
     AES-128 standard security (empty user password), /Encrypt
@@ -669,6 +684,7 @@ _PDF_CASES = {
     "pdf-differences": _pdf_differences,
     "pdf-truncated": _pdf_truncated,
     "pdf-encrypted-modern": _pdf_encrypted_modern,
+    "pdf-letterhead": _pdf_letterhead,
 }
 
 _HTML_CASES = {
@@ -702,6 +718,7 @@ _CASE_LANG = {
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",
+    "pdf-letterhead": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -48,6 +48,10 @@ class PageSpec:
     height: float = LETTER_H
     rotate: int = 0
     ops: list[TextOp] = field(default_factory=list)
+    # emit an inline image (BI..ID <binary> EI, ISO 32000 §8.9.7)
+    # whose payload contains token-lookalike bytes — the tokenizer
+    # must skip it, not hallucinate words from it
+    inline_image: bool = False
 
     # -- convenience builders (used by fixtures) --------------------
     def put(self, x: float, y_top: float, size: float, text: str) -> None:
@@ -97,8 +101,19 @@ def _escape_literal(text: str) -> str:
     return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+# 16 bytes of 4×4 gray samples that LOOK like text-show tokens —
+# the adversarial payload an inline-image skip must not trip on
+_INLINE_IMG_BLOB = b"(fake) Tj 72 0\xff\x00"
+
+
 def _content_stream(page: PageSpec) -> bytes:
     parts: list[str] = []
+    if page.inline_image:
+        parts.append(
+            "BI /W 4 /H 4 /CS /G /BPC 8 ID "
+            + _INLINE_IMG_BLOB.decode("latin-1")
+            + " EI"
+        )
     for op in page.ops:
         if op.font is not None:
             font = "/" + op.font
@@ -285,6 +300,7 @@ def build_pdf(
     tounicode_ranges: list[tuple[int, int, str]] | None = None,
     cid_tounicode_chars: dict[int, str] | None = None,
     differences: dict[int, str] | None = None,
+    header_xobject: list[str] | None = None,
     inherit_attrs: bool = False, content_parts: int = 1,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
@@ -323,6 +339,11 @@ def build_pdf(
     >>`` object (ISO 32000 §9.6.6.3) — the non-embedded custom-
     encoding layout whose text is only recoverable through the AGL.
 
+    ``header_xobject`` (a word list) paints those words near the top
+    of EVERY page through a shared /Form XObject invoked as
+    ``/Xh Do`` (ISO 32000 §8.10 — the letterhead/stamp layout real
+    writers emit); the form carries its own /Resources.
+
     ``inherit_attrs=True`` moves /MediaBox and /Resources onto the
     root /Pages node (pages carry neither) — the inherited-attribute
     layout real writers emit (ISO 32000 §7.7.3.4).
@@ -331,10 +352,10 @@ def build_pdf(
     ``/Contents [..]`` array."""
     if xref_stream:
         if tounicode_chars or tounicode_ranges or \
-                cid_tounicode_chars or differences:
+                cid_tounicode_chars or differences or header_xobject:
             raise ValueError(
-                "tounicode/differences supported on the classic "
-                "layout only"
+                "tounicode/differences/xobject supported on the "
+                "classic layout only"
             )
         return _build_pdf_xref_stream(pages, compress, encrypt)
     enc_key, enc_aes, enc_dict = (None, False, b"")
@@ -355,14 +376,25 @@ def build_pdf(
     if differences:
         font_refs["F5"] = n_fixed + 1
         n_fixed += 2  # font object + indirect /Encoding object
+    xobj_id = None
+    if header_xobject:
+        xobj_id = n_fixed + 1
+        n_fixed += 1
     font_dict = " ".join(
         f"/{name} {oid} 0 R" for name, oid in font_refs.items()
     )
-    resources = f"/Resources << /Font << {font_dict} >> >>"
+    xobj_dict = (
+        f" /XObject << /Xh {xobj_id} 0 R >>" if xobj_id else ""
+    )
+    resources = (
+        f"/Resources << /Font << {font_dict} >>{xobj_dict} >>"
+    )
     page_ids = []
     next_id = n_fixed + 1
 
-    def _finish_stream(stream: bytes, content_id: int) -> bytes:
+    def _finish_stream(
+        stream: bytes, content_id: int, extra: str = ""
+    ) -> bytes:
         filt = ""
         if compress == "lzw":
             stream = lzw_encode(stream)
@@ -385,7 +417,9 @@ def build_pdf(
                 enc_aes, enc_key, content_id, 0, stream, iv=iv
             )
         return (
-            f"<< /Length {len(stream)}{filt} >>\nstream\n".encode("latin-1")
+            f"<< {extra}/Length {len(stream)}{filt} >>\nstream\n".encode(
+                "latin-1"
+            )
             + stream
             + b"\nendstream"
         )
@@ -395,6 +429,8 @@ def build_pdf(
         next_id += 1
         page_ids.append(page_id)
         stream = _content_stream(p)
+        if xobj_id is not None:
+            stream = b"q /Xh Do Q\n" + stream
         if content_parts > 1:
             # split at text-block boundaries into ~equal byte parts —
             # tokens never span parts, per §7.8.2
@@ -500,6 +536,17 @@ def build_pdf(
         objs[eid] = (
             f"<< /Type /Encoding /Differences [ {diff_items} ] >>"
         ).encode("latin-1")
+    if xobj_id is not None:
+        form = PageSpec()
+        form.put_words(72, 22, 10, header_xobject)
+        objs[xobj_id] = _finish_stream(
+            _content_stream(form), xobj_id,
+            extra=(
+                f"/Type /XObject /Subtype /Form "
+                f"/BBox [0 0 {LETTER_W:g} {LETTER_H:g}] "
+                f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> "
+            ),
+        )
     encrypt_ref = ""
     if encrypt is not None:
         enc_id = next_id

@@ -740,12 +740,7 @@ def _page_fonts(
     WinAnsi≈latin-1 / UTF-16BE default paths, byte-identical to the
     pre-CMap tokenizer."""
     fonts: dict[str, tuple[dict[int, str] | None, int]] = {}
-    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
-    if rm:
-        res = bodies.get(int(rm.group(1)), b"")
-    else:
-        i = body.find(b"/Resources")
-        res = body[i:] if i >= 0 else b""
+    res = _resources_of(body, bodies)
     fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.DOTALL)
     if not fm:
         return fonts
@@ -778,6 +773,50 @@ def _page_fonts(
                 cmap = diffs
         fonts[name] = (cmap, width)
     return fonts
+
+
+def _resources_of(body: bytes, bodies: dict[int, bytes]) -> bytes:
+    """The bytes holding a page/form's resource entries: an indirect
+    ``/Resources N 0 R`` object's body, else the inline tail from
+    ``/Resources``, else b""."""
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+    if rm:
+        return bodies.get(int(rm.group(1)), b"")
+    i = body.find(b"/Resources")
+    return body[i:] if i >= 0 else b""
+
+
+def _page_xobjects(
+    body: bytes, bodies: dict[int, bytes], dec, depth: int = 0
+) -> dict[str, tuple]:
+    """Resolve ``/Resources /XObject`` into
+    ``{name: (content bytes, fonts | None, nested xobjects)}`` for
+    FORM XObjects (ISO 32000 §8.10 — headers, stamps, letterheads
+    real writers paint via ``Do``). Image XObjects are skipped (no
+    text). Nested forms resolve up to ``_XOBJ_MAX_DEPTH`` — also the
+    cycle guard, since a loop just burns the remaining depth."""
+    out: dict[str, tuple] = {}
+    if depth >= _XOBJ_MAX_DEPTH:
+        return out
+    res = _resources_of(body, bodies)
+    xm = re.search(rb"/XObject\s*<<(.*?)>>", res, re.DOTALL)
+    if not xm:
+        return out
+    for m in _FONT_ENTRY_RE.finditer(xm.group(1)):
+        name, xid = m.group(1).decode("latin-1"), int(m.group(2))
+        xb = bodies.get(xid)
+        if xb is None or b"/Form" not in xb.split(b"stream", 1)[0]:
+            continue
+        try:
+            xs = _stream_bytes(xb, dec(xid) if dec else None)
+        except Exception:
+            continue  # undecodable form: skip, page text still lands
+        xfonts = _page_fonts(xb, bodies, dec)
+        out[name] = (
+            xs, xfonts or None,
+            _page_xobjects(xb, bodies, dec, depth + 1),
+        )
+    return out
 
 
 def _decode_with_cmap(tok: bytes, cmap: dict[int, str], width: int) -> str:
@@ -913,19 +952,58 @@ def _parse_simple_blocks(
     return rows.frame(page_no)
 
 
+# inline images (ISO 32000 §8.9.7): BI <dict> ID <binary> EI — the
+# binary payload is NOT token syntax and can synthesize phantom
+# "(words) Tj" matches, so the whole span is stripped before the
+# token scan. Delimiter guards keep a BI/EI inside a shown string
+# from matching (standalone-token heuristic — the same one real
+# parsers use, since the spec gives EI no length prefix).
+_INLINE_IMG_RE = re.compile(
+    rb"(?:^|(?<=[\s]))BI[\s\S]*?(?:^|[\s])EI(?=[\s]|$)"
+)
+
+_XOBJ_MAX_DEPTH = 4  # form-XObject recursion cap (cycle guard)
+
+
 def _parse_content(
     stream: bytes, height: float, page_no: int,
     fonts: dict[str, tuple[dict[int, str] | None, int]] | None = None,
+    xobjects: dict | None = None,
 ) -> pd.DataFrame:
     has_cmaps = fonts is not None and any(
         c is not None for c, _w in fonts.values()
     )
-    if not has_cmaps and stream.lstrip()[:5].startswith(b"BT"):
+    if not has_cmaps and not xobjects and \
+            stream.lstrip()[:5].startswith(b"BT"):
         # the fast path ignores Tf font selection, so it is only valid
         # when no font on the page carries a ToUnicode map
         fast = _parse_simple_blocks(stream, height, page_no)
         if fast is not None:
             return fast
+    rows = _WordSink()
+    _scan_stream(stream, height, fonts, xobjects, rows, 0)
+    if not rows.texts:
+        return empty_word_frame()
+    return rows.frame(page_no)
+
+
+def _scan_stream(
+    stream: bytes, height: float,
+    fonts: dict[str, tuple[dict[int, str] | None, int]] | None,
+    xobjects: dict | None,
+    rows: "_WordSink", depth: int,
+) -> None:
+    """Token-scan one content stream into the shared sink; ``Do``
+    recurses into form XObjects (their own resources, same sink) up
+    to ``_XOBJ_MAX_DEPTH``. Text state is per-stream — our grammar's
+    forms open with their own BT/Tf, so inheriting the caller's text
+    state (which ISO 32000 §8.10.1 technically prescribes) would be
+    indistinguishable here and is deliberately not carried."""
+    if b"BI" in stream:
+        stream = _INLINE_IMG_RE.sub(b" ", stream)
+    has_cmaps = fonts is not None and any(
+        c is not None for c, _w in fonts.values()
+    )
     cur_cmap: dict[int, str] | None = None
     cur_width = 1
 
@@ -934,7 +1012,6 @@ def _parse_content(
             return _decode_with_cmap(s, cur_cmap, cur_width)
         return _decode_literal(s) if s[:1] == b"(" else _decode_hex(s)
 
-    rows = _WordSink()
     size = 12.0
     leading = 0.0          # TL / TD-set text leading (for T*, ', ")
     x = y = 0.0
@@ -1012,11 +1089,19 @@ def _parse_content(
                     x -= float(item) / 1000.0 * size
             in_array = []
             stack.clear()
+        elif tok == b"Do" and stack:
+            nm = stack[-1]
+            if nm[:1] == b"/" and xobjects and depth < _XOBJ_MAX_DEPTH:
+                ent = xobjects.get(nm[1:].decode("latin-1"))
+                if ent is not None:
+                    xstream, xfonts, xxobjs = ent
+                    _scan_stream(
+                        xstream, height, xfonts or fonts, xxobjs,
+                        rows, depth + 1,
+                    )
+            stack.clear()
         else:
             stack.clear()
-    if not rows.texts:
-        return empty_word_frame()
-    return rows.frame(page_no)
 
 
 # --------------------------------------------------------------- parse
@@ -1258,6 +1343,7 @@ def parse_pdf(data: bytes) -> PdfDoc:
                     else (res_owner or body)
                 )
                 fonts = _page_fonts(font_src, bodies, dec)
+                xobjs = _page_xobjects(font_src, bodies, dec)
                 salvage: list[str] = []
                 stream = b"\n".join(
                     _stream_bytes(
@@ -1271,7 +1357,7 @@ def parse_pdf(data: bytes) -> PdfDoc:
                         {"type": "malformed", "severity": "warning",
                          "page": idx, "message": note}
                     )
-                words = _parse_content(stream, height, idx, fonts)
+                words = _parse_content(stream, height, idx, fonts, xobjs)
             except Exception as exc:  # page-level recovery (U3)
                 doc.errors.append(
                     {"type": "corruption", "severity": "error", "page": idx,

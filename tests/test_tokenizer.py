@@ -581,6 +581,70 @@ class TestEncryptedXrefStreamLayout:
         assert not doc.errors
 
 
+class TestInlineImagesAndFormXObjects:
+    """BI..EI payload skipping (§8.9.7) and /Form XObject text via
+    Do (§8.10) — both ubiquitous in real writer output."""
+
+    def test_inline_image_payload_not_hallucinated(self):
+        p = PageSpec(inline_image=True)
+        p.put_words(72, 100, 12, ["real", "words", "after", "image"])
+        doc = parse_pdf(build_pdf([p]))
+        texts = list(doc.pages[0].words["text"])
+        assert texts == ["real", "words", "after", "image"]
+        assert "fake" not in texts  # the blob contains "(fake) Tj"
+
+    def test_inline_image_with_compression(self):
+        p = PageSpec(inline_image=True)
+        p.put_words(72, 100, 12, ["compressed", "case"])
+        doc = parse_pdf(build_pdf([p], compress=True))
+        assert list(doc.pages[0].words["text"]) == [
+            "compressed", "case"
+        ]
+
+    def test_bi_inside_string_not_stripped(self):
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["BI", "and", "EI", "are", "words"])
+        doc = parse_pdf(build_pdf([p]))
+        assert list(doc.pages[0].words["text"]) == [
+            "BI", "and", "EI", "are", "words"
+        ]
+
+    def test_form_xobject_text_extracted_every_page(self):
+        pages = []
+        for pno in range(2):
+            p = PageSpec()
+            p.put_words(72, 100, 12, ["body", f"page{pno}"])
+            pages.append(p)
+        doc = parse_pdf(
+            build_pdf(pages, header_xobject=["ACME", "letterhead"])
+        )
+        assert not doc.errors
+        for pg in doc.pages:
+            texts = list(pg.words["text"])
+            assert "ACME" in texts and "letterhead" in texts
+            assert "body" in texts
+
+    def test_form_xobject_with_compress_and_encrypt(self):
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["secured", "body"])
+        doc = parse_pdf(
+            build_pdf([p], compress=True, encrypt="aes-128",
+                      header_xobject=["stamp", "text"])
+        )
+        texts = list(doc.pages[0].words["text"])
+        assert "stamp" in texts and "secured" in texts
+
+    def test_missing_xobject_ref_harmless(self):
+        # a Do naming no resolvable XObject: page text still lands
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        stream = b"q /Zz Do Q\nBT /F1 12 Tf 72 700 Td (survives) Tj ET"
+        for xobjs in (None, {}):
+            words = _parse_content(stream, 792.0, 1, None, xobjs)
+            assert list(words["text"]) == ["survives"], xobjs
+
+
 class TestGzipTransport:
     """gzip-wrapped payloads (WARC bodies / mis-served
     Content-Encoding) are stripped before branch routing."""
