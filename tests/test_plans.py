@@ -137,3 +137,19 @@ class TestDedupShapes:
     )
     def test_signature_stages_have_no_cartesian(self, spark, name):
         assert _n(_plan(spark, name), "CartesianProduct") == 0
+
+
+class TestUrlCanonicalPlan:
+    def test_single_window_exchange_on_canonical_key(self, spark):
+        import re
+
+        plan = _plan(spark, "corpus_url_canonical")
+        # one narrow map + ONE shuffle: the row_number window
+        # partitioned by the canonical url — nothing else exchanges
+        keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(keys) == 1, plan
+        assert "canonical_url" in keys[0]
+        assert "CartesianProduct" not in plan
+        # canonicalization stays whole-stage-codegen (no UDFs)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
