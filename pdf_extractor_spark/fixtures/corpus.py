@@ -363,6 +363,29 @@ def _pdf_inherited_split() -> bytes:
                      content_parts=3)
 
 
+def _pdf_incremental() -> bytes:
+    """Incrementally-updated document (ISO 32000 §7.5.6): a base page
+    plus two appended "Save" revisions — /Prev-chained xref sections,
+    the /Pages node shadowed twice."""
+    from pdf_extractor_spark.operators.pdf_generator import (
+        incremental_add_page,
+    )
+
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put_words(72, 200, 12, ["revision", "one", "base"])
+    data = build_pdf([p], compress=True)
+    for n in (2, 3):
+        q = PageSpec()
+        _lines(q, [ln.split() for ln in _BODY_EN])
+        q.put_words(72, 200, 12, ["revision", _NUM_WORDS[n], "appended"])
+        data = incremental_add_page(data, q, compress=(n == 3))
+    return data
+
+
+_NUM_WORDS = {2: "two", 3: "three"}
+
+
 def _pdf_letterhead() -> bytes:
     """Real-writer composition quirks: every page paints a shared
     /Form XObject letterhead via ``Do`` and carries an inline image
@@ -685,6 +708,7 @@ _PDF_CASES = {
     "pdf-truncated": _pdf_truncated,
     "pdf-encrypted-modern": _pdf_encrypted_modern,
     "pdf-letterhead": _pdf_letterhead,
+    "pdf-incremental": _pdf_incremental,
 }
 
 _HTML_CASES = {
@@ -718,7 +742,7 @@ _CASE_LANG = {
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",
-    "pdf-letterhead": "en",
+    "pdf-letterhead": "en", "pdf-incremental": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

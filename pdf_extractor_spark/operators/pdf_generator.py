@@ -16,6 +16,7 @@ extraction outputs — are known by construction (SURVEY.md §7.0).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from .charclass import text_advance
@@ -573,6 +574,79 @@ def build_pdf(
     out += (
         f"trailer\n<< /Size {n_objs} /Root 1 0 R{encrypt_ref} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)
+
+
+def incremental_add_page(
+    base: bytes, page: PageSpec, compress: bool = False
+) -> bytes:
+    """Append an incremental update (ISO 32000 §7.5.6) that adds one
+    page to a classic-layout document — the structure every desktop
+    writer's "Save" emits: new objects appended after the old %%EOF,
+    an UPDATED /Pages object under its ORIGINAL id (shadowing the old
+    revision), a new xref section covering only the changed ids, and
+    a trailer whose /Prev points at the previous xref."""
+    import zlib
+
+    hits = list(
+        re.finditer(rb"(?:^|\n)2 0 obj\n(.*?)\nendobj", base, re.DOTALL)
+    )
+    if not hits:
+        raise ValueError("no /Pages object (id 2) in base")
+    pages_body = hits[-1].group(1)  # newest revision of the node
+    count = int(re.search(rb"/Count (\d+)", pages_body).group(1))
+    max_id = max(
+        int(mm.group(1))
+        for mm in re.finditer(rb"(?:^|\n)(\d+) 0 obj", base)
+    )
+    page_id, content_id = max_id + 1, max_id + 2
+    old_xref = int(
+        re.search(rb"startxref\s+(\d+)\s+%%EOF", base[-256:]).group(1)
+    )
+    # rewrite ONLY Kids/Count so inherited attrs on the node survive
+    new_pages = re.sub(
+        rb"/Kids \[([^\]]*)\]",
+        lambda km: b"/Kids ["
+        + km.group(1).strip()
+        + f" {page_id} 0 R]".encode("latin-1"),
+        pages_body,
+    )
+    new_pages = re.sub(
+        rb"/Count \d+", f"/Count {count + 1}".encode("latin-1"),
+        new_pages,
+    )
+    stream = _content_stream(page)
+    filt = ""
+    if compress:
+        stream = zlib.compress(stream, 9)
+        filt = " /Filter /FlateDecode"
+    content_obj = (
+        f"<< /Length {len(stream)}{filt} >>\nstream\n".encode("latin-1")
+        + stream
+        + b"\nendstream"
+    )
+    page_obj = (
+        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page.width:g} "
+        f"{page.height:g}] /Contents {content_id} 0 R "
+        f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> >>"
+    ).encode("latin-1")
+    out = bytearray(base)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    offsets: dict[int, int] = {}
+    for oid, body in (
+        (2, new_pages), (page_id, page_obj), (content_id, content_obj)
+    ):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode("latin-1") + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += (
+        f"xref\n2 1\n{offsets[2]:010d} 00000 n \n"
+        f"{page_id} 2\n{offsets[page_id]:010d} 00000 n \n"
+        f"{offsets[content_id]:010d} 00000 n \n"
+        f"trailer\n<< /Size {content_id + 1} /Root 1 0 R "
+        f"/Prev {old_xref} >>\nstartxref\n{xref_pos}\n%%EOF\n"
     ).encode("latin-1")
     return bytes(out)
 

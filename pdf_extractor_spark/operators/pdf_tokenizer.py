@@ -66,30 +66,51 @@ def empty_word_frame() -> Words:
 # ----------------------------------------------------------------- xref
 
 def _parse_xref_offsets(data: bytes) -> dict[int, int]:
-    """Parse the classic xref table named by startxref; return
-    obj_id → byte offset. Raises on any structural surprise (caller
-    falls back to a scan)."""
+    """Parse the classic xref table(s) named by startxref; return
+    obj_id → byte offset. Follows the trailer ``/Prev`` chain
+    (incremental updates, ISO 32000 §7.5.6 — every desktop "Save"
+    appends one): the NEWEST section is visited first and wins, and a
+    free ("f") entry in a newer section tombstones the id so an older
+    revision cannot resurrect a deleted object. Raises on any
+    structural surprise (caller falls back to a scan)."""
     tail = data[-256:]
     m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
     if not m:
         raise ValueError("no startxref")
-    pos = int(m.group(1))
-    if not data[pos : pos + 4] == b"xref":
-        raise ValueError("startxref does not point at xref")
+    pos: int | None = int(m.group(1))
     offsets: dict[int, int] = {}
-    cursor = pos + 4
-    while True:
-        m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", data[cursor : cursor + 64])
-        if not m:
-            break
-        start, count = int(m.group(1)), int(m.group(2))
-        cursor += m.end()
-        for i in range(count):
-            entry = data[cursor : cursor + 20]
-            off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
-            if kind == b"n":
-                offsets[start + i] = int(off)
-            cursor += 20
+    dead: set[int] = set()
+    seen_sections: set[int] = set()
+    while pos is not None and pos not in seen_sections:
+        seen_sections.add(pos)
+        if not data[pos : pos + 4] == b"xref":
+            raise ValueError("startxref does not point at xref")
+        cursor = pos + 4
+        while True:
+            m = re.match(
+                rb"\s*(\d+)\s+(\d+)\s*\n", data[cursor : cursor + 64]
+            )
+            if not m:
+                break
+            start, count = int(m.group(1)), int(m.group(2))
+            cursor += m.end()
+            for i in range(count):
+                entry = data[cursor : cursor + 20]
+                off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+                oid = start + i
+                if oid not in offsets and oid not in dead:
+                    if kind == b"n":
+                        offsets[oid] = int(off)
+                    elif oid != 0:
+                        dead.add(oid)
+                cursor += 20
+        pos = None
+        tm = re.search(rb"trailer", data[cursor : cursor + 64])
+        if tm:
+            tdict = data[cursor + tm.end() : cursor + tm.end() + 512]
+            pm = re.search(rb"/Prev\s+(\d+)", tdict)
+            if pm:
+                pos = int(pm.group(1))
     if not offsets:
         raise ValueError("empty xref")
     return offsets

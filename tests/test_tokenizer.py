@@ -581,6 +581,85 @@ class TestEncryptedXrefStreamLayout:
         assert not doc.errors
 
 
+class TestIncrementalUpdates:
+    """Classic-xref /Prev chains (ISO 32000 §7.5.6): appended
+    revisions shadow old objects; free entries tombstone ids."""
+
+    def _base(self):
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["original", "first", "page"])
+        return build_pdf([p])
+
+    def test_added_page_and_shadowed_pages_node(self):
+        from pdf_extractor_spark.operators.pdf_generator import (
+            incremental_add_page,
+        )
+        p2 = PageSpec()
+        p2.put_words(72, 100, 12, ["appended", "second", "page"])
+        doc = parse_pdf(incremental_add_page(self._base(), p2))
+        assert not doc.errors
+        assert len(doc.pages) == 2
+        assert list(doc.pages[0].words["text"]) == [
+            "original", "first", "page"
+        ]
+        assert list(doc.pages[1].words["text"]) == [
+            "appended", "second", "page"
+        ]
+
+    def test_chain_of_two_updates(self):
+        from pdf_extractor_spark.operators.pdf_generator import (
+            incremental_add_page,
+        )
+        data = self._base()
+        for n in (2, 3):
+            p = PageSpec()
+            p.put_words(72, 100, 12, [f"rev{n}", "content"])
+            data = incremental_add_page(data, p, compress=(n == 3))
+        doc = parse_pdf(data)
+        assert len(doc.pages) == 3
+        assert list(doc.pages[2].words["text"]) == ["rev3", "content"]
+
+    def test_free_entry_tombstones_object(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_xref_offsets,
+        )
+        # hand-built: old section lists object 5 at offset 100; the
+        # newer section marks 5 free — 5 must NOT resurrect
+        old = b"X" * 50
+        old_xref_pos = len(old)
+        old_full = old + (
+            b"xref\n0 1\n0000000000 65535 f \n"
+            b"5 1\n0000000100 00000 n \n"
+            b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+        )
+        new_xref_pos = len(old_full)
+        data = old_full + (
+            b"xref\n5 1\n0000000000 00001 f \n"
+            b"6 1\n0000000200 00000 n \n"
+            b"trailer\n<< /Size 7 /Root 1 0 R /Prev "
+            + str(old_xref_pos).encode()
+            + b" >>\nstartxref\n"
+            + str(new_xref_pos).encode()
+            + b"\n%%EOF\n"
+        )
+        offsets = _parse_xref_offsets(data)
+        assert 5 not in offsets
+        assert offsets[6] == 200
+
+    def test_prev_cycle_terminates(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_xref_offsets,
+        )
+        xref_pos = 0
+        data = (
+            b"xref\n3 1\n0000000300 00000 n \n"
+            b"trailer\n<< /Size 4 /Prev 0 >>\n"  # /Prev → itself
+            b"startxref\n0\n%%EOF\n"
+        )
+        offsets = _parse_xref_offsets(data)
+        assert offsets == {3: 300}
+
+
 class TestInlineImagesAndFormXObjects:
     """BI..EI payload skipping (§8.9.7) and /Form XObject text via
     Do (§8.10) — both ubiquitous in real writer output."""
