@@ -867,15 +867,20 @@ def _advance_units(piece: str) -> float:
 def _emit_words(
     text: str, x: float, y: float, size: float, height: float,
     sink: "_WordSink",
+    tc: float = 0.0, tw: float = 0.0, tz: float = 1.0,
 ) -> float:
     """Split shown text on spaces; append columns to the sink; return
-    advanced x."""
+    advanced x. ``tc``/``tw``/``tz`` are the Tc char-spacing, Tw
+    word-spacing and Tz horizontal-scale text state (ISO 32000
+    §9.3.2-§9.3.4); the defaults reproduce the plain advance model
+    bit-for-bit (+0.0 and ×1.0 are exact in IEEE 754)."""
     # coordinates rounded to 3 decimals: keeps boxes byte-stable across
     # float formatting roundtrips (the reference similarly keys dedup on
     # rounded positions, error_handler.py:542-574)
     top = round(height - y - _ASCENT * size, 3)
     bottom = round(height - y + _DESCENT * size, 3)
     cx = x
+    space_adv = (0.5 * size + tc + tw) * tz
     t_app = sink.texts.append
     x0_app = sink.x0s.append
     x1_app = sink.x1s.append
@@ -884,19 +889,19 @@ def _emit_words(
     size_app = sink.sizes.append
     for piece in text.split(" "):
         if piece == "":
-            cx += 0.5 * size  # bare space advance
+            cx += space_adv  # bare space advance
             continue
-        w = _advance_units(piece) * size
+        w = (_advance_units(piece) * size + tc * len(piece)) * tz
         t_app(piece)
         x0_app(round(cx, 3))
         x1_app(round(cx + w, 3))
         top_app(top)
         bot_app(bottom)
         size_app(size)
-        cx += w + 0.5 * size  # the splitting space's advance
+        cx += w + space_adv  # the splitting space's advance
     # we over-advance by one trailing space; harmless for layout, but
     # keep exact: remove it
-    return cx - 0.5 * size
+    return cx - space_adv
 
 
 class _WordSink:
@@ -1013,6 +1018,7 @@ def _scan_stream(
     fonts: dict[str, tuple[dict[int, str] | None, int]] | None,
     xobjects: dict | None,
     rows: "_WordSink", depth: int,
+    ctm_tx: float = 0.0, ctm_ty: float = 0.0,
 ) -> None:
     """Token-scan one content stream into the shared sink; ``Do``
     recurses into form XObjects (their own resources, same sink) up
@@ -1035,8 +1041,15 @@ def _scan_stream(
 
     size = 12.0
     leading = 0.0          # TL / TD-set text leading (for T*, ', ")
+    tc = tw = 0.0          # Tc char / Tw word spacing (§9.3.2-3)
+    tz = 1.0               # Tz horizontal scale (§9.3.4)
     x = y = 0.0
     lx = ly = 0.0          # line-start (Td is relative to line matrix)
+    # CTM TRANSLATION component + q/Q stack (§8.4.4): real writers
+    # place content — especially invoked forms — via `q a b c d e f
+    # cm`; the translation (e, f) is tracked and composed, scale/
+    # rotation are ignored (flag-only, like /Rotate)
+    gstack: list[tuple[float, float]] = []
     stack: list[bytes] = []  # pending operands
     in_array: list = []
     array_mode = False
@@ -1079,6 +1092,26 @@ def _scan_stream(
         elif tok == b"TL" and stack:
             leading = float(stack[-1])
             stack.clear()
+        elif tok == b"Tc" and stack:
+            tc = float(stack[-1])
+            stack.clear()
+        elif tok == b"Tw" and stack:
+            tw = float(stack[-1])
+            stack.clear()
+        elif tok == b"Tz" and stack:
+            tz = float(stack[-1]) / 100.0
+            stack.clear()
+        elif tok == b"q":
+            gstack.append((ctm_tx, ctm_ty))
+            stack.clear()
+        elif tok == b"Q":
+            if gstack:
+                ctm_tx, ctm_ty = gstack.pop()
+            stack.clear()
+        elif tok == b"cm" and len(stack) >= 6:
+            ctm_tx += float(stack[-2])
+            ctm_ty += float(stack[-1])
+            stack.clear()
         elif tok == b"T*":
             ly -= leading
             x, y = lx, ly
@@ -1089,25 +1122,34 @@ def _scan_stream(
             stack.clear()
         elif tok == b"Tj" and stack:
             s = stack[-1]
-            x = _emit_words(decode_tok(s), x, y, size, height, rows)
+            x = _emit_words(
+                decode_tok(s), x + ctm_tx, y + ctm_ty, size, height,
+                rows, tc, tw, tz,
+            ) - ctm_tx
             stack.clear()
         elif tok in (b"'", b'"') and stack:
-            # move-to-next-line-and-show (the " form also carries
-            # word/char spacing operands, which this grammar ignores)
+            # move-to-next-line-and-show; the " form's aw/ac operands
+            # SET the word/char spacing state (§9.4.3)
             s = stack[-1]
             if s[:1] in (b"(", b"<"):
+                if tok == b'"' and len(stack) >= 3:
+                    tw, tc = float(stack[-3]), float(stack[-2])
                 ly -= leading
                 x, y = lx, ly
-                x = _emit_words(decode_tok(s), x, y, size, height, rows)
+                x = _emit_words(
+                    decode_tok(s), x + ctm_tx, y + ctm_ty, size,
+                    height, rows, tc, tw, tz,
+                ) - ctm_tx
             stack.clear()
         elif tok == b"TJ":
             for item in in_array:
                 if item[:1] in (b"(", b"<"):
                     x = _emit_words(
-                        decode_tok(item), x, y, size, height, rows,
-                    )
+                        decode_tok(item), x + ctm_tx, y + ctm_ty,
+                        size, height, rows, tc, tw, tz,
+                    ) - ctm_tx
                 else:  # kerning adjustment, thousandths of em
-                    x -= float(item) / 1000.0 * size
+                    x -= float(item) / 1000.0 * size * tz
             in_array = []
             stack.clear()
         elif tok == b"Do" and stack:
@@ -1118,7 +1160,7 @@ def _scan_stream(
                     xstream, xfonts, xxobjs = ent
                     _scan_stream(
                         xstream, height, xfonts or fonts, xxobjs,
-                        rows, depth + 1,
+                        rows, depth + 1, ctm_tx, ctm_ty,
                     )
             stack.clear()
         else:

@@ -581,6 +581,85 @@ class TestEncryptedXrefStreamLayout:
         assert not doc.errors
 
 
+class TestGraphicsAndTextState:
+    """cm translation (q/Q stack) and Tc/Tw/Tz spacing — the
+    graphics/text state real writers position content with."""
+
+    def _words(self, stream, xobjects=None):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        w = _parse_content(stream, 792.0, 1, None, xobjects or {})
+        return list(
+            zip(w["text"], w["x0"], w["x1"], w["top"])
+        )
+
+    def test_cm_translation_and_q_restore(self):
+        got = self._words(
+            b"q 1 0 0 1 100 50 cm "
+            b"BT /F1 12 Tf 0 0 Td (moved) Tj ET Q\n"
+            b"BT /F1 12 Tf 10 20 Td (base) Tj ET"
+        )
+        base = self._words(
+            b"BT /F1 12 Tf 100 50 Td (moved) Tj ET\n"
+            b"BT /F1 12 Tf 10 20 Td (base) Tj ET"
+        )
+        assert got == base
+
+    def test_nested_q_stack(self):
+        got = self._words(
+            b"q 1 0 0 1 100 0 cm q 1 0 0 1 0 200 cm "
+            b"BT /F1 12 Tf 0 0 Td (inner) Tj ET Q "
+            b"BT /F1 12 Tf 0 0 Td (outer) Tj ET Q"
+        )
+        base = self._words(
+            b"BT /F1 12 Tf 100 200 Td (inner) Tj ET\n"
+            b"BT /F1 12 Tf 100 0 Td (outer) Tj ET"
+        )
+        assert got == base
+
+    def test_cm_positions_invoked_form(self):
+        form = (b"BT /F1 12 Tf 0 700 Td (formtext) Tj ET", None, {})
+        got = self._words(
+            b"q 1 0 0 1 200 -300 cm /X1 Do Q",
+            xobjects={"X1": form},
+        )
+        base = self._words(b"BT /F1 12 Tf 200 400 Td (formtext) Tj ET")
+        assert got == base
+
+    def test_tc_widens_boxes_and_gaps(self):
+        plain = self._words(b"BT /F1 10 Tf 0 0 Td (ab cd) Tj ET")
+        spaced = self._words(b"BT /F1 10 Tf 2 Tc 0 0 Td (ab cd) Tj ET")
+        # box width grows by tc per char
+        assert spaced[0][2] - spaced[0][1] == (
+            plain[0][2] - plain[0][1] + 2 * 2
+        )
+        # second word shifts by 3 chars' tc (2 in "ab" + the space)
+        assert spaced[1][1] == plain[1][1] + 3 * 2
+
+    def test_tw_shifts_following_words_only(self):
+        plain = self._words(b"BT /F1 10 Tf 0 0 Td (ab cd) Tj ET")
+        spaced = self._words(b"BT /F1 10 Tf 4 Tw 0 0 Td (ab cd) Tj ET")
+        assert spaced[0][1:3] == plain[0][1:3]  # first word unmoved
+        assert spaced[1][1] == plain[1][1] + 4
+
+    def test_tz_scales_advance(self):
+        plain = self._words(b"BT /F1 10 Tf 0 0 Td (abcd) Tj ET")
+        half = self._words(b"BT /F1 10 Tf 50 Tz 0 0 Td (abcd) Tj ET")
+        assert half[0][2] - half[0][1] == (
+            plain[0][2] - plain[0][1]
+        ) / 2
+
+    def test_quote_operator_sets_spacing(self):
+        got = self._words(
+            b'BT /F1 10 Tf 0 TL 0 50 Td 4 2 (ab cd) " ET'
+        )
+        explicit = self._words(
+            b"BT /F1 10 Tf 4 Tw 2 Tc 0 50 Td (ab cd) Tj ET"
+        )
+        assert got == explicit
+
+
 class TestIncrementalUpdates:
     """Classic-xref /Prev chains (ISO 32000 §7.5.6): appended
     revisions shadow old objects; free entries tombstone ids."""
