@@ -919,3 +919,100 @@ def duck_melted_pairs(source: str = "documents") -> str:
     FROM bandkeys a JOIN bandkeys b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
   )"""
+
+
+# ------------------------------------------------ line-level dedup
+
+LINE_BOILERPLATE = (
+    "This site uses cookies. By continuing you accept our cookie "
+    "policy."
+)
+LINE_DEDUP_MIN_COUNT = 10
+
+
+def _fixture_lines() -> list:
+    """Three deterministic pseudo-lines per fixture document (the
+    synthetic text is one line; real pages come pre-split): fixed-
+    width slices, with a boilerplate cookie banner planted in every
+    7th document so the hot-line filter has real work."""
+    t = F.col("text")
+    d = F.col("doc_id")
+    return [
+        F.substring(t, 1, 60),
+        F.when(d % 7 == 0, F.lit(LINE_BOILERPLATE)).otherwise(
+            F.substring(t, 61, 60)
+        ),
+        F.substring(t, 121, 60),
+    ]
+
+
+def line_dedup_report(
+    docs: DataFrame, min_count: int = LINE_DEDUP_MIN_COUNT
+) -> DataFrame:
+    """Corpus-level repeated-LINE removal (the RefinedWeb / CCNet
+    recipe: a line occurring in ≥ ``min_count`` documents is
+    boilerplate — nav text, cookie banners, footers — and is dropped
+    from every document). Returns (doc_id, n_lines_kept, kept_text)
+    for documents with at least one surviving line.
+
+    Scale shape (100 TB): explode → count is one hash aggregate with
+    map-side combine on the LINE; the hot-line table that survives
+    ``HAVING count >= min_count`` is tiny by construction (it's the
+    boilerplate), so the removal join is a BROADCAST anti-join — the
+    full corpus is never shuffled, only re-aggregated per doc_id for
+    reassembly. In production the line key would be ``xxhash64`` of
+    the line, not the text (the count table then never carries text);
+    md5/text is kept here for the bit-exact DuckDB twin."""
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.array(*_fixture_lines())).alias(
+                "pos", "line"
+            ),
+        )
+        .filter(F.col("line") != "")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos, line))), x -> x.line), '\n')"
+        ).alias("kept_text"),
+    )
+
+
+def duck_line_dedup_sql(
+    min_count: int = LINE_DEDUP_MIN_COUNT,
+    source: str = "documents",
+) -> str:
+    bp = LINE_BOILERPLATE
+    return f"""
+WITH lines AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id,
+           unnest([
+             substring(text, 1, 60),
+             CASE WHEN doc_id % 7 = 0 THEN '{bp}'
+                  ELSE substring(text, 61, 60) END,
+             substring(text, 121, 60)
+           ]) AS line,
+           unnest([0, 1, 2]) AS pos
+    FROM {source}
+  ) WHERE line <> ''
+), hot AS (
+  SELECT line FROM lines GROUP BY line HAVING count(*) >= {min_count}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines_kept,
+       string_agg(line, chr(10) ORDER BY pos) AS kept_text
+FROM lines
+WHERE line NOT IN (SELECT line FROM hot)
+GROUP BY doc_id
+"""

@@ -2111,6 +2111,52 @@ FROM c
 _URL_CANONICAL_SQL = _url_canonical_sql()
 
 
+def _pii_scrub(spark, sf_dir):
+    """PII scrubbing battery (C4/Dolma recipe): emails / SSNs / IPs /
+    phone numbers → typed placeholder tokens, with per-type counts
+    measured at each rule's position in the chain. Pure narrow map —
+    in a production pipeline this runs BEFORE dedup so placeholders,
+    not raw PII, enter the minhash shingles."""
+    from .pii import pii_scrub_report
+
+    return pii_scrub_report(_t(spark, sf_dir, "documents"))
+
+
+def _pii_scrub_sql() -> str:
+    from .pii import DUCK_INJECT_PII, duck_scrub_chain
+
+    scrubbed, counts = duck_scrub_chain(f"({DUCK_INJECT_PII})")
+    cols = ",\n       ".join(counts)
+    return f"""
+SELECT doc_id,
+       {cols},
+       {scrubbed} AS scrubbed
+FROM documents
+"""
+
+
+_PII_SCRUB_SQL = _pii_scrub_sql()
+
+
+def _line_dedup(spark, sf_dir):
+    """Corpus-level repeated-line removal (RefinedWeb/CCNet): lines
+    occurring in ≥10 documents are boilerplate and dropped
+    everywhere. Hot-line table is tiny → broadcast anti-join; the
+    corpus body never shuffles on text."""
+    from .dedup import line_dedup_report
+
+    return line_dedup_report(_t(spark, sf_dir, "documents"))
+
+
+def _line_dedup_sql() -> str:
+    from .dedup import duck_line_dedup_sql
+
+    return duck_line_dedup_sql()
+
+
+_LINE_DEDUP_SQL = _line_dedup_sql()
+
+
 def _length_quantiles(spark, sf_dir):
     """Corpus length distribution per language: EXACT interpolated
     quantiles (Spark ``percentile``; both engines use the same
@@ -3048,6 +3094,8 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_domain_cap": QueryDef(_domain_cap, _DOMAIN_CAP_SQL),
     "corpus_hash_sample": QueryDef(_hash_sample, _HASH_SAMPLE_SQL),
     "corpus_url_canonical": QueryDef(_url_canonical, _URL_CANONICAL_SQL),
+    "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL),
+    "corpus_line_dedup": QueryDef(_line_dedup, _LINE_DEDUP_SQL),
     "corpus_length_quantiles": QueryDef(
         _length_quantiles, _LENGTH_QUANTILES_SQL
     ),

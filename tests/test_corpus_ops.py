@@ -158,3 +158,71 @@ class TestUrlCanonical:
         assert list(got.canonical_url) == list(exp.canonical_url)
         assert list(got.is_kept) == list(exp.is_kept)
         assert got.is_kept.sum() == 125  # 4-doc clusters, lowest kept
+
+
+class TestPiiScrub:
+    def test_rules_and_order(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.pii import pii_counts, scrub_pii
+
+        rows = [
+            (1, "mail me at a.b+c@ex-site.org today"),
+            (2, "SSN 987-65-4321 leaked"),
+            (3, "server 192.168.1.254 and phone +44 (020) 555-1234"),
+            (4, "no pii here at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = df.select(
+            "doc_id", *pii_counts(F.col("text")),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+        by = {r["doc_id"]: r for r in out}
+        assert by[1]["n_email"] == 1 and "<EMAIL>" in by[1]["s"]
+        assert "a.b+c" not in by[1]["s"]
+        assert by[2]["n_ssn"] == 1 and "<SSN>" in by[2]["s"]
+        assert by[3]["n_ip"] == 1 and by[3]["n_phone"] == 1
+        assert "<IP>" in by[3]["s"] and "<PHONE>" in by[3]["s"]
+        assert by[4]["s"] == "no pii here at all"
+
+    def test_counts_precede_replacement_interference(self, spark):
+        # the email's digits must not also be counted as a phone
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.pii import pii_counts
+
+        df = spark.createDataFrame(
+            [(1, "reach 555-010-9999@example.com ok")],
+            "doc_id long, text string",
+        )
+        r = df.select(*pii_counts(F.col("text"))).collect()[0]
+        assert r["n_email"] == 1 and r["n_phone"] == 0
+
+
+class TestLineDedup:
+    def test_boilerplate_dropped_everywhere(self, spark):
+        from pdf_extractor_spark.functions.dedup import (
+            LINE_BOILERPLATE,
+            line_dedup_report,
+        )
+        rows = [
+            (i, f"unique line for document {i:03d} " + f"t{i:03d} " * 30)
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup_report(docs, min_count=3).collect()
+        # every 7th doc had the banner planted as line 2 → dropped
+        for r in out:
+            assert LINE_BOILERPLATE not in r["kept_text"]
+        planted = [r for r in out if r["doc_id"] % 7 == 0]
+        assert planted and all(r["n_lines_kept"] == 2 for r in planted)
+
+    def test_plan_broadcasts_hot_lines(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_line_dedup"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
