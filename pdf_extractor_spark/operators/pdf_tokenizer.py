@@ -4,11 +4,15 @@ From-scratch replacement for the reference's pdfplumber dependency
 (S2/P1 in SURVEY.md §2.1-2.2; reference call sites
 ``extractor.py:101,164-169``): xref/trailer parse → object resolution →
 standard-security decryption (RC4-40/128 + AES-128, empty user
-password — :mod:`.pdf_crypt`) → page-tree walk → content-stream token
-scan (``BT/ET Tf Td TD Tm Tj TJ``) → glyph-to-Unicode decode
+password — :mod:`.pdf_crypt`) → page-tree walk (attribute
+inheritance, /Contents arrays, /Prev-chained incremental updates) →
+content-stream token scan (``BT/ET Tf Td TD Tm TL T* Tc Tw Tz Tj TJ
+' "``, ``q/Q/cm`` CTM translation, ``Do`` form-XObject recursion,
+``BI..EI`` inline-image skip) → glyph-to-Unicode decode
 (``/ToUnicode`` bfchar/bfrange CMaps when a font carries one, else
-literal≈WinAnsi, hex=UTF-16BE/Identity-H) → word boxes with
-coordinates + font size.
+``/Encoding /Differences`` via the AGL subset, else literal≈WinAnsi,
+hex=UTF-16BE/Identity-H) → word boxes with coordinates + font size.
+Truncated files degrade to their decodable prefix with warnings.
 
 Coordinates follow the reader convention the reference's word boxes use
 (pdfplumber-style): ``top``/``bottom`` measured from the page TOP edge,
