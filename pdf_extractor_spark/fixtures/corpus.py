@@ -508,6 +508,33 @@ def _html_utf16() -> bytes:
     ).encode("utf-16-le")
 
 
+def _html_divsoup() -> bytes:
+    """Modern div-soup page: boilerplate marked only by class/id
+    hints (navbar, cookie banner, ads, footer) — no semantic tags."""
+    return (
+        "<html><head><title>Divsoup</title></head><body>"
+        "<div class='site-header'><div class='navbar'>"
+        "<a href='/'>Home</a> <a href='/shop'>Shop</a> "
+        "<a href='/blog'>Blog</a> <a href='/help'>Help</a></div></div>"
+        "<div id='cookie-banner'><div>We use cookies to improve your "
+        "experience on this website please accept our policy</div></div>"
+        "<div class='main-content'>"
+        "<div class='article-title'><h1>Life Inside Div Soup</h1></div>"
+        "<div class='article-body'><p>Main content paragraphs carry "
+        "the real article text and are long enough to be classified "
+        "as content by the density rules.</p>"
+        "<p>A second substantial paragraph continues the article body "
+        "and demonstrates multi-block serialization with stable "
+        "offsets.</p></div>"
+        "<div class='ad-container'><div>Sponsored limited time offer "
+        "buy now incredible deal do not miss out</div></div>"
+        "</div>"
+        "<div id='page-footer'><div>Copyright Terms Privacy Imprint "
+        "Contact Careers Press Media Kit Sitemap</div></div>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
 def _html_gzip() -> bytes:
     """gzip transport wrapper (WARC-body layout): the article arrives
     as a gzip member; routing strips it before branch sniffing."""
@@ -727,6 +754,7 @@ _HTML_CASES = {
     "html-win1252": _html_win1252,
     "html-utf16": _html_utf16,
     "html-gzip": _html_gzip,
+    "html-divsoup": _html_divsoup,
 }
 
 _CASE_LANG = {
@@ -750,7 +778,7 @@ _CASE_LANG = {
     "html-nested-tables": "en", "html-script-heavy": "en",
     "html-entity-storm": "mixed", "html-unclosed-tags": "en",
     "html-sjis-meta": "ja", "html-win1252": "en", "html-utf16": "mixed",
-    "html-gzip": "en",
+    "html-gzip": "en", "html-divsoup": "en",
 }
 
 

@@ -138,6 +138,27 @@ _BAD_CONTEXT_TAGS = {"nav", "footer", "aside", "header", "form"}
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 _WS_RE = re.compile(r"\s+")
 
+# class/id boilerplate hints: real crawl pages are div-soup — the
+# boilerplate signal lives in attribute tokens (<div class="navbar">),
+# not semantic tags. Token list follows the published jusText /
+# Readability "negative class" families; matched per [-_ ]-separated
+# token so "article-nav-next" and "cookie-banner" both hit.
+_BAD_HINT_RE = re.compile(
+    r"(?:^|[-_ ])(nav|navbar|navigation|menu|footer|header|masthead|"
+    r"sidebar|"
+    r"breadcrumbs?|comments?|share|social|cookies?|banner|ads?|"
+    r"advert\w*|promo|sponsored|related|widget|popup|modal|paywall|"
+    r"subscribe|newsletter)(?:$|[-_ ])"
+)
+
+
+def _attrs_hint_bad(attrs: list[tuple[str, str | None]]) -> bool:
+    for k, v in attrs:
+        if k in ("class", "id", "role") and v:
+            if _BAD_HINT_RE.search(v.lower()):
+                return True
+    return False
+
 
 @dataclass
 class Block:
@@ -164,6 +185,11 @@ class _BlockParser(HTMLParser):
         self._skip_depth = 0
         self._bad_depth = 0
         self._heading_depth = 0
+        # per-tag stacks of "this open element carried a boilerplate
+        # class/id hint" — per-NAME stacks survive the interleaving
+        # that real (often unclosed) markup produces better than one
+        # global element stack
+        self._hint_stacks: dict[str, list[bool]] = {}
 
     def _flush(self) -> None:
         raw = "".join(self._buf)
@@ -190,8 +216,12 @@ class _BlockParser(HTMLParser):
             return
         if tag in _BLOCK_TAGS:
             self._flush()
-            if tag in _BAD_CONTEXT_TAGS:
+            hinted = tag not in _BAD_CONTEXT_TAGS and _attrs_hint_bad(
+                attrs
+            )
+            if tag in _BAD_CONTEXT_TAGS or hinted:
                 self._bad_depth += 1
+            self._hint_stacks.setdefault(tag, []).append(hinted)
             if tag in _HEADING_TAGS:
                 self._heading_depth += 1
         if tag == "a":
@@ -203,7 +233,9 @@ class _BlockParser(HTMLParser):
             return
         if tag in _BLOCK_TAGS:
             self._flush()
-            if tag in _BAD_CONTEXT_TAGS:
+            stack = self._hint_stacks.get(tag)
+            hinted = bool(stack) and stack.pop()
+            if tag in _BAD_CONTEXT_TAGS or hinted:
                 self._bad_depth = max(0, self._bad_depth - 1)
             if tag in _HEADING_TAGS:
                 self._heading_depth = max(0, self._heading_depth - 1)

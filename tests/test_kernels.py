@@ -284,6 +284,69 @@ class TestCharsetSniffing:
         assert sniff_charset(payload) == "utf-8-sig"
 
 
+class TestClassIdBoilerplateHints:
+    """div-soup boilerplate: class/id tokens mark bad context the way
+    semantic tags do on modern markup."""
+
+    PARA = ("A long paragraph of genuine content that easily exceeds "
+            "the short-block threshold and has zero links.")
+
+    def _kept(self, html: bytes) -> list[str]:
+        blocks = segment_blocks(html)
+        keep = classify_blocks(blocks, CFG)
+        return [b.text for b, k in zip(blocks, keep) if k]
+
+    def test_navbar_class_dropped(self):
+        html = (
+            "<div class='navbar'><div>Home Products About Contact "
+            "Careers Blog Support Legal Privacy</div></div>"
+            f"<div class='content'><p>{self.PARA}</p></div>"
+        ).encode()
+        kept = self._kept(html)
+        assert kept == [self.PARA]
+
+    def test_token_boundaries(self):
+        # "article-nav-next" hits (token nav); "navigate-story" and
+        # "menuitem" must NOT (substring, not a token)
+        html = (
+            f"<div class='navigate-story'><p>{self.PARA}</p></div>"
+            "<div class='article-nav-next'><div>Next Prev Index Top "
+            "Bottom More Links Here Again</div></div>"
+        ).encode()
+        kept = self._kept(html)
+        assert kept == [self.PARA]
+
+    def test_id_and_role_checked(self):
+        html = (
+            "<div id='page-footer'><div>Copyright Terms Privacy "
+            "Imprint Contact Careers Press Media</div></div>"
+            "<section role='navigation'><div>One Two Three Four Five "
+            "Six Seven Eight Nine</div></section>"
+            f"<div id='main-text'><p>{self.PARA}</p></div>"
+        ).encode()
+        kept = self._kept(html)
+        assert kept == [self.PARA]
+
+    def test_interleaved_good_and_bad_divs(self):
+        html = (
+            f"<div class='cookie-banner'><div>We use cookies to "
+            "improve your browsing experience on this site okay"
+            "</div></div>"
+            f"<div><p>{self.PARA}</p></div>"
+            "<div class='ad-container'><div>Sponsored offer buy now "
+            "great deal limited time only act fast</div></div>"
+            f"<div><p>{self.PARA} Second.</p></div>"
+        ).encode()
+        kept = self._kept(html)
+        assert kept == [self.PARA, self.PARA + " Second."]
+
+    def test_stray_endtag_harmless(self):
+        html = (
+            f"</div><div><p>{self.PARA}</p></div></div></div>"
+        ).encode()
+        assert self._kept(html) == [self.PARA]
+
+
 def test_html_short_block_neighbor_smoothing():
     html = (
         b"<p>A long paragraph of genuine content that easily exceeds the "
