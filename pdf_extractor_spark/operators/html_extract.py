@@ -133,7 +133,13 @@ _BLOCK_TAGS = {
     "nav", "aside", "ul", "ol", "table", "tr", "main", "figure",
     "figcaption", "dd", "dt",
 }
-_SKIP_TAGS = {"script", "style", "noscript", "template", "head", "title"}
+_SKIP_TAGS = {
+    "script", "style", "noscript", "template", "head", "title",
+    # form controls and non-text embeds: their text children are
+    # chrome (option lists, button labels, svg <text>), never content
+    "select", "option", "optgroup", "datalist", "button", "textarea",
+    "svg", "canvas", "map", "audio", "video", "iframe", "object",
+}
 _BAD_CONTEXT_TAGS = {"nav", "footer", "aside", "header", "form"}
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 _WS_RE = re.compile(r"\s+")

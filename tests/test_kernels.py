@@ -358,3 +358,20 @@ def test_html_short_block_neighbor_smoothing():
     blocks = segment_blocks(html)
     keep = classify_blocks(blocks, CFG)
     assert keep == [True, True, True]
+
+
+def test_form_controls_and_embeds_skipped():
+    para = ("A long paragraph of genuine content that easily exceeds "
+            "the short-block threshold and has zero links.")
+    html = (
+        "<select><option>Alabama</option><option>Alaska</option>"
+        "<option>Arizona</option></select>"
+        "<button>Subscribe now</button>"
+        "<svg><text>chart label text here</text></svg>"
+        "<textarea>type your comment here folks</textarea>"
+        f"<p>{para}</p>"
+    ).encode()
+    blocks = segment_blocks(html)
+    keep = classify_blocks(blocks, CFG)
+    kept = [b.text for b, k in zip(blocks, keep) if k]
+    assert kept == [para]
