@@ -508,6 +508,31 @@ def _html_utf16() -> bytes:
     ).encode("utf-16-le")
 
 
+def _html_http_response() -> bytes:
+    """WARC-response-style payload: HTTP status line + headers ahead
+    of a gzip body, charset in the Content-Type header (outranks the
+    document's own wrong <meta>)."""
+    import gzip
+
+    body = (
+        "<html><head><meta charset='utf-8'><title>Wire</title></head>"
+        "<body><article><h1>Served Over The Wire</h1>"
+        "<p>He said \x93the response headers carry the truth\x94 and "
+        "the paragraph keeps going long enough to clear the "
+        "short-block threshold easily.</p>"
+        "<p>A second substantial paragraph continues the article "
+        "body with stable offsets after transport stripping.</p>"
+        "</article></body></html>"
+    ).encode("latin-1")  # cp1252 bytes — the meta lies, the header doesn't
+    return (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=windows-1252\r\n"
+        b"Content-Encoding: gzip\r\n"
+        b"Server: fixture\r\n\r\n"
+        + gzip.compress(body, mtime=0)
+    )
+
+
 def _html_divsoup() -> bytes:
     """Modern div-soup page: boilerplate marked only by class/id
     hints (navbar, cookie banner, ads, footer) — no semantic tags."""
@@ -755,6 +780,7 @@ _HTML_CASES = {
     "html-utf16": _html_utf16,
     "html-gzip": _html_gzip,
     "html-divsoup": _html_divsoup,
+    "html-http-response": _html_http_response,
 }
 
 _CASE_LANG = {
@@ -779,6 +805,7 @@ _CASE_LANG = {
     "html-entity-storm": "mixed", "html-unclosed-tags": "en",
     "html-sjis-meta": "ja", "html-win1252": "en", "html-utf16": "mixed",
     "html-gzip": "en", "html-divsoup": "en",
+    "html-http-response": "en",
 }
 
 

@@ -29,6 +29,7 @@ documents through it inside ``mapInPandas`` Arrow batches.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
@@ -40,7 +41,11 @@ from .footnotes import (
     match_markers,
 )
 from .encoding import count_bad_chars, fix_encoding_text
-from .html_extract import extract_html, sniff_charset
+from .html_extract import (
+    extract_html,
+    resolve_charset_label,
+    sniff_charset,
+)
 from .ocrfix import ocr_fix_text
 from .inventory import (
     dedup_words,
@@ -316,13 +321,22 @@ def extract_pdf_document(
 
 
 def extract_html_document(
-    payload: bytes, cfg: ExtractConfig
+    payload: bytes, cfg: ExtractConfig,
+    transport_charset: str | None = None,
 ) -> dict[str, Any]:
-    """HTML branch (H1-H6)."""
+    """HTML branch (H1-H6). ``transport_charset`` is the HTTP
+    Content-Type charset label when the payload carried response
+    headers — it outranks in-document <meta> (WHATWG), BOM still
+    wins."""
     errors: list[dict] = []
     n_bad = 0
     n_pre = 0
-    codec = sniff_charset(payload)
+    codec = (
+        (transport_charset and resolve_charset_label(transport_charset))
+        or sniff_charset(payload)
+    )
+    if payload[:1] in (b"\xef", b"\xff", b"\xfe"):
+        codec = sniff_charset(payload)  # BOM outranks transport
     if codec not in ("utf-8", "utf-8-sig"):
         # parity with the decrypt path: a non-default decode is an
         # auditable INFO row, not silent behavior
@@ -331,7 +345,9 @@ def extract_html_document(
              "message": f"decoded as {codec} (charset sniffed)"}
         )
     try:
-        text, spans, n_bad, n_pre = extract_html(payload, cfg)
+        text, spans, n_bad, n_pre = extract_html(
+            payload, cfg, transport_charset
+        )
     except Exception as exc:
         errors.append(
             {"type": "malformed", "severity": "error", "page": 0,
@@ -411,6 +427,35 @@ def extract_document(
     to the HTML branch raw, whose mojibake grading flags it."""
     try:
         gz_note = None
+        http_note = None
+        transport_charset = None
+        if payload[:5] == b"HTTP/":
+            # WARC-response-style payload: HTTP status line + headers
+            # precede the body. Strip them (BEFORE gzip — a
+            # Content-Encoding body is compressed after the headers)
+            # and keep the Content-Type charset as the transport-
+            # layer hint (outranks <meta>, loses to a BOM — WHATWG).
+            head_end = payload.find(b"\r\n\r\n", 0, 16384)
+            sep = 4
+            if head_end < 0:
+                head_end = payload.find(b"\n\n", 0, 16384)
+                sep = 2
+            if head_end > 0:
+                head = payload[:head_end]
+                cm = re.search(
+                    rb"(?im)^content-type:[^\r\n]*charset="
+                    rb"[\"']?([A-Za-z0-9._:-]+)",
+                    head,
+                )
+                if cm:
+                    transport_charset = cm.group(1).decode(
+                        "ascii", "replace"
+                    )
+                payload = payload[head_end + sep:]
+                http_note = "http response headers stripped" + (
+                    f" (charset={transport_charset})"
+                    if transport_charset else ""
+                )
         if payload[:2] == b"\x1f\x8b":
             import gzip
             import zlib
@@ -432,12 +477,15 @@ def extract_document(
         if payload[: len(PDF_MAGIC)] == PDF_MAGIC:
             result = extract_pdf_document(payload, cfg)
         else:
-            result = extract_html_document(payload, cfg)
-        if gz_note is not None:
-            result["errors"].append(
-                {"type": "encoding", "severity": "info", "page": 0,
-                 "message": gz_note}
+            result = extract_html_document(
+                payload, cfg, transport_charset
             )
+        for note in (http_note, gz_note):
+            if note is not None:
+                result["errors"].append(
+                    {"type": "encoding", "severity": "info", "page": 0,
+                     "message": note}
+                )
         return result
     except Exception as exc:  # absolute backstop — a doc must never kill a task
         return {

@@ -116,11 +116,31 @@ def sniff_charset(html_bytes: bytes) -> str:
     return "utf-8"
 
 
-def sniff_decode(html_bytes: bytes) -> tuple[str, str]:
-    """Decode a raw page per :func:`sniff_charset`; (text, codec).
-    Always ``errors="replace"`` — damage surfaces as U+FFFD and is
-    counted/scrubbed downstream (P11), never raised."""
-    codec = sniff_charset(html_bytes)
+def resolve_charset_label(label: str) -> str | None:
+    """WHATWG-registry resolution of a charset LABEL (e.g. from a
+    transport Content-Type header) to a Python codec; None when the
+    label is unknown."""
+    return _CHARSET_ALIASES.get(label.strip().lower())
+
+
+def sniff_decode(
+    html_bytes: bytes, transport_charset: str | None = None
+) -> tuple[str, str]:
+    """Decode a raw page; (text, codec). Priority per the WHATWG
+    sniffing algorithm: BOM, then the TRANSPORT-layer charset (an
+    HTTP Content-Type header, when the caller has one), then
+    in-document ``<meta>``, then UTF-8. Always ``errors="replace"`` —
+    damage surfaces as U+FFFD and is counted/scrubbed downstream
+    (P11), never raised."""
+    codec = None
+    for bom, bcodec in _BOMS:
+        if html_bytes[: len(bom)] == bom:
+            codec = bcodec
+            break
+    if codec is None and transport_charset:
+        codec = resolve_charset_label(transport_charset)
+    if codec is None:
+        codec = sniff_charset(html_bytes)
     try:
         return html_bytes.decode(codec, errors="replace"), codec
     except LookupError:  # codec table entry missing in this runtime
@@ -256,9 +276,11 @@ class _BlockParser(HTMLParser):
             self._buf_link += len(_WS_RE.sub(" ", data).strip())
 
 
-def segment_blocks(html_bytes: bytes) -> list[Block]:
+def segment_blocks(
+    html_bytes: bytes, transport_charset: str | None = None
+) -> list[Block]:
     """H1+H2: bytes → ordered content blocks (charset-sniffed)."""
-    text, _codec = sniff_decode(html_bytes)
+    text, _codec = sniff_decode(html_bytes, transport_charset)
     parser = _BlockParser()
     parser.feed(text)
     parser.close()
@@ -306,7 +328,8 @@ def classify_blocks(blocks: list[Block], cfg: ExtractConfig) -> list[bool]:
 
 
 def extract_html(
-    html_bytes: bytes, cfg: ExtractConfig
+    html_bytes: bytes, cfg: ExtractConfig,
+    transport_charset: str | None = None,
 ) -> tuple[str, list[tuple[int, int, str, int]], int, int]:
     """H6: full branch — returns
     (extracted_text, spans, n_bad_chars, n_pre_chars).
@@ -323,7 +346,7 @@ def extract_html(
     """
     from .encoding import count_bad_chars, fix_encoding_text
 
-    blocks = segment_blocks(html_bytes)
+    blocks = segment_blocks(html_bytes, transport_charset)
     keep = classify_blocks(blocks, cfg)
     parts: list[str] = []
     spans: list[tuple[int, int, str, int]] = []

@@ -803,6 +803,84 @@ class TestInlineImagesAndFormXObjects:
             assert list(words["text"]) == ["survives"], xobjs
 
 
+class TestHttpTransport:
+    """WARC-response-style payloads: HTTP status line + headers ahead
+    of the body, Content-Type charset as the transport hint."""
+
+    def _extract(self, payload):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        return extract_document(payload)
+
+    HTML = (b"<html><body><p>A long paragraph of genuine content "
+            b"that easily exceeds the short-block threshold and "
+            b"has zero links.</p></body></html>")
+
+    def test_headers_stripped_before_routing(self):
+        base = self._extract(self.HTML)
+        rec = self._extract(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Server: x\r\n\r\n" + self.HTML
+        )
+        assert rec["extracted_text"] == base["extracted_text"]
+        assert any(
+            "headers stripped" in e["message"] for e in rec["errors"]
+        )
+
+    def test_transport_charset_beats_meta(self):
+        body = (
+            "<html><head><meta charset='utf-8'></head><body>"
+            "<p>He said \x93hi\x94 and the paragraph keeps going long "
+            "enough to clear the short-block threshold fine.</p>"
+            "</body></html>"
+        ).encode("latin-1")  # cp1252 bytes
+        rec = self._extract(
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=windows-1252\r\n\r\n"
+            + body
+        )
+        assert "“hi”" in rec["extracted_text"]
+
+    def test_bom_beats_transport_charset(self):
+        body = b"\xef\xbb\xbf" + self.HTML
+        rec = self._extract(
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=shift_jis\r\n\r\n"
+            + body
+        )
+        assert "long paragraph" in rec["extracted_text"]
+
+    def test_headers_then_gzip_body(self):
+        import gzip
+        rec = self._extract(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + gzip.compress(self.HTML, mtime=0)
+        )
+        assert "long paragraph" in rec["extracted_text"]
+
+    def test_headers_then_pdf_body(self):
+        p = PageSpec()
+        for row in range(5):
+            p.put_words(
+                72, 100 + 30 * row, 12,
+                ["served", "pdf", "body", f"row{row}", "with",
+                 "plenty", "of", "words"],
+            )
+        rec = self._extract(
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+            + build_pdf([p])
+        )
+        assert rec["branch"] == "pdf"
+        assert "served" in rec["extracted_text"]
+
+    def test_headerless_body_unchanged(self):
+        rec = self._extract(self.HTML)
+        assert not any(
+            "headers stripped" in e["message"] for e in rec["errors"]
+        )
+
+
 class TestGzipTransport:
     """gzip-wrapped payloads (WARC bodies / mis-served
     Content-Encoding) are stripped before branch routing."""
