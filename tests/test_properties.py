@@ -269,3 +269,74 @@ def test_chunk_pages_covers_everything_in_order(pages, max_size, min_size):
     # characters-strategy cuts land on page boundaries -> exact inverse
     full, _ = reassemble_chunks(chunks)
     assert full == "\n\n".join(pages)
+
+
+# ------------------------------------------- round-3 codec properties
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=6000))
+def test_lzw_roundtrip_property(data):
+    from pdf_extractor_spark.operators.pdf_generator import lzw_encode
+    from pdf_extractor_spark.operators.pdf_tokenizer import _lzw_decode
+
+    assert _lzw_decode(lzw_encode(data)) == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=6000))
+def test_rle_roundtrip_property(data):
+    from pdf_extractor_spark.operators.pdf_generator import rle_encode
+    from pdf_extractor_spark.operators.pdf_tokenizer import _rle_decode
+
+    assert _rle_decode(rle_encode(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_lzw_decode_never_raises_uncontrolled(data):
+    """Arbitrary bytes into the LZW decoder either decode or raise
+    ValueError (which page recovery catches) — never anything else."""
+    from pdf_extractor_spark.operators.pdf_tokenizer import _lzw_decode
+
+    try:
+        out = _lzw_decode(data)
+        assert isinstance(out, bytes)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_sniff_decode_never_raises(data):
+    from pdf_extractor_spark.operators.html_extract import sniff_decode
+
+    text, codec = sniff_decode(data)
+    assert isinstance(text, str) and isinstance(codec, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=1))
+def test_truncation_yields_word_prefix_everywhere(compress_flag):
+    """For EVERY cut point of a real document, parse_pdf returns a
+    word list that is a strict prefix of the full document's words —
+    never an exception, never out-of-order salvage."""
+    from pdf_extractor_spark.operators.pdf_generator import (
+        PageSpec,
+        build_pdf,
+    )
+    from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+    pages = []
+    for pno in range(2):
+        p = PageSpec()
+        p.put_words(72, 100, 12,
+                    [f"p{pno}w{w}" for w in range(6)])
+        pages.append(p)
+    data = build_pdf(pages, compress=bool(compress_flag))
+    full = [
+        w for pg in parse_pdf(data).pages for w in pg.words["text"]
+    ]
+    for n in range(0, len(data), 97):  # stride keeps runtime bounded
+        doc = parse_pdf(data[:n])
+        got = [w for pg in doc.pages for w in pg.words["text"]]
+        assert got == full[: len(got)], n
