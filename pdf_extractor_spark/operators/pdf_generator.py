@@ -589,6 +589,12 @@ def incremental_add_page(
     a trailer whose /Prev points at the previous xref."""
     import zlib
 
+    if b"/Encrypt" in base[-1024:]:
+        raise ValueError(
+            "incremental updates on encrypted bases are not "
+            "supported by this fixture writer (the appended streams "
+            "would need the base document's file key)"
+        )
     hits = list(
         re.finditer(rb"(?:^|\n)2 0 obj\n(.*?)\nendobj", base, re.DOTALL)
     )

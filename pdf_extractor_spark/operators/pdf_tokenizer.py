@@ -988,8 +988,11 @@ def _parse_simple_blocks(
 # token scan. Delimiter guards keep a BI/EI inside a shown string
 # from matching (standalone-token heuristic — the same one real
 # parsers use, since the spec gives EI no length prefix).
+# the span must contain the ID operator (every inline image does:
+# BI <dict> ID <binary> EI) — "word BI word ... word EI word" inside
+# shown strings then cannot match and delete real text between them
 _INLINE_IMG_RE = re.compile(
-    rb"(?:^|(?<=[\s]))BI[\s\S]*?(?:^|[\s])EI(?=[\s]|$)"
+    rb"(?:^|(?<=[\s]))BI\s[\s\S]*?\sID[\s\S]*?(?:^|[\s])EI(?=[\s]|$)"
 )
 
 _XOBJ_MAX_DEPTH = 4  # form-XObject recursion cap (cycle guard)

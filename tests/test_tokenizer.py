@@ -767,6 +767,36 @@ class TestInlineImagesAndFormXObjects:
             "BI", "and", "EI", "are", "words"
         ]
 
+    def test_space_delimited_bi_ei_in_strings_survive(self):
+        # " BI " inside one string and " EI " in a later one must not
+        # pair up and delete the real text between them (the span
+        # carries no ID operator)
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        stream = (
+            b"BT /F1 12 Tf 72 700 Td (alpha BI beta) Tj ET\n"
+            b"BT /F1 12 Tf 72 650 Td (keep this middle text) Tj ET\n"
+            b"BT /F1 12 Tf 72 600 Td (gamma EI delta) Tj ET"
+        )
+        words = list(_parse_content(stream, 792.0, 1, None, {})["text"])
+        assert words == [
+            "alpha", "BI", "beta", "keep", "this", "middle", "text",
+            "gamma", "EI", "delta",
+        ]
+
+    def test_incremental_on_encrypted_base_rejected(self):
+        import pytest
+
+        from pdf_extractor_spark.operators.pdf_generator import (
+            incremental_add_page,
+        )
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["secret", "base"])
+        base = build_pdf([p], encrypt="rc4-128")
+        with pytest.raises(ValueError, match="encrypted"):
+            incremental_add_page(base, PageSpec())
+
     def test_form_xobject_text_extracted_every_page(self):
         pages = []
         for pno in range(2):
