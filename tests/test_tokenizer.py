@@ -822,6 +822,24 @@ class TestInlineImagesAndFormXObjects:
         texts = list(doc.pages[0].words["text"])
         assert "stamp" in texts and "secured" in texts
 
+    def test_form_xobject_under_inherited_resources(self):
+        # /XObject lives in the INHERITED /Resources dict on the
+        # /Pages node — resolution must go through the same owner
+        # the fonts use
+        pages = []
+        for pno in range(2):
+            p = PageSpec()
+            p.put_words(72, 100, 12, ["inherited", f"body{pno}"])
+            pages.append(p)
+        doc = parse_pdf(
+            build_pdf(pages, inherit_attrs=True, content_parts=2,
+                      header_xobject=["Stamp", "Here"])
+        )
+        assert not doc.errors
+        for pg in doc.pages:
+            texts = list(pg.words["text"])
+            assert "Stamp" in texts and "inherited" in texts
+
     def test_missing_xobject_ref_harmless(self):
         # a Do naming no resolvable XObject: page text still lands
         from pdf_extractor_spark.operators.pdf_tokenizer import (
