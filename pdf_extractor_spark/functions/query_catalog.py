@@ -2138,6 +2138,24 @@ FROM documents
 _PII_SCRUB_SQL = _pii_scrub_sql()
 
 
+def _bm25_topk(spark, sf_dir):
+    """Okapi BM25 keyword retrieval over an inverted index built with
+    two map-side-combinable aggregates; query idf table broadcast —
+    postings never shuffle wider than (term, doc_id, tf)."""
+    from .search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+def _bm25_sql() -> str:
+    from .search import duck_bm25_sql
+
+    return duck_bm25_sql()
+
+
+_BM25_SQL = _bm25_sql()
+
+
 def _line_dedup(spark, sf_dir):
     """Corpus-level repeated-line removal (RefinedWeb/CCNet): lines
     occurring in ≥10 documents are boilerplate and dropped
@@ -3096,6 +3114,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_url_canonical": QueryDef(_url_canonical, _URL_CANONICAL_SQL),
     "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL),
     "corpus_line_dedup": QueryDef(_line_dedup, _LINE_DEDUP_SQL),
+    "search_bm25_topk": QueryDef(_bm25_topk, _BM25_SQL),
     "corpus_length_quantiles": QueryDef(
         _length_quantiles, _LENGTH_QUANTILES_SQL
     ),

@@ -226,3 +226,45 @@ class TestLineDedup:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBm25:
+    def test_scores_match_hand_computation(self, spark):
+        import math
+
+        from pdf_extractor_spark.functions.search import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark spark merge"),
+                (2, "spark window"),
+                (3, "other words only here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(
+                docs, query_terms=("spark",), k=3
+            ).collect()
+        }
+        # N=3, df=2 -> idf = ln((3-2+0.5)/(2+0.5)+1); avgdl = 9/3
+        idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+        def s(tf, dl):
+            return round(
+                idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0)), 6
+            )
+        assert out == {1: s(2, 3), 2: s(1, 2)}
+        assert out[1] > out[2]  # higher tf wins
+        assert 3 not in out     # no query term -> no row
+
+    def test_plan_broadcasts_query_side(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["search_bm25_topk"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan  # top-k, no full sort
