@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 SSN_RE = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 IP_RE = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-PHONE_RE = "\\+?\\d{1,2}[ -]\\(?\\d{3}\\)?[ -]\\d{3}-\\d{4}"
+# country code OPTIONAL: "(555) 123-4567" and "555-123-4567" — the
+# dominant bare US forms — must match, not only "+1 ..." spellings
+PHONE_RE = (
+    "(?:\\+?\\d{1,2}[ -])?\\(?\\d{3}\\)?[ -]?\\d{3}-\\d{4}"
+)
 
 # (pattern, placeholder, count column) — applied in this order
 PII_RULES: tuple[tuple[str, str, str], ...] = (

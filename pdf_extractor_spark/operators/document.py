@@ -41,11 +41,7 @@ from .footnotes import (
     match_markers,
 )
 from .encoding import count_bad_chars, fix_encoding_text
-from .html_extract import (
-    extract_html,
-    resolve_charset_label,
-    sniff_charset,
-)
+from .html_extract import extract_html, resolve_codec
 from .ocrfix import ocr_fix_text
 from .inventory import (
     dedup_words,
@@ -331,12 +327,7 @@ def extract_html_document(
     errors: list[dict] = []
     n_bad = 0
     n_pre = 0
-    codec = (
-        (transport_charset and resolve_charset_label(transport_charset))
-        or sniff_charset(payload)
-    )
-    if payload[:1] in (b"\xef", b"\xff", b"\xfe"):
-        codec = sniff_charset(payload)  # BOM outranks transport
+    codec = resolve_codec(payload, transport_charset)
     if codec not in ("utf-8", "utf-8-sig"):
         # parity with the decrypt path: a non-default decode is an
         # auditable INFO row, not silent behavior

@@ -123,24 +123,31 @@ def resolve_charset_label(label: str) -> str | None:
     return _CHARSET_ALIASES.get(label.strip().lower())
 
 
+def resolve_codec(
+    html_bytes: bytes, transport_charset: str | None = None
+) -> str:
+    """The codec the page decodes with, per the WHATWG priority:
+    BOM, then the TRANSPORT-layer charset (an HTTP Content-Type
+    header, when the caller has one), then in-document ``<meta>``,
+    then UTF-8. The SINGLE source of truth — callers reporting the
+    codec (audit rows) and callers decoding must agree."""
+    for bom, bcodec in _BOMS:
+        if html_bytes[: len(bom)] == bom:
+            return bcodec
+    if transport_charset:
+        codec = resolve_charset_label(transport_charset)
+        if codec is not None:
+            return codec
+    return sniff_charset(html_bytes)
+
+
 def sniff_decode(
     html_bytes: bytes, transport_charset: str | None = None
 ) -> tuple[str, str]:
-    """Decode a raw page; (text, codec). Priority per the WHATWG
-    sniffing algorithm: BOM, then the TRANSPORT-layer charset (an
-    HTTP Content-Type header, when the caller has one), then
-    in-document ``<meta>``, then UTF-8. Always ``errors="replace"`` —
-    damage surfaces as U+FFFD and is counted/scrubbed downstream
-    (P11), never raised."""
-    codec = None
-    for bom, bcodec in _BOMS:
-        if html_bytes[: len(bom)] == bom:
-            codec = bcodec
-            break
-    if codec is None and transport_charset:
-        codec = resolve_charset_label(transport_charset)
-    if codec is None:
-        codec = sniff_charset(html_bytes)
+    """Decode a raw page; (text, codec) per :func:`resolve_codec`.
+    Always ``errors="replace"`` — damage surfaces as U+FFFD and is
+    counted/scrubbed downstream (P11), never raised."""
+    codec = resolve_codec(html_bytes, transport_charset)
     try:
         return html_bytes.decode(codec, errors="replace"), codec
     except LookupError:  # codec table entry missing in this runtime
@@ -186,6 +193,36 @@ def _attrs_hint_bad(attrs: list[tuple[str, str | None]]) -> bool:
     return False
 
 
+# Implied end tags (HTML5 tree construction, the cases that matter
+# for counter hygiene): browsers auto-close these, html.parser does
+# not, and real markup routinely omits the end tags. Every block
+# start also closes an open <p> (p holds phrasing content only).
+_ITEM_IMPLIED: dict[str, tuple[str, ...]] = {
+    "li": ("li",),
+    "dt": ("dd", "dt"),
+    "dd": ("dd", "dt"),
+    "tr": ("td", "th", "tr"),
+    "td": ("td", "th"),
+    "th": ("td", "th"),
+}
+_IMPLIED_BY_START: dict[str, tuple[str, ...]] = {
+    t: _ITEM_IMPLIED.get(t, ()) + ("p",) for t in _BLOCK_TAGS
+}
+for _h in _HEADING_TAGS:  # a new heading closes an open heading
+    _IMPLIED_BY_START[_h] = tuple(sorted(_HEADING_TAGS)) + ("p",)
+# a new <option>/<optgroup> closes the previous one; </select> (or a
+# block start — options hold text only) closes any still-open ones
+_SKIP_IMPLIED_BY_START = {
+    "option": ("option",),
+    "optgroup": ("option", "optgroup"),
+}
+_SKIP_CLEARED_BY_END = {"select": ("option", "optgroup")}
+# a block tag cannot legally appear inside these; its start proves
+# the element was left unclosed — force-close rather than let the
+# skip state swallow the rest of the page
+_SELF_CLOSING_SKIPS = ("option", "optgroup", "select")
+
+
 @dataclass
 class Block:
     text: str
@@ -209,6 +246,7 @@ class _BlockParser(HTMLParser):
         self._buf_link = 0
         self._anchor_depth = 0
         self._skip_depth = 0
+        self._skip_counts: dict[str, int] = {}
         self._bad_depth = 0
         self._heading_depth = 0
         # per-tag stacks of "this open element carried a boilerplate
@@ -233,14 +271,31 @@ class _BlockParser(HTMLParser):
         self._buf = []
         self._buf_link = 0
 
+    def _close_skip(self, tag: str) -> None:
+        if self._skip_counts.get(tag, 0) > 0:
+            self._skip_counts[tag] -= 1
+            self._skip_depth = max(0, self._skip_depth - 1)
+
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
+            for t in _SKIP_IMPLIED_BY_START.get(tag, ()):
+                self._close_skip(t)
+            self._skip_counts[tag] = self._skip_counts.get(tag, 0) + 1
             self._skip_depth += 1
             return
         if tag == "br":
             self._flush()
             return
         if tag in _BLOCK_TAGS:
+            # a block start implies closing unterminated items/<p>
+            # (and any text-only skip elements like <option> whose
+            # end tag real markup omits) BEFORE opening this element
+            for t in _SELF_CLOSING_SKIPS:
+                while self._skip_counts.get(t, 0):
+                    self._close_skip(t)
+            for t in _IMPLIED_BY_START[tag]:
+                if self._hint_stacks.get(t):
+                    self.handle_endtag(t)
             self._flush()
             hinted = tag not in _BAD_CONTEXT_TAGS and _attrs_hint_bad(
                 attrs
@@ -251,11 +306,17 @@ class _BlockParser(HTMLParser):
             if tag in _HEADING_TAGS:
                 self._heading_depth += 1
         if tag == "a":
-            self._anchor_depth += 1
+            # a new anchor implies closing an unterminated one (HTML5
+            # forbids nesting) — an unclosed <a> must not mark the
+            # rest of the page as link text
+            self._anchor_depth = min(self._anchor_depth + 1, 1)
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS:
-            self._skip_depth = max(0, self._skip_depth - 1)
+            for t in _SKIP_CLEARED_BY_END.get(tag, ()):
+                while self._skip_counts.get(t, 0):
+                    self._close_skip(t)
+            self._close_skip(tag)
             return
         if tag in _BLOCK_TAGS:
             self._flush()

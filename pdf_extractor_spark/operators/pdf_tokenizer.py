@@ -78,10 +78,13 @@ def _parse_xref_offsets(data: bytes) -> dict[int, int]:
     revision cannot resurrect a deleted object. Raises on any
     structural surprise (caller falls back to a scan)."""
     tail = data[-256:]
-    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-    if not m:
+    # LAST startxref in the tail: a small final incremental update can
+    # leave TWO startxref/%%EOF pairs within 256 bytes, and taking the
+    # first would silently resolve the previous revision
+    ms = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", tail))
+    if not ms:
         raise ValueError("no startxref")
-    pos: int | None = int(m.group(1))
+    pos: int | None = int(ms[-1].group(1))
     offsets: dict[int, int] = {}
     dead: set[int] = set()
     seen_sections: set[int] = set()
@@ -137,10 +140,10 @@ def _parse_xref_stream_chain(
     Returns (direct offsets, {obj_id: (container ObjStm id, index)})
     for type-1 and type-2 entries respectively."""
     tail = data[-256:]
-    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-    if not m:
+    ms = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", tail))
+    if not ms:
         raise ValueError("no startxref")
-    pos: int | None = int(m.group(1))
+    pos: int | None = int(ms[-1].group(1))
     offsets: dict[int, int] = {}
     in_objstm: dict[int, tuple[int, int]] = {}
     seen: set[int] = set()
@@ -467,8 +470,11 @@ def _stream_bytes(
         k = body.rfind(b"endstream")
         end = k if k >= 0 else len(body)
         out = body[j:end]
-        # the generator writes ...stream\n<data>\nendstream
-        if out.endswith(b"\n"):
+        # the generator writes ...stream\n<data>\nendstream — but the
+        # heuristic may only touch PLAINTEXT: ciphertext bytes are
+        # uniform, so a legitimate trailing 0x0A of an encrypted
+        # length-less stream must reach the decryptor intact
+        if transform is None and out.endswith(b"\n"):
             out = out[:-1]
     if transform is not None:
         out = transform(out)
@@ -557,7 +563,8 @@ def _decode_literal(tok: bytes) -> str:
                 j = i + 1
                 while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
                     j += 1
-                out.append(chr(int(body[i + 1 : j], 8)))
+                # §7.3.4.2: overflowing \ddd keeps the low-order byte
+                out.append(chr(int(body[i + 1 : j], 8) % 256))
                 i = j
                 continue
             i += 1
@@ -1198,6 +1205,19 @@ def _find_encrypt_ref(data: bytes, bodies: dict[int, bytes]) -> int | None:
     return None
 
 
+def _hex_id(raw: bytes) -> bytes:
+    """Hex /ID capture → bytes; odd digit counts are padded and
+    garbage yields b"" (a malformed /ID must degrade to the explicit
+    encrypted-document diagnosis, not a critical parse failure)."""
+    h = re.sub(rb"\s", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return b""
+
+
 def _find_file_id(data: bytes, bodies: dict[int, bytes]) -> bytes:
     """First ``/ID`` identifier string (trailer or xref-stream dict);
     empty when absent (tolerated — some writers omit it)."""
@@ -1205,17 +1225,13 @@ def _find_file_id(data: bytes, bodies: dict[int, bytes]) -> bytes:
     if t != -1:
         m = _ID_RE.search(data[t : t + 1024])
         if m:
-            return bytes.fromhex(
-                re.sub(rb"\s", b"", m.group(1)).decode("ascii")
-            )
+            return _hex_id(m.group(1))
     for body in bodies.values():
         head = body.split(b"stream", 1)[0]
         if b"/XRef" in head:
             m = _ID_RE.search(head)
             if m:
-                return bytes.fromhex(
-                    re.sub(rb"\s", b"", m.group(1)).decode("ascii")
-                )
+                return _hex_id(m.group(1))
     return b""
 
 
@@ -1389,6 +1405,11 @@ def parse_pdf(data: bytes) -> PdfDoc:
 
         walk(pages_root, None, None, None)
 
+        # fonts/forms are immutable within a document and pages
+        # routinely share one /Resources owner (the inherited layout):
+        # resolve each owner ONCE, not per page — a 500-page document
+        # must not re-inflate and re-parse the same CMap 500 times
+        res_cache: dict[bytes, tuple] = {}
         for idx, (pid, inh_mb, inh_rot, res_owner) in enumerate(
             page_ids, start=1
         ):
@@ -1412,8 +1433,14 @@ def parse_pdf(data: bytes) -> PdfDoc:
                     body if b"/Resources" in body
                     else (res_owner or body)
                 )
-                fonts = _page_fonts(font_src, bodies, dec)
-                xobjs = _page_xobjects(font_src, bodies, dec)
+                cached = res_cache.get(font_src)
+                if cached is None:
+                    cached = (
+                        _page_fonts(font_src, bodies, dec),
+                        _page_xobjects(font_src, bodies, dec),
+                    )
+                    res_cache[font_src] = cached
+                fonts, xobjs = cached
                 salvage: list[str] = []
                 stream = b"\n".join(
                     _stream_bytes(

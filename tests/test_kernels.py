@@ -375,3 +375,66 @@ def test_form_controls_and_embeds_skipped():
     keep = classify_blocks(blocks, CFG)
     kept = [b.text for b, k in zip(blocks, keep) if k]
     assert kept == [para]
+
+
+class TestImpliedEndTags:
+    """Counter hygiene on real-world (unclosed) markup: implied end
+    tags must not leak skip/bad/link state over later content."""
+
+    PARA = ("A long paragraph of genuine content that easily exceeds "
+            "the short-block threshold and has zero links.")
+
+    def _kept(self, html: bytes) -> list[str]:
+        blocks = segment_blocks(html)
+        keep = classify_blocks(blocks, CFG)
+        return [b.text for b, k in zip(blocks, keep) if k]
+
+    def test_unclosed_options_do_not_eat_the_page(self):
+        html = (
+            "<select><option>one<option>two<option>three</select>"
+            f"<p>{self.PARA}</p>"
+        ).encode()
+        assert self._kept(html) == [self.PARA]
+
+    def test_unclosed_option_without_select_end(self):
+        html = (
+            f"<select><option>one<option>two<p>{self.PARA}</p>"
+        ).encode()
+        assert self._kept(html) == [self.PARA]
+
+    def test_implicitly_closed_hinted_p_does_not_leak(self):
+        html = (
+            "<p class='comments'>leave a comment below now folks"
+            f"<p>{self.PARA}"
+        ).encode()
+        blocks = segment_blocks(html)
+        assert [b.bad_context for b in blocks] == [True, False]
+        assert self._kept(html) == [self.PARA]
+
+    def test_unclosed_li_chain(self):
+        html = (
+            "<ul class='menu'><li>Home<li>Shop<li>Blog</ul>"
+            f"<p>{self.PARA}</p>"
+        ).encode()
+        assert self._kept(html) == [self.PARA]
+
+    def test_unclosed_anchor_does_not_inflate_link_density(self):
+        html = (
+            "<div><a href='/a'>one<a href='/b'>two</a></div>"
+            f"<p>{self.PARA}</p>"
+        ).encode()
+        blocks = segment_blocks(html)
+        para = [b for b in blocks if b.text == self.PARA][0]
+        assert para.link_chars == 0
+        assert self._kept(html) == [self.PARA]
+
+    def test_new_heading_closes_open_heading(self):
+        # h1 left unclosed; the h2 start implies its end, so the
+        # explicit </h2> brings heading depth back to ZERO
+        html = (
+            f"<h1>Title One<h2>Title Two</h2><p>{self.PARA}"
+        ).encode()
+        blocks = segment_blocks(html)
+        para = [b for b in blocks if b.text == self.PARA][0]
+        assert not para.heading
+        assert [b.heading for b in blocks[:2]] == [True, True]

@@ -581,6 +581,63 @@ class TestEncryptedXrefStreamLayout:
         assert not doc.errors
 
 
+class TestReviewRegressionFixes:
+    """Edge cases surfaced by the round-3 review pass."""
+
+    def test_octal_escape_overflow_truncates(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _decode_literal,
+            _string_token_bytes,
+        )
+        # §7.3.4.2: \777 keeps the low byte (511 % 256 = 255)
+        assert _decode_literal(b"(\\777)") == "\xff"
+        assert _string_token_bytes(b"(\\777\\101)") == b"\xffA"
+
+    def test_last_startxref_wins_in_tail(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_xref_offsets,
+        )
+        # two startxref/%%EOF pairs inside the last 256 bytes (a tiny
+        # final incremental update) — the NEWEST must resolve
+        old_xref = 0
+        old = (
+            b"xref\n3 1\n0000000300 00000 n \n"
+            b"trailer\n<< /Size 4 >>\nstartxref\n0\n%%EOF\n"
+        )
+        new_xref = len(old)
+        data = old + (
+            b"xref\n3 1\n0000000900 00000 n \n"
+            b"trailer\n<< /Size 4 /Prev "
+            + str(old_xref).encode()
+            + b" >>\nstartxref\n"
+            + str(new_xref).encode()
+            + b"\n%%EOF\n"
+        )
+        assert _parse_xref_offsets(data)[3] == 900
+
+    def test_odd_hex_file_id_degrades_gracefully(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import _hex_id
+        assert _hex_id(b"0123456789ABCDE") == bytes.fromhex(
+            "0123456789ABCDE0"
+        )
+        assert _hex_id(b"zznothex") == b""
+
+    def test_lengthless_encrypted_stream_keeps_trailing_byte(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _stream_bytes,
+        )
+        ct = b"\x01\x02\x03\n"  # ciphertext legitimately ends in 0x0A
+        body = b"<< >>\nstream\n" + ct + b"\nendstream"
+        seen = {}
+        def transform(raw):
+            seen["raw"] = raw
+            return raw
+        _stream_bytes(body, transform)
+        assert seen["raw"] == ct + b"\n"  # nothing stripped pre-decrypt
+        # plaintext path still strips the generator's newline
+        assert _stream_bytes(body) == ct  # one trailing \n removed
+
+
 class TestGraphicsAndTextState:
     """cm translation (q/Q stack) and Tc/Tw/Tz spacing — the
     graphics/text state real writers position content with."""
