@@ -3111,10 +3111,15 @@ CATALOG: dict[str, QueryDef] = {
     # corpus sampling / text batteries
     "corpus_domain_cap": QueryDef(_domain_cap, _DOMAIN_CAP_SQL),
     "corpus_hash_sample": QueryDef(_hash_sample, _HASH_SAMPLE_SQL),
-    "corpus_url_canonical": QueryDef(_url_canonical, _URL_CANONICAL_SQL),
-    "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL),
-    "corpus_line_dedup": QueryDef(_line_dedup, _LINE_DEDUP_SQL),
-    "search_bm25_topk": QueryDef(_bm25_topk, _BM25_SQL),
+    # round-3 operator families: headline so the driver's bench
+    # tracks them (new keys — no prior-round comparator, like the
+    # round-2 additions)
+    "corpus_url_canonical": QueryDef(
+        _url_canonical, _URL_CANONICAL_SQL, True
+    ),
+    "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL, True),
+    "corpus_line_dedup": QueryDef(_line_dedup, _LINE_DEDUP_SQL, True),
+    "search_bm25_topk": QueryDef(_bm25_topk, _BM25_SQL, True),
     "corpus_length_quantiles": QueryDef(
         _length_quantiles, _LENGTH_QUANTILES_SQL
     ),
