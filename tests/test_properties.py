@@ -340,3 +340,36 @@ def test_truncation_yields_word_prefix_everywhere(compress_flag):
         doc = parse_pdf(data[:n])
         got = [w for pg in doc.pages for w in pg.words["text"]]
         assert got == full[: len(got)], n
+
+
+def test_mutation_fuzz_never_raises():
+    """U3 at full strength: REAL payloads with seeded byte corruption
+    (bit flips, truncations, splices) must always come back as a
+    record with errors — never an exception. Catches parser paths
+    that garbage-only fuzz (above) cannot reach, because mutations of
+    valid documents exercise deep structure with near-valid data."""
+    import random
+
+    from pdf_extractor_spark.fixtures.corpus import fixture_cases
+    from pdf_extractor_spark.operators.document import extract_document
+
+    rng = random.Random(0xC0FFEE)
+    payloads = [p for _c, _b, _l, p in fixture_cases()]
+    for payload in payloads:
+        n = len(payload)
+        for _ in range(6):
+            mode = rng.randrange(3)
+            buf = bytearray(payload)
+            if mode == 0:  # flip a handful of bytes
+                for _k in range(rng.randrange(1, 8)):
+                    buf[rng.randrange(n)] = rng.randrange(256)
+            elif mode == 1:  # truncate at a random point
+                buf = buf[: rng.randrange(n)]
+            else:  # splice a chunk from elsewhere in the file
+                if n > 64:
+                    src = rng.randrange(n - 32)
+                    dst = rng.randrange(n - 32)
+                    buf[dst : dst + 32] = payload[src : src + 32]
+            rec = extract_document(bytes(buf))
+            assert isinstance(rec["extracted_text"], str)
+            assert isinstance(rec["errors"], list)
