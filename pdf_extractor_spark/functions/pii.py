@@ -29,9 +29,17 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 SSN_RE = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 IP_RE = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 # country code OPTIONAL: "(555) 123-4567" and "555-123-4567" — the
-# dominant bare US forms — must match, not only "+1 ..." spellings
+# dominant bare US forms — must match, not only "+1 ..." spellings.
+# Two guards (Java regex ∩ RE2, no lookarounds) keep the pattern off
+# mid-digit-run substrings like "released 20240101-5678" and
+# "order 123456-7890" (serials/dates, not phones): \b anchors on
+# every digit-initial branch, and the area-code separator is
+# REQUIRED unless the (ddd) parenthesised form supplies the boundary
+# itself — "123456-7890" has neither and no longer matches.
 PHONE_RE = (
-    "(?:\\+?\\d{1,2}[ -])?\\(?\\d{3}\\)?[ -]?\\d{3}-\\d{4}"
+    "(?:\\b\\+?\\d{1,2}[ -])?"
+    "(?:\\(\\d{3}\\)[ -]?|\\b\\d{3}[ -])"
+    "\\d{3}-\\d{4}\\b"
 )
 
 # (pattern, placeholder, count column) — applied in this order

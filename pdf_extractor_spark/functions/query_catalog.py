@@ -390,7 +390,8 @@ def _q22_global_sales(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").withColumn(
         "cntrycode", F.expr("right(c_name, 2)")
     )
-    prefixes = ["10", "13", "17", "21", "29", "30", "31"]
+    prefixes = ["02", "03", "10", "13", "14", "17", "18",
+                "21", "29", "30", "31", "34", "40", "43"]
     eligible = cust.where(F.col("cntrycode").isin(prefixes))
     avg_bal = (
         eligible.where(F.col("c_acctbal") > 0.0)
@@ -400,8 +401,8 @@ def _q22_global_sales(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .where(
             F.expr(
-                "o_orderdate >= timestamp'1995-01-01 00:00:00' AND "
-                "o_orderdate < timestamp'1996-01-01 00:00:00'"
+                "o_orderdate >= timestamp'2000-07-01 00:00:00' AND "
+                "o_orderdate < timestamp'2001-07-01 00:00:00'"
             )
         )
         .select("o_custkey")
@@ -425,16 +426,18 @@ SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
 FROM (
   SELECT right(c_name, 2) AS cntrycode, c_acctbal, c_custkey
   FROM customer
-  WHERE right(c_name, 2) IN ('10','13','17','21','29','30','31')
+  WHERE right(c_name, 2) IN ('02','03','10','13','14','17','18',
+         '21','29','30','31','34','40','43')
     AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
                      WHERE c_acctbal > 0.0
                        AND right(c_name, 2)
-                           IN ('10','13','17','21','29','30','31'))
+                           IN ('02','03','10','13','14','17','18',
+         '21','29','30','31','34','40','43'))
     AND NOT EXISTS (
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey
-        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+        AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '2001-07-01 00:00:00')
 )
 GROUP BY cntrycode
 ORDER BY cntrycode
@@ -720,11 +723,11 @@ def _q7_volume_shipping(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     sup = _t(spark, sf_dir, "supplier")
     pair = (
-        (F.col("supp_nation") == "NATION_1")
-        & (F.col("cust_nation") == "NATION_2")
+        (F.col("supp_nation") == "NATION_12")
+        & (F.col("cust_nation") == "NATION_10")
     ) | (
-        (F.col("supp_nation") == "NATION_2")
-        & (F.col("cust_nation") == "NATION_1")
+        (F.col("supp_nation") == "NATION_10")
+        & (F.col("cust_nation") == "NATION_12")
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -761,8 +764,8 @@ JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
-  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """
@@ -3079,100 +3082,28 @@ ORDER BY branch, grade, status
 # ================================================================ catalog
 
 CATALOG: dict[str, QueryDef] = {
-    # --- ordering note (round 3) ----------------------------------------
+    # --- ordering note (round 4) ----------------------------------------
     # The driver's correctness gate checks the FIRST 50 entries of this
-    # dict.  Round 2 left 25 queries with no driver-side row (VERDICT.md
-    # "Next round" #1), so those 25 now lead, followed by the survey-analog
-    # operator battery; the 21 relational (TPC-H-shape) queries — green in
-    # rounds 1 and 2 — rotate to the back.  Every entry is still exposed
-    # through __spark_entry__.queries()/oracle_sql().
+    # dict.  Rotation policy (VERDICT r3 "Next round" #1): the 29 entries
+    # whose only driver row was round 2 (TPC-H battery, events, basic
+    # dedup, j2/w_tumbling/d5) lead this round so every catalog query has
+    # a driver row no older than one round; the extraction roundtrips are
+    # the product invariant and are NEVER rotated out; entries whose code
+    # changed THIS round (pii scrub, multimodal, SRP ANN) stay inside the
+    # window so the changes get fresh hard signal.  Every entry is always
+    # exposed through __spark_entry__.queries()/oracle_sql().
     #
-    # extraction roundtrips (the flagship correctness gates)
+    # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
     "extract_pdf_roundtrip": QueryDef(_pdf_roundtrip, _ROUNDTRIP_SQL, True),
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
-    # similarity / ANN
-    "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
-    "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
-    "ann_ivf_probe": QueryDef(_ann_ivf, _ANN_IVF_SQL, True),
-    "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
-    "sim_embedding_near_dup": QueryDef(
-        _embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL
-    ),
-    # advanced dedup
-    "dedup_simhash_near_dup": QueryDef(
-        _simhash_near_dup, _SIMHASH_NEAR_DUP_SQL
-    ),
-    "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
-    "dedup_ngram_overlap": QueryDef(_ngram_overlap, _NGRAM_OVERLAP_SQL),
-    "dedup_cluster_resolve": QueryDef(
-        _cluster_resolve, _CLUSTER_RESOLVE_SQL, True
-    ),
-    # corpus sampling / text batteries
-    "corpus_domain_cap": QueryDef(_domain_cap, _DOMAIN_CAP_SQL),
-    "corpus_hash_sample": QueryDef(_hash_sample, _HASH_SAMPLE_SQL),
-    # round-3 operator families: headline so the driver's bench
-    # tracks them (new keys — no prior-round comparator, like the
-    # round-2 additions)
-    "corpus_url_canonical": QueryDef(
-        _url_canonical, _URL_CANONICAL_SQL, True
-    ),
-    "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL, True),
-    "corpus_line_dedup": QueryDef(_line_dedup, _LINE_DEDUP_SQL, True),
-    "search_bm25_topk": QueryDef(_bm25_topk, _BM25_SQL, True),
-    "corpus_length_quantiles": QueryDef(
-        _length_quantiles, _LENGTH_QUANTILES_SQL
-    ),
-    "text_token_counts": QueryDef(_token_count, _TOKEN_COUNT_SQL),
-    "text_langid_stopwords": QueryDef(_langid, _LANGID_SQL),
-    "text_langid_charclass": QueryDef(
-        _charclass_langid, _CHARCLASS_LANGID_SQL
-    ),
-    "text_quality_scores": QueryDef(_quality, _QUALITY_SQL),
-    "text_unigram_cost": QueryDef(_unigram_cost, _UNIGRAM_SQL),
-    "text_gopher_rules": QueryDef(_gopher_rules, _GOPHER_SQL, True),
-    "text_c4_rules": QueryDef(_c4_rules, _C4_SQL),
-    "text_fingerprints": QueryDef(_fingerprint, _FINGERPRINT_SQL),
-    # multimodal plumbing
-    "multimodal_decode": QueryDef(_multimodal_decode, _MULTIMODAL_DECODE_SQL),
-    "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
-    # survey-analog operators
-    "a1_repeat_ratio": QueryDef(_repeat_ratio, _REPEAT_SQL),
-    "a8_run_stats": QueryDef(_run_stats, _RUN_STATS_SQL),
-    "c1_sessionize": QueryDef(_sessionize, _SESSIONIZE_SQL, True),
-    "j3_best_match": QueryDef(_best_order_per_customer, _BEST_ORDER_SQL),
-    "d1_dedup_rounded": QueryDef(_dedup_rounded, _DEDUP_ROUNDED_SQL),
-    "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
-    "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
-    "a7_detect_rollup": QueryDef(_a7_detect_rollup, _A7_DETECT_SQL),
-    "c8_chunk_roundtrip": QueryDef(
-        _c8_chunk_roundtrip, _C8_ROUNDTRIP_SQL, True
-    ),
-    "j6_consensus_pick": QueryDef(
-        _j6_consensus_pick, _J6_CONSENSUS_SQL, True
-    ),
-    "a9_consensus_similarity": QueryDef(
-        _a9_consensus_similarity, _A9_CONSENSUS_SQL
-    ),
-    "d6_section_boundaries": QueryDef(
-        _d6_section_boundaries, _D6_SECTIONS_SQL
-    ),
-    "f7_ocr_fix_chain": QueryDef(_f7_ocr_fix, _F7_SQL, True),
-    "p11_encoding_scrub": QueryDef(_p11_encoding_scrub, _P11_SQL),
-    "a11_error_rollup": QueryDef(_a11_error_rollup, _A11_SQL),
-    "f5_page_markers": QueryDef(_f5_page_markers, _F5_SQL),
-    "f8_quality_markers": QueryDef(_f8_quality_markers, _F8_SQL),
-    "d4_unmatched_sets": QueryDef(_d4_unmatched_sets, _D4_SQL),
-    "a2_trimmed_mean": QueryDef(_a2_trimmed_mean, _A2_TRIMMED_SQL),
-    "a3_inventory_bands": QueryDef(_a3_inventory_bands, _A3_INVENTORY_SQL),
-    "j1_range_containment": QueryDef(_j1_range_containment, _J1_RANGE_SQL),
+    # -------- the 29 rotated-in entries (driver rows last seen r2) ------
     "j2_asof_band": QueryDef(_j2_asof_band, _J2_ASOF_SQL),
     "w_tumbling_hour": QueryDef(_w_tumbling_hour, _W_TUMBLING_SQL),
     "d5_shingle_uniqueness": QueryDef(
         _d5_shingle_uniqueness, _D5_SHINGLE_SQL
     ),
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
-    # -------- position 51+: green in rounds 1 & 2 -----------------------
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
     "dedup_lsh_precision": QueryDef(
@@ -3207,4 +3138,75 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "rollup_returns": QueryDef(_rollup_returns, _ROLLUP_SQL),
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
+    # -------- changed this round: keep inside the driver window ---------
+    "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL, True),
+    "multimodal_decode": QueryDef(_multimodal_decode, _MULTIMODAL_DECODE_SQL),
+    "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
+    "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
+    "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
+    # -------- window filler: heaviest-value r3-green entries ------------
+    "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
+    "ann_ivf_probe": QueryDef(_ann_ivf, _ANN_IVF_SQL, True),
+    "sim_embedding_near_dup": QueryDef(
+        _embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL
+    ),
+    "dedup_simhash_near_dup": QueryDef(
+        _simhash_near_dup, _SIMHASH_NEAR_DUP_SQL
+    ),
+    "dedup_ngram_jaccard": QueryDef(_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "dedup_ngram_overlap": QueryDef(_ngram_overlap, _NGRAM_OVERLAP_SQL),
+    "dedup_cluster_resolve": QueryDef(
+        _cluster_resolve, _CLUSTER_RESOLVE_SQL, True
+    ),
+    "corpus_url_canonical": QueryDef(
+        _url_canonical, _URL_CANONICAL_SQL, True
+    ),
+    "corpus_line_dedup": QueryDef(_line_dedup, _LINE_DEDUP_SQL, True),
+    "search_bm25_topk": QueryDef(_bm25_topk, _BM25_SQL, True),
+    "text_gopher_rules": QueryDef(_gopher_rules, _GOPHER_SQL, True),
+    "text_c4_rules": QueryDef(_c4_rules, _C4_SQL),
+    # -------- position 51+: driver-green in round 3 ---------------------
+    "corpus_domain_cap": QueryDef(_domain_cap, _DOMAIN_CAP_SQL),
+    "corpus_hash_sample": QueryDef(_hash_sample, _HASH_SAMPLE_SQL),
+    "corpus_length_quantiles": QueryDef(
+        _length_quantiles, _LENGTH_QUANTILES_SQL
+    ),
+    "text_token_counts": QueryDef(_token_count, _TOKEN_COUNT_SQL),
+    "text_langid_stopwords": QueryDef(_langid, _LANGID_SQL),
+    "text_langid_charclass": QueryDef(
+        _charclass_langid, _CHARCLASS_LANGID_SQL
+    ),
+    "text_quality_scores": QueryDef(_quality, _QUALITY_SQL),
+    "text_unigram_cost": QueryDef(_unigram_cost, _UNIGRAM_SQL),
+    "text_fingerprints": QueryDef(_fingerprint, _FINGERPRINT_SQL),
+    # survey-analog operators
+    "a1_repeat_ratio": QueryDef(_repeat_ratio, _REPEAT_SQL),
+    "a8_run_stats": QueryDef(_run_stats, _RUN_STATS_SQL),
+    "c1_sessionize": QueryDef(_sessionize, _SESSIONIZE_SQL, True),
+    "j3_best_match": QueryDef(_best_order_per_customer, _BEST_ORDER_SQL),
+    "d1_dedup_rounded": QueryDef(_dedup_rounded, _DEDUP_ROUNDED_SQL),
+    "o6_topk_per_group": QueryDef(_topk_per_group, _TOPK_SQL),
+    "p9_scrub_chain": QueryDef(_p9_scrub_chain, _P9_SCRUB_SQL),
+    "a7_detect_rollup": QueryDef(_a7_detect_rollup, _A7_DETECT_SQL),
+    "c8_chunk_roundtrip": QueryDef(
+        _c8_chunk_roundtrip, _C8_ROUNDTRIP_SQL, True
+    ),
+    "j6_consensus_pick": QueryDef(
+        _j6_consensus_pick, _J6_CONSENSUS_SQL, True
+    ),
+    "a9_consensus_similarity": QueryDef(
+        _a9_consensus_similarity, _A9_CONSENSUS_SQL
+    ),
+    "d6_section_boundaries": QueryDef(
+        _d6_section_boundaries, _D6_SECTIONS_SQL
+    ),
+    "f7_ocr_fix_chain": QueryDef(_f7_ocr_fix, _F7_SQL, True),
+    "p11_encoding_scrub": QueryDef(_p11_encoding_scrub, _P11_SQL),
+    "a11_error_rollup": QueryDef(_a11_error_rollup, _A11_SQL),
+    "f5_page_markers": QueryDef(_f5_page_markers, _F5_SQL),
+    "f8_quality_markers": QueryDef(_f8_quality_markers, _F8_SQL),
+    "d4_unmatched_sets": QueryDef(_d4_unmatched_sets, _D4_SQL),
+    "a2_trimmed_mean": QueryDef(_a2_trimmed_mean, _A2_TRIMMED_SQL),
+    "a3_inventory_bands": QueryDef(_a3_inventory_bands, _A3_INVENTORY_SQL),
+    "j1_range_containment": QueryDef(_j1_range_containment, _J1_RANGE_SQL),
 }

@@ -324,7 +324,10 @@ def compute_file_key(sec: StdSecurity, user_pw: bytes = b"") -> bytes:
     h = hashlib.md5()
     h.update(_pad_password(user_pw))
     h.update(sec.o)
-    h.update(struct.pack("<i", sec.p))
+    # /P is a 32-bit flag word; writers emit it signed OR unsigned
+    # (e.g. 4294963392 == -3904). Pack the low 32 bits unsigned —
+    # byte-identical for negative ints, no struct.error for unsigned.
+    h.update(struct.pack("<I", sec.p & 0xFFFFFFFF))
     h.update(sec.id0)
     if sec.r >= 4 and not sec.encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")

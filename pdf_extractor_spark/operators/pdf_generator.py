@@ -102,6 +102,20 @@ def _escape_literal(text: str) -> str:
     return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _pdf_literal(raw: bytes) -> str:
+    """Bytes → PDF literal-string syntax ``(...)`` with octal escapes
+    for non-printables (ISO 32000 §7.3.4.2)."""
+    out = []
+    for c in raw:
+        if c in (0x28, 0x29, 0x5C):
+            out.append("\\" + chr(c))
+        elif 32 <= c < 127:
+            out.append(chr(c))
+        else:
+            out.append(f"\\{c:03o}")
+    return "(" + "".join(out) + ")"
+
+
 # 16 bytes of 4×4 gray samples that LOOK like text-show tokens —
 # the adversarial payload an inline-image skip must not trip on
 _INLINE_IMG_BLOB = b"(fake) Tj 72 0\xff\x00"
@@ -184,9 +198,13 @@ _ENCRYPT_MODES = {
 }
 
 
-def _encrypt_setup(mode: str):
+def _encrypt_setup(mode: str, p_unsigned: bool = False):
     """Standard-security parameters for an EMPTY user/owner password
-    fixture: returns (file_key, aes, encrypt-dict bytes)."""
+    fixture: returns (file_key, aes, encrypt-dict bytes).
+
+    ``p_unsigned`` writes /P in the unsigned-decimal form some real
+    writers emit (e.g. 4294967252 for -44) — same 32-bit flag word,
+    different spelling; the derived key must be identical."""
     from . import pdf_crypt
 
     v, r, bits, aes = _ENCRYPT_MODES[mode]
@@ -203,9 +221,10 @@ def _encrypt_setup(mode: str):
         if aes
         else ""
     )
+    p_text = _FIXTURE_P & 0xFFFFFFFF if p_unsigned else _FIXTURE_P
     enc_dict = (
         f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
-        f"/P {_FIXTURE_P} /O <{o.hex().upper()}> "
+        f"/P {p_text} /O <{o.hex().upper()}> "
         f"/U <{u.hex().upper()}>{cf} >>"
     ).encode("latin-1")
     return key, aes, enc_dict
@@ -303,6 +322,7 @@ def build_pdf(
     differences: dict[int, str] | None = None,
     header_xobject: list[str] | None = None,
     inherit_attrs: bool = False, content_parts: int = 1,
+    encrypt_p_unsigned: bool = False, id_literal: bool = False,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -361,7 +381,9 @@ def build_pdf(
         return _build_pdf_xref_stream(pages, compress, encrypt)
     enc_key, enc_aes, enc_dict = (None, False, b"")
     if encrypt is not None:
-        enc_key, enc_aes, enc_dict = _encrypt_setup(encrypt)
+        enc_key, enc_aes, enc_dict = _encrypt_setup(
+            encrypt, p_unsigned=encrypt_p_unsigned
+        )
     # object numbering: 1=catalog, 2=pages, 3=/F1, 4=/F2,
     # [5=/F3 6=its CMap] [7=/F4 8=its CMap],
     # then per page: page object, content object.
@@ -552,9 +574,13 @@ def build_pdf(
     if encrypt is not None:
         enc_id = next_id
         objs[enc_id] = enc_dict
-        idhex = _FIXTURE_ID.hex().upper()
+        if id_literal:
+            # the literal-string /ID spelling many writers emit
+            idstr = _pdf_literal(_FIXTURE_ID)
+        else:
+            idstr = f"<{_FIXTURE_ID.hex().upper()}>"
         encrypt_ref = (
-            f" /Encrypt {enc_id} 0 R /ID [<{idhex}> <{idhex}>]"
+            f" /Encrypt {enc_id} 0 R /ID [{idstr} {idstr}]"
         )
 
     out = bytearray(b"%PDF-1.4\n")

@@ -995,11 +995,17 @@ def _parse_simple_blocks(
 # token scan. Delimiter guards keep a BI/EI inside a shown string
 # from matching (standalone-token heuristic — the same one real
 # parsers use, since the spec gives EI no length prefix).
-# the span must contain the ID operator (every inline image does:
-# BI <dict> ID <binary> EI) — "word BI word ... word EI word" inside
-# shown strings then cannot match and delete real text between them
+# the BI..ID span must LOOK LIKE the inline-image dict the spec
+# mandates — one or more `/Key value` pairs (every real inline image
+# carries at least /W /H /BPC) — not merely contain the three magic
+# tokens. Free text like "(modern BI tools) .. (user ID field) ..
+# (EI benefits)" has prose, parens and no /keys between BI and ID,
+# so it cannot match and delete the real strings between them.
+_IIMG_VAL = rb"(?:/[A-Za-z0-9.+\-]+|[0-9.+\-]+|true|false|\[[^\[\]]*\]|<[0-9A-Fa-f\s]*>)"
 _INLINE_IMG_RE = re.compile(
-    rb"(?:^|(?<=[\s]))BI\s[\s\S]*?\sID[\s\S]*?(?:^|[\s])EI(?=[\s]|$)"
+    rb"(?:^|(?<=[\s]))BI"
+    rb"(?:\s*/[A-Za-z0-9.+\-]+\s*" + _IIMG_VAL + rb")+"
+    rb"\s+ID[\s\S]*?(?:^|[\s])EI(?=[\s]|$)"
 )
 
 _XOBJ_MAX_DEPTH = 4  # form-XObject recursion cap (cycle guard)
@@ -1184,7 +1190,13 @@ def _scan_stream(
 # --------------------------------------------------------------- parse
 
 _ENCRYPT_REF = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
-_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+# /ID entries come as hex strings <...> OR literal strings (...) —
+# many writers emit the literal form; accepting only hex made the
+# file key never verify and misreported empty-user-password docs as
+# undecryptable. The alternation mirrors pdf_crypt._STR_RE.
+_ID_RE = re.compile(
+    rb"/ID\s*\[\s*(?:<([0-9A-Fa-f\s]*)>|\(((?:[^()\\]|\\.)*)\))"
+)
 
 
 def _find_encrypt_ref(data: bytes, bodies: dict[int, bytes]) -> int | None:
@@ -1205,15 +1217,14 @@ def _find_encrypt_ref(data: bytes, bodies: dict[int, bytes]) -> int | None:
     return None
 
 
-def _hex_id(raw: bytes) -> bytes:
-    """Hex /ID capture → bytes; odd digit counts are padded and
-    garbage yields b"" (a malformed /ID must degrade to the explicit
+def _decoded_id(m: "re.Match[bytes]") -> bytes:
+    """/ID match (hex or literal capture) → bytes; malformed input
+    yields b"" (a bad /ID must degrade to the explicit
     encrypted-document diagnosis, not a critical parse failure)."""
-    h = re.sub(rb"\s", b"", raw)
-    if len(h) % 2:
-        h += b"0"
+    from .pdf_crypt import _decode_pdfstr
+
     try:
-        return bytes.fromhex(h.decode("ascii"))
+        return _decode_pdfstr(m.group(1), m.group(2))
     except ValueError:
         return b""
 
@@ -1225,13 +1236,13 @@ def _find_file_id(data: bytes, bodies: dict[int, bytes]) -> bytes:
     if t != -1:
         m = _ID_RE.search(data[t : t + 1024])
         if m:
-            return _hex_id(m.group(1))
+            return _decoded_id(m)
     for body in bodies.values():
         head = body.split(b"stream", 1)[0]
         if b"/XRef" in head:
             m = _ID_RE.search(head)
             if m:
-                return _hex_id(m.group(1))
+                return _decoded_id(m)
     return b""
 
 

@@ -77,6 +77,11 @@ def main() -> None:
             ok_rows = len(ns) == len(no)
             ok_cols = list(ns.columns) == list(no.columns)
             ok_vals = ok_rows and ok_cols and values_equal(ns, no)
+            # a 0 = 0 match proves nothing about the query body
+            # (VERDICT r3 "What's wrong" #3) — vacuous passes FAIL here
+            if ok_vals and len(no) == 0:
+                ok_vals = False
+                print(f"{name:32s} VACUOUS  oracle returned 0 rows")
             status = "OK" if ok_vals else "MISMATCH"
             print(f"{name:32s} {status}  spark={len(ns)} duck={len(no)} "
                   f"cols_ok={ok_cols}")

@@ -185,6 +185,62 @@ class TestPiiScrub:
         assert "<IP>" in by[3]["s"] and "<PHONE>" in by[3]["s"]
         assert by[4]["s"] == "no pii here at all"
 
+    def test_phone_boundary_guards_keep_serials(self, spark):
+        # mid-digit-run substrings are serials/dates/IDs, not phones:
+        # without \b anchors "released 20240101-5678" scrubbed
+        # "240101-5678" and corrupted kept text
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.pii import pii_counts, scrub_pii
+
+        rows = [
+            (1, "released 20240101-5678 build"),
+            (2, "order 123456-7890 shipped"),
+            (3, "call 555-123-4567 now"),
+            (4, "dial (555) 123-4567 today"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = df.select(
+            "doc_id", *pii_counts(F.col("text")),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+        by = {r["doc_id"]: r for r in out}
+        assert by[1]["n_phone"] == 0 and by[1]["s"] == rows[0][1]
+        assert by[2]["n_phone"] == 0 and by[2]["s"] == rows[1][1]
+        assert by[3]["n_phone"] == 1 and "<PHONE>" in by[3]["s"]
+        assert by[4]["n_phone"] == 1 and "<PHONE>" in by[4]["s"]
+
+    def test_phone_rule_matches_duckdb_twin(self, spark):
+        # the Spark pattern and the DuckDB twin share PII_RULES — a
+        # dialect divergence on the new \b anchors would split them
+        import duckdb
+
+        from pdf_extractor_spark.functions.pii import PII_RULES
+
+        texts = [
+            "released 20240101-5678 build",
+            "order 123456-7890 shipped",
+            "call 555-123-4567 now",
+            "dial (555) 123-4567 today",
+            "intl +44 (020) 555-1234 line",
+            "+1 (555) 010-0042 direct",
+        ]
+        pat = PII_RULES[-1][0]
+        con = duckdb.connect()
+        for t in texts:
+            duck = con.execute(
+                "SELECT regexp_replace(?, ?, '<PHONE>', 'g')", [t, pat]
+            ).fetchone()[0]
+            from pyspark.sql import functions as F
+            sp = (
+                spark.range(1)
+                .select(
+                    F.regexp_replace(F.lit(t), pat, "<PHONE>").alias("s")
+                )
+                .collect()[0]["s"]
+            )
+            assert sp == duck, t
+
     def test_counts_precede_replacement_interference(self, spark):
         # the email's digits must not also be counted as a phone
         from pyspark.sql import functions as F

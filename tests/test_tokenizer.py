@@ -377,6 +377,35 @@ class TestDecryption:
         doc = parse_pdf(build_pdf(pages, encrypt="rc4-128"))
         assert self._boxes(doc) == base
 
+    def test_unsigned_p_value_decrypts(self):
+        """Writers that spell /P as unsigned decimal (4294967252 ==
+        -44) must decrypt identically — struct.error on the signed
+        pack previously misfiled these as critical corruption."""
+        pages = self._page()
+        base = self._boxes(parse_pdf(build_pdf(pages, compress=True)))
+        for mode in ("rc4-128", "aes-128"):
+            data = build_pdf(
+                pages, compress=True, encrypt=mode,
+                encrypt_p_unsigned=True,
+            )
+            assert b"/P 4294967252" in data
+            doc = parse_pdf(data)
+            assert self._boxes(doc) == base, mode
+            assert {e["severity"] for e in doc.errors} == {"info"}
+
+    def test_literal_string_file_id_decrypts(self):
+        """/ID [(...) (...)] literal-string spelling must verify the
+        file key the same as the hex spelling."""
+        pages = self._page()
+        base = self._boxes(parse_pdf(build_pdf(pages, compress=True)))
+        data = build_pdf(
+            pages, compress=True, encrypt="rc4-128", id_literal=True,
+        )
+        assert b"/ID [(" in data
+        doc = parse_pdf(data)
+        assert self._boxes(doc) == base
+        assert {e["severity"] for e in doc.errors} == {"info"}
+
     def test_wrong_password_keeps_explicit_error(self):
         """Tampered /U (≙ non-empty user password) must surface the
         encryption error and extract nothing — never garbage text."""
@@ -616,11 +645,31 @@ class TestReviewRegressionFixes:
         assert _parse_xref_offsets(data)[3] == 900
 
     def test_odd_hex_file_id_degrades_gracefully(self):
-        from pdf_extractor_spark.operators.pdf_tokenizer import _hex_id
-        assert _hex_id(b"0123456789ABCDE") == bytes.fromhex(
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _ID_RE, _decoded_id,
+        )
+
+        def via_regex(payload: bytes) -> bytes:
+            m = _ID_RE.search(b"/ID [" + payload + b"]")
+            assert m is not None
+            return _decoded_id(m)
+
+        assert via_regex(b"<0123456789ABCDE>") == bytes.fromhex(
             "0123456789ABCDE0"
         )
-        assert _hex_id(b"zznothex") == b""
+        # garbage hex degrades to b"" — never a raised parse failure
+        assert _ID_RE.search(b"/ID [<zznothex>]") is None
+
+    def test_literal_string_file_id_accepted(self):
+        # many writers emit /ID [(...) (...)] literal strings; the hex
+        # capture alone left id0 empty and broke file-key verification
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _ID_RE, _decoded_id,
+        )
+        raw = rb"/ID [(ab\(cd\)ef01) (ignored-second)]"
+        m = _ID_RE.search(raw)
+        assert m is not None
+        assert _decoded_id(m) == b"ab(cd)ef01"
 
     def test_lengthless_encrypted_stream_keeps_trailing_byte(self):
         from pdf_extractor_spark.operators.pdf_tokenizer import (
@@ -841,6 +890,31 @@ class TestInlineImagesAndFormXObjects:
             "alpha", "BI", "beta", "keep", "this", "middle", "text",
             "gamma", "EI", "delta",
         ]
+
+    def test_prose_bi_id_ei_triple_not_stripped(self):
+        # "BI .. ID .. EI" all appearing as WORDS across shown strings
+        # must not match the inline-image span: the BI..ID stretch is
+        # prose, not the /Key value dict pairs the spec mandates
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        stream = (
+            b"BT /F1 12 Tf 72 700 Td (modern BI tools) Tj ET\n"
+            b"BT /F1 12 Tf 72 650 Td (user ID field) Tj ET\n"
+            b"BT /F1 12 Tf 72 600 Td (EI benefits) Tj ET"
+        )
+        words = list(_parse_content(stream, 792.0, 1, None, {})["text"])
+        assert words == [
+            "modern", "BI", "tools", "user", "ID", "field",
+            "EI", "benefits",
+        ]
+
+    def test_real_inline_image_still_stripped(self):
+        # the dict-shape guard must not break the actual skip
+        p = PageSpec(inline_image=True)
+        p.put_words(72, 100, 12, ["real", "words"])
+        doc = parse_pdf(build_pdf([p]))
+        assert list(doc.pages[0].words["text"]) == ["real", "words"]
 
     def test_incremental_on_encrypted_base_rejected(self):
         import pytest
