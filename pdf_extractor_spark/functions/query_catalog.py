@@ -2931,14 +2931,22 @@ def _multimodal_decode(spark, sf_dir):
 
 
 _MULTIMODAL_DECODE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         16 + (doc_id * 7) % 48   AS w,
+         16 + (doc_id * 13) % 48  AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c,
+         doc_id % 32              AS k
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 240
-            AS INT) AS width,
-       CAST(16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 240
-            AS INT) AS height,
-       CAST(3 AS INT) AS channels
-FROM documents
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(c AS INT) AS channels,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(h*c*(w*(w-1))/2 + w*c*(h*(h-1)) + 3*w*h*(c*(c-1))/2
+            + w*h*c*k AS BIGINT) AS pixel_sum
+FROM p
 """
 
 
@@ -2949,8 +2957,8 @@ def _multimodal_resize(spark, sf_dir):
 _MULTIMODAL_RESIZE_SQL = """
 WITH d AS (
   SELECT doc_id,
-         16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 240 AS width,
-         16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 240 AS height
+         16 + (doc_id * 7) % 48  AS width,
+         16 + (doc_id * 13) % 48 AS height
   FROM documents
 )
 SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,

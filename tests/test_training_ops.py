@@ -395,21 +395,52 @@ class TestAnnRecall:
 
 
 class TestMultimodal:
-    def test_payload_schema(self, docs):
-        df = attach_binary_payload(docs.limit(5))
-        assert dict(df.dtypes)["payload"] == "binary"
-        row = df.first()
-        assert row["meta"]["n_bytes"] == len(row["payload"])
+    def test_payload_is_real_png(self, docs):
+        from pdf_extractor_spark.operators.png_codec import (
+            SIGNATURE, png_decode,
+        )
+        rows = attach_binary_payload(docs.limit(5)).collect()
+        for r in rows:
+            assert bytes(r["payload"][:8]) == SIGNATURE
+            px = png_decode(bytes(r["payload"]))
+            assert px.ndim == 3
 
-    def test_decode_deterministic_and_bounded(self, docs):
-        a = decode_image_meta(docs.limit(20)).orderBy("doc_id").collect()
-        b = decode_image_meta(docs.limit(20)).orderBy("doc_id").collect()
-        assert a == b
-        for r in a:
-            assert 16 <= r["width"] < 256
-            assert 16 <= r["height"] < 256
-            assert r["channels"] == 3
-            assert r["n_bytes"] > 0
+    def test_decode_matches_generation_params(self, docs):
+        # closed-form oracle: the decode measures, the params predict
+        rows = decode_image_meta(docs.limit(20)).orderBy("doc_id").collect()
+        assert len(rows) == 20
+        for r in rows:
+            d = r["doc_id"]
+            w = 16 + (d * 7) % 48
+            h = 16 + (d * 13) % 48
+            c = (1, 3, 4)[d % 3]
+            k = d % 32
+            assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+            assert r["n_pixels"] == w * h
+            expected = (
+                h * c * (w * (w - 1)) // 2
+                + w * c * (h * (h - 1))
+                + 3 * w * h * (c * (c - 1)) // 2
+                + w * h * c * k
+            )
+            assert r["pixel_sum"] == expected, d
+
+    def test_decode_error_report_isolates_bad_payloads(self, docs, spark):
+        from pdf_extractor_spark.functions.multimodal import (
+            decode_error_report, fixture_image,
+        )
+        rows = [
+            (1, fixture_image(1)),
+            (2, b"\x89PNG\r\n\x1a\n" + b"garbage after signature"),
+            (3, b"not an image at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            r["doc_id"]: r for r in decode_error_report(df, 2).collect()
+        }
+        assert got[1]["ok"] is True and got[1]["error"] is None
+        assert got[2]["ok"] is False and got[2]["error"]
+        assert got[3]["ok"] is False and "signature" in got[3]["error"]
 
     def test_resize_preserves_aspect_bound(self, docs):
         out = resize_plan(decode_image_meta(docs.limit(20))).collect()
