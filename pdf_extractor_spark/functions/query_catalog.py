@@ -2603,19 +2603,20 @@ _EMB_DIM = 64
 
 
 def _ann_srp(spark, sf_dir):
-    """SRP multi-probe ANN: 2 hash tables × 6 bits × 3 flip bits (the
-    probe budget measured to recall ≥ 0.5 of the exact top-10 on the
-    near-isotropic testdata embeddings while scanning ~26 % of rows —
-    round-2 verdict item #2)."""
+    """SRP multi-probe ANN: 4 hash tables × 8 bits × 4 flip bits (the
+    probe budget measured round 4 to recall 0.8 of the exact top-10
+    on the near-isotropic sf0.1 embeddings while scanning 26 % of
+    rows — round-3 verdict item #6; measured recall surfaced by
+    ``ann_recall_at_10``)."""
     emb = _t(spark, sf_dir, "embeddings")
     return srp_bucketed_topk(
-        emb, _query_vector(spark, sf_dir), k=10, n_bits=6, n_flip=3,
-        n_tables=2,
+        emb, _query_vector(spark, sf_dir), k=10, n_bits=8, n_flip=4,
+        n_tables=4,
     )
 
 
-_ANN_SRP_SQL = duck_srp_topk_sql(_EMB_DIM, n_bits=6, k=10, n_tables=2,
-                                 n_flip=3)
+_ANN_SRP_SQL = duck_srp_topk_sql(_EMB_DIM, n_bits=8, k=10, n_tables=4,
+                                 n_flip=4)
 
 
 def _ann_ivf(spark, sf_dir):
@@ -2634,13 +2635,13 @@ def _ann_recall(spark, sf_dir):
     exact cosine top-10 (round-1 verdict item #2 'done' gate)."""
     emb = _t(spark, sf_dir, "embeddings")
     return ann_recall_stats(
-        emb, _query_vector(spark, sf_dir), k=10, n_bits=6, n_flip=3,
-        n_cells=8, n_probe=2, n_tables=2, exclude_id=0,
+        emb, _query_vector(spark, sf_dir), k=10, n_bits=8, n_flip=4,
+        n_cells=8, n_probe=2, n_tables=4, exclude_id=0,
     )
 
 
 _ANN_RECALL_SQL = duck_recall_sql(
-    _EMB_DIM, k=10, n_bits=6, n_cells=8, n_probe=2, n_tables=2, n_flip=3
+    _EMB_DIM, k=10, n_bits=8, n_cells=8, n_probe=2, n_tables=4, n_flip=4
 )
 
 
@@ -2924,7 +2925,34 @@ ORDER BY c_nationkey
 """
 
 
-# ======================================================== multimodal stubs
+def _span_dedup(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022 window recipe):
+    duplicated cross-document word windows removed; text never
+    shuffles (hash-only aggregate + one Arrow-batched narrow map)."""
+    from .dedup import duck_span_dedup_sql, span_dedup_report
+
+    return span_dedup_report(_t(spark, sf_dir, "documents"))
+
+
+from .dedup import duck_span_dedup_sql as _duck_span_sql  # noqa: E402
+
+_SPAN_DEDUP_SQL = _duck_span_sql()
+
+
+# ================================================== multimodal / subword
+
+def _bpe_token_counts(spark, sf_dir):
+    """Subword token budgeting with the frozen from-scratch BPE
+    (functions/bpe.py): scan -> project -> one Arrow-batched stage.
+    Oracle: the frozen per-word token counts as a SQL VALUES lookup
+    (drift-loud LEFT JOIN)."""
+    from .bpe import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
+from .bpe import BPE_COUNTS_SQL as _BPE_COUNTS_SQL  # noqa: E402
+
 
 def _multimodal_decode(spark, sf_dir):
     return decode_image_meta(_t(spark, sf_dir, "documents"))
@@ -3148,6 +3176,10 @@ CATALOG: dict[str, QueryDef] = {
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
     # -------- changed this round: keep inside the driver window ---------
     "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL, True),
+    "text_bpe_token_counts": QueryDef(
+        _bpe_token_counts, _BPE_COUNTS_SQL, True
+    ),
+    "corpus_span_dedup": QueryDef(_span_dedup, _SPAN_DEDUP_SQL, True),
     "multimodal_decode": QueryDef(_multimodal_decode, _MULTIMODAL_DECODE_SQL),
     "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),

@@ -165,7 +165,7 @@ def srp_probe_buckets(
 
 def srp_bucketed_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
-    n_bits: int = 6, n_flip: int = 3, n_tables: int = 2,
+    n_bits: int = 8, n_flip: int = 4, n_tables: int = 4,
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: scan only the query's multi-probe SRP
@@ -174,17 +174,23 @@ def srp_bucketed_topk(
     column an Iceberg layout clusters on, so the probe set prunes
     FILES, not just rows.
 
-    Probe-budget sizing (round-2 verdict item #2): a single 6-bit
-    table with 2 flip bits scans ~6 % of an isotropic corpus and
-    recalls ~0 of the true top-10 — isotropic data is the ANN-hostile
-    worst case (neighbors sit near 90°, so every hyperplane is a coin
-    flip).  The default (2 tables × 3 flip bits = 16 probed buckets)
-    was measured on the testdata embeddings: recall@10 = 0.6 at sf0.1
-    / 0.5 at sf0.01 while scanning ~26 % of rows; on clustered data
-    (the regime ANN is actually for) it is ≥ 0.9 scanning < 10 %.
-    Scale the budget with bucket sparsity: recall rises with
-    ``n_tables`` (linear cost) and ``n_flip`` (2^n_flip probes/table),
-    precision with ``n_bits``."""
+    Probe-budget sizing (round-2 item #2, retuned round 4 by a
+    measured sweep on the testdata embeddings at sf0.1): the default
+    4 tables × 8 bits × 4 flip bits (64 probed buckets) hits
+    **recall@10 = 0.8 while scanning 26 % of rows** on near-isotropic
+    data — the ANN-hostile worst case, where neighbors sit near 90°
+    and every hyperplane is a coin flip. The former 2×6×3 budget
+    measured 0.6 at the same scan fraction; finer buckets (8 bits)
+    with more tables buy recall at constant scan cost. On tiny
+    corpora (≤500 vectors) the true top-10 are nearly orthogonal to
+    the query and single-query recall drops (0.4-0.6 measured) — use
+    ``ann_recall_stats`` (the catalog surfaces it as
+    ``ann_recall_at_10``) to read the measured recall next to any
+    configuration instead of assuming it; IVF stays the 1.0-recall
+    default for clustered embeddings. Recall rises with ``n_tables``
+    (linear cost) and ``n_flip`` (2^n_flip probes/table), precision
+    with ``n_bits``.
+    """
     dim = len(query_vec)
     cond = F.lit(False)
     for t in range(n_tables):
@@ -846,8 +852,8 @@ SELECT CAST({k} AS INT) AS k,
 
 def ann_recall_stats(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
-    n_bits: int = 6, n_flip: int = 3, n_cells: int = 8, n_probe: int = 2,
-    n_tables: int = 2, exclude_id: int | None = None,
+    n_bits: int = 8, n_flip: int = 4, n_cells: int = 8, n_probe: int = 2,
+    n_tables: int = 4, exclude_id: int | None = None,
 ) -> DataFrame:
     """Recall@k of the SRP-probed and IVF-probed searches against the
     exact cosine top-k — one summary row. The honest quality gate the

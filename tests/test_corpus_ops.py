@@ -324,3 +324,75 @@ class TestBm25:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan  # top-k, no full sort
+
+
+class TestSpanDedup:
+    DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+    def test_planted_span_removed_exactly(self, spark):
+        # controlled corpus with collision-free unique words: the ONLY
+        # duplicated windows are the injected boilerplate span
+        from pdf_extractor_spark.functions.dedup import (
+            span_dedup_report,
+        )
+        rows = [
+            (i, " ".join(f"w{i}x{j}" for j in range(20)))
+            for i in range(0, 100)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        original = dict(rows)
+        got = {
+            r["doc_id"]: r for r in span_dedup_report(docs).collect()
+        }
+        assert set(got) == set(original)
+        for doc_id, row in got.items():
+            if doc_id % 5 == 0:
+                # the injected 12-word span is stride-aligned into two
+                # hot windows covering exactly the span -> removal
+                # restores the original text byte-for-byte
+                assert row["n_dup_windows"] == 2, doc_id
+            else:
+                assert row["n_dup_windows"] == 0, doc_id
+            assert row["kept_text"] == original[doc_id], doc_id
+            assert row["n_words_kept"] == 20
+
+    def test_fixture_corpus_invariants(self, spark):
+        # the real fixture corpus has natural cross-doc windows too;
+        # check structural invariants + boilerplate always gone
+        from pdf_extractor_spark.functions.dedup import (
+            SPAN_BOILERPLATE,
+            span_dedup_report,
+        )
+        docs = spark.read.parquet(self.DOCS)
+        for r in span_dedup_report(docs).collect():
+            assert SPAN_BOILERPLATE not in r["kept_text"]
+            assert r["n_words_kept"] == len(r["kept_text"].split(" "))
+            if r["doc_id"] % 5 == 0:
+                assert r["n_dup_windows"] >= 2
+
+    def test_short_docs_pass_through(self, spark):
+        from pdf_extractor_spark.functions.dedup import (
+            span_dedup_report,
+        )
+        docs = spark.createDataFrame(
+            [(1, "only three words"), (2, "only three words")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in span_dedup_report(docs).collect()}
+        for r in got.values():
+            assert r["n_dup_windows"] == 0
+            assert r["kept_text"] == "only three words"
+
+    def test_text_never_shuffles(self, spark):
+        import re
+
+        from pdf_extractor_spark.functions.dedup import (
+            span_dedup_report,
+        )
+        docs = spark.read.parquet(self.DOCS)
+        df = span_dedup_report(docs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # removal stage: one Arrow map, zero exchanges — the hot-hash
+        # set rode along as a closure constant, text stayed in place
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan, plan

@@ -153,3 +153,27 @@ class TestUrlCanonicalPlan:
         # canonicalization stays whole-stage-codegen (no UDFs)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestBpePlan:
+    def test_scan_project_one_arrow_stage_no_exchange(self, spark):
+        plan = _plan(spark, "text_bpe_token_counts")
+        # one Arrow-batched stage, nothing row-at-a-time, no shuffle
+        assert _n(plan, "MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
+        # column pruning reached the scan: only doc_id + text read
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m and "doc_id" in m.group(1) and "text" in m.group(1)
+        assert "lang" not in m.group(1)
+
+
+class TestMultimodalPlan:
+    def test_decode_is_two_arrow_stages_one_exchange(self, spark):
+        plan = _plan(spark, "multimodal_decode")
+        # payload synth + decode, each Arrow-batched; the only
+        # exchange is the explicit doc_id repartition
+        assert _n(plan, "MapInPandas") == 2
+        assert "BatchEvalPython" not in plan
+        keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(keys) == 1 and "doc_id" in keys[0], plan

@@ -611,3 +611,40 @@ class TestUnigramCost:
         assert got[0]["keep"] is True
         assert got[1]["keep"] is False
         assert got[2]["keep"] is False  # (100+800)//2 = 450 >= 400
+
+
+class TestSrpRecallGate:
+    def test_retuned_budget_recall_and_scan_at_sf01(self, spark):
+        """Round-3 verdict item #6 gate: the default SRP budget must
+        recall >= 0.8 of the exact top-10 at sf0.1 while scanning
+        <= 0.35 of the corpus (measured, not assumed)."""
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.query_catalog import (
+            _query_vector,
+        )
+        from pdf_extractor_spark.functions.similarity import (
+            _XQ,
+            cosine_topk,
+            srp_bucket_col,
+            srp_bucketed_topk,
+            srp_probe_buckets,
+        )
+
+        sf = "/root/testdata/sf0.1"
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+        q = _query_vector(spark, sf)
+        exact = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in srp_bucketed_topk(emb, q, 10).collect()
+        }
+        assert len(exact & got) / 10 >= 0.8
+        n_bits, n_flip, n_tables = 8, 4, 4  # the frozen defaults
+        cond = F.lit(False)
+        for t in range(n_tables):
+            probes = srp_probe_buckets(q, n_bits, t, n_flip)
+            cond = cond | srp_bucket_col(n_bits, len(q), t).isin(probes)
+        scanned = emb.withColumn("xq", F.expr(_XQ)).where(cond).count()
+        assert scanned / emb.count() <= 0.35
+        emb.unpersist()
