@@ -300,6 +300,30 @@ def _pdf_rotated() -> bytes:
     return build_pdf([p1])
 
 
+
+
+def _pdf_type0_predefined() -> bytes:
+    """Type0 font whose /Encoding names a PREDEFINED CJK CMap
+    (UniJIS-UCS2-H) with NO /ToUnicode — the dominant real-Japanese-PDF
+    layout (round-3 verdict "Next round" #5). Codes are the UCS-2
+    values themselves; extraction must decode them without any
+    embedded map."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put_codes(
+        72, 170, 12, _BODY_JA[0].encode("utf-16-be"),
+        font="F6", hex_show=True,
+    )
+    p.put_codes(
+        72, 190, 12, _BODY_JA[1].encode("utf-16-be"),
+        font="F6", hex_show=True,
+    )
+    p.put_words(72, 220, 12, ["predefined", "cmap", "text", "decodes",
+                              "without", "embedded", "tounicode", "maps",
+                              "present", "anywhere"])
+    return build_pdf([p], predefined_cmap="UniJIS-UCS2-H")
+
+
 # ------------------------------------------------------------ HTML cases
 
 def _encrypted_pages() -> list[PageSpec]:
@@ -733,6 +757,94 @@ def _html_unclosed_tags() -> bytes:
     ).encode("utf-8")
 
 
+
+def _html_attr_quoting() -> bytes:
+    """Malformed attribute quoting: an unterminated quote (browsers
+    swallow the following prose into the attribute value — the
+    extraction-oriented repair reclaims it), a quoted value containing
+    angle brackets, unquoted values, and degenerate attributes."""
+    return (
+        "<html><body>"
+        "<p class=\"lead unterminated>First paragraph whose class quote "
+        "never closes yet the text here must survive and segment normally "
+        "with plenty of body characters to stay classified as content.</p>"
+        "<p data-note='it said >hello<' title=unquoted-value>Second "
+        "paragraph carries a quoted attribute containing angle brackets "
+        "and an unquoted value and keeps reading as one clean block of "
+        "prose.</p>"
+        "<p =stray-equals data->A third block after degenerate attributes "
+        "still extracts with stable offsets and enough length to keep.</p>"
+        "</body></html>"
+    ).encode()
+
+
+def _html_cdata() -> bytes:
+    """CDATA sections in HTML (bogus comments per WHATWG) plus a
+    CDATA-wrapped script: neither may leak into extracted text."""
+    return (
+        "<html><body>"
+        "<script>/*<![CDATA[*/ var x = '<p>not text</p>'; /*]]>*/</script>"
+        "<article><p>A CDATA-wrapped script must contribute nothing while "
+        "this real paragraph provides the extractable body of the page in "
+        "one long readable block.</p>"
+        "<![CDATA[ raw cdata in html is a bogus comment and is dropped ]]>"
+        "<p>The second paragraph after the stray CDATA section continues "
+        "the article with enough content to be kept by the classifier.</p>"
+        "</article></body></html>"
+    ).encode()
+
+
+def _html_meta_refresh() -> bytes:
+    """Meta-refresh interstitial: the redirect directive must not
+    inject its URL into the text; the on-page prose still extracts."""
+    return (
+        "<html><head><meta http-equiv='refresh' "
+        "content='0; url=https://example.test/moved'></head><body>"
+        "<p>This page has moved. If you are not redirected automatically "
+        "follow the link to the new location of the archived article.</p>"
+        "<article><p>Legacy body content that remains on the interstitial "
+        "page and should extract as ordinary text despite the refresh "
+        "header directive above it.</p></article>"
+        "</body></html>"
+    ).encode()
+
+
+def _html_bom_wrong_meta() -> bytes:
+    """Double lie: UTF-8 BOM + a meta claiming Shift_JIS. WHATWG
+    precedence says the BOM wins; decoding via the meta would mojibake
+    the Japanese paragraphs."""
+    return b"\xef\xbb\xbf" + (
+        "<html><head><meta charset='Shift_JIS'></head><body>"
+        "<article><h1>BOM Beats the Lying Meta</h1>"
+        "<p>UTF-8 encoded Japanese text 日本語の本文 follows while the "
+        "meta tag claims Shift_JIS — the byte order mark must take "
+        "precedence per the WHATWG sniffing order and decode this "
+        "paragraph intact.</p>"
+        "<p>第二段落も同様に正しく復号されることを確認するための十分な"
+        "長さの本文です。</p>"
+        "</article></body></html>"
+    ).encode()
+
+
+def _html_comment_tricks() -> bytes:
+    """Downlevel-hidden conditional comments and comments containing
+    tag-lookalikes and double dashes: contents never leak."""
+    return (
+        "<html><body>"
+        "<!--[if IE]><p>conditional content for old browsers</p>"
+        "<![endif]-->"
+        "<p>Real content after a downlevel-hidden conditional comment "
+        "must extract while the commented block stays invisible to the "
+        "text layer entirely.</p>"
+        "<!-- a comment with <p>fake tags</p> and -- double dashes "
+        "inside -->"
+        "<p>The closing paragraph confirms comment contents never leak "
+        "into extracted text and offsets remain stable and "
+        "deterministic.</p>"
+        "</body></html>"
+    ).encode()
+
+
 _PDF_CASES = {
     "pdf-single-col": _pdf_single_col,
     "pdf-two-col": _pdf_two_col,
@@ -761,6 +873,7 @@ _PDF_CASES = {
     "pdf-encrypted-modern": _pdf_encrypted_modern,
     "pdf-letterhead": _pdf_letterhead,
     "pdf-incremental": _pdf_incremental,
+    "pdf-type0-predefined": _pdf_type0_predefined,
 }
 
 _HTML_CASES = {
@@ -781,6 +894,11 @@ _HTML_CASES = {
     "html-gzip": _html_gzip,
     "html-divsoup": _html_divsoup,
     "html-http-response": _html_http_response,
+    "html-attr-quoting": _html_attr_quoting,
+    "html-cdata": _html_cdata,
+    "html-meta-refresh": _html_meta_refresh,
+    "html-bom-wrong-meta": _html_bom_wrong_meta,
+    "html-comment-tricks": _html_comment_tricks,
 }
 
 _CASE_LANG = {
@@ -797,6 +915,7 @@ _CASE_LANG = {
     "pdf-lzw": "mixed", "pdf-differences": "en",
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",
     "pdf-letterhead": "en", "pdf-incremental": "en",
+    "pdf-type0-predefined": "mixed",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",
@@ -806,6 +925,9 @@ _CASE_LANG = {
     "html-sjis-meta": "ja", "html-win1252": "en", "html-utf16": "mixed",
     "html-gzip": "en", "html-divsoup": "en",
     "html-http-response": "en",
+    "html-attr-quoting": "en", "html-cdata": "en",
+    "html-meta-refresh": "en", "html-bom-wrong-meta": "mixed",
+    "html-comment-tricks": "en",
 }
 
 

@@ -3180,7 +3180,9 @@ CATALOG: dict[str, QueryDef] = {
         _bpe_token_counts, _BPE_COUNTS_SQL, True
     ),
     "corpus_span_dedup": QueryDef(_span_dedup, _SPAN_DEDUP_SQL, True),
-    "multimodal_decode": QueryDef(_multimodal_decode, _MULTIMODAL_DECODE_SQL),
+    "multimodal_decode": QueryDef(
+        _multimodal_decode, _MULTIMODAL_DECODE_SQL, True
+    ),
     "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),

@@ -337,13 +337,71 @@ class _BlockParser(HTMLParser):
             self._buf_link += len(_WS_RE.sub(" ", data).strip())
 
 
+_QUOTE_LOOKAHEAD = 256
+
+
+def repair_unterminated_quotes(html: str) -> str:
+    """Extraction-oriented recovery for tags carrying an attribute
+    quote that never closes (``<p class="lead unterminated>``).
+
+    WHATWG tokenization consumes everything up to the NEXT quote (or
+    EOF) as the attribute value — a browser silently swallows the
+    visible prose after the typo. A training-data extractor wants the
+    opposite trade: drop the orphan quote character so the tag closes
+    at its ``>`` and the prose survives (the same lenient recovery
+    boilerplate-removal extractors make). Deliberate, documented
+    divergence from browser behavior.
+
+    Identity for well-formed markup: a quote that closes within
+    ``_QUOTE_LOOKAHEAD`` chars is a normal attribute value (angle
+    brackets inside it stay protected); comments/doctypes (``<!``)
+    and processing instructions are never entered."""
+    if '"' not in html and "'" not in html:
+        return html
+    drops: list[int] = []
+    n = len(html)
+    pos = 0
+    while True:
+        lt = html.find("<", pos)
+        if lt == -1:
+            break
+        nxt = html[lt + 1 : lt + 2]
+        if not (nxt.isalpha() or nxt == "/"):
+            pos = lt + 1
+            continue
+        j = lt + 1
+        while j < n:
+            c = html[j]
+            if c == ">" or c == "<":
+                break
+            if c in "\"'":
+                close = html.find(c, j + 1, j + 1 + _QUOTE_LOOKAHEAD)
+                if close == -1:
+                    drops.append(j)  # orphan quote: drop the char
+                    j += 1
+                else:
+                    j = close + 1
+                continue
+            j += 1
+        pos = j + 1 if j > lt else lt + 1
+    if not drops:
+        return html
+    out = []
+    last = 0
+    for d in drops:
+        out.append(html[last:d])
+        last = d + 1
+    out.append(html[last:])
+    return "".join(out)
+
+
 def segment_blocks(
     html_bytes: bytes, transport_charset: str | None = None
 ) -> list[Block]:
     """H1+H2: bytes → ordered content blocks (charset-sniffed)."""
     text, _codec = sniff_decode(html_bytes, transport_charset)
     parser = _BlockParser()
-    parser.feed(text)
+    parser.feed(repair_unterminated_quotes(text))
     parser.close()
     parser._flush()
     return parser.blocks

@@ -323,6 +323,7 @@ def build_pdf(
     header_xobject: list[str] | None = None,
     inherit_attrs: bool = False, content_parts: int = 1,
     encrypt_p_unsigned: bool = False, id_literal: bool = False,
+    predefined_cmap: str | None = None,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -373,7 +374,8 @@ def build_pdf(
     ``/Contents [..]`` array."""
     if xref_stream:
         if tounicode_chars or tounicode_ranges or \
-                cid_tounicode_chars or differences or header_xobject:
+                cid_tounicode_chars or differences or header_xobject or \
+                predefined_cmap:
             raise ValueError(
                 "tounicode/differences/xobject supported on the "
                 "classic layout only"
@@ -399,6 +401,9 @@ def build_pdf(
     if differences:
         font_refs["F5"] = n_fixed + 1
         n_fixed += 2  # font object + indirect /Encoding object
+    if predefined_cmap:
+        font_refs["F6"] = n_fixed + 1
+        n_fixed += 1  # Type0 font, predefined /Encoding, NO ToUnicode
     xobj_id = None
     if header_xobject:
         xobj_id = n_fixed + 1
@@ -558,6 +563,12 @@ def build_pdf(
         ).encode("latin-1")
         objs[eid] = (
             f"<< /Type /Encoding /Differences [ {diff_items} ] >>"
+        ).encode("latin-1")
+    if "F6" in font_refs:
+        fid = font_refs["F6"]
+        objs[fid] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
+            f"/Encoding /{predefined_cmap} >>"
         ).encode("latin-1")
     if xobj_id is not None:
         form = PageSpec()

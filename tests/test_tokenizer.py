@@ -1331,3 +1331,135 @@ class TestInheritanceAndContentArrays:
         )
         doc = parse_pdf(data)
         assert list(doc.pages[0].words["text"]) == ["XY"]
+
+
+class TestPredefinedCMaps:
+    JP = "日本語の文章です"
+
+    def _extract(self, data):
+        doc = parse_pdf(data)
+        return [t for pg in doc.pages for t in pg.words["text"]], doc
+
+    def test_unijis_ucs2_h_decodes_without_tounicode(self):
+        p = PageSpec()
+        p.put_codes(
+            72, 100, 12, self.JP.encode("utf-16-be"),
+            font="F6", hex_show=True,
+        )
+        words, doc = self._extract(
+            build_pdf([p], predefined_cmap="UniJIS-UCS2-H")
+        )
+        assert words == [self.JP]
+        assert doc.errors == []
+
+    def test_rksj_variable_width_codes(self):
+        # Shift-JIS mixes 1-byte (ASCII) and 2-byte (kanji) codes in
+        # one string — whole-string codec decode must resolve both
+        mixed = "AB日本語CD"
+        p = PageSpec()
+        p.put_codes(
+            72, 100, 12, mixed.encode("shift_jis"),
+            font="F6", hex_show=True,
+        )
+        words, _doc = self._extract(
+            build_pdf([p], predefined_cmap="90ms-RKSJ-H")
+        )
+        assert words == [mixed]
+
+    def test_euc_h_decodes(self):
+        p = PageSpec()
+        p.put_codes(
+            72, 100, 12, self.JP.encode("euc_jp"), font="F6",
+            hex_show=True,
+        )
+        words, _doc = self._extract(
+            build_pdf([p], predefined_cmap="EUC-H")
+        )
+        assert words == [self.JP]
+
+    def test_literal_string_codes_also_decode(self):
+        # RKSJ codes arrive as literal strings in many writers
+        p = PageSpec()
+        p.put_codes(
+            72, 100, 12, self.JP.encode("shift_jis"), font="F6",
+            hex_show=False,
+        )
+        words, _doc = self._extract(
+            build_pdf([p], predefined_cmap="90ms-RKSJ-H")
+        )
+        assert words == [self.JP]
+
+    def test_unknown_predefined_name_degrades_to_default(self):
+        # an unsupported predefined CMap must not crash — the default
+        # UTF-16BE hex path applies (correct for UCS2-style codes)
+        p = PageSpec()
+        p.put_codes(
+            72, 100, 12, self.JP.encode("utf-16-be"), font="F6",
+            hex_show=True,
+        )
+        words, doc = self._extract(
+            build_pdf([p], predefined_cmap="Ext-RKSJ-NotShipped")
+        )
+        assert words == [self.JP]
+
+    def test_tounicode_wins_over_predefined(self):
+        # resolution order §9.10.2: an embedded /ToUnicode beats the
+        # predefined /Encoding — F4 carries both in this layout
+        p = PageSpec()
+        p.put_codes(
+            72, 100, 12, b"\x00\x01\x00\x02", font="F4", hex_show=True,
+        )
+        data = build_pdf(
+            [p], cid_tounicode_chars={1: "あ", 2: "ん"},
+        )
+        words, _doc = self._extract(data)
+        assert words == ["あん"]
+
+    def test_golden_type0_predefined_roundtrip(self):
+        import pathlib
+
+        from pdf_extractor_spark.fixtures.corpus import (
+            _pdf_type0_predefined,
+        )
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        rec = extract_document(_pdf_type0_predefined())
+        golden = pathlib.Path(
+            "tests/golden/pdf-type0-predefined.txt"
+        ).read_bytes()
+        assert rec["extracted_text"].encode() == golden
+        assert "日本語の本文はこの行に含まれており抽出結果は常に同一です" in rec["extracted_text"]
+
+
+class TestQuoteRepair:
+    def test_orphan_quote_dropped_tag_closes(self):
+        from pdf_extractor_spark.operators.html_extract import (
+            repair_unterminated_quotes,
+        )
+        s = '<p class="broken>text</p>'
+        assert repair_unterminated_quotes(s) == "<p class=broken>text</p>"
+
+    def test_wellformed_markup_is_identity(self):
+        from pdf_extractor_spark.operators.html_extract import (
+            repair_unterminated_quotes,
+        )
+        cases = [
+            '<p class="ok" data-x=\'y\'>text</p>',
+            "<a href='/x?a=1&b=2'>link</a> plain 'quoted prose' stays",
+            "<!-- comment with \" odd quote --><p>body</p>",
+            '<script>var s = "a < b";</script>',
+            "<p data-note='it said >hello<'>angle in quotes</p>",
+            "no tags at all, just text with a lone \" quote",
+        ]
+        for s in cases:
+            assert repair_unterminated_quotes(s) == s, s
+
+    def test_two_broken_tags_both_repaired(self):
+        from pdf_extractor_spark.operators.html_extract import (
+            repair_unterminated_quotes,
+        )
+        s = "<p a=\"x>one</p><p b='y>two</p>"
+        assert repair_unterminated_quotes(s) == (
+            "<p a=x>one</p><p b=y>two</p>"
+        )
