@@ -2939,6 +2939,53 @@ from .dedup import duck_span_dedup_sql as _duck_span_sql  # noqa: E402
 _SPAN_DEDUP_SQL = _duck_span_sql()
 
 
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C shape): per-doc
+    count of 8-gram hashes shared with a deterministic eval set lifted
+    from the corpus itself. Eval grams broadcast; corpus text never
+    shuffles."""
+    from .decontam import corpus_decontaminate
+
+    return corpus_decontaminate(_t(spark, sf_dir, "documents"))
+
+
+from .decontam import duck_decontam_sql as _duck_decontam_sql  # noqa: E402
+
+_DECONTAM_SQL = _duck_decontam_sql()
+
+
+def _quality_classifier(spark, sf_dir):
+    """Model-based quality filter: frozen logistic regression over
+    six document-shape ratios, evaluated as one narrow codegen'd
+    projection (functions/quality_model.py — the fastText-classifier
+    slot of DCLM/FineWeb-style recipes, deterministic)."""
+    from .quality_model import quality_classifier
+
+    return quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+from .quality_model import (  # noqa: E402
+    duck_quality_classifier_sql as _duck_qc_sql,
+)
+
+_QUALITY_CLASSIFIER_SQL = _duck_qc_sql()
+
+
+def _pack_sequences(spark, sf_dir):
+    """Sequence packing for training-batch construction: shard-local
+    prefix sums assign each doc to the fixed-budget sequence where it
+    starts (functions/packing.py). One exchange, on the shard key;
+    integer-only arithmetic."""
+    from .packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+from .packing import duck_pack_sql as _duck_pack_sql  # noqa: E402
+
+_PACK_SQL = _duck_pack_sql()
+
+
 # ================================================== multimodal / subword
 
 def _bpe_token_counts(spark, sf_dir):
@@ -3128,6 +3175,11 @@ CATALOG: dict[str, QueryDef] = {
     # changed THIS round (pii scrub, multimodal, SRP ANN) stay inside the
     # window so the changes get fresh hard signal.  Every entry is always
     # exposed through __spark_entry__.queries()/oracle_sql().
+    # The three NEW round-4 entries (corpus_decontaminate,
+    # text_quality_classifier, corpus_pack_sequences) sit inside the
+    # window; that pushes corpus_line_dedup / search_bm25_topk /
+    # text_gopher_rules to 51-53 — all r3-green, so they stay within
+    # the one-round freshness budget.
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
@@ -3180,6 +3232,12 @@ CATALOG: dict[str, QueryDef] = {
         _bpe_token_counts, _BPE_COUNTS_SQL, True
     ),
     "corpus_span_dedup": QueryDef(_span_dedup, _SPAN_DEDUP_SQL, True),
+    # -------- new this round (4): must sit inside the driver window -----
+    "corpus_decontaminate": QueryDef(_decontaminate, _DECONTAM_SQL, True),
+    "text_quality_classifier": QueryDef(
+        _quality_classifier, _QUALITY_CLASSIFIER_SQL, True
+    ),
+    "corpus_pack_sequences": QueryDef(_pack_sequences, _PACK_SQL, True),
     "multimodal_decode": QueryDef(
         _multimodal_decode, _MULTIMODAL_DECODE_SQL, True
     ),
