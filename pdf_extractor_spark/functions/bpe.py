@@ -166,15 +166,35 @@ def oracle_values_sql() -> str:
     return f"(VALUES {rows})"
 
 
+# empty tokens are FILTERED (the Python side drops '' from split —
+# consecutive/leading/trailing spaces must not count as words or
+# NULL-join into the sum), and the result anchors on the source table
+# so a doc with no words still emits its (0, 0) row like the Arrow
+# stage does
 BPE_COUNTS_SQL = f"""
 WITH lut(word, n_tok) AS (SELECT * FROM {oracle_values_sql()}),
 words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
   FROM documents
+), agg AS (
+  SELECT words.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         -- plain sum() would silently SKIP the NULLs of
+         -- lexicon-missing words (undercounting instead of failing);
+         -- the CASE forces the whole doc's sum to NULL so drift
+         -- really is loud
+         CASE WHEN count(*) FILTER (WHERE lut.n_tok IS NULL) > 0
+              THEN NULL
+              ELSE CAST(sum(lut.n_tok) AS BIGINT) END AS n_bpe_tokens
+  FROM words LEFT JOIN lut ON words.w = lut.word
+  GROUP BY words.doc_id
 )
-SELECT words.doc_id,
-       CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(lut.n_tok) AS BIGINT) AS n_bpe_tokens
-FROM words LEFT JOIN lut ON words.w = lut.word
-GROUP BY words.doc_id
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       -- no agg row = a zero-word doc (0 tokens); an agg row with a
+       -- NULL sum is the lexicon-drift poison and must stay NULL
+       CAST(CASE WHEN a.doc_id IS NULL THEN 0
+                 ELSE a.n_bpe_tokens END AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """

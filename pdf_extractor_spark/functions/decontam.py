@@ -92,7 +92,11 @@ def decontaminate_report(
         .select("g")
         .distinct()
     )
-    doc_grams = _ngram_hashes(docs, n)
+    # materialized once: doc_grams feeds BOTH the totals aggregate and
+    # the hit join, and Catalyst re-executes shared subplans per
+    # consumer — without the checkpoint the corpus-wide explode+hash
+    # (the most expensive narrow stage here) runs twice
+    doc_grams = _ngram_hashes(docs, n).localCheckpoint(eager=False)
     totals = doc_grams.groupBy("doc_id").agg(
         F.count("*").alias("n_grams")
     )

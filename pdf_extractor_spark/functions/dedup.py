@@ -1160,15 +1160,24 @@ WITH base AS (
   FROM words
 ), pos AS (
   SELECT doc_id, p, ws[p + 1] AS word FROM posidx
+), keptagg AS (
+  SELECT pos.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words_kept,
+         string_agg(word, ' ' ORDER BY pos.p) AS kept_text
+  FROM pos
+  LEFT JOIN covered ON pos.doc_id = covered.doc_id AND pos.p = covered.p
+  WHERE covered.p IS NULL
+  GROUP BY pos.doc_id
 )
-SELECT pos.doc_id,
-       CAST(count(*) AS BIGINT) AS n_words_kept,
-       CAST(coalesce(any_value(dup.n_dup_windows), 0) AS BIGINT)
-         AS n_dup_windows,
-       string_agg(word, ' ' ORDER BY pos.p) AS kept_text
-FROM pos
-LEFT JOIN covered ON pos.doc_id = covered.doc_id AND pos.p = covered.p
-LEFT JOIN dup ON pos.doc_id = dup.doc_id
-WHERE covered.p IS NULL
-GROUP BY pos.doc_id
+-- anchor on the source docs: a doc whose EVERY word is covered by hot
+-- windows (all-boilerplate) has no kept positions and would otherwise
+-- vanish from the report, while the Spark side emits its row with
+-- n_words_kept = 0 / kept_text = ''
+SELECT b.doc_id,
+       CAST(COALESCE(k.n_words_kept, 0) AS BIGINT) AS n_words_kept,
+       CAST(COALESCE(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       COALESCE(k.kept_text, '') AS kept_text
+FROM base b
+LEFT JOIN keptagg k ON k.doc_id = b.doc_id
+LEFT JOIN dup d ON d.doc_id = b.doc_id
 """

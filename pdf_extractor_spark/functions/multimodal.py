@@ -118,9 +118,17 @@ def decode_image_meta_pandas(
 def decode_image_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
     """Distributed decode: hash-repartition by doc_id (same layout rule
     as the extraction pipeline — a small parquet arrives as one split
-    otherwise), then the Arrow-batched decode stage."""
-    payloads = attach_binary_payload(docs)
-    return payloads.repartition(num_partitions, F.col("doc_id")).mapInPandas(
+    otherwise), then the Arrow-batched decode stage.
+
+    Order matters: the repartition happens BEFORE payload synthesis,
+    so the exchange carries 8-byte doc_ids and the image bytes are
+    born on the partition that decodes them — payloads never shuffle
+    (against real stored images the same holds via parquet bucketing /
+    AQE split sizing on the scan, not an exchange of blobs)."""
+    slim = docs.select("doc_id").repartition(
+        num_partitions, F.col("doc_id")
+    )
+    return attach_binary_payload(slim).mapInPandas(
         decode_image_meta_pandas, DECODE_SCHEMA
     )
 

@@ -36,22 +36,19 @@ SEQ_BUDGET = 256
 #: partition at 100 TB
 SHARD_DOCS = 100
 
-#: seq_id namespace stride: seq_id = shard * STRIDE + seq-within-shard.
-#: A shard of SHARD_DOCS docs can never produce more than SHARD_DOCS
-#: sequences (each doc starts at most one), so STRIDE > SHARD_DOCS
-#: guarantees no collision.
-SEQ_STRIDE = 1_000_000
-
-
 def pack_sequences(
     docs: DataFrame,
     budget: int = SEQ_BUDGET,
     shard_docs: int = SHARD_DOCS,
 ) -> DataFrame:
     """Per-document packing report: ``(doc_id, shard_id, n_tokens,
-    seq_id, seq_offset)`` where ``seq_offset`` is the document's start
-    position in the concatenated shard stream modulo ``budget``, and
-    ``seq_id`` is the (namespaced) sequence the document starts in."""
+    seq_in_shard, seq_offset)``. The sequence a document starts in is
+    the COMPOSITE key ``(shard_id, seq_in_shard)`` — collision-free by
+    construction at any shard token total or budget (a single flat
+    ``shard * stride + k`` id would alias across shards once a shard
+    exceeds ``stride * budget`` tokens). ``seq_offset`` is the
+    document's start position in the concatenated shard stream modulo
+    ``budget``."""
     # integer `div`, not float division: exact at any doc_id magnitude
     shard = F.expr(f"doc_id div {shard_docs}")
     w = (
@@ -75,10 +72,7 @@ def pack_sequences(
             "doc_id",
             "shard_id",
             "n_tokens",
-            (
-                F.col("shard_id") * SEQ_STRIDE
-                + F.expr(f"start_pos div {budget}")
-            ).alias("seq_id"),
+            F.expr(f"start_pos div {budget}").alias("seq_in_shard"),
             (F.col("start_pos") % budget).alias("seq_offset"),
         )
     )
@@ -94,7 +88,7 @@ def duck_pack_sql(
 SELECT doc_id,
        shard_id,
        n_tokens,
-       shard_id * {SEQ_STRIDE} + start_pos // {budget} AS seq_id,
+       start_pos // {budget} AS seq_in_shard,
        start_pos % {budget} AS seq_offset
 FROM (
   SELECT doc_id, shard_id, n_tokens,

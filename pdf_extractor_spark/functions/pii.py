@@ -36,8 +36,12 @@ IP_RE = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 # every digit-initial branch, and the area-code separator is
 # REQUIRED unless the (ddd) parenthesised form supplies the boundary
 # itself — "123456-7890" has neither and no longer matches.
+# NB: the boundary sits AFTER the optional '+' — "\\b\\+?" can never
+# assert when '+' follows a space (two non-word chars, no boundary),
+# which silently dropped the '+' from every "+1 ..." match and left a
+# stray '+' in scrubbed text.
 PHONE_RE = (
-    "(?:\\b\\+?\\d{1,2}[ -])?"
+    "(?:\\+?\\b\\d{1,2}[ -])?"
     "(?:\\(\\d{3}\\)[ -]?|\\b\\d{3}[ -])"
     "\\d{3}-\\d{4}\\b"
 )

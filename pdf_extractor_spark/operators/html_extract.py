@@ -337,7 +337,8 @@ class _BlockParser(HTMLParser):
             self._buf_link += len(_WS_RE.sub(" ", data).strip())
 
 
-_QUOTE_LOOKAHEAD = 256
+_QUOTE_LOOKAHEAD = 4096
+_TAG_START_RE = re.compile(r"<[A-Za-z/]")
 
 
 def repair_unterminated_quotes(html: str) -> str:
@@ -352,10 +353,19 @@ def repair_unterminated_quotes(html: str) -> str:
     boilerplate-removal extractors make). Deliberate, documented
     divergence from browser behavior.
 
-    Identity for well-formed markup: a quote that closes within
-    ``_QUOTE_LOOKAHEAD`` chars is a normal attribute value (angle
-    brackets inside it stay protected); comments/doctypes (``<!``)
-    and processing instructions are never entered."""
+    An open quote is an ORPHAN when no closing quote exists within
+    ``_QUOTE_LOOKAHEAD`` chars, or when a tag start (``<`` followed by
+    a letter or ``/``) intervenes before the close — a well-formed
+    attribute value never spans into the next tag, so a "close" found
+    on the far side of one is really the NEXT broken tag's quote
+    (pairing them would swallow the prose between, the exact browser
+    behavior this pass exists to undo). Long well-formed values
+    (srcset / data-URIs, far beyond any fixed small window) contain no
+    tag start and stay protected, as do angle brackets inside quotes
+    (``data-x='it said >hello<'`` — ``<'`` is not a tag start).
+    Documented tradeoff: a raw ``<`` + letter INSIDE a quoted value
+    (unescaped markup in an attribute) reads as an orphan; comments
+    and doctypes (``<!``) are never entered."""
     if '"' not in html and "'" not in html:
         return html
     drops: list[int] = []
@@ -376,7 +386,9 @@ def repair_unterminated_quotes(html: str) -> str:
                 break
             if c in "\"'":
                 close = html.find(c, j + 1, j + 1 + _QUOTE_LOOKAHEAD)
-                if close == -1:
+                if close == -1 or _TAG_START_RE.search(
+                    html, j + 1, close
+                ):
                     drops.append(j)  # orphan quote: drop the char
                     j += 1
                 else:

@@ -1031,7 +1031,14 @@ def _parse_simple_blocks(
 # tokens. Free text like "(modern BI tools) .. (user ID field) ..
 # (EI benefits)" has prose, parens and no /keys between BI and ID,
 # so it cannot match and delete the real strings between them.
-_IIMG_VAL = rb"(?:/[A-Za-z0-9.+\-]+|[0-9.+\-]+|true|false|\[[^\[\]]*\]|<[0-9A-Fa-f\s]*>)"
+# values may also be dictionaries (/DP << /Predictor 15 .. >> — the
+# standard Flate-predictor layout) or literal strings; without those
+# alternatives a predictor-bearing inline image fails the dict-shape
+# test and its binary payload leaks into the token scan
+_IIMG_VAL = (
+    rb"(?:/[A-Za-z0-9.+\-]+|[0-9.+\-]+|true|false|\[[^\[\]]*\]"
+    rb"|<<[\s\S]*?>>|\([^()]*\)|<[0-9A-Fa-f\s]*>)"
+)
 _INLINE_IMG_RE = re.compile(
     rb"(?:^|(?<=[\s]))BI"
     rb"(?:\s*/[A-Za-z0-9.+\-]+\s*" + _IIMG_VAL + rb")+"

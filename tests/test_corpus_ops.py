@@ -396,3 +396,128 @@ class TestSpanDedup:
         # set rode along as a closure constant, text stayed in place
         assert plan.count("MapInPandas") == 1
         assert "Exchange" not in plan, plan
+
+
+class TestReviewRegressionsR4:
+    def test_phone_plus_prefix_consumed(self, spark):
+        # "\b\+?" could never assert when '+' followed a space, so the
+        # country-code '+' leaked into scrubbed text as a stray char
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.pii import scrub_pii
+
+        rows = [
+            (1, "+1 555-123-4567"),
+            (2, "call +12 (555) 123-4567 now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        by = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", scrub_pii(F.col("text")).alias("s")
+            ).collect()
+        }
+        assert by[1] == "<PHONE>"
+        assert by[2] == "call <PHONE> now"
+
+    def test_span_sql_twin_keeps_fully_covered_docs(self, spark):
+        # a doc whose EVERY word is covered by hot windows must emit a
+        # (0, '') row from BOTH engines — the old SQL dropped it
+        import duckdb
+        import pandas as pd
+
+        from pdf_extractor_spark.functions.dedup import (
+            SPAN_K,
+            duck_span_dedup_sql,
+            span_dedup_report,
+        )
+
+        text = " ".join(f"dup{j}" for j in range(SPAN_K))
+        rows = [(i, text) for i in (1, 2, 3, 6)]  # %5!=0: no injection
+        sdf = (
+            span_dedup_report(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(sdf) == 4
+        assert (sdf.n_words_kept == 0).all()
+        assert (sdf.kept_text == "").all()
+        con = duckdb.connect()
+        con.register(
+            "docs_t", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        odf = (
+            con.execute(duck_span_dedup_sql(source="docs_t"))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        odf = odf[sdf.columns].astype(sdf.dtypes.to_dict())
+        assert sdf.equals(odf)
+
+    def test_bpe_sql_twin_handles_irregular_whitespace(self, spark):
+        # consecutive/leading/trailing spaces: the Python side drops
+        # '' tokens; the SQL twin must too (and an all-space doc must
+        # still emit its 0/0 row)
+        import duckdb
+        import pandas as pd
+
+        from pdf_extractor_spark.functions.bpe import (
+            BPE_COUNTS_SQL,
+            bpe_token_counts,
+        )
+
+        # lexicon words only (the oracle is a frozen VALUES lookup);
+        # the irregularity under test is the WHITESPACE
+        rows = [
+            (1, "data  hash"),      # double space
+            (2, " group filter "),
+            (3, "   "),             # only spaces -> 0 words
+            (4, "data hash group"),
+        ]
+        sdf = (
+            bpe_token_counts(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert sdf[sdf.doc_id == 3].n_words.iloc[0] == 0
+        assert sdf[sdf.doc_id == 1].n_words.iloc[0] == 2
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        odf = (
+            con.execute(BPE_COUNTS_SQL)
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        odf = odf[sdf.columns].astype(sdf.dtypes.to_dict())
+        assert sdf.equals(odf)
+
+    def test_bpe_sql_twin_poisons_on_lexicon_drift(self, spark):
+        # a word OUTSIDE the frozen lexicon must NULL the doc's oracle
+        # sum (plain sum() would skip it and silently undercount)
+        import duckdb
+        import math
+        import pandas as pd
+
+        from pdf_extractor_spark.functions.bpe import BPE_COUNTS_SQL
+
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                [(1, "data notinlexicon hash")],
+                columns=["doc_id", "text"],
+            ),
+        )
+        row = con.execute(BPE_COUNTS_SQL).df().iloc[0]
+        assert row.n_words == 3
+        assert math.isnan(row.n_bpe_tokens)

@@ -5,7 +5,6 @@ from __future__ import annotations
 import duckdb
 
 from pdf_extractor_spark.functions.packing import (
-    SEQ_STRIDE,
     duck_pack_sql,
     pack_sequences,
 )
@@ -33,13 +32,13 @@ class TestPackSequences:
                 _docs(spark, rows), budget=10, shard_docs=100
             ).collect()
         }
-        assert [(got[i].seq_id, got[i].seq_offset) for i in range(4)] == [
-            (0, 0), (0, 4), (0, 9), (1, 2)
-        ]
+        assert [
+            (got[i].seq_in_shard, got[i].seq_offset) for i in range(4)
+        ] == [(0, 0), (0, 4), (0, 9), (1, 2)]
 
     def test_shards_pack_independently(self, spark):
         # same text in two shards → identical within-shard layout,
-        # disjoint namespaced seq_ids
+        # sequences keyed by the composite (shard_id, seq_in_shard)
         rows = [(i, "w1 w2 w3 w4 w5") for i in range(4)]
         rows += [(100 + i, "w1 w2 w3 w4 w5") for i in range(4)]
         got = {
@@ -50,7 +49,8 @@ class TestPackSequences:
         }
         for i in range(4):
             a, b = got[i], got[100 + i]
-            assert b.seq_id - a.seq_id == SEQ_STRIDE
+            assert (a.shard_id, b.shard_id) == (0, 1)
+            assert a.seq_in_shard == b.seq_in_shard
             assert a.seq_offset == b.seq_offset
 
     def test_offsets_within_budget_and_start_coverage(self, spark):
@@ -61,7 +61,7 @@ class TestPackSequences:
         # sequence ids within a shard are contiguous from 0: a doc
         # starts in every sequence (docs are shorter than the budget)
         for _, grp in pdf.groupby("shard_id"):
-            local = sorted((grp.seq_id % SEQ_STRIDE).unique())
+            local = sorted(grp.seq_in_shard.unique())
             assert local == list(range(len(local)))
 
     def test_matches_duckdb_twin(self, spark):

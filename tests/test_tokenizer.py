@@ -1463,3 +1463,55 @@ class TestQuoteRepair:
         assert repair_unterminated_quotes(s) == (
             "<p a=x>one</p><p b=y>two</p>"
         )
+
+
+class TestReviewRegressionsR4:
+    def test_inline_image_with_dict_and_string_values_stripped(self):
+        # /DP << /Predictor 15 .. >> (the Flate-predictor layout) and
+        # literal-string values are legal BI-dict values; without the
+        # dict/string alternatives the span fails the dict-shape test
+        # and the binary payload leaks into the token scan
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        stream = (
+            b"BT /F1 12 Tf 72 700 Td (alpha) Tj ET\n"
+            b"BI /W 4 /H 4 /BPC 8 /CS /G /F /Fl"
+            b" /DP << /Predictor 15 /Columns 4 >>"
+            b" /Name (lead image) ID \x00\x01(fake) Tj\x02 EI\n"
+            b"BT /F1 12 Tf 72 600 Td (omega) Tj ET"
+        )
+        words = list(_parse_content(stream, 792.0, 1, None, {})["text"])
+        assert words == ["alpha", "omega"]
+
+    def test_quote_repair_long_attribute_value_untouched(self):
+        # a well-formed quoted value longer than any fixed small
+        # lookahead (srcset / data-URI scale) must stay protected —
+        # including '>' characters inside the value
+        from pdf_extractor_spark.operators.html_extract import (
+            repair_unterminated_quotes,
+        )
+        long_val = "x" * 300 + " description > more"
+        s = f'<img alt="{long_val}"><p>Real body text.</p>'
+        assert repair_unterminated_quotes(s) == s
+
+    def test_quote_repair_adjacent_same_char_orphans(self):
+        # two unterminated quotes of the SAME char in nearby tags must
+        # not pair with each other (that re-creates the browser
+        # swallow this pass exists to undo) — both are orphans because
+        # a tag start intervenes before the candidate close
+        from pdf_extractor_spark.operators.html_extract import (
+            repair_unterminated_quotes,
+        )
+        s = '<p a="x>one prose</p><p b="y>two</p>'
+        assert repair_unterminated_quotes(s) == (
+            "<p a=x>one prose</p><p b=y>two</p>"
+        )
+
+    def test_quote_repair_data_uri_identity(self):
+        from pdf_extractor_spark.operators.html_extract import (
+            repair_unterminated_quotes,
+        )
+        uri = "data:image/png;base64," + "ABCD" * 500
+        s = f'<img src="{uri}" alt="tiny"><p>Body.</p>'
+        assert repair_unterminated_quotes(s) == s
