@@ -778,6 +778,30 @@ def _html_attr_quoting() -> bytes:
     ).encode()
 
 
+def _html_attr_long_value() -> bytes:
+    """Quote-repair identity hazard: attribute values far beyond any
+    fixed lookahead window (srcset lists, data-URIs) containing '>'
+    — the repair pass must leave them untouched while STILL fixing a
+    genuinely broken quote later in the same page."""
+    srcset = ", ".join(
+        f"https://cdn.example.test/img/asset-{i:04d}-{'x' * 40}.webp {w}w"
+        for i, w in enumerate(range(320, 3201, 160))
+    )
+    data_uri = "data:image/png;base64," + "QUJDRA" * 120
+    return (
+        "<html><body><article>"
+        f"<img srcset=\"{srcset}\" alt=\"hero > image, full bleed\">"
+        "<p>The hero image above carries a srcset attribute far longer "
+        "than any fixed repair window and a quoted angle bracket, and "
+        "this paragraph must extract cleanly and completely.</p>"
+        f"<img src=\"{data_uri}\" alt=\"inline thumb\">"
+        "<p class=\"lead broken>The final paragraph sits behind an "
+        "unterminated class quote and must still be reclaimed by the "
+        "repair pass with stable offsets and full text.</p>"
+        "</article></body></html>"
+    ).encode()
+
+
 def _html_cdata() -> bytes:
     """CDATA sections in HTML (bogus comments per WHATWG) plus a
     CDATA-wrapped script: neither may leak into extracted text."""
@@ -895,6 +919,7 @@ _HTML_CASES = {
     "html-divsoup": _html_divsoup,
     "html-http-response": _html_http_response,
     "html-attr-quoting": _html_attr_quoting,
+    "html-attr-long-value": _html_attr_long_value,
     "html-cdata": _html_cdata,
     "html-meta-refresh": _html_meta_refresh,
     "html-bom-wrong-meta": _html_bom_wrong_meta,
@@ -925,7 +950,8 @@ _CASE_LANG = {
     "html-sjis-meta": "ja", "html-win1252": "en", "html-utf16": "mixed",
     "html-gzip": "en", "html-divsoup": "en",
     "html-http-response": "en",
-    "html-attr-quoting": "en", "html-cdata": "en",
+    "html-attr-quoting": "en", "html-attr-long-value": "en",
+    "html-cdata": "en",
     "html-meta-refresh": "en", "html-bom-wrong-meta": "mixed",
     "html-comment-tricks": "en",
 }
