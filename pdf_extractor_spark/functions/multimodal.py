@@ -185,3 +185,48 @@ def frame_sample_plan(decoded: DataFrame, every: int = 10) -> DataFrame:
             f"sequence(0, cast(n_pixels % 91 as int), {every})"
         ).alias("sampled_frames"),
     )
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, channel int, ch_sum long, ch_min int, ch_max int"
+)
+
+
+def image_features_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, payload) → one row per channel with
+    per-channel sum/min/max MEASURED from the decoded pixel array.
+    The oracle predicts all three closed-form from the generation
+    parameters (exact integers — no float in the compared output), so
+    a channel mixup, plane transposition, or filter defect that
+    happens to preserve the global pixel_sum still breaks the hash."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "channel": [], "ch_sum": [], "ch_min": [],
+            "ch_max": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = png_decode(bytes(payload)).astype(np.int64)
+            for c in range(px.shape[2]):
+                plane = px[:, :, c]
+                rows["doc_id"].append(int(doc_id))
+                rows["channel"].append(c)
+                rows["ch_sum"].append(int(plane.sum()))
+                rows["ch_min"].append(int(plane.min()))
+                rows["ch_max"].append(int(plane.max()))
+        yield pd.DataFrame(rows)
+
+
+def image_features(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Distributed per-channel feature extraction (the feature-extract
+    verb of the multimodal battery, next to decode / resize /
+    frame-sample). Same layout rule as ``decode_image_meta``: doc_ids
+    repartition BEFORE payload synthesis, image bytes never cross an
+    exchange."""
+    slim = docs.select("doc_id").repartition(
+        num_partitions, F.col("doc_id")
+    )
+    return attach_binary_payload(slim).mapInPandas(
+        image_features_pandas, FEATURES_SCHEMA
+    )

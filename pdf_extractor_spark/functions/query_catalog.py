@@ -3025,6 +3025,38 @@ FROM p
 """
 
 
+def _multimodal_features(spark, sf_dir):
+    """Per-channel feature extraction from REAL decoded pixels; the
+    oracle predicts sum/min/max closed-form per channel, so a channel
+    mixup that preserves the global pixel_sum still fails."""
+    from .multimodal import image_features
+
+    return image_features(_t(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         16 + (doc_id * 7) % 48   AS w,
+         16 + (doc_id * 13) % 48  AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c,
+         doc_id % 32              AS k
+  FROM documents
+), ch AS (
+  SELECT doc_id, w, h, k,
+         unnest(generate_series(0, c - 1)) AS channel
+  FROM p
+)
+SELECT doc_id,
+       CAST(channel AS INT) AS channel,
+       CAST(h*(w*(w-1))/2 + w*(h*(h-1)) + w*h*(3*channel + k)
+            AS BIGINT) AS ch_sum,
+       CAST(3*channel + k AS INT) AS ch_min,
+       CAST((w-1) + 2*(h-1) + 3*channel + k AS INT) AS ch_max
+FROM ch
+"""
+
+
 def _multimodal_resize(spark, sf_dir):
     return resize_plan(decode_image_meta(_t(spark, sf_dir, "documents")))
 
@@ -3175,10 +3207,11 @@ CATALOG: dict[str, QueryDef] = {
     # changed THIS round (pii scrub, multimodal, SRP ANN) stay inside the
     # window so the changes get fresh hard signal.  Every entry is always
     # exposed through __spark_entry__.queries()/oracle_sql().
-    # The three NEW round-4 entries (corpus_decontaminate,
-    # text_quality_classifier, corpus_pack_sequences) sit inside the
-    # window; that pushes corpus_line_dedup / search_bm25_topk /
-    # text_gopher_rules to 51-53 — all r3-green, so they stay within
+    # The four NEW round-4 entries (corpus_decontaminate,
+    # text_quality_classifier, corpus_pack_sequences,
+    # multimodal_features) sit inside the window; that pushes
+    # corpus_url_canonical / corpus_line_dedup / search_bm25_topk /
+    # text_gopher_rules to 51-54 — all r3-green, so they stay within
     # the one-round freshness budget.
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
@@ -3240,6 +3273,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_pack_sequences": QueryDef(_pack_sequences, _PACK_SQL, True),
     "multimodal_decode": QueryDef(
         _multimodal_decode, _MULTIMODAL_DECODE_SQL, True
+    ),
+    "multimodal_features": QueryDef(
+        _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),
     "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),

@@ -648,3 +648,51 @@ class TestSrpRecallGate:
         scanned = emb.withColumn("xq", F.expr(_XQ)).where(cond).count()
         assert scanned / emb.count() <= 0.35
         emb.unpersist()
+
+
+class TestImageFeatures:
+    def test_features_match_closed_form_oracle(self, spark, docs):
+        import duckdb
+
+        from pdf_extractor_spark.functions.query_catalog import (
+            _MULTIMODAL_FEATURES_SQL,
+            _multimodal_features,
+        )
+        sdf = (
+            _multimodal_features(spark, SF)
+            .toPandas()
+            .sort_values(["doc_id", "channel"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        odf = (
+            con.execute(_MULTIMODAL_FEATURES_SQL)
+            .df()
+            .sort_values(["doc_id", "channel"])
+            .reset_index(drop=True)
+        )
+        odf = odf[sdf.columns].astype(sdf.dtypes.to_dict())
+        assert sdf.equals(odf)
+        # one row per channel: 1/3/4-channel cycle over doc_id % 3
+        per_doc = sdf.groupby("doc_id").size()
+        assert set(per_doc.unique()) == {1, 3, 4}
+
+    def test_payload_never_crosses_exchange(self, spark, docs):
+        import re
+
+        from pdf_extractor_spark.functions.multimodal import (
+            image_features,
+        )
+        plan = (
+            image_features(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "payload" not in " ".join(
+            re.findall(r"Exchange [^\n]*", plan)
+        )
