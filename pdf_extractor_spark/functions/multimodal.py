@@ -230,3 +230,89 @@ def image_features(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
     return attach_binary_payload(slim).mapInPandas(
         image_features_pandas, FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, channels int, "
+    "sample_sum long"
+)
+
+_AUDIO_CYCLE = 251  # prime cycle for the sample ramp (see oracle)
+
+
+def fixture_audio(doc_id: int) -> bytes:
+    """Deterministic real PCM WAV for one document:
+
+        n_samples = 1000 + (doc_id * 17) % 3000
+        channels  = 1 + doc_id % 2        (mono / stereo)
+        rate      = 8000 * (1 + doc_id % 2)
+        sample[i, ch] = (i % 251) * (ch + 1) + k,   k = doc_id % 32
+
+    max value 250*2 + 31 = 531 — comfortably int16, so the decoded
+    sample sum has the closed form the SQL oracle computes (251 prime
+    keeps the ramp phase from ever aligning with the frame count)."""
+    from ..operators.wav_codec import wav_encode
+
+    n = 1000 + (doc_id * 17) % 3000
+    channels = 1 + doc_id % 2
+    rate = 8000 * (1 + doc_id % 2)
+    k = doc_id % 32
+    i = np.arange(n, dtype=np.int64)[:, None]
+    ch = np.arange(channels, dtype=np.int64)[None, :]
+    samples = ((i % _AUDIO_CYCLE) * (ch + 1) + k).astype(np.int16)
+    return wav_encode(samples, sample_rate=rate)
+
+
+def attach_audio_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a real PCM WAV per row."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "payload": [
+                        fixture_audio(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        body, "doc_id long, payload binary"
+    )
+
+
+def audio_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Distributed WAV decode (the audio leg of the multimodal
+    battery): rate/frames/channels plus the MEASURED sample sum from
+    the decoded int16 array; the oracle predicts the sum closed-form.
+    Same layout rule as the image ops — doc_ids repartition before
+    payload synthesis, audio bytes never cross an exchange."""
+    from ..operators.wav_codec import wav_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "channels": [], "sample_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = wav_decode(bytes(payload))
+                n, c = samples.shape
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["channels"].append(c)
+                rows["sample_sum"].append(
+                    int(samples.astype(np.int64).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    slim = docs.select("doc_id").repartition(
+        num_partitions, F.col("doc_id")
+    )
+    return attach_audio_payload(slim).mapInPandas(
+        body, AUDIO_DECODE_SCHEMA
+    )

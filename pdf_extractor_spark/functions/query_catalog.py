@@ -3057,6 +3057,36 @@ FROM ch
 """
 
 
+def _multimodal_audio(spark, sf_dir):
+    """WAV/PCM decode (audio leg): measured sample sums from the
+    from-scratch RIFF parser vs a closed-form integer oracle."""
+    from .multimodal import audio_decode_meta
+
+    return audio_decode_meta(_t(spark, sf_dir, "documents"))
+
+
+# sample[i, ch] = (i % 251)(ch+1) + k  ⇒  sum over i < n of (i % 251)
+# is S = (n // 251)·(251·250/2) + r(r−1)/2 with r = n % 251, and the
+# all-channel sum is S·(c(c+1)/2) + n·k·c
+_MULTIMODAL_AUDIO_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         1000 + (doc_id * 17) % 3000          AS n,
+         1 + doc_id % 2                       AS c,
+         8000 * (1 + doc_id % 2)              AS rate,
+         doc_id % 32                          AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(c AS INT) AS channels,
+       CAST(((n // 251) * 31375 + (n % 251) * ((n % 251) - 1) // 2)
+            * (c * (c + 1) // 2) + n * k * c AS BIGINT) AS sample_sum
+FROM p
+"""
+
+
 def _multimodal_resize(spark, sf_dir):
     return resize_plan(decode_image_meta(_t(spark, sf_dir, "documents")))
 
@@ -3207,12 +3237,12 @@ CATALOG: dict[str, QueryDef] = {
     # changed THIS round (pii scrub, multimodal, SRP ANN) stay inside the
     # window so the changes get fresh hard signal.  Every entry is always
     # exposed through __spark_entry__.queries()/oracle_sql().
-    # The four NEW round-4 entries (corpus_decontaminate,
+    # The five NEW round-4 entries (corpus_decontaminate,
     # text_quality_classifier, corpus_pack_sequences,
-    # multimodal_features) sit inside the window; that pushes
-    # corpus_url_canonical / corpus_line_dedup / search_bm25_topk /
-    # text_gopher_rules to 51-54 — all r3-green, so they stay within
-    # the one-round freshness budget.
+    # multimodal_features, multimodal_audio_decode) sit inside the
+    # window, ending it at dedup_ngram_overlap (50); the displaced
+    # entries (dedup_cluster_resolve .. text_c4_rules, 51-56) are all
+    # r3-green, so they stay within the one-round freshness budget.
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
@@ -3276,6 +3306,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
+    ),
+    "multimodal_audio_decode": QueryDef(
+        _multimodal_audio, _MULTIMODAL_AUDIO_SQL
     ),
     "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),

@@ -696,3 +696,60 @@ class TestImageFeatures:
         assert "payload" not in " ".join(
             re.findall(r"Exchange [^\n]*", plan)
         )
+
+
+class TestAudioDecode:
+    def test_wav_roundtrip_and_unknown_chunk_skip(self):
+        import numpy as np
+
+        from pdf_extractor_spark.operators.wav_codec import (
+            WavError,
+            wav_decode,
+            wav_encode,
+        )
+        s = np.arange(20, dtype=np.int16).reshape(10, 2) - 7
+        payload = wav_encode(s, sample_rate=44100)
+        got, rate = wav_decode(payload)
+        assert rate == 44100 and (got == s).all()
+        # a LIST chunk (odd size, pad byte) between fmt and data is
+        # skipped per the RIFF spec
+        import struct
+        fmt_end = 12 + 8 + 16
+        info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        patched = payload[:fmt_end] + info + payload[fmt_end:]
+        patched = patched[:4] + struct.pack(
+            "<I", len(patched) - 8
+        ) + patched[8:]
+        got2, _ = wav_decode(patched)
+        assert (got2 == s).all()
+        # truncated data chunk: loud, typed error
+        import pytest
+        with pytest.raises(WavError, match="truncated"):
+            wav_decode(payload[:-3])
+
+    def test_decode_matches_closed_form_oracle(self, spark, docs):
+        import duckdb
+
+        from pdf_extractor_spark.functions.query_catalog import (
+            _MULTIMODAL_AUDIO_SQL,
+            _multimodal_audio,
+        )
+        sdf = (
+            _multimodal_audio(spark, SF)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        odf = (
+            con.execute(_MULTIMODAL_AUDIO_SQL)
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        odf = odf[sdf.columns].astype(sdf.dtypes.to_dict())
+        assert sdf.equals(odf)
