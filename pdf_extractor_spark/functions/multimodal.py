@@ -90,6 +90,33 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _partitioned_payloads(
+    docs: DataFrame, num_partitions: int, synth_fn
+) -> DataFrame:
+    """THE layout rule for every decode leg, stated once: doc_ids
+    hash-repartition BEFORE payload synthesis (``synth_fn``: doc_id →
+    bytes), so the exchange carries 8-byte ids and the payload bytes
+    are born on the partition that decodes them — media bytes never
+    cross an exchange. (Against real stored blobs the same holds via
+    parquet bucketing / AQE split sizing on the scan.)"""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "payload": [
+                        synth_fn(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    slim = docs.select("doc_id").repartition(
+        num_partitions, F.col("doc_id")
+    )
+    return slim.mapInPandas(body, "doc_id long, payload binary")
+
+
 def decode_image_meta_pandas(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -120,17 +147,11 @@ def decode_image_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
     as the extraction pipeline — a small parquet arrives as one split
     otherwise), then the Arrow-batched decode stage.
 
-    Order matters: the repartition happens BEFORE payload synthesis,
-    so the exchange carries 8-byte doc_ids and the image bytes are
-    born on the partition that decodes them — payloads never shuffle
-    (against real stored images the same holds via parquet bucketing /
-    AQE split sizing on the scan, not an exchange of blobs)."""
-    slim = docs.select("doc_id").repartition(
-        num_partitions, F.col("doc_id")
-    )
-    return attach_binary_payload(slim).mapInPandas(
-        decode_image_meta_pandas, DECODE_SCHEMA
-    )
+    Layout rule (repartition before synthesis, payloads never cross
+    an exchange) lives in :func:`_partitioned_payloads`."""
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_image
+    ).mapInPandas(decode_image_meta_pandas, DECODE_SCHEMA)
 
 
 def decode_error_report(
@@ -221,15 +242,11 @@ def image_features_pandas(
 def image_features(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
     """Distributed per-channel feature extraction (the feature-extract
     verb of the multimodal battery, next to decode / resize /
-    frame-sample). Same layout rule as ``decode_image_meta``: doc_ids
-    repartition BEFORE payload synthesis, image bytes never cross an
-    exchange."""
-    slim = docs.select("doc_id").repartition(
-        num_partitions, F.col("doc_id")
-    )
-    return attach_binary_payload(slim).mapInPandas(
-        image_features_pandas, FEATURES_SCHEMA
-    )
+    frame-sample). Layout rule shared via
+    :func:`_partitioned_payloads`."""
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_image
+    ).mapInPandas(image_features_pandas, FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------- audio
@@ -267,10 +284,9 @@ def fixture_audio(doc_id: int) -> bytes:
 
 def attach_audio_payload(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload binary): a real PCM WAV per row."""
-
-    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
+    return docs.select("doc_id").mapInPandas(
+        lambda batches: (
+            pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "payload": [
@@ -278,9 +294,9 @@ def attach_audio_payload(docs: DataFrame) -> DataFrame:
                     ],
                 }
             )
-
-    return docs.select("doc_id").mapInPandas(
-        body, "doc_id long, payload binary"
+            for pdf in batches
+        ),
+        "doc_id long, payload binary",
     )
 
 
@@ -288,8 +304,7 @@ def audio_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
     """Distributed WAV decode (the audio leg of the multimodal
     battery): rate/frames/channels plus the MEASURED sample sum from
     the decoded int16 array; the oracle predicts the sum closed-form.
-    Same layout rule as the image ops — doc_ids repartition before
-    payload synthesis, audio bytes never cross an exchange."""
+    Layout rule shared via :func:`_partitioned_payloads`."""
     from ..operators.wav_codec import wav_decode
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -310,9 +325,6 @@ def audio_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    slim = docs.select("doc_id").repartition(
-        num_partitions, F.col("doc_id")
-    )
-    return attach_audio_payload(slim).mapInPandas(
-        body, AUDIO_DECODE_SCHEMA
-    )
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_audio
+    ).mapInPandas(body, AUDIO_DECODE_SCHEMA)

@@ -337,7 +337,6 @@ class _BlockParser(HTMLParser):
             self._buf_link += len(_WS_RE.sub(" ", data).strip())
 
 
-_QUOTE_LOOKAHEAD = 4096
 _TAG_START_RE = re.compile(r"<[A-Za-z/]")
 
 
@@ -353,21 +352,27 @@ def repair_unterminated_quotes(html: str) -> str:
     boilerplate-removal extractors make). Deliberate, documented
     divergence from browser behavior.
 
-    An open quote is an ORPHAN when no closing quote exists within
-    ``_QUOTE_LOOKAHEAD`` chars, or when a tag start (``<`` followed by
-    a letter or ``/``) intervenes before the close — a well-formed
-    attribute value never spans into the next tag, so a "close" found
-    on the far side of one is really the NEXT broken tag's quote
-    (pairing them would swallow the prose between, the exact browser
-    behavior this pass exists to undo). Long well-formed values
-    (srcset / data-URIs, far beyond any fixed small window) contain no
-    tag start and stay protected, as do angle brackets inside quotes
-    (``data-x='it said >hello<'`` — ``<'`` is not a tag start).
-    Documented tradeoff: a raw ``<`` + letter INSIDE a quoted value
-    (unescaped markup in an attribute) reads as an orphan; comments
-    and doctypes (``<!``) are never entered."""
+    An open quote is an ORPHAN when no closing quote exists before the
+    next tag start (``<`` followed by a letter or ``/``) or EOF — a
+    well-formed attribute value never spans into the next tag, so a
+    "close" on the far side of one is really the NEXT broken tag's
+    quote (pairing them would swallow the prose between, the exact
+    browser behavior this pass exists to undo). The bound is the tag
+    start itself, not a fixed window, so well-formed values of ANY
+    length (srcset / inline-base64 data-URIs) stay protected, as do
+    angle brackets inside quotes (``data-x='it said >hello<'`` —
+    ``<'`` is not a tag start). Documented tradeoff: a raw ``<`` +
+    letter INSIDE a quoted value (unescaped markup in an attribute)
+    reads as an orphan; comments and doctypes (``<!``) are never
+    entered."""
     if '"' not in html and "'" not in html:
         return html
+    import bisect
+
+    # one O(n) pass collects every tag-start position; each quote then
+    # finds its bound in O(log m) — keeps adversarial quote-dense
+    # input linear instead of quadratic
+    starts = [m.start() for m in _TAG_START_RE.finditer(html)]
     drops: list[int] = []
     n = len(html)
     pos = 0
@@ -385,17 +390,23 @@ def repair_unterminated_quotes(html: str) -> str:
             if c == ">" or c == "<":
                 break
             if c in "\"'":
-                close = html.find(c, j + 1, j + 1 + _QUOTE_LOOKAHEAD)
-                if close == -1 or _TAG_START_RE.search(
-                    html, j + 1, close
-                ):
+                k = bisect.bisect_right(starts, j)
+                bound = starts[k] if k < len(starts) else n
+                close = html.find(c, j + 1, bound)
+                if close == -1:
                     drops.append(j)  # orphan quote: drop the char
                     j += 1
                 else:
                     j = close + 1
                 continue
             j += 1
-        pos = j + 1 if j > lt else lt + 1
+        # a break at '<' must NOT be skipped: it starts the next tag
+        # (otherwise a tag following a repaired orphan is never
+        # scanned and its own orphan quote survives)
+        if j < n and html[j] == "<":
+            pos = j
+        else:
+            pos = j + 1 if j > lt else lt + 1
     if not drops:
         return html
     out = []

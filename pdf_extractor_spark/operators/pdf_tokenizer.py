@@ -1034,10 +1034,12 @@ def _parse_simple_blocks(
 # values may also be dictionaries (/DP << /Predictor 15 .. >> — the
 # standard Flate-predictor layout) or literal strings; without those
 # alternatives a predictor-bearing inline image fails the dict-shape
-# test and its binary payload leaks into the token scan
+# test and its binary payload leaks into the token scan. Literal
+# strings accept \-escapes and one level of balanced nested parens
+# ("(lead (sub) image)" — legal per ISO 32000 §7.3.4.2)
 _IIMG_VAL = (
     rb"(?:/[A-Za-z0-9.+\-]+|[0-9.+\-]+|true|false|\[[^\[\]]*\]"
-    rb"|<<[\s\S]*?>>|\([^()]*\)|<[0-9A-Fa-f\s]*>)"
+    rb"|<<[\s\S]*?>>|\((?:[^()\\]|\\.|\([^()]*\))*\)|<[0-9A-Fa-f\s]*>)"
 )
 _INLINE_IMG_RE = re.compile(
     rb"(?:^|(?<=[\s]))BI"

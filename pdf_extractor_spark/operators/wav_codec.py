@@ -73,6 +73,10 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
             data = payload[body_start : body_start + size]
         # RIFF chunks are word-aligned: odd sizes carry a pad byte
         pos = body_start + size + (size & 1)
+    if pos < n:
+        # leftover bytes too short to be a chunk header: a cut
+        # mid-header is as truncated as a cut mid-body — stay loud
+        raise WavError("trailing bytes are not a complete chunk")
     if fmt_chunk is None or len(fmt_chunk) < 16:
         raise WavError("missing fmt chunk")
     if data is None:

@@ -1515,3 +1515,38 @@ class TestReviewRegressionsR4:
         uri = "data:image/png;base64," + "ABCD" * 500
         s = f'<img src="{uri}" alt="tiny"><p>Body.</p>'
         assert repair_unterminated_quotes(s) == s
+
+    def test_quote_repair_value_beyond_any_window(self):
+        # a well-formed value of ANY length is protected: the close
+        # search is bounded by the next tag start, not a fixed window
+        from pdf_extractor_spark.operators.html_extract import (
+            repair_unterminated_quotes,
+        )
+        uri = "data:image/png;base64," + "A" * 5200
+        s = f'<img src="{uri}" alt="tiny"><p>Important prose.</p>'
+        assert repair_unterminated_quotes(s) == s
+
+    def test_quote_repair_tag_after_break_is_scanned(self):
+        # the '<' that ends a broken tag's scan starts the NEXT tag —
+        # skipping it left the following tag's orphan quote unrepaired
+        from pdf_extractor_spark.operators.html_extract import (
+            repair_unterminated_quotes,
+        )
+        s = '<p a="x<p b="y>prose that should survive</p>'
+        assert repair_unterminated_quotes(s) == (
+            "<p a=x<p b=y>prose that should survive</p>"
+        )
+
+    def test_inline_image_nested_paren_string_value(self):
+        # literal strings legally nest balanced parens (§7.3.4.2)
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        stream = (
+            b"BT /F1 12 Tf 72 700 Td (alpha) Tj ET\n"
+            b"BI /W 4 /H 4 /BPC 8 /Name (lead (sub) image)"
+            b" ID \x00(fake) Tj\x02 EI\n"
+            b"BT /F1 12 Tf 72 600 Td (omega) Tj ET"
+        )
+        words = list(_parse_content(stream, 792.0, 1, None, {})["text"])
+        assert words == ["alpha", "omega"]

@@ -753,3 +753,22 @@ class TestAudioDecode:
         )
         odf = odf[sdf.columns].astype(sdf.dtypes.to_dict())
         assert sdf.equals(odf)
+
+    def test_wav_partial_trailing_chunk_header_is_loud(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from pdf_extractor_spark.operators.wav_codec import (
+            WavError,
+            wav_decode,
+            wav_encode,
+        )
+        payload = wav_encode(
+            np.zeros((8, 1), dtype=np.int16), sample_rate=8000
+        )
+        cut = payload + b"LIST"  # 4 bytes of a chunk header, no size
+        patched = cut[:4] + struct.pack("<I", len(cut) - 8) + cut[8:]
+        with pytest.raises(WavError, match="not a complete chunk"):
+            wav_decode(patched)
