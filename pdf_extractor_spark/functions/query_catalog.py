@@ -3057,6 +3057,22 @@ FROM ch
 """
 
 
+def _filter_recipe(spark, sf_dir):
+    """The composed pre-training keep/drop recipe: Gopher ∧ C4 ∧
+    model classifier ∧ exact-dedup canonical, one plan, per-leg
+    reason flags (functions/recipe.py)."""
+    from .recipe import pretraining_filter
+
+    return pretraining_filter(_t(spark, sf_dir, "documents"))
+
+
+from .recipe import duck_recipe_sql as _duck_recipe_sql  # noqa: E402
+
+_FILTER_RECIPE_SQL = _duck_recipe_sql(
+    _GOPHER_SQL, _C4_SQL, _duck_qc_sql()
+)
+
+
 def _multimodal_audio(spark, sf_dir):
     """WAV/PCM decode (audio leg): measured sample sums from the
     from-scratch RIFF parser vs a closed-form integer oracle."""
@@ -3237,12 +3253,13 @@ CATALOG: dict[str, QueryDef] = {
     # changed THIS round (pii scrub, multimodal, SRP ANN) stay inside the
     # window so the changes get fresh hard signal.  Every entry is always
     # exposed through __spark_entry__.queries()/oracle_sql().
-    # The five NEW round-4 entries (corpus_decontaminate,
+    # The six NEW round-4 entries (corpus_decontaminate,
     # text_quality_classifier, corpus_pack_sequences,
-    # multimodal_features, multimodal_audio_decode) sit inside the
-    # window, ending it at dedup_ngram_overlap (50); the displaced
-    # entries (dedup_cluster_resolve .. text_c4_rules, 51-56) are all
-    # r3-green, so they stay within the one-round freshness budget.
+    # corpus_filter_recipe, multimodal_features,
+    # multimodal_audio_decode) sit inside the window, ending it at
+    # dedup_ngram_jaccard (50); the displaced entries
+    # (dedup_ngram_overlap .. text_c4_rules, 51-57) are all r3-green,
+    # so they stay within the one-round freshness budget.
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
@@ -3301,6 +3318,9 @@ CATALOG: dict[str, QueryDef] = {
         _quality_classifier, _QUALITY_CLASSIFIER_SQL, True
     ),
     "corpus_pack_sequences": QueryDef(_pack_sequences, _PACK_SQL, True),
+    "corpus_filter_recipe": QueryDef(
+        _filter_recipe, _FILTER_RECIPE_SQL, True
+    ),
     "multimodal_decode": QueryDef(
         _multimodal_decode, _MULTIMODAL_DECODE_SQL, True
     ),

@@ -521,3 +521,71 @@ class TestReviewRegressionsR4:
         row = con.execute(BPE_COUNTS_SQL).df().iloc[0]
         assert row.n_words == 3
         assert math.isnan(row.n_bpe_tokens)
+
+
+class TestFilterRecipe:
+    def test_recipe_equals_conjunction_of_legs(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.quality_model import (
+            quality_classifier,
+        )
+        from pdf_extractor_spark.functions.recipe import (
+            pretraining_filter,
+        )
+        from pdf_extractor_spark.functions.textstats import (
+            c4_rules,
+            fingerprints,
+            gopher_rules,
+            webify,
+        )
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        got = {r.doc_id: r for r in pretraining_filter(docs).collect()}
+        g = {
+            r.doc_id: r.gopher_pass
+            for r in gopher_rules(docs, text_col=webify()).collect()
+        }
+        c = {
+            r.doc_id: r.c4_keep
+            for r in c4_rules(docs, text_col=webify()).collect()
+        }
+        q = {
+            r.doc_id: r.keep for r in quality_classifier(docs).collect()
+        }
+        fp = {}
+        for r in fingerprints(docs).collect():
+            fp.setdefault(r.fingerprint, []).append(r.doc_id)
+        canon = {min(ids) for ids in fp.values()}
+        assert set(got) == set(g)
+        for d, row in got.items():
+            legs = (g[d], c[d], q[d], d in canon)
+            assert (
+                row.gopher_pass, row.c4_keep, row.model_keep,
+                row.is_canonical,
+            ) == legs, d
+            assert row.keep == all(legs), d
+        # each leg discriminates and some docs survive all four
+        vals = list(got.values())
+        assert any(r.keep for r in vals)
+        for leg in ("gopher_pass", "c4_keep", "model_keep"):
+            assert 0 < sum(getattr(r, leg) for r in vals) < len(vals)
+
+    def test_no_text_in_any_exchange(self, spark):
+        import re
+
+        from pdf_extractor_spark.functions.recipe import (
+            pretraining_filter,
+        )
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            pretraining_filter(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for m in re.findall(r"Exchange [^\n]*", plan):
+            assert "text" not in m, m
