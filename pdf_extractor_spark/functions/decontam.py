@@ -70,11 +70,28 @@ def eval_set_from_slice(docs: DataFrame) -> DataFrame:
     )
 
 
+def _normalized(df: DataFrame) -> DataFrame:
+    """GPT-3-style normalization before n-gramming: lowercase, strip
+    everything but [a-z0-9 ], collapse whitespace — so a quote that
+    was re-cased or re-punctuated still hits. Pure narrow map."""
+    return df.withColumn(
+        "text",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        ),
+    )
+
+
 def decontaminate_report(
     docs: DataFrame,
     eval_df: DataFrame,
     n: int = DECONTAM_NGRAM,
     min_hits: int = 1,
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-document contamination report against an eval set.
 
@@ -84,7 +101,18 @@ def decontaminate_report(
     ``n_grams`` counts the document's distinct n-grams, ``n_hit`` how
     many of them appear anywhere in the eval set, and ``contaminated``
     is ``n_hit >= min_hits``.
+
+    ``normalize=True`` applies the GPT-3 appendix-C normalization
+    (lowercase, punctuation strip, whitespace collapse) to BOTH sides
+    before hashing, so re-cased / re-punctuated quotes still count as
+    contamination. The catalog entry runs raw (its planted windows
+    are verbatim); real decontamination runs normalized.
     """
+    if normalize:
+        docs_g = _normalized(docs.select("doc_id", "text"))
+        eval_df = _normalized(eval_df)
+    else:
+        docs_g = docs
     eval_grams = (
         _ngram_hashes(
             eval_df.select(F.lit(0).alias("doc_id"), "text"), n
@@ -96,7 +124,7 @@ def decontaminate_report(
     # the hit join, and Catalyst re-executes shared subplans per
     # consumer — without the checkpoint the corpus-wide explode+hash
     # (the most expensive narrow stage here) runs twice
-    doc_grams = _ngram_hashes(docs, n).localCheckpoint(eager=False)
+    doc_grams = _ngram_hashes(docs_g, n).localCheckpoint(eager=False)
     totals = doc_grams.groupBy("doc_id").agg(
         F.count("*").alias("n_grams")
     )

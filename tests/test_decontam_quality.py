@@ -182,3 +182,35 @@ class TestQualityClassifier:
         assert "Exchange" not in plan
         # codegen'd stages print as "*(n)" in executedPlan().toString()
         assert "*(1)" in plan
+
+
+class TestNormalizedDecontam:
+    def test_recased_quote_caught_only_with_normalize(self, spark):
+        chunk = " ".join(f"tok{i}" for i in range(10))
+        recased = " ".join(
+            f"TOK{i}," if i % 2 else f"Tok{i}" for i in range(10)
+        )
+        corpus = _docs(spark, [(7, "lead in words then " + recased)])
+        ev = spark.createDataFrame(
+            [(0, chunk)], "eval_id long, text string"
+        )
+        raw = decontaminate_report(corpus, ev).collect()[0]
+        assert raw.n_hit == 0  # verbatim hashing misses the re-case
+        norm = decontaminate_report(
+            corpus, ev, normalize=True
+        ).collect()[0]
+        assert norm.contaminated and norm.n_hit == 3  # 10 toks, n=8
+
+    def test_normalize_is_narrow_and_anchors_all_docs(self, spark):
+        corpus = _docs(spark, [(1, "A! B? C."), (2, PROSE)])
+        ev = spark.createDataFrame(
+            [(0, PROSE.upper())], "eval_id long, text string"
+        )
+        rows = {
+            r.doc_id: r
+            for r in decontaminate_report(
+                corpus, ev, normalize=True
+            ).collect()
+        }
+        assert set(rows) == {1, 2}  # short doc keeps its (0,0) row
+        assert rows[2].contaminated  # upper-cased eval still hits
