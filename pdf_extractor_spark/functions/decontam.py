@@ -72,14 +72,20 @@ def eval_set_from_slice(docs: DataFrame) -> DataFrame:
 
 def _normalized(df: DataFrame) -> DataFrame:
     """GPT-3-style normalization before n-gramming: lowercase, strip
-    everything but [a-z0-9 ], collapse whitespace — so a quote that
-    was re-cased or re-punctuated still hits. Pure narrow map."""
+    punctuation, collapse ALL whitespace runs (spaces, newlines, tabs)
+    to single spaces — so a quote that was re-cased, re-punctuated or
+    re-wrapped still hits. Whitespace must be kept as a class, not
+    deleted: stripping ``\\n`` outright would fuse tokens across line
+    breaks and silently miss every line-wrapped quote. Pure narrow
+    map."""
     return df.withColumn(
         "text",
         F.trim(
             F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-                " +",
+                F.regexp_replace(
+                    F.lower(F.col("text")), "[^a-z0-9\\s]", ""
+                ),
+                "\\s+",
                 " ",
             )
         ),

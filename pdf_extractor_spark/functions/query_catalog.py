@@ -2518,12 +2518,9 @@ def _fingerprint(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
-_FINGERPRINT_SQL = r"""
-SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-         AS fingerprint
-FROM documents
-"""
+from .textstats import duck_fingerprint_sql as _duck_fp_sql  # noqa: E402
+
+_FINGERPRINT_SQL = _duck_fp_sql()
 
 
 def _simhash(spark, sf_dir):
@@ -3057,19 +3054,45 @@ FROM ch
 """
 
 
+# fixture gating for the exact-dedup leg: the test tables are
+# duplicate-free at sf0.001/0.01, so without planted duplicates the
+# is_canonical leg would match vacuously (any window function would
+# pass). Every doc_id % 100 == 50 gets the same constant page in the
+# FINGERPRINT leg only — 5 planted dups per 500 docs, exactly one
+# canonical.
+_RECIPE_DUP_TEXT = "planted duplicate page for the canonical gate"
+_RECIPE_CANON_CASE = (
+    f"CASE WHEN doc_id % 100 = 50 THEN '{_RECIPE_DUP_TEXT}' "
+    "ELSE text END"
+)
+
+
 def _filter_recipe(spark, sf_dir):
     """The composed pre-training keep/drop recipe: Gopher ∧ C4 ∧
     model classifier ∧ exact-dedup canonical, one plan, per-leg
-    reason flags (functions/recipe.py)."""
+    reason flags (functions/recipe.py). The canonical leg runs over
+    duplicate-planted text (see _RECIPE_CANON_CASE) so it can never
+    pass vacuously on the duplicate-free fixture tables."""
     from .recipe import pretraining_filter
 
-    return pretraining_filter(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    canon_docs = docs.select(
+        "doc_id", F.expr(_RECIPE_CANON_CASE).alias("text")
+    )
+    return pretraining_filter(docs, canon_docs=canon_docs)
 
 
 from .recipe import duck_recipe_sql as _duck_recipe_sql  # noqa: E402
 
+# _duck_fp_sql imported above at the fingerprint entry
 _FILTER_RECIPE_SQL = _duck_recipe_sql(
-    _GOPHER_SQL, _C4_SQL, _duck_qc_sql()
+    _GOPHER_SQL,
+    _C4_SQL,
+    _duck_qc_sql(),
+    _duck_fp_sql(
+        f"(SELECT doc_id, {_RECIPE_CANON_CASE} AS text FROM documents)"
+        " AS canon_src"
+    ),
 )
 
 

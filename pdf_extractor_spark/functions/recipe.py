@@ -34,13 +34,26 @@ from .quality_model import quality_classifier
 from .textstats import c4_rules, fingerprints, gopher_rules, webify
 
 
-def pretraining_filter(docs: DataFrame) -> DataFrame:
+def pretraining_filter(
+    docs: DataFrame, canon_docs: DataFrame | None = None
+) -> DataFrame:
     """Per-document keep/drop with per-leg reasons:
     ``(doc_id, gopher_pass, c4_keep, model_keep, is_canonical, keep)``.
 
     Gopher/C4 run over the web-ified text (matching their standalone
     catalog entries); the classifier and the fingerprint run over the
-    raw text."""
+    raw text. ``canon_docs`` overrides the input of the exact-dedup
+    leg only (the catalog entry passes a duplicate-planted variant so
+    the ``is_canonical`` leg can never pass vacuously on a
+    duplicate-free fixture scale)."""
+    # materialize the 2-column scan once: the four legs are
+    # independent subplans, and without this each re-reads the text
+    # column from parquet (4x scan I/O). At 100 TB the equivalent is
+    # writing the projected intermediate once (or a cached/bucketed
+    # table), not an in-memory checkpoint; the webify regex chain
+    # still runs once per webified leg — fusing the narrow legs into
+    # one projection is the further step if profiling demands it.
+    docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
     g = gopher_rules(docs, text_col=webify()).select(
         "doc_id", "gopher_pass"
     )
@@ -49,7 +62,9 @@ def pretraining_filter(docs: DataFrame) -> DataFrame:
         "doc_id", F.col("keep").alias("model_keep")
     )
     w = Window.partitionBy("fingerprint")
-    canon = fingerprints(docs).select(
+    canon = fingerprints(
+        canon_docs if canon_docs is not None else docs
+    ).select(
         "doc_id",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias(
             "is_canonical"
@@ -76,10 +91,15 @@ def pretraining_filter(docs: DataFrame) -> DataFrame:
 
 
 def duck_recipe_sql(
-    gopher_sql: str, c4_sql: str, classifier_sql: str
+    gopher_sql: str,
+    c4_sql: str,
+    classifier_sql: str,
+    fingerprint_sql: str,
 ) -> str:
-    """DuckDB twin, composed from the legs' own oracle SQL strings so
-    the recipe can never drift from its components."""
+    """DuckDB twin, composed from ALL FOUR legs' own oracle SQL
+    strings (fingerprint included — see
+    ``textstats.duck_fingerprint_sql``) so the recipe can never drift
+    from its components."""
     return f"""
 SELECT g.doc_id,
        g.gopher_pass,
@@ -94,12 +114,8 @@ JOIN (SELECT doc_id, keep AS model_keep FROM ({classifier_sql})) q
   USING (doc_id)
 JOIN (
   SELECT doc_id,
-         doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
-  FROM (
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-             AS fp
-    FROM documents
-  )
+         doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+           AS is_canonical
+  FROM ({fingerprint_sql})
 ) f USING (doc_id)
 """

@@ -387,3 +387,15 @@ def c4_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
         & ~F.col("has_js")
     )
     return out.withColumn("c4_keep", keep)
+
+
+def duck_fingerprint_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`fingerprints` — the ONE definition every
+    consumer (catalog entry, recipe oracle) composes from, so the
+    normalization can never drift between them."""
+    return rf"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         AS fingerprint
+FROM {source}
+"""

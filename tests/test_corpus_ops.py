@@ -572,6 +572,39 @@ class TestFilterRecipe:
         for leg in ("gopher_pass", "c4_keep", "model_keep"):
             assert 0 < sum(getattr(r, leg) for r in vals) < len(vals)
 
+    def test_canonical_leg_discriminates_on_planted_dups(self, spark):
+        # the fixture tables are duplicate-free, so the is_canonical
+        # leg is exercised with planted exact duplicates: a wrong
+        # canonical rule (max instead of min, or constant True) fails
+        from pdf_extractor_spark.functions.recipe import (
+            pretraining_filter,
+        )
+        rows = [
+            (3, "unique page three body text here today"),
+            (11, "the shared duplicate page body"),
+            (42, "the shared duplicate page body"),
+            (57, "another unique body of words"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in pretraining_filter(docs).collect()}
+        assert got[11].is_canonical and not got[42].is_canonical
+        assert got[3].is_canonical and got[57].is_canonical
+        assert not got[42].keep  # the non-canonical copy never keeps
+
+    def test_catalog_entry_canonical_leg_non_vacuous(self, spark):
+        # the planted-dup CASE in the catalog entry must yield
+        # non-canonical rows at the driver's own scale factor
+        from pdf_extractor_spark.functions.query_catalog import (
+            _filter_recipe,
+        )
+        pdf = _filter_recipe(
+            spark, "/root/testdata/sf0.001"
+        ).toPandas()
+        planted = pdf[pdf.doc_id % 100 == 50]
+        assert len(planted) == 5
+        assert planted.is_canonical.sum() == 1  # lowest doc_id only
+        assert pdf[pdf.doc_id % 100 != 50].is_canonical.all()
+
     def test_no_text_in_any_exchange(self, spark):
         import re
 

@@ -202,15 +202,40 @@ class TestNormalizedDecontam:
         assert norm.contaminated and norm.n_hit == 3  # 10 toks, n=8
 
     def test_normalize_is_narrow_and_anchors_all_docs(self, spark):
+        import re
+
         corpus = _docs(spark, [(1, "A! B? C."), (2, PROSE)])
         ev = spark.createDataFrame(
             [(0, PROSE.upper())], "eval_id long, text string"
         )
-        rows = {
-            r.doc_id: r
-            for r in decontaminate_report(
-                corpus, ev, normalize=True
-            ).collect()
-        }
+        report = decontaminate_report(corpus, ev, normalize=True)
+        rows = {r.doc_id: r for r in report.collect()}
         assert set(rows) == {1, 2}  # short doc keeps its (0,0) row
         assert rows[2].contaminated  # upper-cased eval still hits
+        # "narrow": normalization must not push text into any exchange
+        plan = report._jdf.queryExecution().executedPlan().toString()
+        for m in re.findall(r"Exchange [^\n]*", plan):
+            assert "text" not in m, m
+
+    def test_normalize_survives_line_wrap_and_tabs(self, spark):
+        # whitespace is COLLAPSED, not deleted: a line-wrapped or
+        # tab-separated verbatim quote must still hit (deleting \n
+        # would fuse tokens across breaks and miss every wrapped
+        # quote)
+        chunk = " ".join(f"tok{i}" for i in range(10))
+        wrapped = (
+            "lead in words then "
+            + chunk.replace("tok4 tok5", "tok4\ntok5").replace(
+                "tok7 tok8", "tok7\ttok8"
+            )
+        )
+        corpus = _docs(spark, [(7, wrapped)])
+        ev = spark.createDataFrame(
+            [(0, chunk)], "eval_id long, text string"
+        )
+        raw = decontaminate_report(corpus, ev).collect()[0]
+        norm = decontaminate_report(
+            corpus, ev, normalize=True
+        ).collect()[0]
+        assert raw.n_hit == 0  # verbatim split(' ') misses the wrap
+        assert norm.contaminated and norm.n_hit == 3
