@@ -3075,11 +3075,10 @@ def _filter_recipe(spark, sf_dir):
     pass vacuously on the duplicate-free fixture tables."""
     from .recipe import pretraining_filter
 
-    docs = _t(spark, sf_dir, "documents")
-    canon_docs = docs.select(
-        "doc_id", F.expr(_RECIPE_CANON_CASE).alias("text")
+    return pretraining_filter(
+        _t(spark, sf_dir, "documents"),
+        canon_text=F.expr(_RECIPE_CANON_CASE),
     )
-    return pretraining_filter(docs, canon_docs=canon_docs)
 
 
 from .recipe import duck_recipe_sql as _duck_recipe_sql  # noqa: E402

@@ -26,7 +26,7 @@ documents.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -35,17 +35,19 @@ from .textstats import c4_rules, fingerprints, gopher_rules, webify
 
 
 def pretraining_filter(
-    docs: DataFrame, canon_docs: DataFrame | None = None
+    docs: DataFrame, canon_text: Column | None = None
 ) -> DataFrame:
     """Per-document keep/drop with per-leg reasons:
     ``(doc_id, gopher_pass, c4_keep, model_keep, is_canonical, keep)``.
 
     Gopher/C4 run over the web-ified text (matching their standalone
     catalog entries); the classifier and the fingerprint run over the
-    raw text. ``canon_docs`` overrides the input of the exact-dedup
-    leg only (the catalog entry passes a duplicate-planted variant so
-    the ``is_canonical`` leg can never pass vacuously on a
-    duplicate-free fixture scale)."""
+    raw text. ``canon_text`` optionally replaces the TEXT EXPRESSION
+    of the exact-dedup leg only — a Column over ``docs``, not a
+    separate DataFrame, so the leg reads the same materialized scan as
+    the others and can never drop or duplicate doc_ids (the catalog
+    entry passes a duplicate-planted CASE so ``is_canonical`` can
+    never pass vacuously on a duplicate-free fixture scale)."""
     # materialize the 2-column scan once: the four legs are
     # independent subplans, and without this each re-reads the text
     # column from parquet (4x scan I/O). At 100 TB the equivalent is
@@ -62,9 +64,12 @@ def pretraining_filter(
         "doc_id", F.col("keep").alias("model_keep")
     )
     w = Window.partitionBy("fingerprint")
-    canon = fingerprints(
-        canon_docs if canon_docs is not None else docs
-    ).select(
+    fp_docs = (
+        docs
+        if canon_text is None
+        else docs.select("doc_id", canon_text.alias("text"))
+    )
+    canon = fingerprints(fp_docs).select(
         "doc_id",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias(
             "is_canonical"

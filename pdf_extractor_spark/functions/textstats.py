@@ -121,10 +121,20 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+# explicit ASCII whitespace class, NOT \s: Java regex \s includes
+# vertical tab (U+000B) while RE2's does not, so a \s-based twin pair
+# would fingerprint a \x0B-bearing document differently per engine
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
-    text (stable across engines — md5 is bit-identical everywhere)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    text (stable across engines — md5 is bit-identical everywhere,
+    and the whitespace class is spelled out so both engines agree on
+    every control character)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), f"{WS_CLASS}+", " ")
+    )
     return docs.select(
         "doc_id", F.md5(norm).alias("fingerprint")
     )
@@ -392,10 +402,13 @@ def c4_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
 def duck_fingerprint_sql(source: str = "documents") -> str:
     """DuckDB twin of :func:`fingerprints` — the ONE definition every
     consumer (catalog entry, recipe oracle) composes from, so the
-    normalization can never drift between them."""
+    normalization can never drift between them. Uses the same
+    explicit whitespace class as the Spark side (Java ``\\s`` and RE2
+    ``\\s`` disagree on vertical tab)."""
     return rf"""
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+       md5(trim(regexp_replace(lower(text),
+                '[ \t\n\x0B\f\r]+', ' ', 'g')))
          AS fingerprint
 FROM {source}
 """
