@@ -2114,6 +2114,31 @@ FROM c
 _URL_CANONICAL_SQL = _url_canonical_sql()
 
 
+def _url_blocklist(spark, sf_dir):
+    """URL blocklist filter (UT1-style, the step ahead of extraction
+    in every crawl pipeline): block by registered-domain suffix and
+    by path-keyword segment. Domain membership is host-suffix
+    expansion → equi join against the broadcast blocklist (never a
+    per-entry LIKE scan); the per-doc regroup is partially
+    aggregable, so the one exchange carries a single fixed-width row
+    per document — text is never read at all."""
+    from .blocklist import synth_block_url, url_blocklist_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_blocklist_report(
+        docs.select("doc_id", synth_block_url().alias("url"))
+    )
+
+
+def _url_blocklist_sql() -> str:
+    from .blocklist import duck_blocklist_sql
+
+    return duck_blocklist_sql()
+
+
+_URL_BLOCKLIST_SQL = _url_blocklist_sql()
+
+
 def _pii_scrub(spark, sf_dir):
     """PII scrubbing battery (C4/Dolma recipe): emails / SSNs / IPs /
     phone numbers → typed placeholder tokens, with per-type counts
@@ -3275,13 +3300,14 @@ CATALOG: dict[str, QueryDef] = {
     # changed THIS round (pii scrub, multimodal, SRP ANN) stay inside the
     # window so the changes get fresh hard signal.  Every entry is always
     # exposed through __spark_entry__.queries()/oracle_sql().
-    # The six NEW round-4 entries (corpus_decontaminate,
+    # The NEW round-4 entries (corpus_decontaminate,
     # text_quality_classifier, corpus_pack_sequences,
     # corpus_filter_recipe, multimodal_features,
-    # multimodal_audio_decode) sit inside the window, ending it at
-    # dedup_ngram_jaccard (50); the displaced entries
-    # (dedup_ngram_overlap .. text_c4_rules, 51-57) are all r3-green,
-    # so they stay within the one-round freshness budget.
+    # multimodal_audio_decode, corpus_url_blocklist, and the later
+    # same-round additions below them) sit inside the window; every
+    # entry the additions displace past position 50
+    # (dedup_ngram_jaccard onward) is r3-green, staying within the
+    # one-round freshness budget.
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
@@ -3353,6 +3379,10 @@ CATALOG: dict[str, QueryDef] = {
         _multimodal_audio, _MULTIMODAL_AUDIO_SQL
     ),
     "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
+    # -------- new this session (round 4, continued) ----------------------
+    "corpus_url_blocklist": QueryDef(
+        _url_blocklist, _URL_BLOCKLIST_SQL, True
+    ),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
     # -------- window filler: heaviest-value r3-green entries ------------
