@@ -2139,6 +2139,29 @@ def _url_blocklist_sql() -> str:
 _URL_BLOCKLIST_SQL = _url_blocklist_sql()
 
 
+def _incremental_dedup(spark, sf_dir):
+    """Snapshot-over-snapshot dedup (the recurring-crawl admission
+    gate): a synthesized new batch — exact copies, 4th-token mutants,
+    token-reversed novels in rotation — is cleaned against the corpus
+    via the exact-hash LeftOuter stage then the LSH-band probe +
+    exact-shingle-Jaccard verify cascade. Old-side hash and band
+    indexes are persisted/bucketed in production so only the new
+    batch shuffles; text never crosses an exchange (plan-pinned)."""
+    from .snapshot import incremental_dedup_report, synth_new_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_dedup_report(docs, synth_new_batch(docs))
+
+
+def _incremental_dedup_sql() -> str:
+    from .snapshot import duck_incremental_sql
+
+    return duck_incremental_sql()
+
+
+_INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
+
+
 def _pii_scrub(spark, sf_dir):
     """PII scrubbing battery (C4/Dolma recipe): emails / SSNs / IPs /
     phone numbers → typed placeholder tokens, with per-type counts
@@ -3382,6 +3405,9 @@ CATALOG: dict[str, QueryDef] = {
     # -------- new this session (round 4, continued) ----------------------
     "corpus_url_blocklist": QueryDef(
         _url_blocklist, _URL_BLOCKLIST_SQL, True
+    ),
+    "corpus_incremental_dedup": QueryDef(
+        _incremental_dedup, _INCREMENTAL_DEDUP_SQL, True
     ),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
