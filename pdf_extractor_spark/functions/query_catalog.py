@@ -2162,6 +2162,26 @@ def _incremental_dedup_sql() -> str:
 _INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
 
 
+def _bigram_cost(spark, sf_dir):
+    """Bigram LM fluency scoring (CCNet/KenLM-class, one order above
+    text_unigram_cost): average corpus-conditional bigram probability
+    in integer basis points. Narrow hash map → two word-count-shaped
+    aggregates → 8-byte-key probe join → one doc rollup; text never
+    leaves the scan."""
+    from .textstats import bigram_costs
+
+    return bigram_costs(_t(spark, sf_dir, "documents"))
+
+
+def _bigram_cost_sql() -> str:
+    from .textstats import duck_bigram_sql
+
+    return duck_bigram_sql()
+
+
+_BIGRAM_COST_SQL = _bigram_cost_sql()
+
+
 def _pii_scrub(spark, sf_dir):
     """PII scrubbing battery (C4/Dolma recipe): emails / SSNs / IPs /
     phone numbers → typed placeholder tokens, with per-type counts
@@ -3409,6 +3429,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_incremental_dedup": QueryDef(
         _incremental_dedup, _INCREMENTAL_DEDUP_SQL, True
     ),
+    "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
     # -------- window filler: heaviest-value r3-green entries ------------

@@ -412,3 +412,120 @@ SELECT doc_id,
          AS fingerprint
 FROM {source}
 """
+
+
+# ------------------------------------------------- bigram LM fluency cost
+#
+# The CCNet/KenLM-class filter one order up from unigram_costs: score
+# each document by the average corpus-conditional probability of its
+# bigrams, p(w2|w1) = c(w1 w2) / c(w1 ·), in integer basis points so
+# both engines agree bit-for-bit. Fluent documents reuse corpus-common
+# continuations and score high; garbled or off-distribution text
+# scores low. Counts are self-trained on the scored corpus (the
+# held-split LM of a production pipeline trains once, is keyed by the
+# same 60-bit hashes, and broadcasts at probe time).
+
+# keep docs averaging >= 330 bp (3.3 % mean conditional probability).
+# Fixture-measured: splits every SF non-vacuously (keep fraction
+# 0.86-0.93), integer-exact in both engines so the boundary is stable.
+BIGRAM_KEEP_AT_LEAST = 330
+
+# 60-bit md5 hashes (the repo-standard key): bigram and its prefix
+_BIGRAM_PAIRS = (
+    "CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(0, size(toks) - 2), i -> named_struct("
+    "'h', cast(conv(substring(md5(concat_ws(' ', toks[i], toks[i+1])),"
+    " 1, 15), 16, 10) as bigint), "
+    "'h1', cast(conv(substring(md5(toks[i]), 1, 15), 16, 10) as bigint)"
+    ")) ELSE array() END"
+)
+
+
+def bigram_costs(docs: DataFrame) -> DataFrame:
+    """Per-document bigram LM score:
+    (doc_id, n_bigrams, sum_pbp, avg_pbp, keep) with
+    p_bp(bigram) = (10000 * c2) div c1 and avg = sum div n.
+
+    Scale shape: one narrow map hashes every bigram (text never
+    leaves the scan); corpus counts are two word-count-shaped
+    aggregates with map-side combine; the probe join ships 8-byte
+    keys against the count table (broadcast in production — a pruned
+    LM table is bounded); the rollup is one hash aggregate on doc_id.
+    Docs under 2 tokens carry no bigrams: scored 0, dropped."""
+    pairs = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS)).alias("p"))
+        .select("doc_id", "p.h", "p.h1")
+    )
+    c2 = pairs.groupBy("h", "h1").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("h1").agg(F.sum("c2").alias("c1"))
+    priced = c2.join(c1, "h1").select(
+        "h", F.expr("(10000 * c2) div c1").alias("p_bp")
+    )
+    per_doc = (
+        pairs.join(priced, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("p_bp").alias("sum_pbp"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("sum_pbp", F.lit(0)).alias("sum_pbp"),
+            F.coalesce(
+                F.expr("sum_pbp div n_bigrams"), F.lit(0)
+            ).alias("avg_pbp"),
+            (
+                F.coalesce(F.expr("sum_pbp div n_bigrams"), F.lit(0))
+                >= BIGRAM_KEEP_AT_LEAST
+            ).alias("keep"),
+        )
+    )
+
+
+def duck_bigram_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_costs` — relational (unnest +
+    group-by) like the other LM twins; same 60-bit hash keys."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM {source}
+), pairs AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(b.bg), 1, 15) AS BIGINT) AS h,
+         CAST('0x' || substr(md5(b.w1), 1, 15) AS BIGINT) AS h1
+  FROM toks,
+  LATERAL (
+    SELECT unnest(CASE WHEN len(t) >= 2 THEN
+             list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])
+           ELSE [] END) AS bg,
+           unnest(CASE WHEN len(t) >= 2 THEN
+             list_transform(generate_series(1, len(t) - 1), i -> t[i])
+           ELSE [] END) AS w1
+  ) b
+), c2 AS (
+  SELECT h, h1, count(*) AS c2 FROM pairs GROUP BY h, h1
+), c1 AS (
+  SELECT h1, sum(c2) AS c1 FROM c2 GROUP BY h1
+), priced AS (
+  SELECT c2.h, (10000 * c2.c2) // c1.c1 AS p_bp
+  FROM c2 JOIN c1 ON c2.h1 = c1.h1
+), per_doc AS (
+  SELECT p.doc_id, count(*) AS n_bigrams, sum(pr.p_bp) AS sum_pbp
+  FROM pairs p JOIN priced pr ON p.h = pr.h
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(per_doc.sum_pbp, 0) AS BIGINT) AS sum_pbp,
+       CAST(coalesce(per_doc.sum_pbp // per_doc.n_bigrams, 0)
+            AS BIGINT) AS avg_pbp,
+       coalesce(per_doc.sum_pbp // per_doc.n_bigrams, 0)
+         >= {BIGRAM_KEEP_AT_LEAST} AS keep
+FROM {source} d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""

@@ -110,3 +110,65 @@ class TestC4Rules:
         row = c4_rules(_frame(spark, [(1, text)])).collect()[0]
         assert row.ge5w_line_frac == pytest.approx(1 / 3, abs=1e-3)
         assert row.end_punct_line_frac == pytest.approx(1 / 3, abs=1e-3)
+
+
+class TestBigramCost:
+    def test_hand_computed_scores(self, spark):
+        from pdf_extractor_spark.functions.textstats import bigram_costs
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.sum_pbp, r.avg_pbp, r.keep)
+            for r in bigram_costs(docs).collect()
+        }
+        # c2: (a b)=3, (b a)=1, (b c)=1; c1: a=3, b=2
+        # p_bp: a b -> 10000, b a -> 5000, b c -> 5000
+        assert got[1] == (3, 25000, 8333, True)
+        assert got[2] == (2, 15000, 7500, True)
+        assert got[3] == (0, 0, 0, False)  # <2 tokens: no bigrams
+
+    def test_matches_duckdb_twin_on_fixture(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.textstats import (
+            bigram_costs,
+            duck_bigram_sql,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        rows = sorted(tuple(r) for r in bigram_costs(docs).collect())
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'"
+        )
+        orows = sorted(
+            tuple(r) for r in con.sql(duck_bigram_sql()).fetchall()
+        )
+        assert rows == orows
+        # threshold must discriminate (never vacuous)
+        keeps = {r[4] for r in rows}
+        assert keeps == {True, False}
+
+    def test_text_never_shuffles(self, spark):
+        import re
+
+        from pdf_extractor_spark.functions.textstats import bigram_costs
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            bigram_costs(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        for m in re.findall(r"Exchange [^\n]*", plan):
+            assert "text" not in m, m
