@@ -2182,6 +2182,26 @@ def _bigram_cost_sql() -> str:
 _BIGRAM_COST_SQL = _bigram_cost_sql()
 
 
+def _domain_mix(spark, sf_dir):
+    """DoReMi-lite corpus mixing: frozen target shares (bp) → the
+    binding token budget (scarcest group), per-group deterministic
+    sampling rates, realized draw. Two tiny aggregates + broadcast
+    rate table + scan-local keep predicate; corpus read once, text
+    never shuffles."""
+    from .sampling import domain_mix_report
+
+    return domain_mix_report(_t(spark, sf_dir, "documents"))
+
+
+def _domain_mix_sql() -> str:
+    from .sampling import duck_domain_mix_sql
+
+    return duck_domain_mix_sql()
+
+
+_DOMAIN_MIX_SQL = _domain_mix_sql()
+
+
 def _pii_scrub(spark, sf_dir):
     """PII scrubbing battery (C4/Dolma recipe): emails / SSNs / IPs /
     phone numbers → typed placeholder tokens, with per-type counts
@@ -3430,6 +3450,7 @@ CATALOG: dict[str, QueryDef] = {
         _incremental_dedup, _INCREMENTAL_DEDUP_SQL, True
     ),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
+    "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
     # -------- window filler: heaviest-value r3-green entries ------------

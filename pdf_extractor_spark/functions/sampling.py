@@ -115,3 +115,147 @@ def hash_sample_stats(docs: DataFrame, pct: int = 10) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------- domain / language mixing
+#
+# DoReMi-lite corpus mixing: given frozen target shares (basis
+# points), compute the largest total token budget the corpus can
+# serve at those shares (the scarcest group binds), derive each
+# group's deterministic hash-sampling rate, and report the realized
+# draw. The standard step between filtering and sequence packing when
+# a pre-training mix is specified by fraction, not by count. All
+# arithmetic integer-exact; the per-doc draw is the same md5 bucket
+# family as hash_sample_stats, so re-runs and both engines agree
+# bit-for-bit.
+#
+# Scale shape: two tiny aggregates (per-group counts; one global min
+# over <= |groups| rows), target + rate tables broadcast, the per-doc
+# keep decision a scan-local predicate — document text never shuffles
+# and the corpus is read once.
+
+TARGET_MIX_BP = {
+    "en": 5000, "de": 1500, "fr": 1500, "es": 1000, "zh": 1000,
+}
+MIX_BUCKETS = 10_000
+
+
+def mix_bucket(key_col: str = "doc_id") -> Column:
+    return (
+        F.expr(
+            "cast(conv(substring(md5(cast("
+            f"{key_col} as string)), 1, 15), 16, 10) as bigint)"
+        )
+        % MIX_BUCKETS
+    )
+
+
+def duck_mix_bucket(key_col: str = "doc_id") -> str:
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % {MIX_BUCKETS})"
+    )
+
+
+def domain_mix_report(
+    docs: DataFrame, mix: dict[str, int] | None = None
+) -> DataFrame:
+    """Per-group mixing report: (lang, n_docs, n_tokens, target_bp,
+    quota_tokens, rate_bp, n_kept, kept_tokens). ``quota_tokens`` is
+    the group's share of the binding budget; ``rate_bp`` the derived
+    deterministic sampling rate; n_kept/kept_tokens the realized
+    draw."""
+    mix = TARGET_MIX_BP if mix is None else mix
+    spark = docs.sparkSession
+    target = spark.createDataFrame(
+        sorted(mix.items()), "lang string, target_bp long"
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    grp = (
+        toks.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .join(F.broadcast(target), "lang", "left")
+        .na.fill({"target_bp": 0})
+    )
+    # the scarcest targeted group binds the total achievable budget
+    cap = grp.where(F.col("target_bp") > 0).agg(
+        F.min(F.expr("(n_tokens * 10000) div target_bp")).alias("budget")
+    )
+    rates = grp.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "target_bp",
+        F.expr("(budget * target_bp) div 10000").alias("quota_tokens"),
+        F.expr(
+            "case when n_tokens > 0 then "
+            "((budget * target_bp) div 10000) * 10000 div n_tokens "
+            "else 0 end"
+        ).alias("rate_bp"),
+    )
+    kept = (
+        toks.join(
+            F.broadcast(rates.select("lang", "rate_bp")), "lang"
+        )
+        .where(mix_bucket() < F.col("rate_bp"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_toks").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .na.fill({"n_kept": 0, "kept_tokens": 0})
+        .orderBy("lang")
+    )
+
+
+def duck_domain_mix_sql(
+    source: str = "documents", mix: dict[str, int] | None = None
+) -> str:
+    """DuckDB twin of :func:`domain_mix_report`."""
+    mix = TARGET_MIX_BP if mix is None else mix
+    values = ", ".join(f"('{k}', {v})" for k, v in sorted(mix.items()))
+    return f"""
+WITH target(lang, target_bp) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+  FROM {source}
+), grp AS (
+  SELECT t.lang, count(*) AS n_docs, sum(t.n_toks) AS n_tokens,
+         coalesce(tg.target_bp, 0) AS target_bp
+  FROM toks t LEFT JOIN target tg ON t.lang = tg.lang
+  GROUP BY t.lang, tg.target_bp
+), cap AS (
+  SELECT min((n_tokens * 10000) // target_bp) AS budget
+  FROM grp WHERE target_bp > 0
+), rates AS (
+  SELECT lang, n_docs, n_tokens, target_bp,
+         (cap.budget * target_bp) // 10000 AS quota_tokens,
+         CASE WHEN n_tokens > 0 THEN
+           ((cap.budget * target_bp) // 10000) * 10000 // n_tokens
+         ELSE 0 END AS rate_bp
+  FROM grp CROSS JOIN cap
+), kept AS (
+  SELECT t.lang, count(*) AS n_kept, sum(t.n_toks) AS kept_tokens
+  FROM toks t JOIN rates r ON t.lang = r.lang
+  WHERE {duck_mix_bucket()} < r.rate_bp
+  GROUP BY t.lang
+)
+SELECT r.lang,
+       CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       CAST(r.target_bp AS BIGINT) AS target_bp,
+       CAST(r.quota_tokens AS BIGINT) AS quota_tokens,
+       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+ORDER BY r.lang
+"""

@@ -622,3 +622,63 @@ class TestFilterRecipe:
         )
         for m in re.findall(r"Exchange [^\n]*", plan):
             assert "text" not in m, m
+
+
+class TestDomainMix:
+    def test_binding_group_and_quotas(self, spark):
+        from pdf_extractor_spark.functions.sampling import (
+            domain_mix_report,
+        )
+
+        # en: 100 tokens, de: 100 tokens; targets 75/25 → en binds:
+        # budget = min(100*10000 div 7500, 100*10000 div 2500)
+        #        = min(133, 400) = 133 tokens
+        # quota_en = 133*7500 div 10000 = 99,  rate = 99*10000/100 = 9900
+        # quota_de = 133*2500 div 10000 = 33,  rate 3300
+        rows = [
+            (i, "w " * 9 + "w", "en") for i in range(10)
+        ] + [
+            (100 + i, "w " * 9 + "w", "de") for i in range(10)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        got = {
+            r.lang: (r.n_tokens, r.quota_tokens, r.rate_bp)
+            for r in domain_mix_report(
+                docs, {"en": 7500, "de": 2500}
+            ).collect()
+        }
+        assert got["en"] == (100, 99, 9900)
+        assert got["de"] == (100, 33, 3300)
+
+    def test_untargeted_group_dropped(self, spark):
+        from pdf_extractor_spark.functions.sampling import (
+            domain_mix_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "en"), (2, "a b c", "xx")],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r.lang: (r.target_bp, r.rate_bp, r.n_kept)
+            for r in domain_mix_report(docs, {"en": 10000}).collect()
+        }
+        assert got["xx"] == (0, 0, 0)
+        assert got["en"][1] == 10000
+
+    def test_draw_is_deterministic_and_subset_of_rate(self, spark):
+        from pdf_extractor_spark.functions.sampling import (
+            domain_mix_report,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        a = [tuple(r) for r in domain_mix_report(docs).collect()]
+        b = [tuple(r) for r in domain_mix_report(docs).collect()]
+        assert a == b
+        for r in a:
+            # realized draw can never exceed the group population
+            assert r[6] <= r[1] and r[7] <= r[2]
