@@ -850,6 +850,66 @@ def _html_bom_wrong_meta() -> bytes:
     ).encode()
 
 
+def _html_c1_charrefs() -> bytes:
+    """Numeric character references in the 0x80-0x9F C1 range: WHATWG
+    remaps them through windows-1252 (0x93 -> LEFT DOUBLE QUOTATION
+    MARK, 150 -> EN DASH, 128 -> EURO SIGN), never to raw control
+    characters; true control refs and the null ref must not survive
+    into extracted text."""
+    return (
+        "<html><body>"
+        "<p>He said &#x93;misencoded quotes&#x94; cost &#128;45 "
+        "&#150; a premium &#151; per the style guide, which is how "
+        "legacy CMS output reaches the crawl to this day.</p>"
+        "<p>Control refs like &#x01; and the null ref &#0; must "
+        "vanish while the surrounding sentence survives with every "
+        "ordinary word intact and offsets stable.</p>"
+        "</body></html>"
+    ).encode()
+
+
+def _html_legacy_raw() -> bytes:
+    """Legacy raw-text elements: <xmp> shows its markup literally
+    (raw-text state), and <plaintext> switches the tokenizer to
+    PLAINTEXT — everything to EOF is literal text, there is no end
+    tag. Both still appear on old pages in the crawl."""
+    return (
+        "<html><body>"
+        "<p>The page opens with a normal paragraph carrying enough "
+        "ordinary words to anchor the main content region for the "
+        "density classifier.</p>"
+        "<xmp>code sample: <a href=x>not a link</a> &amp; not "
+        "decoded</xmp>"
+        "<p>Between the legacy elements sits another ordinary "
+        "paragraph whose words must remain part of the extracted "
+        "body text.</p>"
+        "<plaintext>tail of file: <b>markup stays literal</b> "
+        "&copy; undecoded, and the line keeps enough words to stand "
+        "as a content block on its own"
+    ).encode()
+
+
+def _html_foreign_embed() -> bytes:
+    """Foreign content and embed containers: SVG label text, iframe
+    srcdoc payloads and object fallback chrome never leak; MathML
+    identifiers inline with the surrounding sentence (math IS
+    content)."""
+    return (
+        "<html><body>"
+        "<p>A figure follows this opening paragraph which itself "
+        "holds enough ordinary words to register as body text.</p>"
+        "<svg viewBox='0 0 10 10'><title>chart title chrome</title>"
+        "<text x='1' y='1'>axis label chrome</text></svg>"
+        '<iframe srcdoc="<p>embedded advert words</p>">'
+        "iframe fallback chrome</iframe>"
+        "<p>The equation <math><mi>E</mi><mo>=</mo><mi>m</mi>"
+        "<msup><mi>c</mi><mn>2</mn></msup></math> sits inline in "
+        "a sentence that continues with plenty of ordinary words "
+        "afterward to keep the block dense.</p>"
+        "</body></html>"
+    ).encode()
+
+
 def _html_comment_tricks() -> bytes:
     """Downlevel-hidden conditional comments and comments containing
     tag-lookalikes and double dashes: contents never leak."""
@@ -924,6 +984,9 @@ _HTML_CASES = {
     "html-meta-refresh": _html_meta_refresh,
     "html-bom-wrong-meta": _html_bom_wrong_meta,
     "html-comment-tricks": _html_comment_tricks,
+    "html-c1-charrefs": _html_c1_charrefs,
+    "html-legacy-raw": _html_legacy_raw,
+    "html-foreign-embed": _html_foreign_embed,
 }
 
 _CASE_LANG = {
@@ -954,6 +1017,8 @@ _CASE_LANG = {
     "html-cdata": "en",
     "html-meta-refresh": "en", "html-bom-wrong-meta": "mixed",
     "html-comment-tricks": "en",
+    "html-c1-charrefs": "en", "html-legacy-raw": "en",
+    "html-foreign-embed": "en",
 }
 
 

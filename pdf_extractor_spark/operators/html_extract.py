@@ -159,6 +159,8 @@ _BLOCK_TAGS = {
     "blockquote", "pre", "article", "section", "header", "footer",
     "nav", "aside", "ul", "ol", "table", "tr", "main", "figure",
     "figcaption", "dd", "dt",
+    # legacy raw-text elements (WHATWG): block-level, content literal
+    "xmp", "plaintext",
 }
 _SKIP_TAGS = {
     "script", "style", "noscript", "template", "head", "title",
@@ -238,6 +240,16 @@ class Block:
 
 class _BlockParser(HTMLParser):
     """H1+H2: DOM parse + block segmentation in one streaming pass."""
+
+    # WHATWG raw-text semantics: inside <xmp> markup is literal text
+    # ("<tags> stay raw"), and <plaintext> switches the tokenizer to
+    # PLAINTEXT state — everything to EOF is literal (no end tag
+    # exists). html.parser's cdata mode implements exactly this:
+    # content flows to handle_data unparsed, charrefs NOT decoded
+    # (also per spec for raw text). script/style keep their existing
+    # skip behavior; xmp/plaintext are _BLOCK_TAGS so their literal
+    # content is kept as a block.
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "xmp", "plaintext")
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -335,6 +347,22 @@ class _BlockParser(HTMLParser):
         self._buf.append(data)
         if self._anchor_depth:
             self._buf_link += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self):
+        # html.parser's cdata mode buffers an unterminated raw-text
+        # element's content forever waiting for its end tag. For
+        # <plaintext> that is the DEFINED state (no end tag exists:
+        # PLAINTEXT runs to EOF) and for <xmp> it is the truncated-
+        # crawl case — either way WHATWG says the content is literal
+        # text, so flush it. Unterminated <script>/<style> stay
+        # dropped (their data is skip-gated regardless).
+        super().close()
+        leftover = self.rawdata
+        cdata = getattr(self, "cdata_elem", None)
+        if leftover and cdata in ("xmp", "plaintext"):
+            self.rawdata = ""
+            self.handle_data(leftover)
+            self.handle_endtag(cdata)
 
 
 _TAG_START_RE = re.compile(r"<[A-Za-z/]")
