@@ -324,6 +324,43 @@ def _pdf_type0_predefined() -> bytes:
     return build_pdf([p], predefined_cmap="UniJIS-UCS2-H")
 
 
+def _pdf_vertical_jp() -> bytes:
+    """Tategaki (vertical writing, WMode 1): a Type0 font whose
+    /Encoding names the predefined UniJIS-UCS2-V CMap. Columns stack
+    glyphs top-to-bottom and read RIGHT-TO-LEFT — the dominant layout
+    of Japanese books and magazines (the reference's own domain). The
+    first column is split across two show operations and must rejoin
+    as one line; reading order across columns is pinned by the
+    golden."""
+    p = PageSpec()
+    p.put_codes(
+        480, 100, 12, "上半分の六文字".encode("utf-16-be"),
+        font="F6", hex_show=True,
+    )
+    p.put_codes(
+        480, 100 + 12 * 7, 12, "下半分も同じ列".encode("utf-16-be"),
+        font="F6", hex_show=True,
+    )
+    cols = [
+        "二列目は右から左へ読み進む日本の書籍の標準的な形",
+        "三列目には本文の続きがあり抽出は決定的である",
+        "四列目も同じ幅で下へ向かって文字が並んでいく",
+        "五列目は段組の途中にあり前後の列と揃っている",
+        "六列目の内容も一文字ずつ縦に積まれて表示される",
+        "七列目は終盤に近づき文章がまとまりつつある",
+        "八列目は結びの列であり本文はここで完結する",
+        "九列目は奥付に相当する短い付記である",
+        "十列目まで読めば頁の全体が確認できたことになる",
+        "最後の列で確認は終わり抽出結果は常に同一です",
+    ]
+    for i, c in enumerate(cols):
+        p.put_codes(
+            460 - 20 * i, 100, 12, c.encode("utf-16-be"),
+            font="F6", hex_show=True,
+        )
+    return build_pdf([p], predefined_cmap="UniJIS-UCS2-V")
+
+
 # ------------------------------------------------------------ HTML cases
 
 def _encrypted_pages() -> list[PageSpec]:
@@ -958,6 +995,7 @@ _PDF_CASES = {
     "pdf-letterhead": _pdf_letterhead,
     "pdf-incremental": _pdf_incremental,
     "pdf-type0-predefined": _pdf_type0_predefined,
+    "pdf-vertical-jp": _pdf_vertical_jp,
 }
 
 _HTML_CASES = {
@@ -1004,6 +1042,7 @@ _CASE_LANG = {
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",
     "pdf-letterhead": "en", "pdf-incremental": "en",
     "pdf-type0-predefined": "mixed",
+    "pdf-vertical-jp": "ja",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

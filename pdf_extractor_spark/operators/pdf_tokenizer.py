@@ -785,15 +785,18 @@ _ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z0-9\-]+)")
 
 def _page_fonts(
     body: bytes, bodies: dict[int, bytes], dec
-) -> dict[str, tuple[dict[int, str] | None, int]]:
+) -> dict[str, tuple[dict[int, str] | None, int, bool]]:
     """Resolve a page's ``/Resources /Font`` dict into
-    ``{name: (decode_info | None, code_width)}`` — code width 2 for
-    ``/Type0`` (CID) fonts, 1 for simple fonts. ``decode_info`` is an
-    embedded-ToUnicode code→str dict, a predefined-CMap CODEC NAME
-    (str — see ``_PREDEFINED_CMAPS``), or None (WinAnsi≈latin-1 /
-    UTF-16BE default paths, byte-identical to the pre-CMap
-    tokenizer)."""
-    fonts: dict[str, tuple[dict[int, str] | None, int]] = {}
+    ``{name: (decode_info | None, code_width, vertical)}`` — code
+    width 2 for ``/Type0`` (CID) fonts, 1 for simple fonts.
+    ``decode_info`` is an embedded-ToUnicode code→str dict, a
+    predefined-CMap CODEC NAME (str — see ``_PREDEFINED_CMAPS``), or
+    None (WinAnsi≈latin-1 / UTF-16BE default paths, byte-identical to
+    the pre-CMap tokenizer). ``vertical`` is True for Type0 fonts
+    whose /Encoding names a ``-V`` CMap (Identity-V or the predefined
+    vertical families) — tategaki writing mode (ISO 32000 §9.7.5,
+    WMode 1), the dominant layout of Japanese books/magazines."""
+    fonts: dict[str, tuple[dict[int, str] | None, int, bool]] = {}
     res = _resources_of(body, bodies)
     fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.DOTALL)
     if not fm:
@@ -804,6 +807,10 @@ def _page_fonts(
         if fbody is None:
             continue
         width = 2 if b"/Type0" in fbody else 1
+        em = _ENC_NAME_RE.search(fbody)
+        vert = bool(
+            width == 2 and em and em.group(1).endswith(b"-V")
+        )
         cmap = None
         tu = _dict_ref(fbody, b"ToUnicode")
         if tu is not None and tu in bodies:
@@ -817,8 +824,7 @@ def _page_fonts(
             # Type0 font without a ToUnicode map: a predefined CJK
             # CMap named by /Encoding is the remaining decode signal
             # (§9.10.2 resolution order — ToUnicode wins when present;
-            # Identity-H keeps the default UTF-16BE hex path)
-            em = _ENC_NAME_RE.search(fbody)
+            # Identity-H/-V keep the default UTF-16BE hex path)
             if em and em.group(1) in _PREDEFINED_CMAPS:
                 cmap = _PREDEFINED_CMAPS[em.group(1)]
         if cmap is None and width == 1:
@@ -833,7 +839,7 @@ def _page_fonts(
             diffs = _parse_differences(enc_body)
             if diffs:
                 cmap = diffs
-        fonts[name] = (cmap, width)
+        fonts[name] = (cmap, width, vert)
     return fonts
 
 
@@ -945,6 +951,51 @@ def _emit_words(
     return cx - space_adv
 
 
+def _emit_words_vertical(
+    text: str, x: float, y: float, size: float, height: float,
+    page_width: float, sink: "_WordSink",
+    tc: float = 0.0, tw: float = 0.0,
+) -> float:
+    """Tategaki show: glyphs stack DOWNWARD from the origin, columns
+    read right-to-left (ISO 32000 §9.7.5 WMode 1 — the dominant
+    Japanese book/magazine layout; the reference's own domain).
+
+    Word boxes are emitted in a rotated VIRTUAL frame so the entire
+    existing horizontal layout stack (C1 columns → C2 lines → W2/W4
+    spacing, O1/O2 ordering) produces tategaki reading order with no
+    special cases — the same axis swap pdfminer applies to vertical
+    text lines:
+
+    - virtual x = downward position (chars in a column read in
+      increasing virtual x, like a horizontal line left-to-right);
+    - virtual top = ``page_width - x - size`` (columns further RIGHT
+      get SMALLER virtual top, so line ordering yields
+      right-to-left).
+
+    Advance model mirrors the horizontal one (dyadic per-char units ×
+    size + Tc; Tw on splitting spaces; Tz is horizontal-only per
+    §9.3.4). Returns the updated PDF-space y after the run."""
+    vt = round(page_width - x - size, 3)
+    vb = round(page_width - x, 3)
+    d0 = height - y          # downward position of the run start
+    d = d0
+    space_adv = 0.5 * size + tc + tw
+    for piece in text.split(" "):
+        if piece == "":
+            d += space_adv
+            continue
+        adv = _advance_units(piece) * size + tc * len(piece)
+        sink.texts.append(piece)
+        sink.x0s.append(round(d, 3))
+        sink.x1s.append(round(d + adv, 3))
+        sink.tops.append(vt)
+        sink.bottoms.append(vb)
+        sink.sizes.append(size)
+        d += adv + space_adv
+    d -= space_adv  # remove the trailing-space over-advance
+    return y - (d - d0)
+
+
 class _WordSink:
     """Columnar accumulator: parallel typed lists instead of a list of
     row tuples — frame construction becomes column-wise (one typed
@@ -1052,21 +1103,27 @@ _XOBJ_MAX_DEPTH = 4  # form-XObject recursion cap (cycle guard)
 
 def _parse_content(
     stream: bytes, height: float, page_no: int,
-    fonts: dict[str, tuple[dict[int, str] | None, int]] | None = None,
+    fonts: dict[str, tuple[dict[int, str] | None, int, bool]] | None = None,
     xobjects: dict | None = None,
+    width: float = 612.0,
 ) -> pd.DataFrame:
     has_cmaps = fonts is not None and any(
-        c is not None for c, _w in fonts.values()
+        c is not None for c, _w, _v in fonts.values()
     )
-    if not has_cmaps and not xobjects and \
+    has_vert = fonts is not None and any(
+        v for _c, _w, v in fonts.values()
+    )
+    if not has_cmaps and not has_vert and not xobjects and \
             stream.lstrip()[:5].startswith(b"BT"):
         # the fast path ignores Tf font selection, so it is only valid
-        # when no font on the page carries a ToUnicode map
+        # when no font on the page carries a ToUnicode map or a
+        # vertical writing mode
         fast = _parse_simple_blocks(stream, height, page_no)
         if fast is not None:
             return fast
     rows = _WordSink()
-    _scan_stream(stream, height, fonts, xobjects, rows, 0)
+    _scan_stream(stream, height, fonts, xobjects, rows, 0,
+                 page_width=width)
     if not rows.texts:
         return empty_word_frame()
     return rows.frame(page_no)
@@ -1074,10 +1131,11 @@ def _parse_content(
 
 def _scan_stream(
     stream: bytes, height: float,
-    fonts: dict[str, tuple[dict[int, str] | None, int]] | None,
+    fonts: dict[str, tuple[dict[int, str] | None, int, bool]] | None,
     xobjects: dict | None,
     rows: "_WordSink", depth: int,
     ctm_tx: float = 0.0, ctm_ty: float = 0.0,
+    page_width: float = 612.0,
 ) -> None:
     """Token-scan one content stream into the shared sink; ``Do``
     recurses into form XObjects (their own resources, same sink) up
@@ -1087,11 +1145,15 @@ def _scan_stream(
     indistinguishable here and is deliberately not carried."""
     if b"BI" in stream:
         stream = _INLINE_IMG_RE.sub(b" ", stream)
-    has_cmaps = fonts is not None and any(
-        c is not None for c, _w in fonts.values()
+    # font tracking is needed when any font decodes through a CMap OR
+    # writes vertically (Identity-V carries no CMap but must still
+    # flip the advance axis)
+    track_fonts = fonts is not None and any(
+        c is not None or v for c, _w, v in fonts.values()
     )
     cur_cmap: dict[int, str] | None = None
     cur_width = 1
+    cur_vert = False
 
     def decode_tok(s: bytes) -> str:
         if isinstance(cur_cmap, str):
@@ -1143,9 +1205,9 @@ def _scan_stream(
             stack.clear()
         elif tok == b"Tf" and len(stack) >= 2:
             size = float(stack[-1])
-            if has_cmaps and stack[-2][:1] == b"/":
-                cur_cmap, cur_width = (fonts or {}).get(
-                    stack[-2][1:].decode("latin-1"), (None, 1)
+            if track_fonts and stack[-2][:1] == b"/":
+                cur_cmap, cur_width, cur_vert = (fonts or {}).get(
+                    stack[-2][1:].decode("latin-1"), (None, 1, False)
                 )
             stack.clear()
         elif tok in (b"Td", b"TD") and len(stack) >= 2:
@@ -1188,10 +1250,16 @@ def _scan_stream(
             stack.clear()
         elif tok == b"Tj" and stack:
             s = stack[-1]
-            x = _emit_words(
-                decode_tok(s), x + ctm_tx, y + ctm_ty, size, height,
-                rows, tc, tw, tz,
-            ) - ctm_tx
+            if cur_vert:
+                y = _emit_words_vertical(
+                    decode_tok(s), x + ctm_tx, y + ctm_ty, size,
+                    height, page_width, rows, tc, tw,
+                ) - ctm_ty
+            else:
+                x = _emit_words(
+                    decode_tok(s), x + ctm_tx, y + ctm_ty, size,
+                    height, rows, tc, tw, tz,
+                ) - ctm_tx
             stack.clear()
         elif tok in (b"'", b'"') and stack:
             # move-to-next-line-and-show; the " form's aw/ac operands
@@ -1202,18 +1270,34 @@ def _scan_stream(
                     tw, tc = float(stack[-3]), float(stack[-2])
                 ly -= leading
                 x, y = lx, ly
-                x = _emit_words(
-                    decode_tok(s), x + ctm_tx, y + ctm_ty, size,
-                    height, rows, tc, tw, tz,
-                ) - ctm_tx
+                if cur_vert:
+                    y = _emit_words_vertical(
+                        decode_tok(s), x + ctm_tx, y + ctm_ty, size,
+                        height, page_width, rows, tc, tw,
+                    ) - ctm_ty
+                else:
+                    x = _emit_words(
+                        decode_tok(s), x + ctm_tx, y + ctm_ty, size,
+                        height, rows, tc, tw, tz,
+                    ) - ctm_tx
             stack.clear()
         elif tok == b"TJ":
             for item in in_array:
                 if item[:1] in (b"(", b"<"):
-                    x = _emit_words(
-                        decode_tok(item), x + ctm_tx, y + ctm_ty,
-                        size, height, rows, tc, tw, tz,
-                    ) - ctm_tx
+                    if cur_vert:
+                        y = _emit_words_vertical(
+                            decode_tok(item), x + ctm_tx, y + ctm_ty,
+                            size, height, page_width, rows, tc, tw,
+                        ) - ctm_ty
+                    else:
+                        x = _emit_words(
+                            decode_tok(item), x + ctm_tx, y + ctm_ty,
+                            size, height, rows, tc, tw, tz,
+                        ) - ctm_tx
+                elif cur_vert:
+                    # vertical kerning: positive values shorten the
+                    # DOWNWARD advance (§9.4.3; Tz is horizontal-only)
+                    y += float(item) / 1000.0 * size
                 else:  # kerning adjustment, thousandths of em
                     x -= float(item) / 1000.0 * size * tz
             in_array = []
@@ -1226,7 +1310,7 @@ def _scan_stream(
                     xstream, xfonts, xxobjs = ent
                     _scan_stream(
                         xstream, height, xfonts or fonts, xxobjs,
-                        rows, depth + 1, ctm_tx, ctm_ty,
+                        rows, depth + 1, ctm_tx, ctm_ty, page_width,
                     )
             stack.clear()
         else:
@@ -1511,7 +1595,15 @@ def parse_pdf(data: bytes) -> PdfDoc:
                         {"type": "malformed", "severity": "warning",
                          "page": idx, "message": note}
                     )
-                words = _parse_content(stream, height, idx, fonts, xobjs)
+                words = _parse_content(
+                    stream, height, idx, fonts, xobjs, width
+                )
+                if any(v for _c, _w, v in fonts.values()):
+                    doc.errors.append(
+                        {"type": "vertical", "severity": "warning",
+                         "page": idx,
+                         "message": "vertical writing mode (-V CMap)"}
+                    )
             except Exception as exc:  # page-level recovery (U3)
                 doc.errors.append(
                     {"type": "corruption", "severity": "error", "page": idx,

@@ -1550,3 +1550,56 @@ class TestReviewRegressionsR4:
         )
         words = list(_parse_content(stream, 792.0, 1, None, {})["text"])
         assert words == ["alpha", "omega"]
+
+
+class TestVerticalWriting:
+    """Tategaki (WMode 1, -V CMaps): downward advance, right-to-left
+    column order via the rotated virtual frame, vertical TJ kerning."""
+
+    def _vert_pdf(self, chunks, cmap="UniJIS-UCS2-V"):
+        from pdf_extractor_spark.operators.pdf_generator import (
+            PageSpec,
+            build_pdf,
+        )
+
+        p = PageSpec()
+        for x, y_top, text in chunks:
+            p.put_codes(
+                x, y_top, 12, text.encode("utf-16-be"),
+                font="F6", hex_show=True,
+            )
+        return build_pdf([p], predefined_cmap=cmap)
+
+    def test_vertical_font_flag_and_word_boxes(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+        doc = parse_pdf(self._vert_pdf([(400, 100, "縦書きです")]))
+        assert any(e["type"] == "vertical" for e in doc.errors)
+        w = doc.pages[0].words
+        assert len(w) == 1
+        # downward run: virtual x-extent = 5 wide chars * 12pt = 60
+        assert float(w["x1"][0]) - float(w["x0"][0]) == 60.0
+
+    def test_columns_read_right_to_left(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+        doc = parse_pdf(
+            self._vert_pdf([(400, 100, "右の列"), (360, 100, "左の列")])
+        )
+        w = doc.pages[0].words
+        # rightmost column (x=400) must carry the SMALLER virtual top
+        by_text = {w["text"][i]: w["top"][i] for i in range(len(w))}
+        assert by_text["右の列"] < by_text["左の列"]
+
+    def test_horizontal_fonts_unaffected(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+        doc = parse_pdf(
+            self._vert_pdf(
+                [(400, 100, "横書きのまま")], cmap="UniJIS-UCS2-H"
+            )
+        )
+        assert not any(e["type"] == "vertical" for e in doc.errors)
+        w = doc.pages[0].words
+        # horizontal: 6 wide chars * 12pt advance along x
+        assert float(w["x1"][0]) - float(w["x0"][0]) == 72.0
