@@ -947,6 +947,27 @@ def _html_foreign_embed() -> bytes:
     ).encode()
 
 
+def _html_ruby_furigana() -> bytes:
+    """Ruby annotations (furigana): the reading (<rt>) and fallback
+    parentheses (<rp>) must never interleave with the base text —
+    "東京とうきょう" is the corpus corruption JP pipelines guard
+    against. Includes the unclosed-<rt> layout (</ruby> implies the
+    end tag) which must not swallow the rest of the page."""
+    return (
+        "<html><body>"
+        "<p>この文には<ruby>漢字<rp>(</rp><rt>かんじ</rt><rp>)</rp>"
+        "</ruby>の振り仮名が付き、本文には<ruby>東京"
+        "<rt>とうきょう</rt></ruby>という地名も現れますが、抽出結果には"
+        "読み仮名が混入してはいけません。この段落には十分な語数が"
+        "あります。</p>"
+        "<p>後半では<ruby>単語<rt>たんご</ruby>のように閉じタグの無い"
+        "読み仮名が現れてもその後の文章はそのまま残り、読みだけが"
+        "欠落するのが正しい挙動です。語数を満たすための追加の文も"
+        "置いておきます。</p>"
+        "</body></html>"
+    ).encode()
+
+
 def _html_comment_tricks() -> bytes:
     """Downlevel-hidden conditional comments and comments containing
     tag-lookalikes and double dashes: contents never leak."""
@@ -1025,6 +1046,7 @@ _HTML_CASES = {
     "html-c1-charrefs": _html_c1_charrefs,
     "html-legacy-raw": _html_legacy_raw,
     "html-foreign-embed": _html_foreign_embed,
+    "html-ruby-furigana": _html_ruby_furigana,
 }
 
 _CASE_LANG = {
@@ -1057,7 +1079,7 @@ _CASE_LANG = {
     "html-meta-refresh": "en", "html-bom-wrong-meta": "mixed",
     "html-comment-tricks": "en",
     "html-c1-charrefs": "en", "html-legacy-raw": "en",
-    "html-foreign-embed": "en",
+    "html-foreign-embed": "en", "html-ruby-furigana": "ja",
 }
 
 

@@ -168,6 +168,11 @@ _SKIP_TAGS = {
     # chrome (option lists, button labels, svg <text>), never content
     "select", "option", "optgroup", "datalist", "button", "textarea",
     "svg", "canvas", "map", "audio", "video", "iframe", "object",
+    # ruby annotations: the reading (<rt>) and its fallback parens
+    # (<rp>) must not interleave with the base text ("東京とうきょう")
+    # — the furigana-duplication corruption a JP corpus pipeline
+    # cannot afford; the <ruby> base text itself is kept
+    "rt", "rp",
 }
 _BAD_CONTEXT_TAGS = {"nav", "footer", "aside", "header", "form"}
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
@@ -217,12 +222,19 @@ for _h in _HEADING_TAGS:  # a new heading closes an open heading
 _SKIP_IMPLIED_BY_START = {
     "option": ("option",),
     "optgroup": ("option", "optgroup"),
+    # a new reading closes the previous one (real markup omits </rt>)
+    "rt": ("rt", "rp"),
+    "rp": ("rt", "rp"),
 }
-_SKIP_CLEARED_BY_END = {"select": ("option", "optgroup")}
+_SKIP_CLEARED_BY_END = {
+    "select": ("option", "optgroup"),
+    # </ruby> implies closing an open rt/rp (HTML5 implied end tags)
+    "ruby": ("rt", "rp"),
+}
 # a block tag cannot legally appear inside these; its start proves
 # the element was left unclosed — force-close rather than let the
 # skip state swallow the rest of the page
-_SELF_CLOSING_SKIPS = ("option", "optgroup", "select")
+_SELF_CLOSING_SKIPS = ("option", "optgroup", "select", "rt", "rp")
 
 
 @dataclass
@@ -324,10 +336,12 @@ class _BlockParser(HTMLParser):
             self._anchor_depth = min(self._anchor_depth + 1, 1)
 
     def handle_endtag(self, tag):
+        # implied-end clearing may hang off a NON-skip container's end
+        # tag too (</ruby> closes an open rt/rp), so it runs first
+        for t in _SKIP_CLEARED_BY_END.get(tag, ()):
+            while self._skip_counts.get(t, 0):
+                self._close_skip(t)
         if tag in _SKIP_TAGS:
-            for t in _SKIP_CLEARED_BY_END.get(tag, ()):
-                while self._skip_counts.get(t, 0):
-                    self._close_skip(t)
             self._close_skip(tag)
             return
         if tag in _BLOCK_TAGS:
