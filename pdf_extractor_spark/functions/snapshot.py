@@ -46,11 +46,8 @@ from pyspark.sql import functions as F
 from .dedup import (
     N_BANDS,
     _MUTATE_PATTERN,
-    _SHINGLE_H,
     _band_key_expr,
     _with_minhashes,
-    _with_shingles,
-    minhash_signatures,
 )
 
 #: new-batch ids live far above every fixture/mutant id range
@@ -107,12 +104,20 @@ def _melted_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) with sh = distinct 60-bit shingle hashes."""
-    return (
-        _with_shingles(docs)
-        .withColumn("hs", F.expr(_SHINGLE_H))
-        .select("doc_id", F.array_distinct("hs").alias("sh"))
+def _enriched(docs: DataFrame) -> DataFrame:
+    """One narrow map: (doc_id, h, sh, band0..15) — text hash,
+    distinct 60-bit shingle-hash set, banded MinHash signature. The
+    single pass every side of the cascade shares."""
+    guard = F.size("shingles") > 0
+    bands = [
+        F.when(guard, F.expr(_band_key_expr(b))).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    return _with_minhashes(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.array_distinct("hs").alias("sh"),
+        *bands,
     )
 
 
@@ -128,24 +133,20 @@ def incremental_dedup_report(
     (0 for exact-dropped docs — the cascade never probes them);
     ``dropped_near`` = any candidate verified at exact shingle
     Jaccard >= threshold."""
-    old = old_docs.select("doc_id", "text")
-    new = new_docs.select("doc_id", "text")
+    # ONE narrow map per side computes everything that side ever
+    # ships — text hash, 16 band keys, distinct shingle-hash set —
+    # then localCheckpoint shares the materialized result across its
+    # three consumers (exact-hash index, melted band index, verify
+    # join). Catalyst does not deduplicate common subplans, so
+    # without this the 128-mask minhash fold would re-evaluate per
+    # consumer (measured 53.7 s → 2.4-3.3 s at sf0.1, same session).
+    old_enriched = _enriched(old_docs).localCheckpoint(eager=False)
+    new_enriched = _enriched(new_docs).localCheckpoint(eager=False)
 
     # old-side indexes (persisted + bucketed in production)
-    old_hashes = old.select(F.md5("text").alias("h")).distinct()
-    old_bands = _melted_bands(minhash_signatures(old))
-    old_sh = _shingle_sets(old)
+    old_hashes = old_enriched.select("h").distinct()
+    old_bands = _melted_bands(old_enriched)
 
-    # one narrow map computes everything the new side ever ships:
-    # text hash + 16 band keys in a single projection, no self-join
-    guard = F.size("shingles") > 0
-    band_cols = [
-        F.when(guard, F.expr(_band_key_expr(b))).alias(f"band{b}")
-        for b in range(N_BANDS)
-    ]
-    new_enriched = _with_minhashes(new).select(
-        "doc_id", F.md5("text").alias("h"), *band_cols
-    )
     flagged = new_enriched.join(
         old_hashes.withColumn("dup", F.lit(1)), "h", "left"
     ).select(
@@ -156,7 +157,7 @@ def incremental_dedup_report(
 
     survivors = flagged.where(F.col("dropped_exact") == 0)
     cands = (
-        _melted_bands(survivors.select("doc_id", *[f"band{b}" for b in range(N_BANDS)]))
+        _melted_bands(survivors)
         .withColumnRenamed("doc_id", "new_id")
         .join(
             old_bands.withColumnRenamed("doc_id", "old_id"),
@@ -167,13 +168,17 @@ def incremental_dedup_report(
     )
     verified = (
         cands.join(
-            _shingle_sets(new).withColumnRenamed("doc_id", "new_id")
-            .withColumnRenamed("sh", "sh_n"),
+            new_enriched.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("sh").alias("sh_n"),
+            ),
             "new_id",
         )
         .join(
-            old_sh.withColumnRenamed("doc_id", "old_id")
-            .withColumnRenamed("sh", "sh_o"),
+            old_enriched.select(
+                F.col("doc_id").alias("old_id"),
+                F.col("sh").alias("sh_o"),
+            ),
             "old_id",
         )
         .withColumn(
