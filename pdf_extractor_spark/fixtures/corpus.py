@@ -361,6 +361,31 @@ def _pdf_vertical_jp() -> bytes:
     return build_pdf([p], predefined_cmap="UniJIS-UCS2-V")
 
 
+def _pdf_mixed_direction() -> bytes:
+    """The dominant mixed JP magazine layout: a HORIZONTAL headline
+    above a tategaki (vertical) body on one page. Horizontal words
+    carry real page coordinates, vertical words the rotated virtual
+    frame — the golden pins that the two systems never interleave:
+    headline first, then the vertical columns right-to-left."""
+    p = PageSpec()
+    p.put_words(
+        72, 40, 14,
+        ["mixed", "writing", "mode", "headline", "reads", "first",
+         "before", "the", "vertical", "body"],
+    )
+    cols = [
+        "縦書き本文の一列目は右端から始まる",
+        "二列目は左隣で本文の続きを述べている",
+        "三列目まで読めば本文は完結しています",
+    ]
+    for i, c in enumerate(cols):
+        p.put_codes(
+            480 - 24 * i, 110, 12, c.encode("utf-16-be"),
+            font="F6", hex_show=True,
+        )
+    return build_pdf([p], predefined_cmap="UniJIS-UCS2-V")
+
+
 # ------------------------------------------------------------ HTML cases
 
 def _encrypted_pages() -> list[PageSpec]:
@@ -1017,6 +1042,7 @@ _PDF_CASES = {
     "pdf-incremental": _pdf_incremental,
     "pdf-type0-predefined": _pdf_type0_predefined,
     "pdf-vertical-jp": _pdf_vertical_jp,
+    "pdf-mixed-direction": _pdf_mixed_direction,
 }
 
 _HTML_CASES = {
@@ -1065,6 +1091,7 @@ _CASE_LANG = {
     "pdf-letterhead": "en", "pdf-incremental": "en",
     "pdf-type0-predefined": "mixed",
     "pdf-vertical-jp": "ja",
+    "pdf-mixed-direction": "ja",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -934,6 +934,7 @@ def _emit_words(
     top_app = sink.tops.append
     bot_app = sink.bottoms.append
     size_app = sink.sizes.append
+    vert_app = sink.verts.append
     for piece in text.split(" "):
         if piece == "":
             cx += space_adv  # bare space advance
@@ -945,6 +946,7 @@ def _emit_words(
         top_app(top)
         bot_app(bottom)
         size_app(size)
+        vert_app(False)
         cx += w + space_adv  # the splitting space's advance
     # we over-advance by one trailing space; harmless for layout, but
     # keep exact: remove it
@@ -991,6 +993,7 @@ def _emit_words_vertical(
         sink.tops.append(vt)
         sink.bottoms.append(vb)
         sink.sizes.append(size)
+        sink.verts.append(True)
         d += adv + space_adv
     d -= space_adv  # remove the trailing-space over-advance
     return y - (d - d0)
@@ -1003,7 +1006,8 @@ class _WordSink:
     speeds construction and halves transient memory traffic (the DRAM
     budget is the scaling ceiling at wide configs, BASELINE.md)."""
 
-    __slots__ = ("texts", "x0s", "x1s", "tops", "bottoms", "sizes")
+    __slots__ = ("texts", "x0s", "x1s", "tops", "bottoms", "sizes",
+                 "verts")
 
     def __init__(self) -> None:
         self.texts: list[str] = []
@@ -1012,15 +1016,43 @@ class _WordSink:
         self.tops: list[float] = []
         self.bottoms: list[float] = []
         self.sizes: list[float] = []
+        # per-word writing mode (True = emitted by the vertical path
+        # in the rotated virtual frame) — only consulted when a page
+        # mixes modes
+        self.verts: list[bool] = []
 
     def frame(self, page_no: int) -> Words:
         import numpy as np
 
         n = len(self.texts)
+        x0 = np.asarray(self.x0s, dtype=float)
+        x1 = np.asarray(self.x1s, dtype=float)
+        v = np.asarray(self.verts, dtype=bool)
+        if v.any() and not v.all():
+            # Mixed writing modes: horizontal words carry real page
+            # coordinates, vertical words the rotated virtual frame —
+            # the two x-ranges overlap, so a single C1 pass would
+            # interleave their columns and scramble reading order
+            # (e.g. a horizontal headline over a tategaki body). Keep
+            # each group's internal frame intact and shift the group
+            # that reads SECOND past the other's x-extent, so C1
+            # yields first-group columns, then second-group columns.
+            # Group order = whichever group starts higher on the real
+            # page: a vertical word's real distance-from-top is its
+            # virtual x0 (d = height - y); a horizontal word's is its
+            # top.
+            tops = np.asarray(self.tops, dtype=float)
+            h_first = tops[~v].min() <= x0[v].min()
+            second = v if h_first else ~v
+            off = float(x1.max()) + 10_000.0
+            x0 = x0.copy()
+            x1 = x1.copy()
+            x0[second] += off
+            x1[second] += off
         return Words(
             text=np.array(self.texts, dtype=object),
-            x0=np.asarray(self.x0s, dtype=float),
-            x1=np.asarray(self.x1s, dtype=float),
+            x0=x0,
+            x1=x1,
             top=np.asarray(self.tops, dtype=float),
             bottom=np.asarray(self.bottoms, dtype=float),
             size=np.asarray(self.sizes, dtype=float),

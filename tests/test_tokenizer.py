@@ -1603,3 +1603,46 @@ class TestVerticalWriting:
         w = doc.pages[0].words
         # horizontal: 6 wide chars * 12pt advance along x
         assert float(w["x1"][0]) - float(w["x0"][0]) == 72.0
+
+    def _mixed_pdf(self, h_y_top: float, v_y_top: float) -> bytes:
+        from pdf_extractor_spark.operators.pdf_generator import (
+            PageSpec,
+            build_pdf,
+        )
+
+        p = PageSpec()
+        p.put_words(
+            72, h_y_top, 12,
+            ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta"],
+        )
+        for i, c in enumerate(["右の列はこちら", "左の列はこちら"]):
+            p.put_codes(
+                480 - 24 * i, v_y_top, 12, c.encode("utf-16-be"),
+                font="F6", hex_show=True,
+            )
+        return build_pdf([p], predefined_cmap="UniJIS-UCS2-V")
+
+    def test_mixed_modes_horizontal_headline_reads_first(self):
+        """A horizontal headline ABOVE a tategaki body: the two
+        coordinate systems must not interleave — headline words,
+        then vertical columns right-to-left."""
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+
+        rec = extract_document(self._mixed_pdf(h_y_top=40, v_y_top=100))
+        t = rec["extracted_text"]
+        assert t.index("alpha") < t.index("beta") < t.index("右の列")
+        assert t.index("右の列") < t.index("左の列")
+
+    def test_mixed_modes_vertical_body_above_horizontal_footer(self):
+        """Vertical body at the top of the page, horizontal line far
+        below it: the vertical group reads FIRST."""
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+
+        rec = extract_document(self._mixed_pdf(h_y_top=600, v_y_top=60))
+        t = rec["extracted_text"]
+        assert t.index("右の列") < t.index("左の列") < t.index("alpha")
