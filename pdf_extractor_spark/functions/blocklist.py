@@ -128,11 +128,17 @@ def url_blocklist_report(
     are suffix-disjoint so at most one entry can match a host."""
     spark = docs_with_url.sparkSession
     block = spark.createDataFrame(
-        [(d,) for d in domains], "block_domain string"
+        [(d.lower(),) for d in domains], "block_domain string"
     )
-    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    path_words = tuple(w.lower() for w in path_words)
+    # DNS hosts and URL schemes are case-insensitive (RFC 3986 §6.2.2.1)
+    # and UT1-class keyword blocking is case-blind by convention —
+    # normalize the url once so 'HTTPS://Ads.BADNET.com/CASINO' cannot
+    # bypass the filter by casing.
+    url_l = F.lower(F.col("url"))
+    host = F.regexp_extract(url_l, _HOST_RE, 1)
     segs = F.filter(
-        F.split(F.regexp_extract(F.col("url"), _PATH_RE, 1), "/"),
+        F.split(F.regexp_extract(url_l, _PATH_RE, 1), "/"),
         lambda s: s != "",
     )
     based = docs_with_url.select(
@@ -172,13 +178,13 @@ def duck_blocklist_sql(
     membership) — the Spark side's join shape must reproduce it."""
     dom_match = (
         "(SELECT max(d) FROM (SELECT unnest(["
-        + ",".join(f"'{d}'" for d in domains)
+        + ",".join(f"'{d.lower()}'" for d in domains)
         + "]) AS d) WHERE host = d OR host LIKE '%.' || d)"
     )
-    seg_list = ",".join(f"'{w}'" for w in path_words)
+    seg_list = ",".join(f"'{w.lower()}'" for w in path_words)
     return f"""
 WITH u AS (
-  SELECT doc_id, {DUCK_BLOCK_URL} AS url FROM documents
+  SELECT doc_id, lower({DUCK_BLOCK_URL}) AS url FROM documents
 ), h AS (
   SELECT doc_id,
          regexp_extract(url, '{_HOST_RE}', 1) AS host,

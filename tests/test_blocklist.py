@@ -71,6 +71,22 @@ class TestBlocklistSemantics:
             "badnet.com", 1, 0,
         )
 
+    def test_casing_cannot_bypass_the_filter(self, spark):
+        """DNS hosts and schemes are case-insensitive (RFC 3986
+        §6.2.2.1) and keyword blocking is case-blind — mixed-case
+        urls must still block."""
+        rows = [
+            (1, "https://Ads.BADNET.com/a/1"),
+            (2, "HTTPS://ads.badnet.com/x"),
+            (3, "https://clean.example.org/CASINO/7"),
+            (4, "https://clean.example.org/fine/8"),
+        ]
+        kept = {
+            r.doc_id: r.is_kept
+            for r in url_blocklist_report(_urls(spark, rows)).collect()
+        }
+        assert kept == {1: 0, 2: 0, 3: 0, 4: 1}
+
     def test_every_shipped_domain_blocks_itself(self, spark):
         rows = [
             (i, f"https://{d}/a/{i}")
