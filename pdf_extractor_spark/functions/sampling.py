@@ -79,22 +79,26 @@ def domain_cap_stats(
     )
 
 
-# hash bucket in [0, SAMPLE_BUCKETS): first 15 md5 hex chars of the
+# hash bucket in [0, buckets): first 15 md5 hex chars of the
 # stringified key, mod buckets — reproducible in any engine with md5
-def hash_bucket(key_col: str = "doc_id") -> Column:
+def hash_bucket(
+    key_col: str = "doc_id", buckets: int = SAMPLE_BUCKETS
+) -> Column:
     return (
         F.expr(
             "cast(conv(substring(md5(cast("
             f"{key_col} as string)), 1, 15), 16, 10) as bigint)"
         )
-        % SAMPLE_BUCKETS
+        % buckets
     )
 
 
-def duck_hash_bucket(key_col: str = "doc_id") -> str:
+def duck_hash_bucket(
+    key_col: str = "doc_id", buckets: int = SAMPLE_BUCKETS
+) -> str:
     return (
         f"(CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) "
-        f"AS BIGINT) % {SAMPLE_BUCKETS})"
+        f"AS BIGINT) % {buckets})"
     )
 
 
@@ -141,20 +145,11 @@ MIX_BUCKETS = 10_000
 
 
 def mix_bucket(key_col: str = "doc_id") -> Column:
-    return (
-        F.expr(
-            "cast(conv(substring(md5(cast("
-            f"{key_col} as string)), 1, 15), 16, 10) as bigint)"
-        )
-        % MIX_BUCKETS
-    )
+    return hash_bucket(key_col, MIX_BUCKETS)
 
 
 def duck_mix_bucket(key_col: str = "doc_id") -> str:
-    return (
-        f"(CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) "
-        f"AS BIGINT) % {MIX_BUCKETS})"
-    )
+    return duck_hash_bucket(key_col, MIX_BUCKETS)
 
 
 def domain_mix_report(
@@ -173,14 +168,23 @@ def domain_mix_report(
     toks = docs.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
     )
+    # lazy localCheckpoint: Catalyst has no common-subplan reuse, and
+    # toks feeds both the budget aggregates and the per-doc keep pass —
+    # without it the corpus is scanned and re-split twice. The
+    # checkpointed frame is the narrow (doc_id, lang, n_toks)
+    # projection, tiny relative to the text it summarizes.
+    toks = toks.localCheckpoint(eager=False)
+    # full outer: a targeted language ABSENT from the corpus must still
+    # bind the budget (its n_tokens = 0 drives the min to 0 — the
+    # scarcest-group-binds contract) and must appear in the report.
     grp = (
         toks.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").alias("n_tokens"),
         )
-        .join(F.broadcast(target), "lang", "left")
-        .na.fill({"target_bp": 0})
+        .join(target, "lang", "full_outer")
+        .na.fill({"target_bp": 0, "n_docs": 0, "n_tokens": 0})
     )
     # the scarcest targeted group binds the total achievable budget
     cap = grp.where(F.col("target_bp") > 0).agg(
@@ -227,11 +231,16 @@ WITH target(lang, target_bp) AS (VALUES {values}),
 toks AS (
   SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
   FROM {source}
+), agg AS (
+  SELECT lang, count(*) AS n_docs, sum(n_toks) AS n_tokens
+  FROM toks GROUP BY lang
 ), grp AS (
-  SELECT t.lang, count(*) AS n_docs, sum(t.n_toks) AS n_tokens,
+  -- full outer: targets absent from the corpus bind the budget at 0
+  SELECT coalesce(a.lang, tg.lang) AS lang,
+         coalesce(a.n_docs, 0) AS n_docs,
+         coalesce(a.n_tokens, 0) AS n_tokens,
          coalesce(tg.target_bp, 0) AS target_bp
-  FROM toks t LEFT JOIN target tg ON t.lang = tg.lang
-  GROUP BY t.lang, tg.target_bp
+  FROM agg a FULL JOIN target tg ON a.lang = tg.lang
 ), cap AS (
   SELECT min((n_tokens * 10000) // target_bp) AS budget
   FROM grp WHERE target_bp > 0

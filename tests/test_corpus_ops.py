@@ -668,6 +668,32 @@ class TestDomainMix:
         assert got["xx"] == (0, 0, 0)
         assert got["en"][1] == 10000
 
+    def test_absent_target_language_binds_budget_to_zero(self, spark):
+        """A targeted language with ZERO corpus documents is the
+        scarcest group: the servable budget is 0 and the missing
+        group still appears in the report (the silent-violation
+        case — a 50/50 en/zh mix over an en-only corpus must not
+        serve 100% en while claiming to honor the shares)."""
+        from pdf_extractor_spark.functions.sampling import (
+            domain_mix_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 9 + "w", "en") for i in range(10)],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r.lang: (r.n_docs, r.n_tokens, r.quota_tokens, r.rate_bp,
+                     r.n_kept)
+            for r in domain_mix_report(
+                docs, {"en": 5000, "zh": 5000}
+            ).collect()
+        }
+        assert set(got) == {"en", "zh"}
+        assert got["zh"] == (0, 0, 0, 0, 0)
+        # en's quota collapses with the zero budget: nothing servable
+        assert got["en"][2] == 0 and got["en"][3] == 0
+
     def test_draw_is_deterministic_and_subset_of_rate(self, spark):
         from pdf_extractor_spark.functions.sampling import (
             domain_mix_report,
