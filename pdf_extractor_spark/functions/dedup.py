@@ -116,17 +116,39 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-document banded MinHash signature: 16 band keys, each the
-    md5 over 8 of the 128 minhash values. Pure map work — no shuffle.
+def banded_signature_cols() -> list:
+    """The 16 band-key columns over a :func:`_with_minhashes` frame.
     Documents with no shingles (< 3 tokens) get NULL band keys and
-    never enter the LSH join."""
+    never enter the LSH join. Single source of truth for the banding
+    construction — shared with the incremental-snapshot cascade
+    (:mod:`.snapshot`)."""
     guard = F.size("shingles") > 0
-    cols = [
+    return [
         F.when(guard, F.expr(_band_key_expr(b))).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    return _with_minhashes(docs).select("doc_id", *cols)
+
+
+def melt_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) long form of a banded-signature frame;
+    NULL keys (shingle-less docs) never enter the index. Shared with
+    the incremental-snapshot cascade."""
+    return sig.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) as (band, bkey)".format(
+            n=N_BANDS,
+            args=", ".join(f"{b}, band{b}" for b in range(N_BANDS)),
+        ),
+    ).where(F.col("bkey").isNotNull())
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-document banded MinHash signature: 16 band keys, each the
+    md5 over 8 of the 128 minhash values. Pure map work — no
+    shuffle."""
+    return _with_minhashes(docs).select(
+        "doc_id", *banded_signature_cols()
+    )
 
 
 def band_keys_python(
@@ -214,13 +236,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     then bucket-join" layout a 100 TB run uses, and halves measured
     pair-pipeline time."""
     sigs = minhash_mapinpandas(docs).localCheckpoint(eager=False)
-    melted = sigs.selectExpr(
-        "doc_id",
-        "stack({n}, {args}) as (band, bkey)".format(
-            n=N_BANDS,
-            args=", ".join(f"{b}, band{b}" for b in range(N_BANDS)),
-        ),
-    ).where(F.col("bkey").isNotNull())
+    melted = melt_bands(sigs)
     a = melted.alias("a")
     b = melted.alias("b")
     return (

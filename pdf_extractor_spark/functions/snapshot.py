@@ -46,8 +46,9 @@ from pyspark.sql import functions as F
 from .dedup import (
     N_BANDS,
     _MUTATE_PATTERN,
-    _band_key_expr,
     _with_minhashes,
+    banded_signature_cols,
+    melt_bands,
 )
 
 #: new-batch ids live far above every fixture/mutant id range
@@ -86,38 +87,16 @@ def synth_new_batch(docs: DataFrame) -> DataFrame:
     )
 
 
-def _melted_bands(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) from a banded-signature frame; NULL keys
-    (shingle-less docs) never enter the index."""
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"), F.col(f"band{b}").alias("bkey")
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return (
-        sig.select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", "p.band", "p.bkey")
-        .where(F.col("bkey").isNotNull())
-    )
-
-
 def _enriched(docs: DataFrame) -> DataFrame:
     """One narrow map: (doc_id, h, sh, band0..15) — text hash,
-    distinct 60-bit shingle-hash set, banded MinHash signature. The
-    single pass every side of the cascade shares."""
-    guard = F.size("shingles") > 0
-    bands = [
-        F.when(guard, F.expr(_band_key_expr(b))).alias(f"band{b}")
-        for b in range(N_BANDS)
-    ]
+    distinct 60-bit shingle-hash set, banded MinHash signature
+    (:func:`.dedup.banded_signature_cols`, the shared construction).
+    The single pass every side of the cascade shares."""
     return _with_minhashes(docs.select("doc_id", "text")).select(
         "doc_id",
         F.md5("text").alias("h"),
         F.array_distinct("hs").alias("sh"),
-        *bands,
+        *banded_signature_cols(),
     )
 
 
@@ -145,7 +124,7 @@ def incremental_dedup_report(
 
     # old-side indexes (persisted + bucketed in production)
     old_hashes = old_enriched.select("h").distinct()
-    old_bands = _melted_bands(old_enriched)
+    old_bands = melt_bands(old_enriched)
 
     flagged = new_enriched.join(
         old_hashes.withColumn("dup", F.lit(1)), "h", "left"
@@ -157,7 +136,7 @@ def incremental_dedup_report(
 
     survivors = flagged.where(F.col("dropped_exact") == 0)
     cands = (
-        _melted_bands(survivors)
+        melt_bands(survivors)
         .withColumnRenamed("doc_id", "new_id")
         .join(
             old_bands.withColumnRenamed("doc_id", "old_id"),

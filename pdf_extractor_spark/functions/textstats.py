@@ -457,6 +457,12 @@ def bigram_costs(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS)).alias("p"))
         .select("doc_id", "p.h", "p.h1")
     )
+    # lazy localCheckpoint: pairs feeds both the corpus-count
+    # aggregates and the per-doc probe join, and Catalyst has no
+    # common-subplan reuse — without it every document is re-split
+    # and every bigram re-md5'd per consumer (the dominant map cost).
+    # Mirrors the DuckDB twin's `pairs AS MATERIALIZED`.
+    pairs = pairs.localCheckpoint(eager=False)
     c2 = pairs.groupBy("h", "h1").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("h1").agg(F.sum("c2").alias("c1"))
     priced = c2.join(c1, "h1").select(

@@ -177,6 +177,9 @@ _SKIP_TAGS = {
 _BAD_CONTEXT_TAGS = {"nav", "footer", "aside", "header", "form"}
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 _WS_RE = re.compile(r"\s+")
+# never matches — used to disable html.parser's cdata end-tag scan
+# once the tokenizer enters the WHATWG PLAINTEXT state
+_NEVER_RE = re.compile(r"(?!)")
 
 # class/id boilerplate hints: real crawl pages are div-soup — the
 # boilerplate signal lives in attribute tokens (<div class="navbar">),
@@ -262,6 +265,17 @@ class _BlockParser(HTMLParser):
     # skip behavior; xmp/plaintext are _BLOCK_TAGS so their literal
     # content is kept as a block.
     CDATA_CONTENT_ELEMENTS = ("script", "style", "xmp", "plaintext")
+
+    def set_cdata_mode(self, elem):
+        super().set_cdata_mode(elem)
+        if elem == "plaintext":
+            # WHATWG PLAINTEXT state has NO end tag — a literal
+            # '</plaintext>' in the content is text, not markup.
+            # html.parser's default cdata regex would still match it
+            # and re-enter normal tokenization; make nothing
+            # "interesting" again so everything to EOF stays buffered
+            # raw and close()'s leftover flush emits it literally.
+            self.interesting = _NEVER_RE
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
