@@ -2202,6 +2202,29 @@ def _domain_mix_sql() -> str:
 _DOMAIN_MIX_SQL = _domain_mix_sql()
 
 
+def _host_pagerank(spark, sf_dir):
+    """Host-level link-graph PageRank (the crawl-curation quality
+    prior): deterministic host→host outlink graph from the documents
+    table, then damped fixed-point iterations. Corpus is read once
+    (doc_id only — text never scanned); every iteration is an equi
+    join + partially-aggregated sum on the host graph, with lazy
+    localCheckpoints truncating the iterative lineage. Ranks are
+    fixed-point bigints so the result is bit-identical across engines
+    and partial-agg orders."""
+    from .linkgraph import host_pagerank
+
+    return host_pagerank(_t(spark, sf_dir, "documents"))
+
+
+def _host_pagerank_sql() -> str:
+    from .linkgraph import duck_pagerank_sql
+
+    return duck_pagerank_sql()
+
+
+_HOST_PAGERANK_SQL = _host_pagerank_sql()
+
+
 def _pii_scrub(spark, sf_dir):
     """PII scrubbing battery (C4/Dolma recipe): emails / SSNs / IPs /
     phone numbers → typed placeholder tokens, with per-type counts
@@ -3367,10 +3390,10 @@ CATALOG: dict[str, QueryDef] = {
     # text_quality_classifier, corpus_pack_sequences,
     # corpus_filter_recipe, multimodal_features,
     # multimodal_audio_decode, corpus_url_blocklist, and the later
-    # same-round additions below them) sit inside the window; every
-    # entry the additions displace past position 50
-    # (dedup_ngram_jaccard onward) is r3-green, staying within the
-    # one-round freshness budget.
+    # same-round additions below them, through corpus_host_pagerank)
+    # sit inside the window; every entry the additions displace past
+    # position 50 (ann_cosine_topk onward) is r3-green, staying
+    # within the one-round freshness budget.
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
@@ -3451,6 +3474,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),
+    "corpus_host_pagerank": QueryDef(
+        _host_pagerank, _HOST_PAGERANK_SQL, True
+    ),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
     # -------- window filler: heaviest-value r3-green entries ------------
