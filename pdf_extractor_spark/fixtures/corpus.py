@@ -386,6 +386,62 @@ def _pdf_mixed_direction() -> bytes:
     return build_pdf([p], predefined_cmap="UniJIS-UCS2-V")
 
 
+def _pdf_string_syntax() -> bytes:
+    """Literal-string syntax real writers emit but the canonical
+    writer never does (ISO 32000 §7.3.4.2): nested BALANCED parens
+    (legal unescaped), ``\\<EOL>`` line continuations wrapping long
+    strings (contribute no bytes), and raw EOLs inside a literal
+    (each is the single byte 0x0A regardless of on-disk form)."""
+    p = PageSpec()
+    p.put_words(
+        72, 100, 12,
+        ["string", "syntax", "page", "with", "plenty", "of", "body",
+         "words", "here"],
+    )
+    p.put_raw_shown(72, 130, 12, "(see section (ii) and (iii) below)")
+    p.put_raw_shown(
+        72, 145, 12, "(wrapped \\\nacross three \\\r\nphysical lines)"
+    )
+    p.put_raw_shown(72, 160, 12, "(raw\r\nbreak)")
+    p.put_words(
+        72, 190, 12,
+        ["closing", "words", "keep", "the", "page", "dense", "enough"],
+    )
+    return build_pdf([p])
+
+
+def _pdf_astral_tounicode() -> bytes:
+    """Supplementary-plane /ToUnicode destinations (emoji, rare
+    ideographs): bfchar entries whose UTF-16BE values are surrogate
+    PAIRS (4 bytes, not 2), and a scalar bfrange whose base is an
+    astral char — the Adobe CMap increment applies to the LAST code
+    unit, i.e. the low surrogate. Real JP/social-crawl PDFs carry
+    both shapes; a UCS-2-only decoder emits lone surrogates or U+FFFD
+    here."""
+    p = PageSpec()
+    p.put_words(
+        72, 100, 12,
+        ["astral", "plane", "destinations", "exercise", "surrogate",
+         "pair", "decoding"],
+    )
+    # CID font: each code maps to one astral char via bfchar
+    p.put_codes(
+        72, 130, 12, b"\x00\x01\x00\x02\x00\x03", font="F4",
+        hex_show=True,
+    )
+    # simple font: bfrange base 😀 increments the low surrogate
+    p.put_codes(72, 145, 12, b"abcd")
+    p.put_words(
+        72, 175, 12,
+        ["closing", "plain", "words", "end", "the", "page"],
+    )
+    return build_pdf(
+        [p],
+        tounicode_ranges=[(0x61, 0x64, "😀")],
+        cid_tounicode_chars={0x0001: "🚀", 0x0002: "𠮟", 0x0003: "る"},
+    )
+
+
 # ------------------------------------------------------------ HTML cases
 
 def _encrypted_pages() -> list[PageSpec]:
@@ -1043,6 +1099,8 @@ _PDF_CASES = {
     "pdf-type0-predefined": _pdf_type0_predefined,
     "pdf-vertical-jp": _pdf_vertical_jp,
     "pdf-mixed-direction": _pdf_mixed_direction,
+    "pdf-astral-tounicode": _pdf_astral_tounicode,
+    "pdf-string-syntax": _pdf_string_syntax,
 }
 
 _HTML_CASES = {
@@ -1092,6 +1150,8 @@ _CASE_LANG = {
     "pdf-type0-predefined": "mixed",
     "pdf-vertical-jp": "ja",
     "pdf-mixed-direction": "ja",
+    "pdf-astral-tounicode": "mixed",
+    "pdf-string-syntax": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

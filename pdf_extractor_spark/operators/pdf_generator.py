@@ -41,6 +41,11 @@ class TextOp:
     text: str
     font: str | None = None
     hex_show: bool = False
+    # verbatim shown-string token (latin-1 str incl. the delimiters),
+    # bypassing this writer's escaping — for fixtures exercising
+    # string syntax the canonical writer never emits (nested balanced
+    # parens, \<EOL> continuations, raw EOL bytes; ISO 32000 §7.3.4.2)
+    raw_shown: str | None = None
 
 
 @dataclass
@@ -93,6 +98,16 @@ class PageSpec:
             )
         )
 
+    def put_raw_shown(
+        self, x: float, y_top: float, size: float, shown: str
+    ) -> None:
+        """Place a VERBATIM shown-string token (including delimiters)
+        under /F1 — see ``TextOp.raw_shown``."""
+        baseline = self.height - y_top - 0.8 * size
+        self.ops.append(
+            TextOp(x=x, y=baseline, size=size, text="", raw_shown=shown)
+        )
+
 
 def _is_ascii(text: str) -> bool:
     return all(ord(c) < 128 for c in text)
@@ -130,7 +145,9 @@ def _content_stream(page: PageSpec) -> bytes:
             + " EI"
         )
     for op in page.ops:
-        if op.font is not None:
+        if op.raw_shown is not None:
+            font, shown = "/F1", op.raw_shown
+        elif op.font is not None:
             font = "/" + op.font
             if op.hex_show:
                 shown = "<{}>".format(

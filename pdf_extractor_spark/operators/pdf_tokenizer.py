@@ -532,13 +532,37 @@ def _stream_bytes(
 # out of the match instead of costing a fullmatch + prefix probes per
 # token in the hot loop.
 _TOKEN_RE = re.compile(
-    rb"(\((?:[^()\\]|\\.)*\))"   # 1: literal string
+    rb"(\((?:[^()\\]|\\.)*\))"   # 1: literal string (non-nested)
     rb"|(<[0-9A-Fa-f\s]*>)"      # 2: hex string
     rb"|(/[A-Za-z0-9_.]+)"       # 3: name
     rb"|([\[\]])"                # 4: array delims
     rb"|(-?\d+(?:\.\d+)?)"       # 5: number
     rb"|([A-Za-z'\"*]+)"         # 6: operator
+    , re.DOTALL,  # \\. must span \<EOL> line continuations (§7.3.4.2)
 )
+
+
+def _scan_nested_literal(stream: bytes, start: int) -> int:
+    """End index (exclusive) of the literal string opening at
+    ``start``, honoring BALANCED unescaped parentheses — legal
+    without escapes per §7.3.4.2 and emitted by real writers; the
+    token regex above only spans the flat form. Unterminated strings
+    run to end-of-stream (truncation salvage keeps the prefix)."""
+    depth = 0
+    i, n = start, len(stream)
+    while i < n:
+        c = stream[i]
+        if c == 0x5C:  # backslash: the next byte is never a delimiter
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return n
 _T_STR, _T_HEX, _T_NAME, _T_ARR, _T_NUM, _T_OP = 1, 2, 3, 4, 5, 6
 
 _LIT_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
@@ -547,7 +571,9 @@ _LIT_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
 
 def _decode_literal(tok: bytes) -> str:
     body = tok[1:-1]
-    if b"\\" not in body:        # fast path: no escapes (the common case)
+    # fast path: no escapes, no CR to normalize (the common case);
+    # a bare LF already decodes to the §7.3.4.2-mandated 0x0A
+    if b"\\" not in body and b"\r" not in body:
         return body.decode("latin-1")
     out: list[str] = []
     i = 0
@@ -567,7 +593,23 @@ def _decode_literal(tok: bytes) -> str:
                 out.append(chr(int(body[i + 1 : j], 8) % 256))
                 i = j
                 continue
+            if nxt in (b"\n", b"\r"):
+                # §7.3.4.2 line continuation: \EOL contributes NO
+                # bytes (writers wrap long strings this way); \r\n
+                # counts as one EOL
+                i += 2
+                if nxt == b"\r" and body[i : i + 1] == b"\n":
+                    i += 1
+                continue
             i += 1
+            continue
+        if c == b"\r":
+            # §7.3.4.2: an unescaped EOL in a literal string is the
+            # single byte 0x0A regardless of its on-disk form
+            out.append("\n")
+            i += 1
+            if body[i : i + 1] == b"\n":
+                i += 1
             continue
         out.append(c.decode("latin-1"))
         i += 1
@@ -1069,7 +1111,8 @@ class _WordSink:
 _SIMPLE_BLOCK_RE = re.compile(
     rb"BT\s+/[A-Za-z0-9_.]+\s+(-?\d+(?:\.\d+)?)\s+Tf"
     rb"\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Td"
-    rb"\s+(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s+Tj\s+ET"
+    rb"\s+(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s+Tj\s+ET",
+    re.DOTALL,  # \\. must span \<EOL> line continuations (§7.3.4.2)
 )
 _WS_ONLY = re.compile(rb"[\s]*\Z")
 
@@ -1213,9 +1256,23 @@ def _scan_stream(
     stack: list[bytes] = []  # pending operands
     in_array: list = []
     array_mode = False
-    for m in _TOKEN_RE.finditer(stream):
-        kind = m.lastindex
-        tok = m.group(0)
+    pos = 0
+    while True:
+        m = _TOKEN_RE.search(stream, pos)
+        if m is None:
+            break
+        # an unconsumed '(' BEFORE the next regex token is a literal
+        # string the flat grammar could not span — nested balanced
+        # parens — so hand-scan it to its balanced close
+        p = stream.find(b"(", pos, m.start())
+        if p >= 0:
+            kind = _T_STR
+            pos = _scan_nested_literal(stream, p)
+            tok = stream[p:pos]
+        else:
+            kind = m.lastindex
+            tok = m.group(0)
+            pos = m.end()
         if kind == _T_ARR:
             if tok == b"[":
                 array_mode, in_array = True, []

@@ -1646,3 +1646,77 @@ class TestVerticalWriting:
         rec = extract_document(self._mixed_pdf(h_y_top=600, v_y_top=60))
         t = rec["extracted_text"]
         assert t.index("右の列") < t.index("左の列") < t.index("alpha")
+
+
+class TestLiteralStringSyntax:
+    """ISO 32000 §7.3.4.2 literal-string forms the canonical writer
+    never emits: nested balanced parens, \\<EOL> continuations, raw
+    EOL normalization, astral /ToUnicode destinations."""
+
+    def _page(self, shown: str) -> str:
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.operators.pdf_generator import (
+            PageSpec,
+            build_pdf,
+        )
+
+        p = PageSpec()
+        p.put_words(
+            72, 100, 12,
+            "filler words keep the page from the scanned class".split(),
+        )
+        p.put_raw_shown(72, 130, 12, shown)
+        p.put_words(72, 160, 12, "closing filler words on this page".split())
+        return extract_document(build_pdf([p]))["extracted_text"]
+
+    def test_nested_balanced_parens_are_one_string(self):
+        t = self._page("(see section (ii) and (iii) below)")
+        assert "see section (ii) and (iii) below" in t
+        # the inner tokens must NOT leak as standalone operators/words
+        assert "\nii\n" not in t
+
+    def test_backslash_eol_continuation_contributes_no_bytes(self):
+        t = self._page("(wrapped \\\nacross three \\\r\nphysical lines)")
+        assert "wrapped across three physical lines" in t
+
+    def test_raw_eol_in_literal_is_one_0a_byte(self):
+        t = self._page("(raw\r\nbreak)")
+        assert "raw\nbreak" in t
+        assert "\r" not in t
+
+    def test_unknown_escape_drops_backslash_keeps_char(self):
+        t = self._page("(a\\qb)")
+        assert "aqb" in t
+
+
+class TestAstralToUnicode:
+    def test_surrogate_pair_bfchar_and_bfrange(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.operators.pdf_generator import (
+            PageSpec,
+            build_pdf,
+        )
+
+        p = PageSpec()
+        p.put_words(
+            72, 100, 12,
+            "filler words keep the page from the scanned class".split(),
+        )
+        p.put_codes(
+            72, 130, 12, b"\x00\x01\x00\x02", font="F4", hex_show=True
+        )
+        p.put_codes(72, 145, 12, b"abc")
+        p.put_words(72, 175, 12, "closing filler words line".split())
+        pdf = build_pdf(
+            [p],
+            tounicode_ranges=[(0x61, 0x63, "😀")],
+            cid_tounicode_chars={0x0001: "🚀", 0x0002: "𠮟"},
+        )
+        t = extract_document(pdf)["extracted_text"]
+        assert "🚀𠮟" in t      # bfchar surrogate pairs
+        assert "😀😁😂" in t    # bfrange increments the LOW surrogate
+        assert "�" not in t
