@@ -763,6 +763,24 @@ def _html_entities() -> bytes:
     ).encode("utf-8")
 
 
+def _html_invisible_chars() -> bytes:
+    """Invisible formatting codepoints: soft hyphens (&shy;), zero-
+    width space, word joiner, and an in-body BOM are stripped —
+    a &shy;-riddled word must tokenize whole — while ZWJ survives
+    (emoji sequences, Indic orthography are content)."""
+    return (
+        "<html><body><article>"
+        "<p>The exceedingly long compound word "
+        "hyphen\u00ado\u00adgraphy appears here inside a paragraph "
+        "with enough words to be kept as genuine body text by the "
+        "classifier.</p>"
+        "<p>Zero\u200bwidth and word\u2060joiner and stray \ufeff "
+        "marks vanish while the family emoji keeps its joiner: "
+        "\U0001f468\u200d\U0001f469 stays intact in output.</p>"
+        "</article></body></html>"
+    ).encode("utf-8")
+
+
 def _html_encoding_damage() -> bytes:
     """P11: U+FFFD damage inside kept content — flagged (encoding
     warning) AND scrubbed from the output, like the reference's
@@ -1109,6 +1127,7 @@ _HTML_CASES = {
     "html-mixed-lang": _html_mixed_lang,
     "html-tables-lists": _html_tables_lists,
     "html-entities": _html_entities,
+    "html-invisible-chars": _html_invisible_chars,
     "html-short-blocks": _html_short_blocks,
     "html-encoding-damage": _html_encoding_damage,
     "html-nested-tables": _html_nested_tables,
@@ -1155,6 +1174,7 @@ _CASE_LANG = {
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",
+    "html-invisible-chars": "en",
     "html-encoding-damage": "en",
     "html-nested-tables": "en", "html-script-heavy": "en",
     "html-entity-storm": "mixed", "html-unclosed-tags": "en",

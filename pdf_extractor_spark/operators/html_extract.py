@@ -177,6 +177,12 @@ _SKIP_TAGS = {
 _BAD_CONTEXT_TAGS = {"nav", "footer", "aside", "header", "form"}
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 _WS_RE = re.compile(r"\s+")
+# invisible formatting codepoints with no text content: soft hyphen
+# (a hyphenation HINT — &shy;-riddled words must tokenize whole),
+# zero-width space, word joiner, in-body BOM/ZWNBSP. ZWJ/ZWNJ are
+# NOT stripped — they are orthographically meaningful (Indic, Farsi,
+# emoji sequences).
+_INVISIBLE_RE = re.compile("[\u00ad\u200b\u2060\ufeff]")
 # never matches — used to disable html.parser's cdata end-tag scan
 # once the tokenizer enters the WHATWG PLAINTEXT state
 _NEVER_RE = re.compile(r"(?!)")
@@ -294,7 +300,7 @@ class _BlockParser(HTMLParser):
         self._hint_stacks: dict[str, list[bool]] = {}
 
     def _flush(self) -> None:
-        raw = "".join(self._buf)
+        raw = _INVISIBLE_RE.sub("", "".join(self._buf))
         text = _WS_RE.sub(" ", raw).strip()
         if text:
             self.blocks.append(
