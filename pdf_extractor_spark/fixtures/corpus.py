@@ -363,10 +363,11 @@ def _pdf_vertical_jp() -> bytes:
 
 def _pdf_mixed_direction() -> bytes:
     """The dominant mixed JP magazine layout: a HORIZONTAL headline
-    above a tategaki (vertical) body on one page. Horizontal words
-    carry real page coordinates, vertical words the rotated virtual
-    frame — the golden pins that the two systems never interleave:
-    headline first, then the vertical columns right-to-left."""
+    above a tategaki (vertical) body, and a horizontal folio line
+    BELOW it. Horizontal words carry real page coordinates, vertical
+    words the rotated virtual frame — the golden pins that the three
+    reading groups never interleave: headline first, then the
+    vertical columns right-to-left, then the folio."""
     p = PageSpec()
     p.put_words(
         72, 40, 14,
@@ -383,6 +384,11 @@ def _pdf_mixed_direction() -> bytes:
             480 - 24 * i, 110, 12, c.encode("utf-16-be"),
             font="F6", hex_show=True,
         )
+    p.put_words(
+        72, 700, 10,
+        ["folio", "caption", "line", "reads", "after", "the",
+         "vertical", "body"],
+    )
     return build_pdf([p], predefined_cmap="UniJIS-UCS2-V")
 
 

@@ -94,25 +94,35 @@ def synth_outlink_edges(docs: DataFrame) -> DataFrame:
 
 
 def host_pagerank(
-    docs: DataFrame, iters: int = PAGERANK_ITERS
+    docs: DataFrame, iters: int = PAGERANK_ITERS, *,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-point PageRank over the synthetic host graph:
     (host, rank_fp) after ``iters`` damped iterations, rank mass
     summing to ≤ TOTAL_FP (integer floor losses only). ``iters`` is
     small and unrolled here; a production run uses the same loop body
     with a convergence check on the rank delta (one extra 1-row
-    aggregate per iteration)."""
-    edges = synth_outlink_edges(docs)
+    aggregate per iteration).
+
+    ``checkpoint=False`` disables lineage truncation so plan tests
+    can inspect the full tree; production always truncates."""
+    def _cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    # checkpoint the EDGE frame itself, before anything derives from
+    # it: outw / e / nodes / the per-iteration dangling probe all
+    # consume edges, and Catalyst has no common-subplan reuse — every
+    # un-truncated consumer would re-run the corpus scan. This is the
+    # one boundary that makes "corpus touched ONCE" true.
+    edges = _cp(synth_outlink_edges(docs))
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    # lazy localCheckpoint: e is probed once per iteration and
-    # Catalyst has no common-subplan reuse — without it the corpus
-    # scan + edge aggregation re-executes iters times.
-    e = edges.join(outw, "src").localCheckpoint(eager=False)
-    nodes = (
+    # e and nodes are re-probed every iteration; truncating them too
+    # avoids re-running the (host-graph-sized) join/distinct per round
+    e = _cp(edges.join(outw, "src"))
+    nodes = _cp(
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
 
@@ -153,10 +163,10 @@ def host_pagerank(
                     " as bigint)"
                 ).alias("rank"),
             )
-            # truncate the per-iteration lineage growth (see module
-            # docstring) — host-graph sized, tiny
-            .localCheckpoint(eager=False)
         )
+        # truncate the per-iteration lineage growth (see module
+        # docstring) — host-graph sized, tiny
+        rank = _cp(rank)
     return rank.select(
         "host", F.col("rank").alias("rank_fp")
     ).orderBy("host")

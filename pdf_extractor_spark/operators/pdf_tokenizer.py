@@ -546,10 +546,16 @@ def _scan_nested_literal(stream: bytes, start: int) -> int:
     """End index (exclusive) of the literal string opening at
     ``start``, honoring BALANCED unescaped parentheses — legal
     without escapes per §7.3.4.2 and emitted by real writers; the
-    token regex above only spans the flat form. Unterminated strings
-    run to end-of-stream (truncation salvage keeps the prefix)."""
+    token regex above only spans the flat form.
+
+    An UNBALANCED ``(`` (malformed writer) must not swallow the rest
+    of the page: salvage by ending at the first unescaped ``)``
+    (flat-string semantics) or at the end of the physical line,
+    whichever comes first — the damage stays local and every later
+    show operator still emits."""
     depth = 0
     i, n = start, len(stream)
+    first_close = -1
     while i < n:
         c = stream[i]
         if c == 0x5C:  # backslash: the next byte is never a delimiter
@@ -558,11 +564,15 @@ def _scan_nested_literal(stream: bytes, start: int) -> int:
         if c == 0x28:
             depth += 1
         elif c == 0x29:
+            if first_close < 0:
+                first_close = i
             depth -= 1
             if depth == 0:
                 return i + 1
         i += 1
-    return n
+    ends = [e + 1 for e in (first_close, stream.find(b"\n", start))
+            if e >= 0]
+    return min(ends) if ends else n
 _T_STR, _T_HEX, _T_NAME, _T_ARR, _T_NUM, _T_OP = 1, 2, 3, 4, 5, 6
 
 _LIT_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
@@ -1076,21 +1086,22 @@ class _WordSink:
             # the two x-ranges overlap, so a single C1 pass would
             # interleave their columns and scramble reading order
             # (e.g. a horizontal headline over a tategaki body). Keep
-            # each group's internal frame intact and shift the group
-            # that reads SECOND past the other's x-extent, so C1
-            # yields first-group columns, then second-group columns.
-            # Group order = whichever group starts higher on the real
-            # page: a vertical word's real distance-from-top is its
-            # virtual x0 (d = height - y); a horizontal word's is its
-            # top.
+            # each group's internal frame intact and shift each later
+            # -reading group past the previous one's x-extent, so C1
+            # yields the groups' columns in reading order. Real mixed
+            # JP pages routinely carry horizontal text BOTH above
+            # (headline) and below (folio, caption) the vertical
+            # body, so horizontal words split into above-body /
+            # below-body groups by their real distance-from-top vs
+            # the body's start: a vertical word's distance-from-top
+            # is its virtual x0 (d = height - y); a horizontal
+            # word's is its top.
             tops = np.asarray(self.tops, dtype=float)
-            h_first = tops[~v].min() <= x0[v].min()
-            second = v if h_first else ~v
+            v_start = x0[v].min()
+            group = np.where(v, 1, np.where(tops <= v_start, 0, 2))
             off = float(x1.max()) + 10_000.0
-            x0 = x0.copy()
-            x1 = x1.copy()
-            x0[second] += off
-            x1[second] += off
+            x0 = x0 + group * off
+            x1 = x1 + group * off
         return Words(
             text=np.array(self.texts, dtype=object),
             x0=x0,

@@ -5,6 +5,8 @@ cartesian joins, lineage truncated per iteration)."""
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 
@@ -40,9 +42,13 @@ class TestPagerankSemantics:
         assert len(rows) == N_HOSTS
         tot = sum(r.rank_fp for r in rows)
         # every div floors, so mass only leaks downward, bounded by
-        # one unit per division: |edges| + 2 per node per iteration
+        # one unit per division per iteration: one per edge
+        # (contribution), one per node (teleport), one per node
+        # (dangling share), plus the initial per-node seed division
+        n_edges = synth_outlink_edges(docs).count()
+        bound = N_HOSTS + 3 * (n_edges + 2 * N_HOSTS)
         assert tot <= TOTAL_FP
-        assert tot >= TOTAL_FP - 10_000
+        assert tot >= TOTAL_FP - bound
         assert all(r.rank_fp > 0 for r in rows)
 
     def test_no_self_edges_by_construction(self, spark, docs):
@@ -75,14 +81,36 @@ class TestPagerankSemantics:
 
 class TestPagerankPlan:
     def test_corpus_scan_reads_only_doc_id(self, spark, docs):
+        # checkpoint=False exposes the FULL tree — with truncation on,
+        # everything interesting hides behind the final LogicalRDD
+        # and these assertions could never fire
         plan = (
-            host_pagerank(docs)
+            host_pagerank(docs, checkpoint=False)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        assert "text" not in plan  # column pruning held
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m and "doc_id" in m.group(1) and "text" not in m.group(1)
         assert "CartesianProduct" not in plan
+
+    def test_corpus_scanned_exactly_once(self, spark):
+        # the module contract: ONE corpus pass, everything after runs
+        # on the host-level aggregate. Count source evaluations with
+        # an accumulator bumped per partition per pass.
+        acc = spark.sparkContext.accumulator(0)
+        base = spark.createDataFrame(
+            [(i,) for i in range(300)], "doc_id long"
+        )
+
+        def bump(it):
+            acc.add(1)
+            return it
+
+        probed = base.rdd.mapPartitions(bump).toDF(base.schema)
+        n_parts = probed.rdd.getNumPartitions()
+        host_pagerank(probed).collect()
+        assert acc.value == n_parts, (acc.value, n_parts)
 
     def test_iterative_lineage_is_truncated(self, spark, docs):
         # each iteration's output is localCheckpointed, so the FINAL

@@ -1720,3 +1720,72 @@ class TestAstralToUnicode:
         assert "🚀𠮟" in t      # bfchar surrogate pairs
         assert "😀😁😂" in t    # bfrange increments the LOW surrogate
         assert "�" not in t
+
+
+class TestMixedModeSandwich:
+    def test_horizontal_above_and_below_vertical_body(self):
+        """The real mixed-JP layout: headline ABOVE the tategaki body
+        AND a folio/caption BELOW it — three reading groups, in page
+        order, never interleaved."""
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.operators.pdf_generator import (
+            PageSpec,
+            build_pdf,
+        )
+
+        p = PageSpec()
+        p.put_words(
+            72, 40, 14,
+            ["headline", "words", "come", "first", "always", "here"],
+        )
+        for i, c in enumerate(["右の列はこちら", "左の列はこちら"]):
+            p.put_codes(
+                480 - 24 * i, 110, 12, c.encode("utf-16-be"),
+                font="F6", hex_show=True,
+            )
+        p.put_words(
+            72, 700, 10,
+            ["footer", "caption", "reads", "last", "on", "page"],
+        )
+        pdf = build_pdf([p], predefined_cmap="UniJIS-UCS2-V")
+        t = extract_document(pdf)["extracted_text"]
+        assert (
+            t.index("headline")
+            < t.index("右の列")
+            < t.index("左の列")
+            < t.index("footer")
+        ), t
+
+
+class TestUnbalancedParenSalvage:
+    def _extract(self, shown: str) -> str:
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.operators.pdf_generator import (
+            PageSpec,
+            build_pdf,
+        )
+
+        p = PageSpec()
+        p.put_words(
+            72, 100, 12,
+            "filler words keep the page from the scanned class".split(),
+        )
+        p.put_raw_shown(72, 130, 12, shown)
+        p.put_words(
+            72, 160, 12, "trailing text still extracts fine".split()
+        )
+        return extract_document(build_pdf([p]))["extracted_text"]
+
+    def test_unbalanced_open_paren_does_not_eat_the_page(self):
+        # one stray unbalanced '(' with a later ')': flat salvage —
+        # everything after the first close still emits
+        t = self._extract("(50% off (was $99) Tj")
+        assert "trailing text still extracts fine" in t
+
+    def test_unbalanced_open_paren_without_close_stays_on_line(self):
+        t = self._extract("(totally unterminated garbage")
+        assert "trailing text still extracts fine" in t
