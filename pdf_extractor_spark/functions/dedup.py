@@ -166,9 +166,21 @@ def band_keys_python(
     change output — the hash is a pure function of the shingle."""
     import numpy as np
 
+    keys, _sh = band_keys_and_hashes(text, _memo)
+    return keys
+
+
+def band_keys_and_hashes(
+    text: str, _memo: dict | None = None
+) -> tuple[list[str | None], list[int]]:
+    """(band keys, shingle hashes in occurrence order) for one
+    document — the single Python-side hashing pass both the signature
+    stage and the exact-Jaccard verify stage share."""
+    import numpy as np
+
     toks = text.split(" ")
     if len(toks) < 3:
-        return [None] * N_BANDS
+        return [None] * N_BANDS, []
     if _memo is None:
         _memo = {}
     vals = []
@@ -187,7 +199,7 @@ def band_keys_python(
         seg = mhs[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
         joined = ",".join(str(int(v)) for v in seg)
         out.append(hashlib.md5(joined.encode("ascii")).hexdigest())
-    return out
+    return out, vals
 
 
 def minhash_mapinpandas(docs: DataFrame) -> DataFrame:
@@ -222,6 +234,45 @@ def minhash_mapinpandas(docs: DataFrame) -> DataFrame:
     )
 
 
+def enriched_mapinpandas(docs: DataFrame) -> DataFrame:
+    """Arrow-batched (doc_id, sh, band0..15): banded signatures AND
+    the distinct 60-bit shingle-hash set from ONE pass over the text
+    — the frame a two-stage pipeline (LSH recall → exact-Jaccard
+    verify) checkpoints once instead of scanning/shingling the corpus
+    per stage. ``sh`` keeps first-occurrence order, matching the SQL
+    twin's ``array_distinct``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = [f"band{b}" for b in range(N_BANDS)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in batches:
+            enriched = [
+                band_keys_and_hashes(t, memo) for t in pdf["text"]
+            ]
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "sh": [list(dict.fromkeys(sh)) for _k, sh in enriched],
+            }
+            for b, c in enumerate(cols):
+                out[c] = [k[b] for k, _sh in enriched]
+            yield pd.DataFrame(out)
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    schema = (
+        "doc_id long, sh array<long>, "
+        + ", ".join(f"{c} string" for c in cols)
+    )
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n, F.col("doc_id"))
+        .mapInPandas(fn, schema)
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH bucket join: docs agreeing on ANY full band (all 8 row
     minimums, i.e. the band-key md5) become candidate near-duplicate
@@ -236,6 +287,13 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     then bucket-join" layout a 100 TB run uses, and halves measured
     pair-pipeline time."""
     sigs = minhash_mapinpandas(docs).localCheckpoint(eager=False)
+    return pairs_from_signatures(sigs)
+
+
+def pairs_from_signatures(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from a MATERIALIZED banded-
+    signature frame — the band-key equi self-join. Callers checkpoint
+    ``sigs`` first (both join sides probe it)."""
     melted = melt_bands(sigs)
     a = melted.alias("a")
     b = melted.alias("b")
@@ -289,8 +347,12 @@ def lsh_precision_stats(docs: DataFrame) -> DataFrame:
     corpus size, candidate count, planted-pair recall count, and the
     candidate fraction of all possible pairs."""
     u = planted_near_dups(docs)
-    pairs = lsh_candidate_pairs(u)
-    n_docs = u.select(F.count("*").alias("n_docs"))
+    # count docs from the narrow signature frame, not the text union —
+    # a second consumer of u would re-scan the corpus (union branches
+    # re-evaluate per consumer; signatures are checkpointed anyway)
+    sigs = minhash_mapinpandas(u).localCheckpoint(eager=False)
+    pairs = pairs_from_signatures(sigs)
+    n_docs = sigs.select(F.count("*").alias("n_docs"))
     stats = pairs.agg(
         F.count("*").alias("n_candidate_pairs"),
         F.sum(
@@ -521,20 +583,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     md5 prefix, ~2⁻⁶⁰), at ~1/10 the shuffled bytes, preserving the
     "only hashes ever shuffle" invariant end-to-end (round-2 verdict
     item #6)."""
-    # materialized once: the frame feeds BOTH sides of the verify join
-    # below, and Catalyst would otherwise re-run the shingling scan
-    # per side (common subplans are not deduplicated) — one RDD is
-    # shared by both join branches instead
-    shingle_sets = (
-        _with_shingles(docs)
-        .withColumn("hs", F.expr(_SHINGLE_H))
-        .select(
-            "doc_id",
-            F.array_distinct(F.col("hs")).alias("sh"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    pairs = lsh_candidate_pairs(docs)
+    # ONE enriched pass (signatures + shingle-hash sets), materialized
+    # once: it feeds the LSH band join AND both sides of the verify
+    # join below. Catalyst does not deduplicate common subplans, so
+    # the previous two independent pipelines (signatures via Arrow,
+    # shingle sets via SQL) each re-scanned and re-shingled the corpus
+    # — with a union input (the planted-mutant harness) that was 4
+    # corpus scans; this is the checkpointed-hashes-only layout
+    # (never text) a 100 TB two-stage run persists anyway.
+    enriched = enriched_mapinpandas(docs).localCheckpoint(eager=False)
+    shingle_sets = enriched.select("doc_id", "sh")
+    pairs = pairs_from_signatures(enriched)
     j = (
         pairs.join(
             shingle_sets.withColumnRenamed("doc_id", "doc_a")
