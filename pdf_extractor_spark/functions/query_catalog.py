@@ -3273,6 +3273,29 @@ def _pdf_roundtrip(spark, sf_dir):
 _ROUNDTRIP_SQL = "SELECT doc_id, text AS extracted_text FROM documents"
 
 
+def _warc_roundtrip(spark, sf_dir):
+    """WARC-source verification: documents → multi-record WARC
+    archives (per-record gzip members, warcinfo/request/metadata
+    records interleaved, chunked + Content-Encoding: gzip transfer
+    variants) → from-scratch record parse → HTTP normalize → extract.
+    doc_id and warc_ts are recovered FROM the archive (WARC-Target-URI
+    / WARC-Date), so the oracle checks the full framing loop, not
+    just the body."""
+    from ..sources.warc import warc_roundtrip
+
+    return warc_roundtrip(_t(spark, sf_dir, "documents"))
+
+
+_WARC_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + doc_id * INTERVAL 1 SECOND,
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+       text AS extracted_text
+FROM documents
+"""
+
+
 def _full_extract_stats(spark, sf_dir):
     """Full-record extraction rollup (quality/inventory/error
     surfaces). The oracle is the CLOSED FORM of the quality pipeline
@@ -3393,11 +3416,16 @@ CATALOG: dict[str, QueryDef] = {
     # same-round additions below them, through corpus_host_pagerank)
     # sit inside the window; every entry the additions displace past
     # position 50 (ann_cosine_topk onward) is r3-green, staying
-    # within the one-round freshness budget.
+    # within the one-round freshness budget.  extract_warc_roundtrip
+    # (new this round: WARC source) is pinned with the other
+    # roundtrips; it displaces ann_recall_at_10 (r3-green) past 50.
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
     "extract_pdf_roundtrip": QueryDef(_pdf_roundtrip, _ROUNDTRIP_SQL, True),
+    "extract_warc_roundtrip": QueryDef(
+        _warc_roundtrip, _WARC_ROUNDTRIP_SQL, True
+    ),
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
     # -------- the 29 rotated-in entries (driver rows last seen r2) ------
     "j2_asof_band": QueryDef(_j2_asof_band, _J2_ASOF_SQL),

@@ -1,0 +1,344 @@
+"""From-scratch WARC/1.0 archive reader + writer (ISO 28500 layout,
+Common-Crawl conventions) feeding the extraction kernel.
+
+Web-scale corpora arrive as WARC archives: a stream of self-delimiting
+records (``warcinfo``, ``request``, ``response``, ``metadata``), each a
+CRLF-terminated header block plus a ``Content-Length``-sized payload,
+usually one gzip member per record so readers can split archives on
+member boundaries.  A ``response`` payload is a captured HTTP response
+— status line, headers, body — which may itself be chunked
+(``Transfer-Encoding: chunked``) and/or compressed
+(``Content-Encoding: gzip``).
+
+This module owns the WIRE layer only: record framing, gzip member
+iteration, HTTP header parse, dechunking.  Charset sniffing, gzip body
+stripping and boilerplate removal stay in
+``operators/document.py:extract_document`` — the WARC reader hands it
+a normalized HTTP payload (headers preserved so the transport charset
+hint flows through the existing WHATWG path).
+
+The Spark stage is one Arrow ``mapInPandas`` pass, same shape as the
+HTML/PDF roundtrips in ``docwrap.py``: synthesize archives from the
+``documents`` table (deterministic per ``doc_id``), parse them back,
+extract, so the driver's DuckDB oracle is closed-form —
+``text`` roundtrips byte-identically and ``WARC-Date`` reproduces
+``2024-01-01T00:00:00Z + doc_id seconds``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timedelta
+from hashlib import md5
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT_CONFIG
+from ..operators.document import extract_document
+from .docwrap import _spread, wrap_html
+
+WARC_EPOCH = datetime(2024, 1, 1)
+_CRLF = b"\r\n"
+_URL_FMT = "https://corpus.example/doc/{}"
+_URL_RE = re.compile(r"/doc/(\d+)$")
+_DOCS_PER_ARCHIVE = 8
+
+
+# ============================================================== writer
+
+def _warc_date(doc_id: int) -> str:
+    t = WARC_EPOCH + timedelta(seconds=int(doc_id))
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(kind: str, url: str) -> str:
+    """Deterministic urn:uuid from the record kind + target URI (no
+    randomness anywhere in the fixture path)."""
+    h = md5(f"{kind}:{url}".encode()).hexdigest()
+    return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-"
+            f"{h[20:32]}>")
+
+
+def _chunk(body: bytes, size: int = 100) -> bytes:
+    """RFC 9112 §7.1 chunked framing: hex-size line, chunk, CRLF,
+    terminated by a zero-size chunk."""
+    out = bytearray()
+    for i in range(0, len(body), size):
+        piece = body[i:i + size]
+        out += f"{len(piece):x}".encode() + _CRLF + piece + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
+def http_response(body: bytes, *, chunked: bool = False,
+                  gzip_body: bool = False,
+                  content_type: str = "text/html; charset=utf-8") -> bytes:
+    """Captured-HTTP-response bytes as a crawler would store them.
+    When both apply, gzip is the CONTENT coding and chunking the
+    TRANSFER coding, so the body is gzipped first, then chunked."""
+    headers = [b"HTTP/1.1 200 OK",
+               b"Content-Type: " + content_type.encode()]
+    if gzip_body:
+        body = gzip.compress(body, mtime=0)
+        headers.append(b"Content-Encoding: gzip")
+    if chunked:
+        headers.append(b"Transfer-Encoding: chunked")
+        body = _chunk(body)
+    else:
+        headers.append(b"Content-Length: " + str(len(body)).encode())
+    return _CRLF.join(headers) + _CRLF + _CRLF + body
+
+
+def warc_record(rtype: str, headers: dict[str, str],
+                payload: bytes) -> bytes:
+    lines = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+    for k, v in headers.items():
+        lines.append(f"{k}: {v}".encode())
+    lines.append(b"Content-Length: " + str(len(payload)).encode())
+    return _CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+
+def build_archive(pages: list[tuple[int, str]],
+                  gzip_members: bool = True) -> bytes:
+    """``pages`` = [(doc_id, text)] → WARC archive bytes: a leading
+    ``warcinfo``, then per page a ``request`` record (readers must
+    skip it), the ``response``, and for ``doc_id % 7 == 0`` a trailing
+    ``metadata`` record.  Transfer variations keyed off ``doc_id``:
+    ``% 3 == 0`` chunked, ``% 5 == 0`` Content-Encoding gzip."""
+    records: list[bytes] = []
+    info = b"software: pdf-extractor-spark warc writer\r\n"
+    records.append(warc_record("warcinfo", {
+        "WARC-Record-ID": _record_id("info", "archive"),
+        "WARC-Date": _warc_date(0),
+        "Content-Type": "application/warc-fields",
+    }, info))
+    for doc_id, text in pages:
+        url = _URL_FMT.format(doc_id)
+        date = _warc_date(doc_id)
+        req = (b"GET /doc/" + str(doc_id).encode() + b" HTTP/1.1\r\n"
+               b"Host: corpus.example\r\n\r\n")
+        records.append(warc_record("request", {
+            "WARC-Record-ID": _record_id("req", url),
+            "WARC-Date": date,
+            "WARC-Target-URI": url,
+            "Content-Type": "application/http; msgtype=request",
+        }, req))
+        payload = http_response(
+            wrap_html(text),
+            chunked=(doc_id % 3 == 0),
+            gzip_body=(doc_id % 5 == 0),
+        )
+        records.append(warc_record("response", {
+            "WARC-Record-ID": _record_id("resp", url),
+            "WARC-Date": date,
+            "WARC-Target-URI": url,
+            "Content-Type": "application/http; msgtype=response",
+        }, payload))
+        if doc_id % 7 == 0:
+            records.append(warc_record("metadata", {
+                "WARC-Record-ID": _record_id("meta", url),
+                "WARC-Date": date,
+                "WARC-Target-URI": url,
+                "Content-Type": "application/warc-fields",
+            }, b"fetchTimeMs: 12\r\n"))
+    if gzip_members:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+# ============================================================== reader
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenate every gzip member (one record per member in the
+    Common-Crawl convention; a whole-file single member also lands
+    here).  A truncated trailing member contributes its decodable
+    prefix — framing recovery mirrors ``extract_document``'s
+    transport-gzip salvage."""
+    out = bytearray()
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(rest)
+        except Exception:
+            break
+        if not d.eof:          # truncated final member: keep prefix
+            break
+        rest = d.unused_data
+    return bytes(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """CRLF (or bare-LF) header block → lowercased-key dict, folding
+    obs-fold continuation lines into the previous value."""
+    headers: dict[str, str] = {}
+    last = None
+    for raw in block.split(b"\n"):
+        line = raw.rstrip(b"\r")
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode(
+                "latin-1")
+            continue
+        k, sep, v = line.partition(b":")
+        if not sep:
+            continue
+        last = k.strip().decode("latin-1").lower()
+        headers[last] = v.strip().decode("latin-1")
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Undo chunked transfer coding; malformed framing degrades to the
+    raw remainder from the failure point (never raises)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            out += body[pos:]
+            break
+        size_tok = body[pos:nl].strip().split(b";")[0]
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            out += body[pos:]
+            break
+        if n == 0:
+            break
+        chunk = body[nl + 1:nl + 1 + n]
+        out += chunk
+        pos = nl + 1 + n
+        if body[pos:pos + 2] == _CRLF:
+            pos += 2
+        elif body[pos:pos + 1] == b"\n":
+            pos += 1
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Archive bytes (plain or per-record-gzip) → list of records:
+    ``{"type", "url", "date", "headers", "payload"}``.  Records are
+    self-delimiting via ``Content-Length``; a record with a missing or
+    unparseable length ends the scan (nothing downstream is
+    trustworthy once framing is lost)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while data[pos:pos + 2] == _CRLF or data[pos:pos + 1] == b"\n":
+            pos += 2 if data[pos:pos + 2] == _CRLF else 1
+        if not data[pos:pos + 5] == b"WARC/":
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        sep = 4
+        if head_end < 0:
+            head_end = data.find(b"\n\n", pos)
+            sep = 2
+        if head_end < 0:
+            break
+        headers = _parse_headers(data[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        payload = data[head_end + sep:head_end + sep + length]
+        records.append({
+            "type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "headers": headers,
+            "payload": payload,
+        })
+        pos = head_end + sep + length
+    return records
+
+
+def normalized_http(payload: bytes) -> bytes:
+    """Captured HTTP response → normalized form for the kernel: the
+    transfer coding (chunking) is undone HERE — it is a wire property
+    the archive preserved — while headers and any Content-Encoding
+    body stay intact so ``extract_document``'s existing charset-hint
+    and gzip-strip paths do their jobs unchanged."""
+    if payload[:5] != b"HTTP/":
+        return payload
+    head_end = payload.find(b"\r\n\r\n")
+    sep = 4
+    if head_end < 0:
+        head_end = payload.find(b"\n\n")
+        sep = 2
+    if head_end < 0:
+        return payload
+    head = payload[:head_end]
+    body = payload[head_end + sep:]
+    headers = _parse_headers(head)
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+        lines = [ln for ln in head.split(b"\n")
+                 if not ln.lower().lstrip().startswith(
+                     b"transfer-encoding")]
+        head = b"\n".join(lines)
+    return head.rstrip(b"\r\n") + _CRLF + _CRLF + body
+
+
+def extract_responses(archive: bytes) -> list[dict]:
+    """Parse an archive and run extraction over every ``response``
+    record (warcinfo/request/metadata records are skipped), returning
+    ``{"doc_id", "warc_ts", "extracted_text"}`` rows."""
+    rows = []
+    for rec in parse_warc(archive):
+        if rec["type"] != "response":
+            continue
+        m = _URL_RE.search(rec["url"])
+        if not m:
+            continue
+        result = extract_document(
+            normalized_http(rec["payload"]), DEFAULT_CONFIG
+        )
+        rows.append({
+            "doc_id": int(m.group(1)),
+            "warc_ts": rec["date"],
+            "extracted_text": result["extracted_text"],
+        })
+    return rows
+
+
+# =========================================================== spark stage
+
+WARC_ROUNDTRIP_SCHEMA = "doc_id long, warc_ts string, extracted_text string"
+
+
+def _warc_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            groups.setdefault(
+                int(doc_id) // _DOCS_PER_ARCHIVE, []
+            ).append((int(doc_id), text))
+        rows: list[dict] = []
+        for gid, pages in groups.items():
+            archive = build_archive(pages, gzip_members=(gid % 2 == 0))
+            rows.extend(extract_responses(archive))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "warc_ts", "extracted_text"]
+        )
+
+
+def warc_roundtrip(docs: DataFrame,
+                   num_partitions: int | None = None) -> DataFrame:
+    """documents → multi-record WARC archives (gzip members, request/
+    metadata records interleaved, chunked + Content-Encoding variants)
+    → parse → extract.  One Arrow stage after the doc-id spread, no
+    shuffle beyond it; per-row output is independent of how rows fall
+    into Arrow batches, because an archive is a pure function of the
+    rows grouped into it and extraction is per-record."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _warc_iter, WARC_ROUNDTRIP_SCHEMA
+    )

@@ -1,0 +1,139 @@
+"""WARC source: record framing, gzip members, HTTP transfer codings,
+salvage behavior, and the Spark roundtrip plan shape."""
+
+from __future__ import annotations
+
+import gzip
+import re
+
+import pytest
+
+from pdf_extractor_spark.sources.warc import (
+    _dechunk,
+    _parse_headers,
+    build_archive,
+    extract_responses,
+    http_response,
+    normalized_http,
+    parse_warc,
+    warc_record,
+)
+
+PAGES = [(i, f"Body text of document {i} with several words.")
+         for i in range(16)]
+
+
+class TestFraming:
+    @pytest.mark.parametrize("gz", [True, False])
+    def test_multi_record_archive_roundtrips(self, gz):
+        arc = build_archive(PAGES, gzip_members=gz)
+        rows = extract_responses(arc)
+        assert [r["doc_id"] for r in rows] == [p[0] for p in PAGES]
+        for (doc_id, text), row in zip(PAGES, rows):
+            assert row["extracted_text"] == text
+
+    def test_non_response_records_are_skipped(self):
+        recs = parse_warc(build_archive(PAGES[:8], gzip_members=False))
+        types = [r["type"] for r in recs]
+        assert types[0] == "warcinfo"
+        assert types.count("request") == 8
+        assert types.count("response") == 8
+        # doc_id 0 and 7 both carry trailing metadata records
+        assert types.count("metadata") == 2
+
+    def test_warc_date_encodes_doc_id_offset(self):
+        rows = extract_responses(build_archive(PAGES))
+        assert rows[0]["warc_ts"] == "2024-01-01T00:00:00Z"
+        assert rows[11]["warc_ts"] == "2024-01-01T00:00:11Z"
+
+    def test_truncated_gzip_archive_salvages_prefix(self):
+        arc = build_archive(PAGES, gzip_members=True)
+        rows = extract_responses(arc[: len(arc) // 2])
+        assert 0 < len(rows) < len(PAGES)
+        for row in rows:  # everything salvaged is still byte-exact
+            assert row["extracted_text"] == PAGES[row["doc_id"]][1]
+
+    def test_bad_content_length_stops_scan(self):
+        good = warc_record("response", {
+            "WARC-Target-URI": "https://corpus.example/doc/1",
+            "WARC-Date": "2024-01-01T00:00:01Z",
+        }, b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi")
+        bad = re.sub(rb"Content-Length: \d+", b"Content-Length: zz",
+                     good, count=1)  # the WARC-level length line
+        assert parse_warc(good + bad) and not parse_warc(bad + good)
+
+    def test_archive_split_is_row_invariant(self):
+        whole = extract_responses(build_archive(PAGES))
+        split = extract_responses(
+            build_archive(PAGES[:5])
+        ) + extract_responses(build_archive(PAGES[5:]))
+        assert sorted(map(str, whole)) == sorted(map(str, split))
+
+
+class TestHttpLayer:
+    def test_chunked_body_dechunks(self):
+        payload = http_response(b"x" * 350, chunked=True)
+        norm = normalized_http(payload)
+        head, _, body = norm.partition(b"\r\n\r\n")
+        assert body == b"x" * 350
+        assert b"transfer-encoding" not in head.lower()
+
+    def test_gzip_content_encoding_survives_normalize(self):
+        payload = http_response(b"<p>hi</p>", gzip_body=True)
+        norm = normalized_http(payload)
+        _, _, body = norm.partition(b"\r\n\r\n")
+        assert gzip.decompress(body) == b"<p>hi</p>"
+
+    def test_chunked_over_gzip_composes(self):
+        # content coding applied first, transfer coding second
+        payload = http_response(b"<p>deep</p>", chunked=True,
+                                gzip_body=True)
+        _, _, body = normalized_http(payload).partition(b"\r\n\r\n")
+        assert gzip.decompress(body) == b"<p>deep</p>"
+
+    def test_dechunk_malformed_degrades_to_raw(self):
+        assert _dechunk(b"nothex\r\nabc") == b"nothex\r\nabc"
+
+    def test_header_folding_and_case(self):
+        h = _parse_headers(
+            b"WARC-Type: response\r\nX-Long: part one\r\n\tpart two\r\n"
+        )
+        assert h["warc-type"] == "response"
+        assert h["x-long"] == "part one part two"
+
+    def test_lf_only_headers_tolerated(self):
+        rec = warc_record("response", {
+            "WARC-Target-URI": "https://corpus.example/doc/2",
+            "WARC-Date": "2024-01-01T00:00:02Z",
+        }, b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nok")
+        assert parse_warc(rec.replace(b"\r\n", b"\n"))[0]["type"] == \
+            "response"
+
+
+class TestSparkStage:
+    def test_roundtrip_matches_documents_text(self, spark):
+        from pdf_extractor_spark.sources.warc import warc_roundtrip
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(40)
+        got = {r.doc_id: (r.warc_ts, r.extracted_text)
+               for r in warc_roundtrip(docs).collect()}
+        for row in docs.collect():
+            ts, text = got[row.doc_id]
+            assert text == row.text
+            assert ts.endswith("Z") and ts.startswith("2024-01-01T")
+
+    def test_plan_single_exchange_single_arrow_stage(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["extract_warc_roundtrip"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        assert plan.count("MapInPandas") == 1
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and set(
+            c.split(":")[0] for c in m.group(1).split(",")
+        ) == {"doc_id", "text"}
