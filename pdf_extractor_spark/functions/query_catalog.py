@@ -2182,6 +2182,27 @@ def _bigram_cost_sql() -> str:
 _BIGRAM_COST_SQL = _bigram_cost_sql()
 
 
+def _dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023): hashed
+    unigram+bigram features priced by a frozen offline target
+    distribution vs the raw corpus, integer likelihood ratios, keep
+    = resample toward the target. One narrow hash map → one bounded
+    bucket aggregate (≤4096 rows, broadcast back) → one doc rollup;
+    text never leaves the scan."""
+    from .dsir import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents"))
+
+
+def _dsir_weights_sql() -> str:
+    from .dsir import duck_dsir_sql
+
+    return duck_dsir_sql()
+
+
+_DSIR_WEIGHTS_SQL = _dsir_weights_sql()
+
+
 def _domain_mix(spark, sf_dir):
     """DoReMi-lite corpus mixing: frozen target shares (bp) → the
     binding token budget (scarcest group), per-group deterministic
@@ -3505,9 +3526,13 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_host_pagerank": QueryDef(
         _host_pagerank, _HOST_PAGERANK_SQL, True
     ),
+    # -------- new this session (round 4, fourth) -------------------------
+    "corpus_dsir_weights": QueryDef(
+        _dsir_weights, _DSIR_WEIGHTS_SQL, True
+    ),
+    # -------- window filler: heaviest-value r3-green entries ------------
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
-    # -------- window filler: heaviest-value r3-green entries ------------
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),
     "ann_ivf_probe": QueryDef(_ann_ivf, _ANN_IVF_SQL, True),
     "sim_embedding_near_dup": QueryDef(
