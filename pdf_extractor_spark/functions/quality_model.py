@@ -151,3 +151,109 @@ FROM (
   FROM {source}
 )
 """
+
+
+# ------------------------------------------------------- quality tiers
+#
+# Tiered sampling (the FineWeb-Edu / DCLM move after classifier
+# scoring): bucket the corpus into quality tiers at FROZEN score
+# boundaries and assign each tier a sampling epoch count; the token
+# budget per tier is what the sampler actually consumes.  Frozen
+# boundaries — not rank quantiles — are the 100 TB-correct shape: the
+# tier label is a scan-local CASE (a global ntile would funnel every
+# row through one ordered partition), so the only shuffle is the
+# final ≤4-row rollup.  Boundaries were calibrated once to the
+# fixture corpus's logit quartiles and frozen, exactly how production
+# pipelines freeze their classifier-score bin edges.
+
+TIER_BOUNDS = (          # (tier, epochs, min logit), descending
+    ("high", 4, -0.35),
+    ("medium", 2, -0.9),
+    ("low", 1, -1.5),
+)
+REJECT_TIER = ("reject", 0)
+
+
+def _tier_case(z: str) -> str:
+    """CASE expression mapping a logit to its tier — identical text
+    in both dialects."""
+    arms = " ".join(
+        f"WHEN ({z}) >= {bound} THEN '{tier}'"
+        for tier, _, bound in TIER_BOUNDS
+    )
+    return f"CASE {arms} ELSE '{REJECT_TIER[0]}' END"
+
+
+def _epochs_case(z: str) -> str:
+    arms = " ".join(
+        f"WHEN ({z}) >= {bound} THEN {epochs}"
+        for _, epochs, bound in TIER_BOUNDS
+    )
+    return f"CASE {arms} ELSE {REJECT_TIER[1]} END"
+
+
+def quality_tiers(docs: DataFrame) -> DataFrame:
+    """Per-tier sampling plan: ``(tier, epochs, n_docs, n_tokens,
+    min_logit, max_logit, budget_tokens)`` with ``budget_tokens =
+    epochs * n_tokens`` — the effective token count the sampler draws
+    from each tier."""
+    z = _logit_expr(_SPARK_FEATURES)
+    scored = (
+        docs.withColumn("toks", F.split(F.col("text"), " "))
+        .withColumn("nt", F.size("toks"))
+        .withColumn("nc", F.length("text"))
+        .select(
+            F.expr(_tier_case(z)).alias("tier"),
+            F.expr(_epochs_case(z)).alias("epochs"),
+            F.col("nt").cast("long").alias("n_tok"),
+            F.round(F.expr(z), 4).alias("logit"),
+        )
+    )
+    return (
+        scored.groupBy("tier", "epochs")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("logit").alias("min_logit"),
+            F.max("logit").alias("max_logit"),
+        )
+        .select(
+            "tier",
+            F.col("epochs").cast("int").alias("epochs"),
+            "n_docs",
+            "n_tokens",
+            "min_logit",
+            "max_logit",
+            (F.col("epochs") * F.col("n_tokens"))
+            .cast("long").alias("budget_tokens"),
+        )
+    )
+
+
+def duck_quality_tiers_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`quality_tiers`."""
+    z = _logit_expr(_DUCK_FEATURES)
+    return f"""
+WITH scored AS (
+  SELECT {_tier_case(z)} AS tier,
+         {_epochs_case(z)} AS epochs,
+         CAST(nt AS BIGINT) AS n_tok,
+         round({z}, 4) AS logit
+  FROM (
+    SELECT doc_id, text,
+           string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS nt,
+           length(text) AS nc
+    FROM {source}
+  )
+)
+SELECT tier,
+       CAST(epochs AS INT) AS epochs,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(logit) AS min_logit,
+       max(logit) AS max_logit,
+       CAST(epochs * sum(n_tok) AS BIGINT) AS budget_tokens
+FROM scored
+GROUP BY tier, epochs
+"""

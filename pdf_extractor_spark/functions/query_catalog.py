@@ -3100,6 +3100,23 @@ from .quality_model import (  # noqa: E402
 _QUALITY_CLASSIFIER_SQL = _duck_qc_sql()
 
 
+def _quality_tiers(spark, sf_dir):
+    """Tiered-sampling plan over the frozen classifier score
+    (functions/quality_model.py): scan-local CASE at frozen bin
+    edges — no global ntile — then one ≤4-row rollup carrying each
+    tier's epoch count and effective token budget."""
+    from .quality_model import quality_tiers
+
+    return quality_tiers(_t(spark, sf_dir, "documents"))
+
+
+from .quality_model import (  # noqa: E402
+    duck_quality_tiers_sql as _duck_qt_sql,
+)
+
+_QUALITY_TIERS_SQL = _duck_qt_sql()
+
+
 def _pack_sequences(spark, sf_dir):
     """Sequence packing for training-batch construction: shard-local
     prefix sums assign each doc to the fixed-budget sequence where it
@@ -3529,6 +3546,9 @@ CATALOG: dict[str, QueryDef] = {
     # -------- new this session (round 4, fourth) -------------------------
     "corpus_dsir_weights": QueryDef(
         _dsir_weights, _DSIR_WEIGHTS_SQL, True
+    ),
+    "corpus_quality_tiers": QueryDef(
+        _quality_tiers, _QUALITY_TIERS_SQL, True
     ),
     # -------- window filler: heaviest-value r3-green entries ------------
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),

@@ -239,3 +239,50 @@ class TestNormalizedDecontam:
         ).collect()[0]
         assert raw.n_hit == 0  # verbatim split(' ') misses the wrap
         assert norm.contaminated and norm.n_hit == 3
+
+
+class TestQualityTiers:
+    def test_tiers_partition_corpus_and_budget_arithmetic(self, spark):
+        from pdf_extractor_spark.functions.quality_model import (
+            TIER_BOUNDS, quality_tiers)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        rows = {r.tier: r for r in quality_tiers(docs).collect()}
+        assert set(rows) == {"high", "medium", "low", "reject"}
+        assert sum(r.n_docs for r in rows.values()) == docs.count()
+        for r in rows.values():
+            assert r.budget_tokens == r.epochs * r.n_tokens
+        assert rows["reject"].epochs == 0
+        # tier score ranges must not overlap and must respect bounds
+        bounds = dict((t, b) for t, _, b in TIER_BOUNDS)
+        assert rows["high"].min_logit >= bounds["high"]
+        assert rows["medium"].max_logit < bounds["high"]
+        assert rows["medium"].min_logit >= bounds["medium"]
+        assert rows["low"].max_logit < bounds["medium"]
+        assert rows["reject"].max_logit < bounds["low"]
+
+    def test_tier_agrees_with_classifier_logit(self, spark):
+        from pdf_extractor_spark.functions.quality_model import (
+            quality_classifier, quality_tiers)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        logits = [r.logit for r in quality_classifier(docs).collect()]
+        high = sum(1 for z in logits if z >= -0.35)
+        got = {r.tier: r.n_docs for r in quality_tiers(docs).collect()}
+        assert got["high"] == high
+
+    def test_scan_local_no_window_single_rollup_exchange(self, spark):
+        import re
+
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_quality_tiers"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "Sort" not in plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
