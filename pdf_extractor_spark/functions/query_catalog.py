@@ -2182,6 +2182,26 @@ def _bigram_cost_sql() -> str:
 _BIGRAM_COST_SQL = _bigram_cost_sql()
 
 
+def _robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt filtering: per-host-profile robots
+    fixtures parsed by the real REP parser (functions/robots.py),
+    longest-match/allow-wins precedence folded into one integer MAX.
+    Broadcast rule join with a LIKE residual; the one exchange
+    carries fixed-width verdict rows; text never read."""
+    from .robots import robots_filter_report
+
+    return robots_filter_report(_t(spark, sf_dir, "documents"))
+
+
+def _robots_filter_sql() -> str:
+    from .robots import duck_robots_sql
+
+    return duck_robots_sql()
+
+
+_ROBOTS_FILTER_SQL = _robots_filter_sql()
+
+
 def _dsir_weights(spark, sf_dir):
     """DSIR importance weighting (Xie et al. 2023): hashed
     unigram+bigram features priced by a frozen offline target
@@ -3507,7 +3527,6 @@ CATALOG: dict[str, QueryDef] = {
     "rollup_returns": QueryDef(_rollup_returns, _ROLLUP_SQL),
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
     # -------- changed this round: keep inside the driver window ---------
-    "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL, True),
     "text_bpe_token_counts": QueryDef(
         _bpe_token_counts, _BPE_COUNTS_SQL, True
     ),
@@ -3530,7 +3549,6 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_audio_decode": QueryDef(
         _multimodal_audio, _MULTIMODAL_AUDIO_SQL
     ),
-    "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
     # -------- new this session (round 4, continued) ----------------------
     "corpus_url_blocklist": QueryDef(
         _url_blocklist, _URL_BLOCKLIST_SQL, True
@@ -3550,7 +3568,15 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_quality_tiers": QueryDef(
         _quality_tiers, _QUALITY_TIERS_SQL, True
     ),
-    # -------- window filler: heaviest-value r3-green entries ------------
+    "corpus_robots_filter": QueryDef(
+        _robots_filter, _ROBOTS_FILTER_SQL, True
+    ),
+    # -------- displaced by the fourth-session additions (all with r3
+    # driver rows; text_pii_scrub and multimodal_resize changed in r4
+    # but carry this session's crosscheck + their unit/golden suites —
+    # the four never-validated new entries outrank them for slots) ----
+    "text_pii_scrub": QueryDef(_pii_scrub, _PII_SCRUB_SQL, True),
+    "multimodal_resize": QueryDef(_multimodal_resize, _MULTIMODAL_RESIZE_SQL),
     "ann_srp_bucketed": QueryDef(_ann_srp, _ANN_SRP_SQL),
     "ann_recall_at_10": QueryDef(_ann_recall, _ANN_RECALL_SQL),
     "ann_cosine_topk": QueryDef(_knn_cosine, _KNN_SQL, True),

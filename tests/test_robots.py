@@ -1,0 +1,97 @@
+"""RFC 9309 robots filtering: parser group semantics, precedence,
+pattern translation, and the broadcast-join plan shape."""
+
+from __future__ import annotations
+
+import re
+
+from pdf_extractor_spark.functions.robots import (
+    ROBOTS_PROFILE_A,
+    parse_robots,
+    pattern_to_like,
+    profile_rules,
+    robots_filter_report,
+    rule_priority,
+)
+
+
+class TestParser:
+    def test_star_group_rules(self):
+        rules = parse_robots(ROBOTS_PROFILE_A)
+        assert ("/private/", False) in rules
+        assert ("/private/published/", True) in rules
+        assert ("/*.tmp$", False) in rules
+
+    def test_specific_agent_group_wins_over_star(self):
+        assert parse_robots(ROBOTS_PROFILE_A, agent="badbot") == [
+            ("/", False)
+        ]
+        assert parse_robots(ROBOTS_PROFILE_A, agent="BadBot") == [
+            ("/", False)
+        ]
+
+    def test_stacked_user_agent_lines_share_one_group(self):
+        txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots(txt, agent="a") == [("/x", False)]
+        assert parse_robots(txt, agent="b") == [("/x", False)]
+
+    def test_rules_before_any_group_are_ignored(self):
+        assert parse_robots("Disallow: /x\nUser-agent: *\nAllow: /\n") \
+            == [("/", True)]
+
+    def test_comments_and_unknown_directives_ignored(self):
+        txt = ("User-agent: *  # everyone\nCrawl-delay: 3\n"
+               "Disallow: /a  # note\n")
+        assert parse_robots(txt) == [("/a", False)]
+
+    def test_empty_pattern_dropped(self):
+        assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+class TestPrecedence:
+    def test_longest_match_wins(self):
+        assert rule_priority("/private/published/", True) > \
+            rule_priority("/private/", False)
+
+    def test_allow_wins_ties(self):
+        assert rule_priority("/a/", True) == \
+            rule_priority("/a/", False) + 1
+
+    def test_like_translation(self):
+        assert pattern_to_like("/*.tmp$") == "/%.tmp"
+        assert pattern_to_like("/private/") == "/private/%"
+        assert pattern_to_like("/50%_off") == "/50\\%\\_off%"
+
+
+class TestSparkStage:
+    def test_verdicts_follow_rfc_semantics(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        got = {r.doc_id: r for r in
+               robots_filter_report(docs).collect()}
+        # profile A (doc_id//7 even): /private blocked, published
+        # subtree re-allowed, *.tmp anchored block, index allowed
+        assert not got[0].allowed          # /private/page0.html
+        assert got[1].allowed              # /private/published/p1.html
+        assert not got[2].allowed          # /files/f2.tmp
+        assert got[4].allowed              # /index4.html
+        # profile B (doc_id//7 odd): closed except /articles/
+        assert not got[9].allowed          # /index9.html
+        assert got[8].allowed              # /articles/a8.html
+        kept = sum(1 for r in got.values() if r.allowed)
+        assert 0 < kept < len(got)
+
+    def test_rule_table_broadcasts_single_verdict_exchange(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_robots_filter"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "text" not in plan.split("ReadSchema:")[1].split(">")[0]
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    def test_rule_table_is_small(self):
+        assert len(profile_rules()) < 32
