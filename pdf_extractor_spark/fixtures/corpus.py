@@ -716,6 +716,47 @@ def _html_gzip() -> bytes:
     return gzip.compress(_html_article(), mtime=0)
 
 
+def _html_warc_capture() -> bytes:
+    """A whole WARC capture as the page payload (crawl dumps emit
+    these): per-record gzip members — warcinfo, request, then the
+    article as a chunked + Content-Encoding:gzip HTTP response, then
+    a DECOY second response that must be ignored (the router unwraps
+    only the first response record)."""
+    import gzip
+
+    from ..sources.warc import http_response, warc_record
+
+    url = "https://fixture.test/html/html-warc-capture"
+    recs = (
+        warc_record("warcinfo", {
+            "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-0000000000f0>",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "Content-Type": "application/warc-fields",
+        }, b"software: fixture writer\r\n"),
+        warc_record("request", {
+            "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-0000000000f1>",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "WARC-Target-URI": url,
+            "Content-Type": "application/http; msgtype=request",
+        }, b"GET /html/html-warc-capture HTTP/1.1\r\n"
+           b"Host: fixture.test\r\n\r\n"),
+        warc_record("response", {
+            "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-0000000000f2>",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "WARC-Target-URI": url,
+            "Content-Type": "application/http; msgtype=response",
+        }, http_response(_html_article(), chunked=True, gzip_body=True)),
+        warc_record("response", {
+            "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-0000000000f3>",
+            "WARC-Date": "2024-01-01T00:00:01Z",
+            "WARC-Target-URI": url + "/decoy",
+            "Content-Type": "application/http; msgtype=response",
+        }, http_response(b"<html><body><p>decoy capture that must "
+                         b"not surface</p></body></html>")),
+    )
+    return b"".join(gzip.compress(r, mtime=0) for r in recs)
+
+
 def _html_article() -> bytes:
     return (
         "<html><head><title>Article</title><style>p{margin:0}</style></head>"
@@ -1156,6 +1197,7 @@ _HTML_CASES = {
     "html-legacy-raw": _html_legacy_raw,
     "html-foreign-embed": _html_foreign_embed,
     "html-ruby-furigana": _html_ruby_furigana,
+    "html-warc-capture": _html_warc_capture,
 }
 
 _CASE_LANG = {
@@ -1193,6 +1235,7 @@ _CASE_LANG = {
     "html-comment-tricks": "en",
     "html-c1-charrefs": "en", "html-legacy-raw": "en",
     "html-foreign-embed": "en", "html-ruby-furigana": "ja",
+    "html-warc-capture": "en",
 }
 
 

@@ -465,6 +465,31 @@ def extract_document(
                     gz_note = ("truncated gzip transport wrapper: "
                                f"{len(partial)} bytes salvaged")
                 # else: not really gzip — grade the raw bytes
+        if payload[:5] == b"WARC/":
+            # a whole WARC capture landed as the page payload (crawl
+            # dumps do this): unwrap the first response record and
+            # re-route — its payload is a full HTTP response, so the
+            # charset-hint / Content-Encoding paths above handle the
+            # rest on the recursive pass. Function-scope import: the
+            # sources layer imports operators at module load, not
+            # vice versa.
+            from ..sources.warc import first_response_http
+
+            inner = first_response_http(payload)
+            if inner is not None:
+                result = extract_document(inner, cfg)
+                result["errors"].append(
+                    {"type": "encoding", "severity": "info", "page": 0,
+                     "message": "warc response record unwrapped"}
+                )
+                for note in (http_note, gz_note):
+                    if note is not None:
+                        result["errors"].append(
+                            {"type": "encoding", "severity": "info",
+                             "page": 0, "message": note}
+                        )
+                return result
+            # no response record → grade the raw bytes below
         if payload[: len(PDF_MAGIC)] == PDF_MAGIC:
             result = extract_pdf_document(payload, cfg)
         else:

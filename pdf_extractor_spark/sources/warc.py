@@ -288,6 +288,17 @@ def normalized_http(payload: bytes) -> bytes:
     return head.rstrip(b"\r\n") + _CRLF + _CRLF + body
 
 
+def first_response_http(archive: bytes) -> bytes | None:
+    """First ``response`` record's normalized HTTP payload, or None
+    when the archive holds no parseable response.  This is the
+    single-document entry point ``extract_document`` routes through
+    when a page payload turns out to be a WARC capture."""
+    for rec in parse_warc(archive):
+        if rec["type"] == "response":
+            return normalized_http(rec["payload"])
+    return None
+
+
 def extract_responses(archive: bytes) -> list[dict]:
     """Parse an archive and run extraction over every ``response``
     record (warcinfo/request/metadata records are skipped), returning

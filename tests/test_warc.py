@@ -137,3 +137,32 @@ class TestSparkStage:
         assert m and set(
             c.split(":")[0] for c in m.group(1).split(",")
         ) == {"doc_id", "text"}
+
+
+class TestDocumentRouting:
+    def test_extract_document_unwraps_first_response_only(self):
+        from pdf_extractor_spark.fixtures.corpus import (
+            _html_article, _html_warc_capture)
+        from pdf_extractor_spark.operators.document import (
+            extract_document)
+
+        rec = extract_document(_html_warc_capture())
+        ref = extract_document(_html_article())
+        assert rec["extracted_text"] == ref["extracted_text"]
+        assert "decoy" not in rec["extracted_text"]
+        msgs = [e["message"] for e in rec["errors"]]
+        assert "warc response record unwrapped" in msgs
+
+    def test_warc_without_response_degrades_gracefully(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document)
+
+        rec = extract_document(
+            warc_record("warcinfo", {
+                "WARC-Date": "2024-01-01T00:00:00Z",
+            }, b"software: x\r\n")
+        )
+        assert isinstance(rec["extracted_text"], str)
+        assert not any(
+            e["severity"] == "critical" for e in rec["errors"]
+        ) or rec["extracted_text"] == ""
