@@ -2182,6 +2182,26 @@ def _bigram_cost_sql() -> str:
 _BIGRAM_COST_SQL = _bigram_cost_sql()
 
 
+def _anchor_text(spark, sf_dir):
+    """Anchor-text corpus construction through the REAL HTML parser
+    (functions/anchors.py): wrap each doc with three absolute
+    outlinks using linkgraph's edge arithmetic, harvest (href, text)
+    in the extraction Arrow pass, roll up per target host. The
+    harvested graph IS the PageRank input graph (pinned by test)."""
+    from .anchors import anchor_text_report
+
+    return anchor_text_report(_t(spark, sf_dir, "documents"))
+
+
+def _anchor_text_sql() -> str:
+    from .anchors import duck_anchor_sql
+
+    return duck_anchor_sql()
+
+
+_ANCHOR_TEXT_SQL = _anchor_text_sql()
+
+
 def _robots_filter(spark, sf_dir):
     """RFC 9309 robots.txt filtering: per-host-profile robots
     fixtures parsed by the real REP parser (functions/robots.py),
@@ -3571,6 +3591,10 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_robots_filter": QueryDef(
         _robots_filter, _ROBOTS_FILTER_SQL, True
     ),
+    # corpus_anchor_text is new this session but the window is full of
+    # never-validated entries — it carries this session's local
+    # crosscheck at both SFs; rotate it into the window next round.
+    "corpus_anchor_text": QueryDef(_anchor_text, _ANCHOR_TEXT_SQL, True),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —

@@ -286,6 +286,9 @@ class _BlockParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
+        self.anchors: list[tuple[str, str]] = []
+        self._a_href: str | None = None
+        self._a_text: list[str] = []
         self._buf: list[str] = []
         self._buf_link = 0
         self._anchor_depth = 0
@@ -354,6 +357,11 @@ class _BlockParser(HTMLParser):
             # forbids nesting) — an unclosed <a> must not mark the
             # rest of the page as link text
             self._anchor_depth = min(self._anchor_depth + 1, 1)
+            self._emit_anchor()
+            for k, v in attrs:
+                if k == "href" and v:
+                    self._a_href = v
+                    break
 
     def handle_endtag(self, tag):
         # implied-end clearing may hang off a NON-skip container's end
@@ -374,6 +382,20 @@ class _BlockParser(HTMLParser):
                 self._heading_depth = max(0, self._heading_depth - 1)
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
+            self._emit_anchor()
+
+    def _emit_anchor(self) -> None:
+        """Close the pending ``<a href=…>``: record (href, collapsed
+        anchor text). Anchors in boilerplate context are KEPT — the
+        anchor-text corpus wants nav/footer links even though the
+        text extractor strips them."""
+        if self._a_href is not None:
+            self.anchors.append((
+                self._a_href,
+                _WS_RE.sub(" ", "".join(self._a_text)).strip(),
+            ))
+        self._a_href = None
+        self._a_text = []
 
     def handle_data(self, data):
         if self._skip_depth:
@@ -381,6 +403,8 @@ class _BlockParser(HTMLParser):
         self._buf.append(data)
         if self._anchor_depth:
             self._buf_link += len(_WS_RE.sub(" ", data).strip())
+            if self._a_href is not None:
+                self._a_text.append(data)
 
     def close(self):
         # html.parser's cdata mode buffers an unterminated raw-text
@@ -397,6 +421,7 @@ class _BlockParser(HTMLParser):
             self.rawdata = ""
             self.handle_data(leftover)
             self.handle_endtag(cdata)
+        self._emit_anchor()  # unterminated <a> at EOF still counts
 
 
 _TAG_START_RE = re.compile(r"<[A-Za-z/]")
@@ -490,6 +515,20 @@ def segment_blocks(
     parser.close()
     parser._flush()
     return parser.blocks
+
+
+def harvest_anchors(
+    html_bytes: bytes, transport_charset: str | None = None
+) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs through the SAME decode + quote-
+    repair + parse pipeline as extraction — the outlink/anchor-corpus
+    surface (boilerplate anchors included; the text extractor's
+    stripping rules don't apply to link harvesting)."""
+    text, _codec = sniff_decode(html_bytes, transport_charset)
+    parser = _BlockParser()
+    parser.feed(repair_unterminated_quotes(text))
+    parser.close()
+    return parser.anchors
 
 
 def classify_blocks(blocks: list[Block], cfg: ExtractConfig) -> list[bool]:
