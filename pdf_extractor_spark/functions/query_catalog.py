@@ -2182,6 +2182,25 @@ def _bigram_cost_sql() -> str:
 _BIGRAM_COST_SQL = _bigram_cost_sql()
 
 
+def _bloom_seen(spark, sf_dir):
+    """Bloom-filter URL seen-set (functions/bloom.py): the crawl
+    admission gate at 10^12 URLs. The filter folds into one ~16 KB
+    map row broadcast to every task; the probe is scan-local forall —
+    nothing shuffles on the probe side."""
+    from .bloom import bloom_seen_report
+
+    return bloom_seen_report(_t(spark, sf_dir, "documents"))
+
+
+def _bloom_seen_sql() -> str:
+    from .bloom import duck_bloom_sql
+
+    return duck_bloom_sql()
+
+
+_BLOOM_SEEN_SQL = _bloom_seen_sql()
+
+
 def _anchor_text(spark, sf_dir):
     """Anchor-text corpus construction through the REAL HTML parser
     (functions/anchors.py): wrap each doc with three absolute
@@ -3595,6 +3614,7 @@ CATALOG: dict[str, QueryDef] = {
     # never-validated entries — it carries this session's local
     # crosscheck at both SFs; rotate it into the window next round.
     "corpus_anchor_text": QueryDef(_anchor_text, _ANCHOR_TEXT_SQL, True),
+    "corpus_bloom_seen": QueryDef(_bloom_seen, _BLOOM_SEEN_SQL, True),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —
