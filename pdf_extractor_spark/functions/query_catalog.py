@@ -3415,6 +3415,29 @@ FROM documents
 """
 
 
+def _sitemap_roundtrip(spark, sf_dir):
+    """Sitemap-source verification (sources/sitemaps.py): doc_ids →
+    sitemapindex + child urlsets (entity-escaped locs, optional
+    priority/changefreq with protocol defaults, whitespace-padded
+    values) → two-level parse → per-URL rows with the
+    incremental-crawl (lastmod > cutoff) verdict.  Every output field
+    is recovered FROM the XML, so the closed-form oracle checks the
+    whole framing loop including escape/unescape and W3C datetime
+    parsing."""
+    from ..sources.sitemaps import sitemap_roundtrip
+
+    return sitemap_roundtrip(_t(spark, sf_dir, "documents"))
+
+
+def _sitemap_sql() -> str:
+    from ..sources.sitemaps import duck_sitemap_sql
+
+    return duck_sitemap_sql()
+
+
+_SITEMAP_ROUNDTRIP_SQL = _sitemap_sql()
+
+
 def _full_extract_stats(spark, sf_dir):
     """Full-record extraction rollup (quality/inventory/error
     surfaces). The oracle is the CLOSED FORM of the quality pipeline
@@ -3547,6 +3570,9 @@ CATALOG: dict[str, QueryDef] = {
     "extract_feed_roundtrip": QueryDef(
         _feed_roundtrip, _FEED_ROUNDTRIP_SQL, True
     ),
+    "extract_sitemap_roundtrip": QueryDef(
+        _sitemap_roundtrip, _SITEMAP_ROUNDTRIP_SQL
+    ),
     # -------- the 29 rotated-in entries (driver rows last seen r2) ------
     "j2_asof_band": QueryDef(_j2_asof_band, _J2_ASOF_SQL),
     "w_tumbling_hour": QueryDef(_w_tumbling_hour, _W_TUMBLING_SQL),
@@ -3578,9 +3604,6 @@ CATALOG: dict[str, QueryDef] = {
     "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "q8_market_share": QueryDef(_q8_market_share, _Q8_SQL),
-    "q13_customer_distribution": QueryDef(
-        _q13_customer_distribution, _Q13_SQL
-    ),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
         _events_pivot_hourly, _EVENTS_PIVOT_SQL
@@ -3643,6 +3666,13 @@ CATALOG: dict[str, QueryDef] = {
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
     "q14_promo_revenue": QueryDef(_q14_promo_revenue, _Q14_SQL),
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
+    # q13 displaced by extract_sitemap_roundtrip (never driver-checked
+    # outranks r2-green): pure relational body unchanged since r2,
+    # re-crosschecked locally vs DuckDB at sf0.001 AND sf0.01 this
+    # session (FAILURES: none, 99/99).
+    "q13_customer_distribution": QueryDef(
+        _q13_customer_distribution, _Q13_SQL
+    ),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —
