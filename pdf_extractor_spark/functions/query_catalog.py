@@ -2201,6 +2201,29 @@ def _bloom_seen_sql() -> str:
 _BLOOM_SEEN_SQL = _bloom_seen_sql()
 
 
+def _crawl_frontier(spark, sf_dir):
+    """Crawl-frontier batch selection (functions/frontier.py):
+    outlink candidate generation (narrow map + explode, ids only),
+    candidate dedup with in-degree (one partially-aggregable
+    groupBy), seen-set broadcast anti semantics, RFC 9309 robots
+    admission via the real parsed rule table, and a per-host
+    politeness cap (row_number window, K=3). Every candidate row
+    carries its verdicts, so the oracle gates the whole admission
+    pipeline."""
+    from .frontier import frontier_batch
+
+    return frontier_batch(_t(spark, sf_dir, "documents"))
+
+
+def _crawl_frontier_sql() -> str:
+    from .frontier import duck_frontier_sql
+
+    return duck_frontier_sql()
+
+
+_CRAWL_FRONTIER_SQL = _crawl_frontier_sql()
+
+
 def _anchor_text(spark, sf_dir):
     """Anchor-text corpus construction through the REAL HTML parser
     (functions/anchors.py): wrap each doc with three absolute
@@ -3608,7 +3631,6 @@ CATALOG: dict[str, QueryDef] = {
     "events_pivot_hourly": QueryDef(
         _events_pivot_hourly, _EVENTS_PIVOT_SQL
     ),
-    "rollup_returns": QueryDef(_rollup_returns, _ROLLUP_SQL),
     # -------- changed this round: keep inside the driver window ---------
     "text_bpe_token_counts": QueryDef(
         _bpe_token_counts, _BPE_COUNTS_SQL, True
@@ -3656,6 +3678,10 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_anchor_text": QueryDef(_anchor_text, _ANCHOR_TEXT_SQL, True),
     "corpus_bloom_seen": QueryDef(_bloom_seen, _BLOOM_SEEN_SQL, True),
+    # -------- new this session (round 4, fifth) --------------------------
+    "corpus_crawl_frontier": QueryDef(
+        _crawl_frontier, _CRAWL_FRONTIER_SQL, True
+    ),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3666,13 +3692,15 @@ CATALOG: dict[str, QueryDef] = {
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
     "q14_promo_revenue": QueryDef(_q14_promo_revenue, _Q14_SQL),
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
-    # q13 displaced by extract_sitemap_roundtrip (never driver-checked
-    # outranks r2-green): pure relational body unchanged since r2,
-    # re-crosschecked locally vs DuckDB at sf0.001 AND sf0.01 this
-    # session (FAILURES: none, 99/99).
+    # q13 / rollup_returns displaced by extract_sitemap_roundtrip and
+    # corpus_crawl_frontier (never driver-checked outranks r2-green):
+    # pure relational bodies unchanged since r2, re-crosschecked
+    # locally vs DuckDB at sf0.001 AND sf0.01 this session
+    # (FAILURES: none, 99/99).
     "q13_customer_distribution": QueryDef(
         _q13_customer_distribution, _Q13_SQL
     ),
+    "rollup_returns": QueryDef(_rollup_returns, _ROLLUP_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —

@@ -1,0 +1,95 @@
+"""Crawl-frontier batch selection: admission semantics, politeness
+cap, rank determinism, and the single-pass plan shape."""
+
+from __future__ import annotations
+
+import re
+
+from pdf_extractor_spark.functions.frontier import (
+    ID_SPACE,
+    POLITENESS_K,
+    PREV_MULT,
+    frontier_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return frontier_batch(docs).collect(), docs
+
+
+class TestSemantics:
+    def test_selected_rows_are_admitted_and_capped(self, spark):
+        rows, _ = _rows(spark)
+        per_host: dict[str, int] = {}
+        for r in rows:
+            if r.selected:
+                assert not r.seen and r.allowed
+                assert 1 <= r.rk <= POLITENESS_K
+                host = r.url.split("/")[0]
+                per_host[host] = per_host.get(host, 0) + 1
+        assert per_host, "no rows selected — fixture degenerate"
+        assert max(per_host.values()) <= POLITENESS_K
+
+    def test_rejected_rows_carry_their_verdicts(self, spark):
+        rows, _ = _rows(spark)
+        assert any(r.seen for r in rows), "seen-set never fired"
+        assert any(not r.allowed for r in rows), "robots never fired"
+        for r in rows:
+            if r.seen or not r.allowed:
+                assert r.rk == -1 and not r.selected
+
+    def test_admitted_ranks_are_dense_per_host(self, spark):
+        rows, _ = _rows(spark)
+        by_host: dict[str, list[int]] = {}
+        for r in rows:
+            if r.rk != -1:
+                host = r.url.split("/")[0]
+                by_host.setdefault(host, []).append(r.rk)
+        for host, rks in by_host.items():
+            assert sorted(rks) == list(range(1, len(rks) + 1)), host
+
+    def test_seen_matches_prev_snapshot_arithmetic(self, spark):
+        rows, docs = _rows(spark)
+        prev = {
+            (r.doc_id * PREV_MULT) % ID_SPACE
+            for r in docs.select("doc_id").collect()
+            if r.doc_id % 3 == 0
+        }
+        for r in rows:
+            assert r.seen == (r.cand_id in prev)
+
+    def test_ranking_prefers_higher_in_degree(self, spark):
+        rows, _ = _rows(spark)
+        by_host: dict[str, list] = {}
+        for r in rows:
+            if r.rk != -1:
+                by_host.setdefault(r.url.split("/")[0], []).append(r)
+        checked = 0
+        for rs in by_host.values():
+            rs.sort(key=lambda r: r.rk)
+            for a, b in zip(rs, rs[1:]):
+                assert (a.n_proposers, -a.cand_id) >= (
+                    b.n_proposers, -b.cand_id
+                )
+                checked += 1
+        assert checked > 0
+
+
+class TestPlan:
+    def test_single_pass_no_self_join(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_crawl_frontier"].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # two doc_id-only corpus scans (candidates + prev snapshot),
+        # both joins broadcast, no verdict-subplan recomputation
+        assert len(re.findall(r"ReadSchema: struct<", plan)) == 2
+        assert set(re.findall(r"ReadSchema: struct<([^>]*)>", plan)) \
+            == {"doc_id:bigint"}
+        assert plan.count("BroadcastHashJoin") == 2
+        assert plan.count("SortMergeJoin") == 0
+        assert plan.count("CartesianProduct") == 0
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
