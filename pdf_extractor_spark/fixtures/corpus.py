@@ -1133,6 +1133,93 @@ def _html_comment_tricks() -> bytes:
     ).encode()
 
 
+def _html_template_tag() -> bytes:
+    """<template> contents live in a separate tree per WHATWG §4.12.2
+    and must never reach the text layer — including a nested template
+    and template-wrapped markup that would otherwise score as a
+    content block."""
+    return (
+        "<html><body>"
+        "<p>Client-side rendered pages ship their row markup inside "
+        "template elements, and an extractor that walks them inflates "
+        "the document with phantom list entries nobody ever saw.</p>"
+        "<template id='row'><li class='item'>phantom row text that "
+        "must never render</li><template><p>nested template content "
+        "is doubly inert per the content model</p></template>"
+        "</template>"
+        "<p>The visible conclusion paragraph confirms the template "
+        "subtree was skipped whole while ordinary prose on either "
+        "side extracts with stable offsets.</p>"
+        "</body></html>"
+    ).encode()
+
+
+def _html_form_controls() -> bytes:
+    """Form controls are UI, not content: textarea payload (RCDATA —
+    markup inside is literal text, not tags, so an unclosed-looking
+    </p> inside must not derail the tree), select/option lists, and
+    button labels all stay out of the extracted text."""
+    return (
+        "<html><body>"
+        "<p>Comment forms trail most articles, and their draft "
+        "placeholders read like prose to a naive extractor, which is "
+        "exactly how boilerplate contaminates a training corpus.</p>"
+        "<form action='/submit'>"
+        "<textarea name='draft'>Write your reply here... "
+        "&lt;b&gt;bold&lt;/b&gt; allowed </textarea>"
+        "<select name='topic'><option>General feedback</option>"
+        "<option selected>Bug report</option></select>"
+        "<input type='text' value='prefilled search terms'>"
+        "<button type='submit'>Post the comment now</button>"
+        "</form>"
+        "<p>Prose resumes after the form and must extract as the "
+        "immediately following block with nothing from any control "
+        "leaking in between.</p>"
+        "</body></html>"
+    ).encode()
+
+
+def _html_surrogate_charrefs() -> bytes:
+    """Numeric references outside scalar-value range: surrogate halves
+    (&#xD83D;), beyond-max (&#x110000;) and the null ref map to
+    U+FFFD per WHATWG §13.2.5.80, and the encoding scrub then drops
+    the replacement character (P11 policy) — while a VALID astral
+    reference (&#x1F603;, outside the BMP) must survive both."""
+    return (
+        "<html><body>"
+        "<p>Broken exporters emit lone surrogate refs like &#xD83D; "
+        "mid-sentence and beyond-range refs like &#x110000; where an "
+        "emoji stood, and the sentence around them must still read "
+        "cleanly after the scrub removes the damage markers.</p>"
+        "<p>A valid astral smiley &#x1F603; in running prose proves "
+        "the scrub distinguishes damage from genuine supplementary-"
+        "plane characters that web text uses constantly today.</p>"
+        "</body></html>"
+    ).encode()
+
+
+def _html_downlevel_revealed() -> bytes:
+    """Downlevel-REVEALED conditional sections: <![if !IE]> is not a
+    comment (WHATWG parses it as a bogus comment token and drops only
+    the marker), so the enclosed markup IS visible content — the
+    mirror case of html-comment-tricks' downlevel-hidden block."""
+    return (
+        "<html><body>"
+        "<p>Pages written for the IE era wrapped their standards-mode "
+        "markup in revealed conditional sections, and that content "
+        "rendered for every other browser that ever loaded them.</p>"
+        "<![if !IE]>"
+        "<p>This revealed paragraph is real visible content because "
+        "the downlevel-revealed markers are bogus comments that drop "
+        "out while their enclosed markup stays in the tree.</p>"
+        "<![endif]>"
+        "<p>The closing paragraph after the endif marker extracts "
+        "normally, confirming the marker itself left no residue in "
+        "the text layer.</p>"
+        "</body></html>"
+    ).encode()
+
+
 _PDF_CASES = {
     "pdf-single-col": _pdf_single_col,
     "pdf-two-col": _pdf_two_col,
@@ -1198,6 +1285,10 @@ _HTML_CASES = {
     "html-foreign-embed": _html_foreign_embed,
     "html-ruby-furigana": _html_ruby_furigana,
     "html-warc-capture": _html_warc_capture,
+    "html-template-tag": _html_template_tag,
+    "html-form-controls": _html_form_controls,
+    "html-surrogate-charrefs": _html_surrogate_charrefs,
+    "html-downlevel-revealed": _html_downlevel_revealed,
 }
 
 _CASE_LANG = {
@@ -1236,6 +1327,10 @@ _CASE_LANG = {
     "html-c1-charrefs": "en", "html-legacy-raw": "en",
     "html-foreign-embed": "en", "html-ruby-furigana": "ja",
     "html-warc-capture": "en",
+    "html-template-tag": "en",
+    "html-form-controls": "en",
+    "html-surrogate-charrefs": "en",
+    "html-downlevel-revealed": "en",
 }
 
 
