@@ -164,8 +164,6 @@ def band_keys_python(
     distinct shingle ~10×), so hashing each DISTINCT shingle once per
     Arrow batch removes most of the hashlib calls. Memoization cannot
     change output — the hash is a pure function of the shingle."""
-    import numpy as np
-
     keys, _sh = band_keys_and_hashes(text, _memo)
     return keys
 

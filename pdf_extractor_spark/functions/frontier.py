@@ -51,37 +51,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .robots import profile_rules
+from .robots import (
+    DUCK_HOST_T as _HOST_T,
+    DUCK_PATH_T as _PATH_T,
+    DUCK_PROFILE_T as _PROFILE_T,
+    SPARK_HOST_T as _SPARK_HOST_T,
+    SPARK_PATH_T as _SPARK_PATH_T,
+    SPARK_PROFILE_T as _SPARK_PROFILE_T,
+    profile_rules,
+)
 
 ID_SPACE = 2_000        # candidate-id space (dense at every SF)
 PREV_MULT = 53          # previous-snapshot id arithmetic
 CAND_PRIMES = (131, 197, 277)  # same family as linkgraph edges
 POLITENESS_K = 3        # max picks per host per batch
 
-# candidate URL family — the robots fixture family over cand_id, so
-# profile A/B rules genuinely admit/reject shapes ({c} = id column)
-_HOST_T = "'site' || CAST(({c} // 7) % 20 AS VARCHAR) || '.example'"
-_SPARK_HOST_T = ("concat('site', cast(pmod({c} div 7, 20) as string),"
-                 " '.example')")
-_PROFILE_T = "CAST(({c} // 7) % 2 AS INT)"
-_SPARK_PROFILE_T = "cast(pmod({c} div 7, 2) as int)"
-_PATH_T = (
-    "CASE {c} % 5 "
-    "WHEN 0 THEN '/private/page' || CAST({c} AS VARCHAR) || '.html' "
-    "WHEN 1 THEN '/private/published/p' || CAST({c} AS VARCHAR) || '.html' "
-    "WHEN 2 THEN '/files/f' || CAST({c} AS VARCHAR) || '.tmp' "
-    "WHEN 3 THEN '/articles/a' || CAST({c} AS VARCHAR) || '.html' "
-    "ELSE '/index' || CAST({c} AS VARCHAR) || '.html' END"
-)
-_SPARK_PATH_T = (
-    "CASE pmod({c}, 5) "
-    "WHEN 0 THEN concat('/private/page', cast({c} as string), '.html') "
-    "WHEN 1 THEN concat('/private/published/p', cast({c} as string), "
-    "'.html') "
-    "WHEN 2 THEN concat('/files/f', cast({c} as string), '.tmp') "
-    "WHEN 3 THEN concat('/articles/a', cast({c} as string), '.html') "
-    "ELSE concat('/index', cast({c} as string), '.html') END"
-)
+# candidate URL family = the robots fixture family instantiated over
+# cand_id (robots.py owns the {c} templates), so profile A/B rules
+# genuinely admit/reject shapes and the two oracles cannot drift
 
 
 def _cand_expr() -> str:
@@ -104,10 +91,7 @@ def frontier_batch(docs: DataFrame) -> DataFrame:
             F.explode(F.expr(_cand_expr())).alias("cand_id"),
         )
         .groupBy("cand_id")
-        .agg(
-            F.count("*").alias("n_proposers"),
-            F.min("doc_id").alias("discoverer"),
-        )
+        .agg(F.count("*").alias("n_proposers"))
     )
 
     prev = (
@@ -124,7 +108,7 @@ def frontier_batch(docs: DataFrame) -> DataFrame:
             "left",
         )
         .select(
-            "cand_id", "n_proposers", "discoverer",
+            "cand_id", "n_proposers",
             F.col("prev_id").isNotNull().alias("seen"),
             F.expr(_SPARK_HOST_T.format(c="cand_id")).alias("host"),
             F.expr(_SPARK_PROFILE_T.format(c="cand_id")).alias("profile"),
@@ -209,7 +193,8 @@ verdict AS (
          coalesce(max(r.priority) % 2 = 1, TRUE) AS allowed
   FROM feat f
   LEFT JOIN rules r
-    ON f.profile = r.profile AND f.path LIKE r.like_pattern
+    ON f.profile = r.profile
+   AND f.path LIKE r.like_pattern ESCAPE '\\'
   GROUP BY 1, 2, 3, 4, 5
 ),
 numbered AS (

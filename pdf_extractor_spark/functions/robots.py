@@ -71,10 +71,15 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
             in_agent_run = False
     if cur_agents:
         groups.append((cur_agents, cur_rules))
+    # RFC 9309 §2.2.1: when more than one group matches the agent,
+    # their rules MUST be combined into one group before evaluation —
+    # a second "User-agent: *" stanza adds rules, it is not shadowed
+    # by the first. The specific agent still beats the "*" fallback.
     for want in (agent.lower(), "*"):
-        for agents, rules in groups:
-            if want in agents:
-                return rules
+        combined = [r for agents, rules in groups
+                    if want in agents for r in rules]
+        if any(want in agents for agents, _ in groups):
+            return combined
     return []
 
 
@@ -145,30 +150,42 @@ def profile_rules() -> list[tuple[int, str, int]]:
 
 # ----------------------------------------------- synthesized crawl URLs
 #
-# host profile = (doc_id div 7) % 2, five path shapes in rotation —
-# same expression family as blocklist.synth_block_url.
+# host profile = ({c} div 7) % 2, five path shapes in rotation — same
+# expression family as blocklist.synth_block_url.  The ``{c}``
+# templates are the single source of truth: this module instantiates
+# them over doc_id, functions/frontier.py over its candidate ids —
+# one definition, both dialects, no drift between the two oracles.
 
-SPARK_HOST = "concat('site', cast(pmod(doc_id div 7, 20) as string), '.example')"
-SPARK_PROFILE = "cast(pmod(doc_id div 7, 2) as int)"
-SPARK_PATH = (
-    "CASE pmod(doc_id, 5) "
-    "WHEN 0 THEN concat('/private/page', cast(doc_id as string), '.html') "
-    "WHEN 1 THEN concat('/private/published/p', cast(doc_id as string), '.html') "
-    "WHEN 2 THEN concat('/files/f', cast(doc_id as string), '.tmp') "
-    "WHEN 3 THEN concat('/articles/a', cast(doc_id as string), '.html') "
-    "ELSE concat('/index', cast(doc_id as string), '.html') END"
+SPARK_HOST_T = ("concat('site', cast(pmod({c} div 7, 20) as string),"
+                " '.example')")
+SPARK_PROFILE_T = "cast(pmod({c} div 7, 2) as int)"
+SPARK_PATH_T = (
+    "CASE pmod({c}, 5) "
+    "WHEN 0 THEN concat('/private/page', cast({c} as string), '.html') "
+    "WHEN 1 THEN concat('/private/published/p', cast({c} as string), "
+    "'.html') "
+    "WHEN 2 THEN concat('/files/f', cast({c} as string), '.tmp') "
+    "WHEN 3 THEN concat('/articles/a', cast({c} as string), '.html') "
+    "ELSE concat('/index', cast({c} as string), '.html') END"
 )
 
-DUCK_HOST = "'site' || CAST((doc_id // 7) % 20 AS VARCHAR) || '.example'"
-DUCK_PROFILE = "CAST((doc_id // 7) % 2 AS INT)"
-DUCK_PATH = (
-    "CASE doc_id % 5 "
-    "WHEN 0 THEN '/private/page' || CAST(doc_id AS VARCHAR) || '.html' "
-    "WHEN 1 THEN '/private/published/p' || CAST(doc_id AS VARCHAR) || '.html' "
-    "WHEN 2 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.tmp' "
-    "WHEN 3 THEN '/articles/a' || CAST(doc_id AS VARCHAR) || '.html' "
-    "ELSE '/index' || CAST(doc_id AS VARCHAR) || '.html' END"
+DUCK_HOST_T = "'site' || CAST(({c} // 7) % 20 AS VARCHAR) || '.example'"
+DUCK_PROFILE_T = "CAST(({c} // 7) % 2 AS INT)"
+DUCK_PATH_T = (
+    "CASE {c} % 5 "
+    "WHEN 0 THEN '/private/page' || CAST({c} AS VARCHAR) || '.html' "
+    "WHEN 1 THEN '/private/published/p' || CAST({c} AS VARCHAR) || '.html' "
+    "WHEN 2 THEN '/files/f' || CAST({c} AS VARCHAR) || '.tmp' "
+    "WHEN 3 THEN '/articles/a' || CAST({c} AS VARCHAR) || '.html' "
+    "ELSE '/index' || CAST({c} AS VARCHAR) || '.html' END"
 )
+
+SPARK_HOST = SPARK_HOST_T.format(c="doc_id")
+SPARK_PROFILE = SPARK_PROFILE_T.format(c="doc_id")
+SPARK_PATH = SPARK_PATH_T.format(c="doc_id")
+DUCK_HOST = DUCK_HOST_T.format(c="doc_id")
+DUCK_PROFILE = DUCK_PROFILE_T.format(c="doc_id")
+DUCK_PATH = DUCK_PATH_T.format(c="doc_id")
 
 
 # ------------------------------------------------------- spark stage

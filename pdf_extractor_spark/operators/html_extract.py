@@ -353,6 +353,12 @@ class _BlockParser(HTMLParser):
             if tag in _HEADING_TAGS:
                 self._heading_depth += 1
         if tag == "a":
+            # anchors inside skip subtrees (template contents, select,
+            # head, …) are as inert as their text — recording the href
+            # while handle_data stays gated would emit phantom
+            # empty-text links into the anchor corpus
+            if self._skip_depth:
+                return
             # a new anchor implies closing an unterminated one (HTML5
             # forbids nesting) — an unclosed <a> must not mark the
             # rest of the page as link text

@@ -121,13 +121,19 @@ _ITEM_RE = re.compile(rb"<(item|entry)[\s>].*?</\1>", re.DOTALL)
 _CDATA_RE = re.compile(rb"<!\[CDATA\[(.*?)]]>", re.DOTALL)
 
 
-def _field(block: bytes, tag: str) -> bytes | None:
+def tag_field(block: bytes, tag: str) -> bytes | None:
+    """First ``<tag…>…</tag>`` content in ``block`` (shared by the
+    feed and sitemap readers — one tag-scanner, one set of edge-case
+    fixes)."""
     m = re.search(
         rb"<" + tag.encode() + rb"(?:\s[^>]*)?>(.*?)</"
         + tag.encode() + rb">",
         block, re.DOTALL,
     )
     return m.group(1) if m else None
+
+
+_field = tag_field
 
 
 def _attr_link(block: bytes) -> bytes | None:
@@ -188,18 +194,31 @@ def extract_items(feed: bytes) -> list[dict]:
     return rows
 
 
+_RFC822_RE = re.compile(
+    r"^(?:%s), (\d{2}) (%s) (\d{4}) (\d{2}):(\d{2}):(\d{2}) GMT$"
+    % ("|".join(_WDAYS), "|".join(_MONTHS))
+)
+
+
 def _date_offset(date: str) -> int:
     """Either date format → seconds since FEED_EPOCH (-1 when
-    unparseable, loud in the oracle)."""
-    for fmt in ("%a, %d %b %Y %H:%M:%S GMT", "%Y-%m-%dT%H:%M:%SZ"):
-        try:
-            return int(
-                (datetime.strptime(date, fmt) - FEED_EPOCH)
-                .total_seconds()
-            )
-        except ValueError:
-            continue
-    return -1
+    unparseable, loud in the oracle).  The RFC 822 form is matched
+    against the module's own name tables, NOT strptime %a/%b —
+    strptime is locale-dependent and would reject English names
+    under a non-English LC_TIME set by an embedding application."""
+    m = _RFC822_RE.match(date)
+    if m:
+        day, mon, year, hh, mm, ss = m.groups()
+        parsed = datetime(int(year), _MONTHS.index(mon) + 1,
+                          int(day), int(hh), int(mm), int(ss))
+        return int((parsed - FEED_EPOCH).total_seconds())
+    try:
+        return int(
+            (datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+             - FEED_EPOCH).total_seconds()
+        )
+    except ValueError:
+        return -1
 
 
 # =========================================================== spark stage

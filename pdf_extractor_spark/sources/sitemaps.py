@@ -51,6 +51,8 @@ from datetime import datetime, timedelta
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .feeds import tag_field
+
 SITEMAP_EPOCH = datetime(2024, 1, 1)
 _URLS_PER_MAP = 8
 _MAPS_PER_INDEX = 4
@@ -152,14 +154,12 @@ _URL_ENTRY_RE = re.compile(rb"<url[\s>].*?</url>", re.DOTALL)
 
 
 def _field(block: bytes, tag: str) -> str | None:
-    m = re.search(
-        rb"<" + tag.encode() + rb"(?:\s[^>]*)?>(.*?)</"
-        + tag.encode() + rb">",
-        block, re.DOTALL,
-    )
-    if m is None:
+    """:func:`feeds.tag_field` with sitemap value conventions applied
+    (insignificant whitespace stripped, UTF-8 decode)."""
+    raw = tag_field(block, tag)
+    if raw is None:
         return None
-    return m.group(1).strip().decode("utf-8", "replace")
+    return raw.strip().decode("utf-8", "replace")
 
 
 def parse_urlset(data: bytes) -> list[dict]:

@@ -172,6 +172,22 @@ def _gunzip_members(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _header_end(data: bytes, pos: int) -> tuple[int, int]:
+    """(offset, separator width) of the EARLIEST blank line ending a
+    header block — CRLF-CRLF or bare LF-LF, whichever comes first.
+    Checking CRLF first without comparing offsets would let an
+    LF-terminated header block followed by a CRLF payload split at a
+    blank line INSIDE the payload, absorbing the payload's headers
+    (and their Content-Length) into the record's."""
+    crlf = data.find(b"\r\n\r\n", pos)
+    lf = data.find(b"\n\n", pos)
+    if crlf >= 0 and (lf < 0 or crlf < lf):
+        return crlf, 4
+    if lf >= 0:
+        return lf, 2
+    return -1, 0
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     """CRLF (or bare-LF) header block → lowercased-key dict, folding
     obs-fold continuation lines into the previous value."""
@@ -237,11 +253,7 @@ def parse_warc(data: bytes) -> list[dict]:
             pos += 2 if data[pos:pos + 2] == _CRLF else 1
         if not data[pos:pos + 5] == b"WARC/":
             break
-        head_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if head_end < 0:
-            head_end = data.find(b"\n\n", pos)
-            sep = 2
+        head_end, sep = _header_end(data, pos)
         if head_end < 0:
             break
         headers = _parse_headers(data[pos:head_end])
@@ -269,11 +281,7 @@ def normalized_http(payload: bytes) -> bytes:
     and gzip-strip paths do their jobs unchanged."""
     if payload[:5] != b"HTTP/":
         return payload
-    head_end = payload.find(b"\r\n\r\n")
-    sep = 4
-    if head_end < 0:
-        head_end = payload.find(b"\n\n")
-        sep = 2
+    head_end, sep = _header_end(payload, 0)
     if head_end < 0:
         return payload
     head = payload[:head_end]

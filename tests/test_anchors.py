@@ -88,3 +88,27 @@ class TestOperator:
             # the harvested (small) string and is fine to ship
             assert not re.search(r"\btext#", keys)
             assert "html" not in keys
+
+
+class TestSkipSubtreeAnchors:
+    def test_anchors_inside_inert_subtrees_not_harvested(self):
+        # review regression: <a href> inside template/select/head was
+        # recorded with empty text — phantom rows in the link graph
+        from pdf_extractor_spark.operators.html_extract import (
+            harvest_anchors,
+        )
+
+        html = (
+            b"<html><head><a href='https://p.example/h'>x</a></head>"
+            b"<body>"
+            b"<template><a href='https://p.example/t'>tpl</a>"
+            b"</template>"
+            b"<select><a href='https://p.example/s'>sel</a></select>"
+            b"<p>Real prose <a href='https://p.example/ok'>kept link"
+            b"</a> continues.</p>"
+            b"</body></html>"
+        )
+        anchors = harvest_anchors(html)
+        hrefs = [h for h, _t in anchors]
+        assert hrefs == ["https://p.example/ok"]
+        assert anchors[0][1] == "kept link"

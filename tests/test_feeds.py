@@ -111,3 +111,30 @@ class TestSparkStage:
         assert m and set(
             c.split(":")[0] for c in m.group(1).split(",")
         ) == {"doc_id", "text"}
+
+
+class TestLocaleIndependence:
+    def test_rfc822_parse_uses_module_tables_not_strptime(self):
+        # review regression: strptime %a/%b is locale-dependent and
+        # rejects English names under a non-English LC_TIME
+        import locale
+
+        from pdf_extractor_spark.sources.feeds import (
+            _date_offset, rfc822_date)
+
+        assert _date_offset(rfc822_date(3661)) == 3661
+        for cand in ("de_DE.UTF-8", "fr_FR.UTF-8", "ja_JP.UTF-8"):
+            try:
+                old = locale.setlocale(locale.LC_TIME, cand)
+            except locale.Error:
+                continue
+            try:
+                assert _date_offset(rfc822_date(42)) == 42
+            finally:
+                locale.setlocale(locale.LC_TIME, "C")
+            break
+
+    def test_garbled_weekday_is_loud(self):
+        from pdf_extractor_spark.sources.feeds import _date_offset
+
+        assert _date_offset("Xxx, 01 Jan 2024 00:00:00 GMT") == -1

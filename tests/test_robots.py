@@ -95,3 +95,30 @@ class TestSparkStage:
 
     def test_rule_table_is_small(self):
         assert len(profile_rules()) < 32
+
+
+class TestGroupCombining:
+    def test_multiple_matching_groups_combine(self):
+        # RFC 9309 §2.2.1 review regression: two `User-agent: *`
+        # stanzas must merge — the second group's rules were ignored
+        from pdf_extractor_spark.functions.robots import parse_robots
+
+        text = (
+            "User-agent: *\nDisallow: /a\n\n"
+            "User-agent: other\nDisallow: /x\n\n"
+            "User-agent: *\nDisallow: /b\n"
+        )
+        rules = parse_robots(text)
+        assert ("/a", False) in rules and ("/b", False) in rules
+        assert ("/x", False) not in rules
+
+    def test_specific_agent_combines_only_its_groups(self):
+        from pdf_extractor_spark.functions.robots import parse_robots
+
+        text = (
+            "User-agent: bot\nDisallow: /one\n\n"
+            "User-agent: *\nDisallow: /star\n\n"
+            "User-agent: bot\nAllow: /two\n"
+        )
+        rules = parse_robots(text, agent="bot")
+        assert rules == [("/one", False), ("/two", True)]

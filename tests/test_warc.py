@@ -166,3 +166,33 @@ class TestDocumentRouting:
         assert not any(
             e["severity"] == "critical" for e in rec["errors"]
         ) or rec["extracted_text"] == ""
+
+
+class TestHeaderTerminators:
+    def test_lf_headers_with_crlf_payload_split_at_earliest(self):
+        # review regression: an LF-terminated WARC header block whose
+        # payload opens with CRLF-terminated HTTP headers must split
+        # at the LF-LF blank line, not at the first CRLF-CRLF inside
+        # the payload (which would absorb the HTTP headers and adopt
+        # the HTTP Content-Length as the record length)
+        from pdf_extractor_spark.sources.warc import parse_warc
+
+        body = b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
+        rec = (
+            b"WARC/1.0\n"
+            b"WARC-Type: response\n"
+            b"WARC-Target-URI: https://x.example/a\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\n"
+            b"\n" + body + b"\r\n\r\n"
+            b"WARC/1.0\n"
+            b"WARC-Type: metadata\n"
+            b"Content-Length: 0\n\n"
+        )
+        records = parse_warc(rec)
+        assert [r["type"] for r in records] == ["response", "metadata"]
+        assert records[0]["url"] == "https://x.example/a"
+        assert records[0]["payload"] == body
+        # the HTTP headers must NOT have leaked into the WARC headers
+        assert "content-length" in records[0]["headers"]
+        assert records[0]["headers"]["content-length"] == str(len(body))
