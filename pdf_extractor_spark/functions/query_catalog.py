@@ -3416,6 +3416,19 @@ FROM documents
 """
 
 
+def _wet_roundtrip(spark, sf_dir):
+    """WET-sink verification (sources/warc.py): the FULL loop — WARC
+    write → record parse → HTTP normalize → kernel extraction → WET
+    ``conversion``-record write → WET parse.  WET is the interchange
+    format Common Crawl distributes extracted text in, i.e. the
+    natural sink for this pipeline's per-document text; equality with
+    the documents oracle gates every hop including the new
+    serialization."""
+    from ..sources.warc import wet_roundtrip
+
+    return wet_roundtrip(_t(spark, sf_dir, "documents"))
+
+
 def _feed_roundtrip(spark, sf_dir):
     """Syndication-feed source verification: documents → multi-item
     RSS 2.0 / Atom feeds (CDATA vs entity-escaped payload variants,
@@ -3596,6 +3609,9 @@ CATALOG: dict[str, QueryDef] = {
     "extract_sitemap_roundtrip": QueryDef(
         _sitemap_roundtrip, _SITEMAP_ROUNDTRIP_SQL
     ),
+    "extract_wet_roundtrip": QueryDef(
+        _wet_roundtrip, _WARC_ROUNDTRIP_SQL
+    ),
     # -------- the 29 rotated-in entries (driver rows last seen r2) ------
     "j2_asof_band": QueryDef(_j2_asof_band, _J2_ASOF_SQL),
     "w_tumbling_hour": QueryDef(_w_tumbling_hour, _W_TUMBLING_SQL),
@@ -3626,7 +3642,6 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
-    "q8_market_share": QueryDef(_q8_market_share, _Q8_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
         _events_pivot_hourly, _EVENTS_PIVOT_SQL
@@ -3692,15 +3707,16 @@ CATALOG: dict[str, QueryDef] = {
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
     "q14_promo_revenue": QueryDef(_q14_promo_revenue, _Q14_SQL),
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
-    # q13 / rollup_returns displaced by extract_sitemap_roundtrip and
-    # corpus_crawl_frontier (never driver-checked outranks r2-green):
-    # pure relational bodies unchanged since r2, re-crosschecked
-    # locally vs DuckDB at sf0.001 AND sf0.01 this session
-    # (FAILURES: none, 99/99).
+    # q13 / rollup_returns / q8 displaced by extract_sitemap_roundtrip,
+    # corpus_crawl_frontier and extract_wet_roundtrip (never
+    # driver-checked outranks r2-green): pure relational bodies
+    # unchanged since r2, re-crosschecked locally vs DuckDB at
+    # sf0.001 AND sf0.01 this session (FAILURES: none, 99/99).
     "q13_customer_distribution": QueryDef(
         _q13_customer_distribution, _Q13_SQL
     ),
     "rollup_returns": QueryDef(_rollup_returns, _ROLLUP_SQL),
+    "q8_market_share": QueryDef(_q8_market_share, _Q8_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —

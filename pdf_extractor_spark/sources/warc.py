@@ -350,6 +350,59 @@ def _warc_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def build_wet(converted: list[tuple[int, str, str]],
+              gzip_members: bool = True) -> bytes:
+    """[(doc_id, warc_date, text)] → WET archive bytes — the format
+    Common Crawl distributes extracted text in (ISO 28500
+    ``conversion`` records): a leading ``warcinfo`` describing the
+    conversion, then per document one ``conversion`` record carrying
+    ``WARC-Refers-To`` (the source response record id),
+    ``Content-Type: text/plain`` and the UTF-8 text payload.  WET is
+    the natural SINK for this pipeline: the reference's per-document
+    text output, serialized in the interchange format downstream
+    corpus consumers already read."""
+    records: list[bytes] = []
+    info = (b"software: pdf-extractor-spark wet writer\r\n"
+            b"format: WARC File Format 1.0\r\n"
+            b"conformsTo: conversion of response records\r\n")
+    records.append(warc_record("warcinfo", {
+        "WARC-Record-ID": _record_id("wetinfo", "archive"),
+        "WARC-Date": _warc_date(0),
+        "Content-Type": "application/warc-fields",
+    }, info))
+    for doc_id, date, text in converted:
+        url = _URL_FMT.format(doc_id)
+        records.append(warc_record("conversion", {
+            "WARC-Record-ID": _record_id("conv", url),
+            "WARC-Refers-To": _record_id("resp", url),
+            "WARC-Date": date,
+            "WARC-Target-URI": url,
+            "Content-Type": "text/plain",
+        }, text.encode("utf-8")))
+    if gzip_members:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+def parse_wet(data: bytes) -> list[dict]:
+    """WET archive bytes → [{"doc_id", "warc_ts", "extracted_text"}]
+    from the ``conversion`` records (warcinfo and any foreign record
+    types are skipped, like the response reader skips requests)."""
+    rows: list[dict] = []
+    for rec in parse_warc(data):
+        if rec["type"] != "conversion":
+            continue
+        m = _URL_RE.search(rec["url"])
+        if not m:
+            continue
+        rows.append({
+            "doc_id": int(m.group(1)),
+            "warc_ts": rec["date"],
+            "extracted_text": rec["payload"].decode("utf-8"),
+        })
+    return rows
+
+
 def warc_roundtrip(docs: DataFrame,
                    num_partitions: int | None = None) -> DataFrame:
     """documents → multi-record WARC archives (gzip members, request/
@@ -360,4 +413,41 @@ def warc_roundtrip(docs: DataFrame,
     rows grouped into it and extraction is per-record."""
     return _spread(docs, num_partitions).mapInPandas(
         _warc_iter, WARC_ROUNDTRIP_SCHEMA
+    )
+
+
+def _wet_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            groups.setdefault(
+                int(doc_id) // _DOCS_PER_ARCHIVE, []
+            ).append((int(doc_id), text))
+        rows: list[dict] = []
+        for gid, pages in groups.items():
+            # the FULL loop: WARC write → record parse → HTTP
+            # normalize → kernel extraction → WET write → WET parse.
+            # Equality with the documents oracle gates every hop.
+            archive = build_archive(pages, gzip_members=(gid % 2 == 0))
+            extracted = extract_responses(archive)
+            wet = build_wet(
+                [(r["doc_id"], r["warc_ts"], r["extracted_text"])
+                 for r in extracted],
+                gzip_members=(gid % 2 == 1),
+            )
+            rows.extend(parse_wet(wet))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "warc_ts", "extracted_text"]
+        )
+
+
+def wet_roundtrip(docs: DataFrame,
+                  num_partitions: int | None = None) -> DataFrame:
+    """documents → WARC archives → parse+extract → WET ``conversion``
+    archives → WET parse.  Same one-Arrow-stage shape as
+    warc_roundtrip with the WET serialization loop added on top; the
+    gzip-member variant flips parity vs the WARC leg so both framings
+    are exercised on each side."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _wet_iter, WARC_ROUNDTRIP_SCHEMA
     )

@@ -196,3 +196,53 @@ class TestHeaderTerminators:
         # the HTTP headers must NOT have leaked into the WARC headers
         assert "content-length" in records[0]["headers"]
         assert records[0]["headers"]["content-length"] == str(len(body))
+
+
+class TestWetSink:
+    def test_wet_roundtrip_bytes_and_refers_to(self):
+        from pdf_extractor_spark.sources.warc import (
+            _record_id, build_archive, build_wet, extract_responses,
+            parse_warc, parse_wet)
+
+        pages = [(i, f"Body of document number {i} with words.")
+                 for i in range(12)]
+        ext = extract_responses(build_archive(pages))
+        wet = build_wet(
+            [(r["doc_id"], r["warc_ts"], r["extracted_text"])
+             for r in ext], gzip_members=False)
+        back = parse_wet(wet)
+        assert [(r["doc_id"], r["extracted_text"]) for r in back] \
+            == pages
+        assert [r["warc_ts"] for r in back] \
+            == [r["warc_ts"] for r in ext]
+        # conversion records must point back at their source response
+        recs = [r for r in parse_warc(wet) if r["type"] == "conversion"]
+        for rec in recs:
+            assert rec["headers"]["warc-refers-to"] \
+                == _record_id("resp", rec["url"])
+            assert rec["headers"]["content-type"] == "text/plain"
+
+    def test_wet_gzip_members_roundtrip(self):
+        from pdf_extractor_spark.sources.warc import (
+            build_archive, build_wet, extract_responses, parse_wet)
+
+        pages = [(i, f"Gzip member doc {i} body text.")
+                 for i in range(4)]
+        ext = extract_responses(build_archive(pages))
+        wet = build_wet(
+            [(r["doc_id"], r["warc_ts"], r["extracted_text"])
+             for r in ext], gzip_members=True)
+        assert wet[:2] == b"\x1f\x8b"
+        assert [r["doc_id"] for r in parse_wet(wet)] == [0, 1, 2, 3]
+
+    def test_wet_spark_stage_matches_oracle(self, spark):
+        from pdf_extractor_spark.sources.warc import wet_roundtrip
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(40)
+        got = {r.doc_id: (r.warc_ts, r.extracted_text)
+               for r in wet_roundtrip(docs).collect()}
+        for row in docs.collect():
+            ts, text = got[row.doc_id]
+            assert text == row.text
