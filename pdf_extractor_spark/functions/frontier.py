@@ -58,6 +58,7 @@ from .robots import (
     SPARK_HOST_T as _SPARK_HOST_T,
     SPARK_PATH_T as _SPARK_PATH_T,
     SPARK_PROFILE_T as _SPARK_PROFILE_T,
+    profile_delays,
     profile_rules,
 )
 
@@ -79,10 +80,24 @@ def _cand_expr() -> str:
     return f"array({parts})"
 
 
+def _delay_case(dialect_profile: str) -> str:
+    """CASE expr mapping a profile to its parsed Crawl-delay seconds
+    — built from :func:`profile_delays` (the REAL robots parser) at
+    plan-build time, so both engines inline identical literals."""
+    arms = " ".join(
+        f"WHEN {p} THEN {d}"
+        for p, d in sorted(profile_delays().items())
+    )
+    return f"CASE {dialect_profile} {arms} ELSE 1 END"
+
+
 def frontier_batch(docs: DataFrame) -> DataFrame:
-    """(cand_id, url, n_proposers, seen, allowed, rk, selected) for
-    every deduplicated candidate — the selected rows are the next
-    fetch batch, the rest carry their rejection verdicts."""
+    """(cand_id, url, n_proposers, seen, allowed, rk, selected,
+    fetch_offset_s) for every deduplicated candidate — the selected
+    rows are the next fetch batch, scheduled ``(rank-1) ×
+    Crawl-delay(host)`` seconds apart so no origin is fetched faster
+    than its robots.txt allows; the rest carry their rejection
+    verdicts."""
     spark = docs.sparkSession
 
     cand = (
@@ -153,6 +168,12 @@ def frontier_batch(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(-1)).alias("rk"),
         (F.col("admitted") & (F.col("rn") <= POLITENESS_K))
         .alias("selected"),
+        F.when(
+            F.col("admitted") & (F.col("rn") <= POLITENESS_K),
+            (F.col("rn") - 1) * F.expr(
+                _delay_case(_SPARK_PROFILE_T.format(c="cand_id"))
+            ),
+        ).otherwise(F.lit(-1)).alias("fetch_offset_s"),
     )
 
 
@@ -171,6 +192,7 @@ def duck_frontier_sql(source: str = "documents") -> str:
     host = _HOST_T.format(c="cand_id")
     profile = _PROFILE_T.format(c="cand_id")
     path = _PATH_T.format(c="cand_id")
+    delay_case = _delay_case(profile)
     return f"""
 WITH rules(profile, like_pattern, priority) AS (VALUES {rule_rows}),
 cand_raw AS ({cand_union}),
@@ -208,6 +230,9 @@ numbered AS (
 )
 SELECT cand_id, host || path AS url, n_proposers, seen, allowed,
        CASE WHEN admitted THEN rn ELSE -1 END AS rk,
-       (admitted AND rn <= {POLITENESS_K}) AS selected
+       (admitted AND rn <= {POLITENESS_K}) AS selected,
+       CASE WHEN admitted AND rn <= {POLITENESS_K}
+            THEN (rn - 1) * ({delay_case})
+            ELSE -1 END AS fetch_offset_s
 FROM numbered
 """

@@ -83,6 +83,51 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
     return []
 
 
+def parse_crawl_delay(text: str, agent: str = "*") -> int | None:
+    """``Crawl-delay`` seconds for the agent, or None when unset.
+
+    Crawl-delay is not part of RFC 9309 (it lists it among directives
+    crawlers MAY support) but large engines honor it, so the fetch
+    scheduler reads it.  Group selection mirrors :func:`parse_robots`
+    (exact agent beats ``*``; all matching groups combine) and when
+    merged groups disagree the LARGEST delay wins — the conservative
+    merge, matching the spirit of combining restrictions."""
+    groups: list[tuple[list[str], int | None]] = []
+    cur_agents: list[str] = []
+    cur_delay: int | None = None
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run and cur_agents:
+                groups.append((cur_agents, cur_delay))
+                cur_agents, cur_delay = [], None
+            cur_agents.append(val.lower())
+            in_agent_run = True
+        else:
+            in_agent_run = False
+            if key == "crawl-delay" and cur_agents:
+                try:
+                    cur_delay = int(float(val))
+                except ValueError:
+                    pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delay))
+    for want in (agent.lower(), "*"):
+        delays = [d for agents, d in groups
+                  if want in agents and d is not None]
+        if any(want in agents for agents, _ in groups):
+            return max(delays) if delays else None
+    return None
+
+
 def pattern_to_like(pattern: str) -> str:
     """REP path pattern → SQL LIKE pattern (twin semantics in Spark
     and DuckDB): escape LIKE metacharacters, ``*`` → ``%``, trailing
@@ -113,6 +158,7 @@ User-agent: *
 Disallow: /private/
 Allow: /private/published/
 Disallow: /*.tmp$
+Crawl-delay: 5
 Allow: /
 
 User-agent: badbot
@@ -125,12 +171,25 @@ User-agent: archiver
 User-agent: *
 Disallow: /
 Allow: /articles/
+Crawl-delay: 10
 """
 
 PROFILES: tuple[tuple[int, str], ...] = (
     (0, ROBOTS_PROFILE_A),
     (1, ROBOTS_PROFILE_B),
 )
+
+
+DEFAULT_CRAWL_DELAY = 1  # polite floor when a host sets no delay
+
+
+def profile_delays() -> dict[int, int]:
+    """{profile: crawl-delay seconds} via the real parser, with the
+    polite default applied where a profile sets none."""
+    return {
+        profile: (parse_crawl_delay(text) or DEFAULT_CRAWL_DELAY)
+        for profile, text in PROFILES
+    }
 
 
 def profile_rules() -> list[tuple[int, str, int]]:

@@ -78,6 +78,28 @@ class TestSemantics:
         assert checked > 0
 
 
+class TestFetchSchedule:
+    def test_offsets_follow_rank_times_crawl_delay(self, spark):
+        from pdf_extractor_spark.functions.robots import profile_delays
+
+        delays = profile_delays()
+        rows, _ = _rows(spark)
+        scheduled = 0
+        for r in rows:
+            if r.selected:
+                delay = delays[(r.cand_id // 7) % 2]
+                assert r.fetch_offset_s == (r.rk - 1) * delay
+                scheduled += 1
+            else:
+                assert r.fetch_offset_s == -1
+        assert scheduled > 0
+        # non-vacuous: both profiles' delays must appear in the batch
+        offs = {
+            r.fetch_offset_s for r in rows if r.selected and r.rk == 2
+        }
+        assert offs == set(delays.values())
+
+
 class TestPlan:
     def test_single_pass_no_self_join(self, spark):
         from pdf_extractor_spark.functions.query_catalog import CATALOG

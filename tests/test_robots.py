@@ -97,6 +97,51 @@ class TestSparkStage:
         assert len(profile_rules()) < 32
 
 
+class TestCrawlDelay:
+    def test_profile_fixtures_carry_their_delays(self):
+        from pdf_extractor_spark.functions.robots import (
+            ROBOTS_PROFILE_B,
+            parse_crawl_delay,
+            profile_delays,
+        )
+
+        assert parse_crawl_delay(ROBOTS_PROFILE_A) == 5
+        assert parse_crawl_delay(ROBOTS_PROFILE_B) == 10
+        # archiver shares profile B's stacked user-agent group
+        assert parse_crawl_delay(ROBOTS_PROFILE_B, agent="archiver") == 10
+        assert profile_delays() == {0: 5, 1: 10}
+
+    def test_exact_agent_group_without_delay_returns_none(self):
+        from pdf_extractor_spark.functions.robots import parse_crawl_delay
+
+        # badbot's group exists but sets no delay — the * fallback
+        # must NOT leak in once an exact-agent group matched
+        assert parse_crawl_delay(ROBOTS_PROFILE_A, agent="badbot") is None
+
+    def test_merged_groups_take_the_largest_delay(self):
+        from pdf_extractor_spark.functions.robots import parse_crawl_delay
+
+        text = (
+            "User-agent: *\nCrawl-delay: 2\n\n"
+            "User-agent: other\nCrawl-delay: 99\n\n"
+            "User-agent: *\nCrawl-delay: 7\n"
+        )
+        assert parse_crawl_delay(text) == 7
+
+    def test_value_parsing_edges(self):
+        from pdf_extractor_spark.functions.robots import parse_crawl_delay
+
+        assert parse_crawl_delay(
+            "User-agent: *\nCrawl-delay: 2.5\n"
+        ) == 2  # fractional seconds floor to int
+        assert parse_crawl_delay(
+            "User-agent: *\nCrawl-delay: soon\n"
+        ) is None  # garbage value ignored
+        assert parse_crawl_delay(
+            "Crawl-delay: 9\nUser-agent: *\nDisallow: /a\n"
+        ) is None  # delay before any group is ignored
+
+
 class TestGroupCombining:
     def test_multiple_matching_groups_combine(self):
         # RFC 9309 §2.2.1 review regression: two `User-agent: *`
