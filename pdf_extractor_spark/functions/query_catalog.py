@@ -3474,6 +3474,47 @@ def _sitemap_sql() -> str:
 _SITEMAP_ROUNDTRIP_SQL = _sitemap_sql()
 
 
+def _cdx_roundtrip(spark, sf_dir):
+    """CDX-J capture-index source (sources/cdx.py): messy original
+    URLs (cased schemes/hosts, www. prefixes, unsorted queries,
+    non-default ports) → SURT canonical keys → sorted CDX-J lines →
+    parse with sort/key validation → per-capture rows with ordered
+    capture index and revisit verdicts.  Every field recovered from
+    the bytes; the closed-form oracle gates canonicalize + write +
+    parse."""
+    from ..sources.cdx import cdx_roundtrip
+
+    return cdx_roundtrip(_t(spark, sf_dir, "documents"))
+
+
+def _cdx_sql() -> str:
+    from ..sources.cdx import duck_cdx_sql
+
+    return duck_cdx_sql()
+
+
+_CDX_ROUNDTRIP_SQL = _cdx_sql()
+
+
+def _cdx_latest(spark, sf_dir):
+    """The classic capture-index query — latest capture per URL
+    (capture count, newest timestamp/digest via max_by on the PARSED
+    timestamps, any-revisit flag), the planning pass a selective
+    refetch runs before touching archive bytes."""
+    from ..sources.cdx import cdx_latest
+
+    return cdx_latest(_t(spark, sf_dir, "documents"))
+
+
+def _cdx_latest_sql() -> str:
+    from ..sources.cdx import duck_cdx_latest_sql
+
+    return duck_cdx_latest_sql()
+
+
+_CDX_LATEST_SQL = _cdx_latest_sql()
+
+
 def _full_extract_stats(spark, sf_dir):
     """Full-record extraction rollup (quality/inventory/error
     surfaces). The oracle is the CLOSED FORM of the quality pipeline
@@ -3636,10 +3677,6 @@ CATALOG: dict[str, QueryDef] = {
     "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
     "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
     "q12_late_shipments": QueryDef(_q12_late_shipments, _Q12_SQL),
-    "q15_top_supplier": QueryDef(_q15_top_supplier, _Q15_SQL),
-    "q19_disjunctive_revenue": QueryDef(
-        _q19_disjunctive_revenue, _Q19_SQL
-    ),
     "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
@@ -3697,6 +3734,11 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_crawl_frontier": QueryDef(
         _crawl_frontier, _CRAWL_FRONTIER_SQL, True
     ),
+    # -------- new this session (round 4, sixth) ---------------------------
+    "extract_cdx_roundtrip": QueryDef(
+        _cdx_roundtrip, _CDX_ROUNDTRIP_SQL, True
+    ),
+    "corpus_cdx_latest": QueryDef(_cdx_latest, _CDX_LATEST_SQL),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3717,6 +3759,14 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "rollup_returns": QueryDef(_rollup_returns, _ROLLUP_SQL),
     "q8_market_share": QueryDef(_q8_market_share, _Q8_SQL),
+    # q15 / q19 displaced by the CDX source pair (never driver-checked
+    # outranks r2-green): pure relational bodies unchanged since r2,
+    # re-crosschecked locally vs DuckDB at sf0.001 AND sf0.01 this
+    # session.
+    "q15_top_supplier": QueryDef(_q15_top_supplier, _Q15_SQL),
+    "q19_disjunctive_revenue": QueryDef(
+        _q19_disjunctive_revenue, _Q19_SQL
+    ),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —

@@ -1,0 +1,104 @@
+"""CDX-J index source: SURT canonicalization, sort/key invariants,
+capture ordering, revisit detection, and the one-Arrow-pass plan."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pdf_extractor_spark.sources.cdx import (
+    build_cdxj,
+    cdx_latest,
+    cdx_roundtrip,
+    n_captures,
+    parse_cdxj,
+    surt,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSurt:
+    def test_case_folds_and_reverses_host(self):
+        assert surt("HTTPS://Sub.Example.COM/A/B") == \
+            "com,example,sub)/a/b"
+
+    def test_www_stripped_once(self):
+        assert surt("http://www.example.com/x") == "com,example)/x"
+        assert surt("http://www.www.example.com/x") == \
+            "com,example,www)/x"
+
+    def test_default_ports_dropped_others_kept(self):
+        assert surt("http://a.example:80/p") == "example,a)/p"
+        assert surt("https://a.example:443/p") == "example,a)/p"
+        assert surt("http://a.example:443/p") == "example,a:443)/p"
+        assert surt("https://a.example:8080/p") == "example,a:8080)/p"
+
+    def test_query_params_sorted(self):
+        assert surt("http://a.example/p?z=1&B=2&a=3") == \
+            "example,a)/p?a=3&b=2&z=1"
+
+    def test_empty_path_becomes_root(self):
+        assert surt("http://a.example") == "example,a)/"
+
+    def test_unsupported_url_raises(self):
+        with pytest.raises(ValueError):
+            surt("not a url")
+
+
+class TestReader:
+    def test_unsorted_file_rejected(self):
+        data = build_cdxj([5, 6, 7])
+        lines = data.decode().splitlines()
+        bad = "\n".join(reversed(lines)).encode() + b"\n"
+        with pytest.raises(ValueError, match="sort invariant"):
+            parse_cdxj(bad)
+
+    def test_corrupt_key_rejected(self):
+        data = build_cdxj([9])
+        bad = data.replace(b"com,example", b"org,example", 1)
+        with pytest.raises(ValueError, match="mismatch"):
+            parse_cdxj(bad)
+
+    def test_capture_count_and_ordering(self):
+        ids = list(range(40))
+        rows = parse_cdxj(build_cdxj(ids))
+        per_key: dict[str, list] = {}
+        for r in rows:
+            per_key.setdefault(r["surt_key"], []).append(r)
+        assert sum(len(v) for v in per_key.values()) == \
+            sum(n_captures(i) for i in ids)
+        for caps in per_key.values():
+            caps.sort(key=lambda r: r["cap_idx"])
+            ts = [r["ts14"] for r in caps]
+            assert ts == sorted(ts)
+
+    def test_revisit_records_flagged(self):
+        rows = parse_cdxj(build_cdxj([2, 6, 10]))  # doc%4==2, caps>1
+        rev = [r for r in rows if r["is_revisit"]]
+        assert rev, "no revisit rows in a revisit-heavy fixture"
+        for r in rev:
+            assert r["cap_idx"] > 0 and r["mime"] == "warc/revisit"
+
+
+class TestSparkStage:
+    def test_latest_matches_roundtrip_max(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        caps = {(r.doc_id, r.ts14): r
+                for r in cdx_roundtrip(docs).collect()}
+        latest = cdx_latest(docs).collect()
+        assert len(latest) == docs.count()
+        for row in latest:
+            mine = [k for k in caps if k[0] == row.doc_id]
+            assert row.caps == len(mine)
+            assert row.latest_ts14 == max(t for _, t in mine)
+
+    def test_plan_one_arrow_pass_docid_scan(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["extract_cdx_roundtrip"].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        assert re.findall(r"ReadSchema: struct<([^>]*)>", plan) \
+            == ["doc_id:bigint"]
