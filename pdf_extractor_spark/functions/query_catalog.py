@@ -2224,6 +2224,27 @@ def _crawl_frontier_sql() -> str:
 _CRAWL_FRONTIER_SQL = _crawl_frontier_sql()
 
 
+def _resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer jumping
+    (functions/redirects.py): follow the crawl's redirect edges to
+    each URL's final target with a hop cap, reporting exact hop
+    counts and loud 'unresolved' status for loops.  log2(cap)
+    doubling self-joins on bigint pairs ≡ the oracle's sequential
+    recursive-CTE walk — endpoint AND step count must match."""
+    from .redirects import resolve_redirects
+
+    return resolve_redirects(_t(spark, sf_dir, "documents"))
+
+
+def _resolve_redirects_sql() -> str:
+    from .redirects import duck_redirects_sql
+
+    return duck_redirects_sql()
+
+
+_RESOLVE_REDIRECTS_SQL = _resolve_redirects_sql()
+
+
 def _anchor_text(spark, sf_dir):
     """Anchor-text corpus construction through the REAL HTML parser
     (functions/anchors.py): wrap each doc with three absolute
@@ -3677,7 +3698,6 @@ CATALOG: dict[str, QueryDef] = {
     "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
     "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
     "q12_late_shipments": QueryDef(_q12_late_shipments, _Q12_SQL),
-    "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
@@ -3739,6 +3759,9 @@ CATALOG: dict[str, QueryDef] = {
         _cdx_roundtrip, _CDX_ROUNDTRIP_SQL, True
     ),
     "corpus_cdx_latest": QueryDef(_cdx_latest, _CDX_LATEST_SQL),
+    "corpus_resolve_redirects": QueryDef(
+        _resolve_redirects, _RESOLVE_REDIRECTS_SQL, True
+    ),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3767,6 +3790,9 @@ CATALOG: dict[str, QueryDef] = {
     "q19_disjunctive_revenue": QueryDef(
         _q19_disjunctive_revenue, _Q19_SQL
     ),
+    # q21 displaced by the redirect resolver (same rule + same local
+    # both-SF crosscheck evidence as q15/q19 above).
+    "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —

@@ -1,0 +1,84 @@
+"""Redirect-chain resolution: doubling ≡ sequential walk, loop
+capping, off-corpus terminals, and the no-text plan shape."""
+
+from __future__ import annotations
+
+from pdf_extractor_spark.functions.redirects import (
+    HOP_CAP,
+    next_hop,
+    resolve_redirects,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _walk(src: int, in_table) -> tuple[int, int]:
+    """Sequential reference walk (the oracle semantics in Python)."""
+    cur, hops = src, 0
+    while hops < HOP_CAP and cur % 3 == 1 and in_table(cur):
+        cur = next_hop(cur)
+        hops += 1
+    return cur, hops
+
+
+class TestFixtureTopology:
+    def test_two_cycles_exist(self):
+        s = 16 + 75  # 91 ≡ 16 (mod 75), ≡ 1 (mod 3)
+        assert s % 3 == 1
+        assert next_hop(next_hop(s)) == s
+
+    def test_chains_feed_into_cycles(self):
+        # 94 → 91 → 97 → 91 → … : an ordinary chain entering a loop
+        assert next_hop(94) == 91 and next_hop(91) == 97
+        assert next_hop(97) == 91
+
+    def test_every_walk_exits_fast_or_loops(self):
+        exits, loops = 0, 0
+        for s in range(1, 500, 3):
+            cur, hops = _walk(s, lambda _: True)
+            if cur % 3 == 1:  # cap fired inside a loop
+                assert hops == HOP_CAP, (s, cur, hops)
+                loops += 1
+            else:             # terminal reached — always within 5
+                assert hops <= 5, (s, cur, hops)
+                exits += 1
+        assert exits > 0 and loops > 0
+
+
+class TestSparkResolution:
+    def test_matches_sequential_walk(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        n = docs.count()
+        got = {r.doc_id: r for r in resolve_redirects(docs).collect()}
+        assert len(got) == n
+        in_table = lambda x: 0 <= x < n  # noqa: E731
+        statuses = set()
+        for src, r in got.items():
+            final, hops = _walk(src, in_table)
+            assert (r.final_id, r.hops) == (final, hops), src
+            expect = ("unresolved"
+                      if final % 3 == 1 and in_table(final) else "ok")
+            assert r.status == expect, src
+            statuses.add(r.status)
+        assert statuses == {"ok", "unresolved"}, "loop leg never fired"
+
+    def test_off_corpus_target_is_terminal(self, spark):
+        # a redirect pointing past the snapshot resolves ok in 1 hop
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        n = docs.count()
+        candidates = [s for s in range(n - 6, n) if s % 3 == 1
+                      and next_hop(s) >= n]
+        if not candidates:  # fixture-size dependent; never at sf0.001
+            return
+        got = {r.doc_id: r for r in resolve_redirects(docs).collect()}
+        for s in candidates:
+            assert got[s].hops == 1 and got[s].status == "ok"
+
+    def test_plan_no_text_no_cartesian(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_resolve_redirects"].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        for schema in plan.split("ReadSchema: struct<")[1:]:
+            assert "text" not in schema.split(">")[0]
