@@ -2245,6 +2245,26 @@ def _resolve_redirects_sql() -> str:
 _RESOLVE_REDIRECTS_SQL = _resolve_redirects_sql()
 
 
+def _recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling (functions/recrawl.py): Cho-Garcia-Molina
+    change-rate estimation over revisit histories, with the
+    staleness-tier test rewritten as an integer compare against
+    frozen micro-unit literals so no transcendental is ever evaluated
+    cross-engine.  Pure narrow map — zero exchanges."""
+    from .recrawl import recrawl_schedule
+
+    return recrawl_schedule(_t(spark, sf_dir, "documents"))
+
+
+def _recrawl_schedule_sql() -> str:
+    from .recrawl import duck_recrawl_sql
+
+    return duck_recrawl_sql()
+
+
+_RECRAWL_SCHEDULE_SQL = _recrawl_schedule_sql()
+
+
 def _anchor_text(spark, sf_dir):
     """Anchor-text corpus construction through the REAL HTML parser
     (functions/anchors.py): wrap each doc with three absolute
@@ -3697,7 +3717,6 @@ CATALOG: dict[str, QueryDef] = {
     "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
     "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
     "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
-    "q12_late_shipments": QueryDef(_q12_late_shipments, _Q12_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
@@ -3762,6 +3781,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_resolve_redirects": QueryDef(
         _resolve_redirects, _RESOLVE_REDIRECTS_SQL, True
     ),
+    "corpus_recrawl_schedule": QueryDef(
+        _recrawl_schedule, _RECRAWL_SCHEDULE_SQL
+    ),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3790,9 +3812,11 @@ CATALOG: dict[str, QueryDef] = {
     "q19_disjunctive_revenue": QueryDef(
         _q19_disjunctive_revenue, _Q19_SQL
     ),
-    # q21 displaced by the redirect resolver (same rule + same local
-    # both-SF crosscheck evidence as q15/q19 above).
+    # q21 / q12 displaced by the redirect resolver and the recrawl
+    # scheduler (same rule + same local both-SF crosscheck evidence
+    # as q15/q19 above).
     "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
+    "q12_late_shipments": QueryDef(_q12_late_shipments, _Q12_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —
