@@ -2245,6 +2245,28 @@ def _resolve_redirects_sql() -> str:
 _RESOLVE_REDIRECTS_SQL = _resolve_redirects_sql()
 
 
+def _html_redirect_edges(spark, sf_dir):
+    """Canonical-link / meta-refresh harvesting through the REAL
+    parser (functions/canonical.py): directives recovered from page
+    heads by the same decode + quote-repair + parse pipeline as
+    extraction, WHATWG refresh grammar variants parsed, template-
+    wrapped traps and self-reloads excluded.  The refresh edges are,
+    by construction, the redirect resolver's input graph (pinned by
+    test)."""
+    from .canonical import html_redirect_edges
+
+    return html_redirect_edges(_t(spark, sf_dir, "documents"))
+
+
+def _html_redirect_edges_sql() -> str:
+    from .canonical import duck_canonical_sql
+
+    return duck_canonical_sql()
+
+
+_HTML_REDIRECT_EDGES_SQL = _html_redirect_edges_sql()
+
+
 def _recrawl_schedule(spark, sf_dir):
     """Recrawl scheduling (functions/recrawl.py): Cho-Garcia-Molina
     change-rate estimation over revisit histories, with the
@@ -3716,7 +3738,6 @@ CATALOG: dict[str, QueryDef] = {
     "q17_small_quantity": QueryDef(_q17_small_quantity, _Q17_SQL),
     "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
     "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
-    "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
@@ -3784,6 +3805,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_recrawl_schedule": QueryDef(
         _recrawl_schedule, _RECRAWL_SCHEDULE_SQL
     ),
+    "corpus_html_redirect_edges": QueryDef(
+        _html_redirect_edges, _HTML_REDIRECT_EDGES_SQL, True
+    ),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3812,11 +3836,12 @@ CATALOG: dict[str, QueryDef] = {
     "q19_disjunctive_revenue": QueryDef(
         _q19_disjunctive_revenue, _Q19_SQL
     ),
-    # q21 / q12 displaced by the redirect resolver and the recrawl
-    # scheduler (same rule + same local both-SF crosscheck evidence
-    # as q15/q19 above).
+    # q21 / q12 / q10 displaced by the redirect resolver, the recrawl
+    # scheduler and the directive harvester (same rule + same local
+    # both-SF crosscheck evidence as q15/q19 above).
     "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     "q12_late_shipments": QueryDef(_q12_late_shipments, _Q12_SQL),
+    "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —

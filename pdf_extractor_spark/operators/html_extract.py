@@ -287,6 +287,8 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
         self.anchors: list[tuple[str, str]] = []
+        # head directives: ("canonical", href) / ("refresh", content)
+        self.directives: list[tuple[str, str]] = []
         self._a_href: str | None = None
         self._a_text: list[str] = []
         self._buf: list[str] = []
@@ -324,6 +326,20 @@ class _BlockParser(HTMLParser):
             self._skip_depth = max(0, self._skip_depth - 1)
 
     def handle_starttag(self, tag, attrs):
+        # head directives are harvested even though <head> is a skip
+        # subtree for TEXT — but a directive inside <template> is
+        # inert per WHATWG (template contents are not in the document)
+        if tag in ("link", "meta") and not self._skip_counts.get(
+            "template"
+        ):
+            a = {k: v for k, v in attrs if v is not None}
+            if tag == "link":
+                rel = (a.get("rel") or "").lower().split()
+                if "canonical" in rel and a.get("href"):
+                    self.directives.append(("canonical", a["href"]))
+            elif (a.get("http-equiv") or "").lower() == "refresh" \
+                    and a.get("content"):
+                self.directives.append(("refresh", a["content"]))
         if tag in _SKIP_TAGS:
             for t in _SKIP_IMPLIED_BY_START.get(tag, ()):
                 self._close_skip(t)
@@ -535,6 +551,41 @@ def harvest_anchors(
     parser.feed(repair_unterminated_quotes(text))
     parser.close()
     return parser.anchors
+
+
+# WHATWG meta-refresh content grammar (the shared-declarative-refresh
+# steps, §4.2.5.3, simplified to the forms real pages emit): a number,
+# then ';' or ',', optional whitespace, optional 'url' '=' (any case),
+# the target optionally single/double-quoted.  A bare number (reload
+# self) parses with url=None.
+_REFRESH_RE = re.compile(
+    r"^\s*(\d+(?:\.\d+)?)\s*"
+    r"(?:[;,]\s*(?:url\s*=\s*)?(['\"]?)(.*?)\2\s*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_refresh(content: str) -> tuple[int, str | None] | None:
+    """meta-refresh ``content`` → (delay seconds, url or None);
+    None when the value doesn't parse as a refresh directive."""
+    m = _REFRESH_RE.match(content)
+    if not m:
+        return None
+    return int(float(m.group(1))), (m.group(3) or None)
+
+
+def harvest_directives(
+    html_bytes: bytes, transport_charset: str | None = None
+) -> list[tuple[str, str]]:
+    """Head directives — ``("canonical", href)`` /
+    ``("refresh", raw content)`` — through the same decode +
+    quote-repair + parse pipeline as extraction.  Directives inside
+    ``<template>`` are inert per WHATWG and never emitted."""
+    text, _codec = sniff_decode(html_bytes, transport_charset)
+    parser = _BlockParser()
+    parser.feed(repair_unterminated_quotes(text))
+    parser.close()
+    return parser.directives
 
 
 def classify_blocks(blocks: list[Block], cfg: ExtractConfig) -> list[bool]:
