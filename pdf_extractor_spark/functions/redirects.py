@@ -29,7 +29,7 @@ Fixture edge rule (closed-form, both engines): a doc redirects iff
 - ``doc_id - 3``  otherwise  (chain continues downward)
 
 The residue-16/22 (mod 75) pairs form genuine 2-cycles, and ordinary
-chains FEED INTO them (…→ 97 → 94 → 91 → 97 →…), so the cap triggers
+chains FEED INTO them (94 → 91 ⇄ 97), so the cap triggers
 on real loop topology, not a planted self-loop.  Ordinary chains exit
 within ≤ 5 hops.  A node is terminal when it has NO edge row — not
 redirecting, or outside the snapshot (redirects that point off-corpus

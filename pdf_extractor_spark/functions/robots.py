@@ -35,18 +35,19 @@ from pyspark.sql import DataFrame, functions as F
 # --------------------------------------------------------- REP parser
 
 
-def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """robots.txt → [(path_pattern, allow)] for the given agent.
-
-    Follows RFC 9309 group semantics: consecutive ``User-agent``
-    lines open one group; rules belong to every agent named above
-    them; the most specific matching agent group is used (here:
-    exact agent name if present, else the ``*`` group); comments
-    (``#``) and unknown directives are ignored; an empty-pattern
-    rule is meaningless and dropped."""
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+def _scan_groups(
+    text: str,
+) -> list[tuple[list[str], list[tuple[str, str]]]]:
+    """robots.txt → [(agents, [(directive, value), …])] — the ONE
+    group scanner both :func:`parse_robots` and
+    :func:`parse_crawl_delay` fold over, so RFC 9309 group semantics
+    (consecutive ``User-agent`` lines open one group; directives
+    belong to every agent named above them; comments stripped;
+    directives before any group dropped) cannot drift between the
+    rule and delay readers."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     cur_agents: list[str] = []
-    cur_rules: list[tuple[str, bool]] = []
+    cur_dirs: list[tuple[str, str]] = []
     in_agent_run = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -59,28 +60,45 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
         val = val.strip()
         if key == "user-agent":
             if not in_agent_run and cur_agents:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_dirs))
+                cur_agents, cur_dirs = [], []
             cur_agents.append(val.lower())
             in_agent_run = True
-        elif key in ("allow", "disallow"):
-            in_agent_run = False
-            if cur_agents and val:
-                cur_rules.append((val, key == "allow"))
         else:
             in_agent_run = False
+            if cur_agents:
+                cur_dirs.append((key, val))
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
-    # RFC 9309 §2.2.1: when more than one group matches the agent,
-    # their rules MUST be combined into one group before evaluation —
-    # a second "User-agent: *" stanza adds rules, it is not shadowed
-    # by the first. The specific agent still beats the "*" fallback.
+        groups.append((cur_agents, cur_dirs))
+    return groups
+
+
+def _matching_groups(
+    groups: list[tuple[list[str], list[tuple[str, str]]]], agent: str
+) -> list[list[tuple[str, str]]]:
+    """Directive lists of every group matching the agent — the exact
+    agent name beats the ``*`` fallback; all matching groups combine
+    (RFC 9309 §2.2.1: a second matching stanza ADDS, it is not
+    shadowed by the first)."""
     for want in (agent.lower(), "*"):
-        combined = [r for agents, rules in groups
-                    if want in agents for r in rules]
-        if any(want in agents for agents, _ in groups):
-            return combined
+        matched = [dirs for agents, dirs in groups if want in agents]
+        if matched:
+            return matched
     return []
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """robots.txt → [(path_pattern, allow)] for the given agent.
+
+    RFC 9309 group semantics via :func:`_scan_groups` /
+    :func:`_matching_groups`; unknown directives are ignored; an
+    empty-pattern rule is meaningless and dropped."""
+    return [
+        (val, key == "allow")
+        for dirs in _matching_groups(_scan_groups(text), agent)
+        for key, val in dirs
+        if key in ("allow", "disallow") and val
+    ]
 
 
 def parse_crawl_delay(text: str, agent: str = "*") -> int | None:
@@ -88,44 +106,24 @@ def parse_crawl_delay(text: str, agent: str = "*") -> int | None:
 
     Crawl-delay is not part of RFC 9309 (it lists it among directives
     crawlers MAY support) but large engines honor it, so the fetch
-    scheduler reads it.  Group selection mirrors :func:`parse_robots`
-    (exact agent beats ``*``; all matching groups combine) and when
+    scheduler reads it.  Group selection is the same
+    :func:`_matching_groups` rule as :func:`parse_robots`, and when
     merged groups disagree the LARGEST delay wins — the conservative
-    merge, matching the spirit of combining restrictions."""
-    groups: list[tuple[list[str], int | None]] = []
-    cur_agents: list[str] = []
-    cur_delay: int | None = None
-    in_agent_run = False
-    for raw in text.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line:
-            continue
-        key, sep, val = line.partition(":")
-        if not sep:
-            continue
-        key = key.strip().lower()
-        val = val.strip()
-        if key == "user-agent":
-            if not in_agent_run and cur_agents:
-                groups.append((cur_agents, cur_delay))
-                cur_agents, cur_delay = [], None
-            cur_agents.append(val.lower())
-            in_agent_run = True
-        else:
-            in_agent_run = False
-            if key == "crawl-delay" and cur_agents:
-                try:
-                    cur_delay = int(float(val))
-                except ValueError:
-                    pass
-    if cur_agents:
-        groups.append((cur_agents, cur_delay))
-    for want in (agent.lower(), "*"):
-        delays = [d for agents, d in groups
-                  if want in agents and d is not None]
-        if any(want in agents for agents, _ in groups):
-            return max(delays) if delays else None
-    return None
+    merge, matching the spirit of combining restrictions.  Garbage
+    and negative values are ignored (a negative delay would corrupt
+    fetch offsets downstream)."""
+    delays = []
+    for dirs in _matching_groups(_scan_groups(text), agent):
+        for key, val in dirs:
+            if key != "crawl-delay":
+                continue
+            try:
+                v = int(float(val))
+            except ValueError:
+                continue
+            if v >= 0:
+                delays.append(v)
+    return max(delays) if delays else None
 
 
 def pattern_to_like(pattern: str) -> str:
@@ -185,11 +183,14 @@ DEFAULT_CRAWL_DELAY = 1  # polite floor when a host sets no delay
 
 def profile_delays() -> dict[int, int]:
     """{profile: crawl-delay seconds} via the real parser, with the
-    polite default applied where a profile sets none."""
-    return {
-        profile: (parse_crawl_delay(text) or DEFAULT_CRAWL_DELAY)
-        for profile, text in PROFILES
-    }
+    polite default applied ONLY where a profile sets none — an
+    explicit ``Crawl-delay: 0`` (host permits full speed) is honored,
+    not coerced to the default."""
+    out = {}
+    for profile, text in PROFILES:
+        d = parse_crawl_delay(text)
+        out[profile] = DEFAULT_CRAWL_DELAY if d is None else d
+    return out
 
 
 def profile_rules() -> list[tuple[int, str, int]]:

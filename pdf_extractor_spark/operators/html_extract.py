@@ -332,7 +332,13 @@ class _BlockParser(HTMLParser):
         if tag in ("link", "meta") and not self._skip_counts.get(
             "template"
         ):
-            a = {k: v for k, v in attrs if v is not None}
+            # WHATWG tokenizer drops duplicate attributes — FIRST
+            # occurrence wins (a dict comprehension would keep the
+            # last and follow the wrong redirect target)
+            a: dict[str, str] = {}
+            for k, v in attrs:
+                if v is not None:
+                    a.setdefault(k, v)
             if tag == "link":
                 rel = (a.get("rel") or "").lower().split()
                 if "canonical" in rel and a.get("href"):

@@ -50,6 +50,18 @@ class TestHarvest:
         got = harvest_directives(wrap_html_directives("t", 16))
         assert any(k == "canonical" for k, _ in got)
 
+    def test_duplicate_attribute_first_wins(self):
+        # review regression: WHATWG drops duplicate attributes (first
+        # occurrence wins); last-wins would follow the wrong target
+        page = (b"<html><head><meta http-equiv='refresh' "
+                b"content='0;url=https://a.example/page/1' "
+                b"content='0;url=https://b.example/page/2'>"
+                b"<link rel='canonical' href='/first' href='/second'>"
+                b"</head><body>x</body></html>")
+        got = dict(harvest_directives(page))
+        assert got["refresh"] == "0;url=https://a.example/page/1"
+        assert got["canonical"] == "/first"
+
 
 class TestSparkStage:
     def test_refresh_edges_equal_redirect_graph(self, spark):

@@ -140,6 +140,23 @@ class TestCrawlDelay:
         assert parse_crawl_delay(
             "Crawl-delay: 9\nUser-agent: *\nDisallow: /a\n"
         ) is None  # delay before any group is ignored
+        assert parse_crawl_delay(
+            "User-agent: *\nCrawl-delay: -5\n"
+        ) is None  # negative delay would corrupt fetch offsets
+
+    def test_explicit_zero_delay_is_honored(self):
+        # review regression: `or DEFAULT` coerced an explicit 0 to 1
+        from pdf_extractor_spark.functions.robots import parse_crawl_delay
+
+        text = "User-agent: *\nCrawl-delay: 0\n"
+        assert parse_crawl_delay(text) == 0
+        import pdf_extractor_spark.functions.robots as robots_mod
+        from unittest import mock
+
+        with mock.patch.object(
+            robots_mod, "PROFILES", ((0, text),)
+        ):
+            assert robots_mod.profile_delays() == {0: 0}
 
 
 class TestGroupCombining:
