@@ -2245,6 +2245,26 @@ def _resolve_redirects_sql() -> str:
 _RESOLVE_REDIRECTS_SQL = _resolve_redirects_sql()
 
 
+def _fetch_batch(spark, sf_dir):
+    """Composed fetch batch (functions/fetchplan.py): frontier
+    discovery selections ∪ recrawl hot-tier refetches under ONE
+    per-host politeness window with Crawl-delay scheduling — the
+    production crawl cycle's combined plan.  Oracle composed from
+    the legs' own published SQL (the recipe pattern)."""
+    from .fetchplan import fetch_batch_plan
+
+    return fetch_batch_plan(_t(spark, sf_dir, "documents"))
+
+
+def _fetch_batch_sql() -> str:
+    from .fetchplan import duck_fetch_plan_sql
+
+    return duck_fetch_plan_sql()
+
+
+_FETCH_BATCH_SQL = _fetch_batch_sql()
+
+
 def _html_redirect_edges(spark, sf_dir):
     """Canonical-link / meta-refresh harvesting through the REAL
     parser (functions/canonical.py): directives recovered from page
@@ -3737,7 +3757,6 @@ CATALOG: dict[str, QueryDef] = {
     "q4_order_priority": QueryDef(_q4_order_priority, _Q4_SQL),
     "q17_small_quantity": QueryDef(_q17_small_quantity, _Q17_SQL),
     "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
-    "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
@@ -3808,6 +3827,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_html_redirect_edges": QueryDef(
         _html_redirect_edges, _HTML_REDIRECT_EDGES_SQL, True
     ),
+    "corpus_fetch_batch": QueryDef(_fetch_batch, _FETCH_BATCH_SQL, True),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3836,12 +3856,14 @@ CATALOG: dict[str, QueryDef] = {
     "q19_disjunctive_revenue": QueryDef(
         _q19_disjunctive_revenue, _Q19_SQL
     ),
-    # q21 / q12 / q10 displaced by the redirect resolver, the recrawl
-    # scheduler and the directive harvester (same rule + same local
-    # both-SF crosscheck evidence as q15/q19 above).
+    # q21 / q12 / q10 / q22 displaced by the redirect resolver, the
+    # recrawl scheduler, the directive harvester and the composed
+    # fetch batch (same rule + same local both-SF crosscheck evidence
+    # as q15/q19 above).
     "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     "q12_late_shipments": QueryDef(_q12_late_shipments, _Q12_SQL),
     "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
+    "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —
