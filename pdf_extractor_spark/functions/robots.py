@@ -126,6 +126,25 @@ def parse_crawl_delay(text: str, agent: str = "*") -> int | None:
     return max(delays) if delays else None
 
 
+def parse_sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` directives, in file order.
+
+    Per sitemaps.org (and RFC 9309's treatment of other records) the
+    directive is INDEPENDENT of user-agent groups — it may appear
+    anywhere in the file, including before any group, and applies to
+    all agents — so this scans raw lines rather than
+    :func:`_scan_groups` output.  The value is an absolute URL and is
+    NOT lowercased (URL paths are case-sensitive; only the directive
+    name is case-insensitive)."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, val = line.partition(":")
+        if sep and key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
 def pattern_to_like(pattern: str) -> str:
     """REP path pattern → SQL LIKE pattern (twin semantics in Spark
     and DuckDB): escape LIKE metacharacters, ``*`` → ``%``, trailing
@@ -152,6 +171,7 @@ def rule_priority(pattern: str, allow: bool) -> int:
 
 ROBOTS_PROFILE_A = """\
 # profile A: selective
+Sitemap: https://h.example/sitemap-index.xml
 User-agent: *
 Disallow: /private/
 Allow: /private/published/
@@ -170,6 +190,7 @@ User-agent: *
 Disallow: /
 Allow: /articles/
 Crawl-delay: 10
+Sitemap: https://h.example/SiteMap-B.xml
 """
 
 PROFILES: tuple[tuple[int, str], ...] = (

@@ -159,6 +159,43 @@ class TestCrawlDelay:
             assert robots_mod.profile_delays() == {0: 0}
 
 
+class TestSitemapDirective:
+    def test_position_independent_and_case_preserving(self):
+        from pdf_extractor_spark.functions.robots import (
+            ROBOTS_PROFILE_B,
+            parse_sitemap_urls,
+        )
+
+        # profile A's directive precedes any group; profile B's sits
+        # inside a group — both apply (the directive is group-free)
+        assert parse_sitemap_urls(ROBOTS_PROFILE_A) == [
+            "https://h.example/sitemap-index.xml"
+        ]
+        # URL case preserved (only the directive name is folded)
+        assert parse_sitemap_urls(ROBOTS_PROFILE_B) == [
+            "https://h.example/SiteMap-B.xml"
+        ]
+
+    def test_group_parsers_ignore_the_directive(self):
+        from pdf_extractor_spark.functions.robots import (
+            parse_crawl_delay,
+        )
+
+        text = ("Sitemap: https://a.example/s.xml\n"
+                "User-agent: *\nDisallow: /x\n")
+        assert parse_robots(text) == [("/x", False)]
+        assert parse_crawl_delay(text) is None
+
+    def test_comment_and_blank_values_dropped(self):
+        from pdf_extractor_spark.functions.robots import (
+            parse_sitemap_urls,
+        )
+
+        assert parse_sitemap_urls(
+            "sitemap: https://a.example/s.xml  # primary\nSitemap:\n"
+        ) == ["https://a.example/s.xml"]
+
+
 class TestGroupCombining:
     def test_multiple_matching_groups_combine(self):
         # RFC 9309 §2.2.1 review regression: two `User-agent: *`
