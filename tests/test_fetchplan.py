@@ -69,3 +69,17 @@ class TestPlan:
         assert "CartesianProduct" not in plan
         for schema in plan.split("ReadSchema: struct<")[1:]:
             assert "text" not in schema.split(">")[0]
+
+    def test_legs_not_recomputed(self, spark):
+        import re
+
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_fetch_batch"].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # frontier's two doc_id scans + recrawl's one — a composition
+        # that re-derived a leg would add scans
+        assert re.findall(r"ReadSchema: struct<([^>]*)>", plan) \
+            == ["doc_id:bigint"] * 3
+        assert plan.count("BroadcastHashJoin") == 2
+        assert plan.count("SortMergeJoin") == 0
