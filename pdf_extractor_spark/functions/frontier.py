@@ -18,13 +18,17 @@ Stage shapes (the 100 TB contract):
   aggregable; the proposer count doubles as the URL in-degree used
   for ranking (in-degree prioritization, the classic frontier
   heuristic).
-- **Seen-set** is a LeftAnti-style broadcast join against the
-  previous snapshot's ids.  At bench scale the exact set broadcasts;
-  at 10^12 URLs the exact set cannot ship — the drop-in replacement
-  is the Bloom probe in :mod:`.bloom` (one broadcast map row,
-  scan-local membership), accepting its documented false-positive
-  semantics.  The catalog entry keeps the exact join so the oracle
-  is exact; the scale swap is a one-line substitution.
+- **Seen-set** has TWO gated implementations sharing every other
+  stage: the exact LeftAnti-style broadcast join against the previous
+  snapshot's ids (``corpus_crawl_frontier``), and the 10^12-scale
+  form — a Bloom filter over the previous snapshot's URLs folded to
+  ONE broadcast map row with a scan-local ``forall`` probe
+  (``corpus_crawl_frontier_bloom``; the exact set cannot ship to
+  executors at 10^12 URLs, the ~16 KB filter can).  Both variants
+  carry full DuckDB oracles — the bloom oracle recomputes the same
+  63-bit-word filter relationally (the :mod:`.bloom` idiom) — and a
+  test pins that the two variants' outputs are IDENTICAL at fixture
+  fill factors (FP rate ~1e-11), proving the swap is drop-in.
 - **Robots admission** reuses :func:`.robots.profile_rules` — the
   parsed REP rule table broadcasts, the LIKE residual rides on the
   broadcast join, and the RFC 9309 longest-match/allow-wins verdict
@@ -91,13 +95,34 @@ def _delay_case(dialect_profile: str) -> str:
     return f"CASE {dialect_profile} {arms} ELSE 1 END"
 
 
-def frontier_batch(docs: DataFrame) -> DataFrame:
+def _spark_url(c: str) -> str:
+    return (f"concat({_SPARK_HOST_T.format(c=c)}, "
+            f"{_SPARK_PATH_T.format(c=c)})")
+
+
+def _prev_frame(docs: DataFrame) -> DataFrame:
+    return (
+        docs.where(F.expr("pmod(doc_id, 3) = 0"))
+        .select(F.expr(
+            f"pmod(doc_id * {PREV_MULT}, {ID_SPACE})"
+        ).alias("prev_id"))
+        .distinct()
+    )
+
+
+def frontier_batch(docs: DataFrame,
+                   seen_mode: str = "exact") -> DataFrame:
     """(cand_id, url, n_proposers, seen, allowed, rk, selected,
     fetch_offset_s) for every deduplicated candidate — the selected
     rows are the next fetch batch, scheduled ``(rank-1) ×
     Crawl-delay(host)`` seconds apart so no origin is fetched faster
     than its robots.txt allows; the rest carry their rejection
-    verdicts."""
+    verdicts.  ``seen_mode``: ``'exact'`` broadcasts the previous
+    snapshot's id set; ``'bloom'`` broadcasts a Bloom filter over the
+    previous snapshot's URLs instead — the 10^12-scale form (see
+    module docstring)."""
+    from .bloom import BITS_PER_WORD, _spark_indexes
+
     spark = docs.sparkSession
 
     cand = (
@@ -109,27 +134,67 @@ def frontier_batch(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_proposers"))
     )
 
-    prev = (
-        docs.where(F.expr("pmod(doc_id, 3) = 0"))
-        .select(F.expr(
-            f"pmod(doc_id * {PREV_MULT}, {ID_SPACE})"
-        ).alias("prev_id"))
-        .distinct()
-    )
-    feat = (
-        cand.join(
-            F.broadcast(prev),
-            cand.cand_id == prev.prev_id,
-            "left",
+    prev = _prev_frame(docs)
+    if seen_mode == "exact":
+        feat = (
+            cand.join(
+                F.broadcast(prev),
+                cand.cand_id == prev.prev_id,
+                "left",
+            )
+            .select(
+                "cand_id", "n_proposers",
+                F.col("prev_id").isNotNull().alias("seen"),
+                F.expr(_SPARK_HOST_T.format(c="cand_id")).alias("host"),
+                F.expr(
+                    _SPARK_PROFILE_T.format(c="cand_id")
+                ).alias("profile"),
+                F.expr(_SPARK_PATH_T.format(c="cand_id")).alias("path"),
+            )
         )
-        .select(
-            "cand_id", "n_proposers",
-            F.col("prev_id").isNotNull().alias("seen"),
-            F.expr(_SPARK_HOST_T.format(c="cand_id")).alias("host"),
-            F.expr(_SPARK_PROFILE_T.format(c="cand_id")).alias("profile"),
-            F.expr(_SPARK_PATH_T.format(c="cand_id")).alias("path"),
+    elif seen_mode == "bloom":
+        # previous-snapshot URLS → 63-bit-word filter → ONE map row;
+        # membership is a scan-local forall over the k indexes — the
+        # candidate side never joins against the seen set
+        bloom = (
+            prev.select(F.explode(F.expr(
+                _spark_indexes(_spark_url("prev_id"))
+            )).alias("i"))
+            .select(
+                F.expr(f"i div {BITS_PER_WORD}").alias("w"),
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), "
+                    f"cast(i % {BITS_PER_WORD} as int))"
+                ).alias("mask"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(mask)").alias("word"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("bloom"))
         )
-    )
+        feat = (
+            cand.withColumn(
+                "idx", F.expr(_spark_indexes(_spark_url("cand_id")))
+            )
+            .crossJoin(F.broadcast(bloom))
+            .select(
+                "cand_id", "n_proposers",
+                F.expr(
+                    f"forall(idx, i -> "
+                    f"coalesce(bloom[i div {BITS_PER_WORD}], 0L) & "
+                    f"shiftleft(cast(1 as bigint), "
+                    f"cast(i % {BITS_PER_WORD} as int)) != 0)"
+                ).alias("seen"),
+                F.expr(_SPARK_HOST_T.format(c="cand_id")).alias("host"),
+                F.expr(
+                    _SPARK_PROFILE_T.format(c="cand_id")
+                ).alias("profile"),
+                F.expr(_SPARK_PATH_T.format(c="cand_id")).alias("path"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown seen_mode: {seen_mode!r}")
 
     rules = spark.createDataFrame(
         profile_rules(), "profile int, like_pattern string, priority int"
@@ -177,9 +242,14 @@ def frontier_batch(docs: DataFrame) -> DataFrame:
     )
 
 
-def duck_frontier_sql(source: str = "documents") -> str:
+def duck_frontier_sql(source: str = "documents",
+                      seen_mode: str = "exact") -> str:
     """DuckDB twin — same arithmetic, same parsed robots rule table,
-    same window ordering."""
+    same window ordering.  In ``'bloom'`` mode the seen verdict is
+    recomputed through the SAME 63-bit-word filter construction
+    (:mod:`.bloom` idiom) rather than the exact id join."""
+    from .bloom import BITS_PER_WORD, K_HASHES, M_BITS
+
     rule_rows = ", ".join(
         "({}, '{}', {})".format(p, lp.replace("'", "''"), pr)
         for p, lp, pr in profile_rules()
@@ -193,6 +263,59 @@ def duck_frontier_sql(source: str = "documents") -> str:
     profile = _PROFILE_T.format(c="cand_id")
     path = _PATH_T.format(c="cand_id")
     delay_case = _delay_case(profile)
+    if seen_mode == "exact":
+        feat_ctes = f"""
+feat AS (
+  SELECT c.cand_id, c.n_proposers,
+         (p.prev_id IS NOT NULL) AS seen,
+         {host} AS host, {profile} AS profile, {path} AS path
+  FROM cand c LEFT JOIN prev p ON c.cand_id = p.prev_id
+),"""
+    elif seen_mode == "bloom":
+        prev_url = ("{h} || {p}".format(
+            h=_HOST_T.format(c="prev_id"),
+            p=_PATH_T.format(c="prev_id")))
+        cand_url = f"{host} || {path}"
+        feat_ctes = f"""
+pidx AS (
+  SELECT CAST('0x' || substr(md5(({prev_url}) || ':'
+              || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+           % {M_BITS} AS bit_idx
+  FROM prev, generate_series(0, {K_HASHES - 1}) AS t(i)
+),
+words AS (
+  SELECT bit_idx // {BITS_PER_WORD} AS w,
+         bit_or(1::BIGINT << CAST(bit_idx % {BITS_PER_WORD} AS INT))
+           AS word
+  FROM pidx GROUP BY 1
+),
+cidx AS (
+  SELECT cand_id,
+         CAST('0x' || substr(md5(({cand_url}) || ':'
+              || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+           % {M_BITS} AS bit_idx
+  FROM cand, generate_series(0, {K_HASHES - 1}) AS t(i)
+),
+probe AS (
+  SELECT i.cand_id,
+         count(*) FILTER (
+           WHERE (w.word & (1::BIGINT
+                  << CAST(i.bit_idx % {BITS_PER_WORD} AS INT))) != 0
+         ) AS hits
+  FROM cidx i
+  LEFT JOIN words w ON i.bit_idx // {BITS_PER_WORD} = w.w
+  GROUP BY i.cand_id
+),
+feat AS (
+  SELECT c.cand_id, c.n_proposers,
+         coalesce(pr.hits, 0) = {K_HASHES} AS seen,
+         {_HOST_T.format(c="c.cand_id")} AS host,
+         {_PROFILE_T.format(c="c.cand_id")} AS profile,
+         {_PATH_T.format(c="c.cand_id")} AS path
+  FROM cand c LEFT JOIN probe pr ON c.cand_id = pr.cand_id
+),"""
+    else:
+        raise ValueError(f"unknown seen_mode: {seen_mode!r}")
     return f"""
 WITH rules(profile, like_pattern, priority) AS (VALUES {rule_rows}),
 cand_raw AS ({cand_union}),
@@ -203,13 +326,7 @@ cand AS (
 prev AS (
   SELECT DISTINCT (doc_id * {PREV_MULT}) % {ID_SPACE} AS prev_id
   FROM {source} WHERE doc_id % 3 = 0
-),
-feat AS (
-  SELECT c.cand_id, c.n_proposers,
-         (p.prev_id IS NOT NULL) AS seen,
-         {host} AS host, {profile} AS profile, {path} AS path
-  FROM cand c LEFT JOIN prev p ON c.cand_id = p.prev_id
-),
+),{feat_ctes}
 verdict AS (
   SELECT f.cand_id, f.n_proposers, f.seen, f.host, f.path,
          coalesce(max(r.priority) % 2 = 1, TRUE) AS allowed

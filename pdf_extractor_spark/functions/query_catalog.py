@@ -2224,6 +2224,29 @@ def _crawl_frontier_sql() -> str:
 _CRAWL_FRONTIER_SQL = _crawl_frontier_sql()
 
 
+def _crawl_frontier_bloom(spark, sf_dir):
+    """The frontier's 10^12-scale seen-set form: the previous
+    snapshot's URLs fold into a Bloom filter broadcast as ONE map
+    row, membership evaluated scan-locally — the candidate side never
+    joins against the seen set.  The oracle recomputes the same
+    63-bit-word filter relationally; a test pins output identity
+    with the exact variant at fixture fill factors."""
+    from .frontier import frontier_batch
+
+    return frontier_batch(
+        _t(spark, sf_dir, "documents"), seen_mode="bloom"
+    )
+
+
+def _crawl_frontier_bloom_sql() -> str:
+    from .frontier import duck_frontier_sql
+
+    return duck_frontier_sql(seen_mode="bloom")
+
+
+_CRAWL_FRONTIER_BLOOM_SQL = _crawl_frontier_bloom_sql()
+
+
 def _resolve_redirects(spark, sf_dir):
     """Redirect-chain resolution by pointer jumping
     (functions/redirects.py): follow the crawl's redirect edges to
@@ -3755,7 +3778,6 @@ CATALOG: dict[str, QueryDef] = {
     "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
     "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
     "q4_order_priority": QueryDef(_q4_order_priority, _Q4_SQL),
-    "q17_small_quantity": QueryDef(_q17_small_quantity, _Q17_SQL),
     "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
@@ -3828,6 +3850,9 @@ CATALOG: dict[str, QueryDef] = {
         _html_redirect_edges, _HTML_REDIRECT_EDGES_SQL, True
     ),
     "corpus_fetch_batch": QueryDef(_fetch_batch, _FETCH_BATCH_SQL, True),
+    "corpus_crawl_frontier_bloom": QueryDef(
+        _crawl_frontier_bloom, _CRAWL_FRONTIER_BLOOM_SQL
+    ),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3856,14 +3881,15 @@ CATALOG: dict[str, QueryDef] = {
     "q19_disjunctive_revenue": QueryDef(
         _q19_disjunctive_revenue, _Q19_SQL
     ),
-    # q21 / q12 / q10 / q22 displaced by the redirect resolver, the
-    # recrawl scheduler, the directive harvester and the composed
-    # fetch batch (same rule + same local both-SF crosscheck evidence
-    # as q15/q19 above).
+    # q21 / q12 / q10 / q22 / q17 displaced by the redirect resolver,
+    # the recrawl scheduler, the directive harvester, the composed
+    # fetch batch and the bloom-frontier variant (same rule + same
+    # local both-SF crosscheck evidence as q15/q19 above).
     "q21_waiting_suppliers": QueryDef(_q21_waiting_suppliers, _Q21_SQL),
     "q12_late_shipments": QueryDef(_q12_late_shipments, _Q12_SQL),
     "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
     "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
+    "q17_small_quantity": QueryDef(_q17_small_quantity, _Q17_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —

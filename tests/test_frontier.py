@@ -100,6 +100,35 @@ class TestFetchSchedule:
         assert offs == set(delays.values())
 
 
+class TestBloomVariant:
+    def test_bloom_output_identical_to_exact(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        exact = sorted(map(tuple, frontier_batch(docs).collect()))
+        bloom = sorted(map(tuple, frontier_batch(
+            docs, seen_mode="bloom"
+        ).collect()))
+        # fixture fill factor ⇒ FP rate ~1e-11: the swap is drop-in
+        assert bloom == exact
+
+    def test_bloom_plan_has_no_seen_join(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_crawl_frontier_bloom"].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the ONLY hash join left is the robots rule broadcast; the
+        # seen verdict is a scan-local probe against the 1-row map
+        assert plan.count("BroadcastHashJoin") == 1
+        assert plan.count("SortMergeJoin") == 0
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+
+    def test_unknown_mode_rejected(self, spark):
+        import pytest
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        with pytest.raises(ValueError, match="seen_mode"):
+            frontier_batch(docs, seen_mode="psychic")
+
+
 class TestPlan:
     def test_single_pass_no_self_join(self, spark):
         from pdf_extractor_spark.functions.query_catalog import CATALOG
