@@ -16,6 +16,11 @@ operator composes the two stacks into one auditable plan:
   ``hot`` tier (P(changed) > 0.8), priority = staleness bucket
   (``stale_e9 div 5e9`` capped at 9, so refetch urgency and discovery
   in-degree land on comparable small-integer scales);
+- **URL dedup across legs**: a known hot page that other pages also
+  link to surfaces in BOTH legs; fetching it twice in one cycle would
+  burn two politeness slots on one target, so the union dedups by URL
+  first and the refetch row wins (its presence means the page is
+  KNOWN — the discover row's unseen claim is stale);
 - **one window** over the union: ``row_number() OVER (PARTITION BY
   host ORDER BY prio DESC, src, fetch_id)`` — both legs' URL families
   instantiate the same ``site{(id//7)%20}.example`` host template, so
@@ -48,8 +53,10 @@ from .recrawl import duck_recrawl_sql, recrawl_schedule
 from .robots import (
     DUCK_HOST_T,
     DUCK_PATH_T,
+    DUCK_PROFILE_T,
     SPARK_HOST_T,
     SPARK_PATH_T,
+    SPARK_PROFILE_T,
 )
 
 BATCH_K = 3          # combined per-host fetch slots per cycle
@@ -58,9 +65,8 @@ STALE_BUCKET_CAP = 9
 
 # the host index (id div 7 mod 20) determines the robots profile
 # (id div 7 mod 2) because 20 is even — so the union rows can carry
-# host-derived delays without re-deriving per-leg profiles
-_SPARK_PROFILE_FROM_ID = "cast(pmod({c} div 7, 2) as int)"
-_DUCK_PROFILE_FROM_ID = "CAST(({c} // 7) % 2 AS INT)"
+# host-derived delays without re-deriving per-leg profiles; the
+# profile templates are robots.py's single-source-of-truth {c} forms
 
 
 def fetch_batch_plan(docs: DataFrame) -> DataFrame:
@@ -94,13 +100,26 @@ def fetch_batch_plan(docs: DataFrame) -> DataFrame:
             ).alias("prio"),
         )
     )
-    u = discover.unionByName(refetch).withColumn(
-        "host", F.expr("split(url, '/')[0]")
+    # one URL may surface in BOTH legs (a known hot page that other
+    # pages also link to): fetching it twice in one cycle would burn
+    # two politeness slots on one target.  Dedup by URL first —
+    # refetch wins ('refetch' > 'discover' lexically), because
+    # presence in the refetch leg means the page is KNOWN and the
+    # discover row's unseen claim is stale.
+    w_dedup = Window.partitionBy("url").orderBy(
+        F.col("src").desc(), F.col("fetch_id")
+    )
+    u = (
+        discover.unionByName(refetch)
+        .withColumn("dup_rn", F.row_number().over(w_dedup))
+        .where("dup_rn = 1")
+        .drop("dup_rn")
+        .withColumn("host", F.expr("split(url, '/')[0]"))
     )
     w = Window.partitionBy("host").orderBy(
         F.col("prio").desc(), F.col("src"), F.col("fetch_id")
     )
-    delay = _delay_case(_SPARK_PROFILE_FROM_ID.format(c="fetch_id"))
+    delay = _delay_case(SPARK_PROFILE_T.format(c="fetch_id"))
     return (
         u.select(
             "src", "fetch_id", "url", "prio",
@@ -122,7 +141,7 @@ def duck_fetch_plan_sql(source: str = "documents") -> str:
     recrawl subqueries are the exact strings their driver rows gate."""
     from .frontier import duck_frontier_sql
 
-    delay = _delay_case(_DUCK_PROFILE_FROM_ID.format(c="fetch_id"))
+    delay = _delay_case(DUCK_PROFILE_T.format(c="fetch_id"))
     url = ("{h} || {p}".format(h=DUCK_HOST_T.format(c="doc_id"),
                                p=DUCK_PATH_T.format(c="doc_id")))
     return f"""
@@ -140,9 +159,16 @@ refetch AS (
   FROM ({duck_recrawl_sql(source)}) r
   WHERE tier = 'hot'
 ),
-u AS (
-  SELECT *, string_split(url, '/')[1] AS host
+both_legs AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY url ORDER BY src DESC, fetch_id
+         ) AS dup_rn
   FROM (SELECT * FROM discover UNION ALL SELECT * FROM refetch)
+),
+u AS (
+  SELECT src, fetch_id, url, prio,
+         string_split(url, '/')[1] AS host
+  FROM both_legs WHERE dup_rn = 1
 ),
 ranked AS (
   SELECT src, fetch_id, url, prio,

@@ -3734,15 +3734,18 @@ CATALOG: dict[str, QueryDef] = {
     # changed THIS round (pii scrub, multimodal, SRP ANN) stay inside the
     # window so the changes get fresh hard signal.  Every entry is always
     # exposed through __spark_entry__.queries()/oracle_sql().
-    # ALL 21 entries NEW this round (text_bpe_token_counts through
-    # corpus_bloom_seen, plus the warc/feed roundtrips pinned above)
-    # sit inside the window — an entry with no driver row ever
-    # outranks any entry that has one.  Window arithmetic this
-    # session: 4 pinned roundtrips + 27 r2-rotated + 17 new-operator
-    # block + anchor + bloom = 50 exactly.  The three displacements
-    # that made that fit are documented at the window edge below;
-    # everything past position 50 is r3-green or carries a
-    # this-session local DuckDB crosscheck at both SFs.
+    # ALL entries NEW this round sit inside the window — an entry
+    # with no driver row ever outranks any entry that has one.
+    # Window arithmetic (final session of round 4): 30 never-driver-
+    # checked round-4 entries (including the five new source
+    # roundtrips warc/feed/sitemap/wet/cdx) + 17 r2-rotated + the 2
+    # pinned flagship roundtrips (html/pdf, r3-green) +
+    # multimodal_decode (r3-green but its codec changed in r4) = 50
+    # exactly.  The
+    # displacements that made that fit are documented at the window
+    # edge below; everything past position 50 is r2/r3-green AND
+    # carries a this-session local DuckDB crosscheck at both SFs
+    # (full-catalog runs recorded in BASELINE.md).
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),

@@ -35,6 +35,21 @@ from pyspark.sql import DataFrame, functions as F
 # --------------------------------------------------------- REP parser
 
 
+def _directive_lines(text: str):
+    """Logical robots.txt lines → (directive-lowercased, value) —
+    the ONE line tokenizer (comment strip, first-colon split, key
+    fold, whitespace trim) every robots parser consumes, so
+    comment/whitespace handling cannot drift between them."""
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        yield key.strip().lower(), val.strip()
+
+
 def _scan_groups(
     text: str,
 ) -> list[tuple[list[str], list[tuple[str, str]]]]:
@@ -49,15 +64,7 @@ def _scan_groups(
     cur_agents: list[str] = []
     cur_dirs: list[tuple[str, str]] = []
     in_agent_run = False
-    for raw in text.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line:
-            continue
-        key, sep, val = line.partition(":")
-        if not sep:
-            continue
-        key = key.strip().lower()
-        val = val.strip()
+    for key, val in _directive_lines(text):
         if key == "user-agent":
             if not in_agent_run and cur_agents:
                 groups.append((cur_agents, cur_dirs))
@@ -132,17 +139,12 @@ def parse_sitemap_urls(text: str) -> list[str]:
     Per sitemaps.org (and RFC 9309's treatment of other records) the
     directive is INDEPENDENT of user-agent groups — it may appear
     anywhere in the file, including before any group, and applies to
-    all agents — so this scans raw lines rather than
-    :func:`_scan_groups` output.  The value is an absolute URL and is
-    NOT lowercased (URL paths are case-sensitive; only the directive
+    all agents — so this folds over :func:`_directive_lines` without
+    group structure.  The value is an absolute URL and is NOT
+    lowercased (URL paths are case-sensitive; only the directive
     name is case-insensitive)."""
-    out = []
-    for raw in text.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        key, sep, val = line.partition(":")
-        if sep and key.strip().lower() == "sitemap" and val.strip():
-            out.append(val.strip())
-    return out
+    return [val for key, val in _directive_lines(text)
+            if key == "sitemap" and val]
 
 
 def pattern_to_like(pattern: str) -> str:

@@ -51,6 +51,42 @@ class TestSemantics:
             else:
                 assert r.fetch_offset_s == -1
 
+    def test_urls_unique_refetch_wins_overlap(self, spark):
+        # review regression: a URL surfacing in BOTH legs was selected
+        # twice, burning two politeness slots on one target
+        from pdf_extractor_spark.functions.frontier import (
+            frontier_batch,
+        )
+        from pdf_extractor_spark.functions.recrawl import (
+            recrawl_schedule,
+        )
+        from pdf_extractor_spark.functions.robots import (
+            SPARK_HOST,
+            SPARK_PATH,
+        )
+        from pyspark.sql import functions as F
+
+        rows = _rows(spark)
+        urls = [r.url for r in rows]
+        assert len(urls) == len(set(urls)), "duplicate URL in plan"
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        discover_urls = {
+            r.url for r in frontier_batch(docs).collect() if r.selected
+        }
+        refetch_urls = {
+            r.u for r in recrawl_schedule(docs)
+            .where("tier = 'hot'")
+            .select(F.expr(
+                f"concat({SPARK_HOST}, {SPARK_PATH})"
+            ).alias("u")).collect()
+        }
+        overlap = discover_urls & refetch_urls
+        assert overlap, "legs never collided — fixture degenerate"
+        by_url = {r.url: r for r in rows}
+        for u in overlap:
+            assert by_url[u].src == "refetch", u
+
     def test_ranks_dense_per_host(self, spark):
         rows = _rows(spark)
         by_host: dict[str, list[int]] = {}
