@@ -2224,6 +2224,26 @@ def _crawl_frontier_sql() -> str:
 _CRAWL_FRONTIER_SQL = _crawl_frontier_sql()
 
 
+def _crawl_budget(spark, sf_dir):
+    """Max-min fair crawl budget (functions/budget.py): integer
+    water-filling over the frontier's admitted per-host demand — one
+    sort-window on (host, demand) rows plus scalar broadcast
+    aggregates; the closed-form level identity is brute-force
+    validated in tests."""
+    from .budget import crawl_budget_report
+
+    return crawl_budget_report(_t(spark, sf_dir, "documents"))
+
+
+def _crawl_budget_sql() -> str:
+    from .budget import duck_budget_sql
+
+    return duck_budget_sql()
+
+
+_CRAWL_BUDGET_SQL = _crawl_budget_sql()
+
+
 def _crawl_frontier_bloom(spark, sf_dir):
     """The frontier's 10^12-scale seen-set form: the previous
     snapshot's URLs fold into a Bloom filter broadcast as ONE map
@@ -3781,7 +3801,6 @@ CATALOG: dict[str, QueryDef] = {
     "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
     "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
     "q4_order_priority": QueryDef(_q4_order_priority, _Q4_SQL),
-    "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
@@ -3856,6 +3875,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_crawl_frontier_bloom": QueryDef(
         _crawl_frontier_bloom, _CRAWL_FRONTIER_BLOOM_SQL
     ),
+    "corpus_crawl_budget": QueryDef(_crawl_budget, _CRAWL_BUDGET_SQL),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3893,6 +3913,9 @@ CATALOG: dict[str, QueryDef] = {
     "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
     "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
     "q17_small_quantity": QueryDef(_q17_small_quantity, _Q17_SQL),
+    # q18 displaced by the water-filling crawl budget (same rule +
+    # same local both-SF crosscheck evidence).
+    "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —
