@@ -50,6 +50,18 @@ class TestHarvest:
         got = harvest_directives(wrap_html_directives("t", 16))
         assert any(k == "canonical" for k, _ in got)
 
+    def test_unterminated_content_quote_degrades_to_no_edge(self):
+        # quote repair closes the runaway attribute at the next tag
+        # start, truncating the refresh value to '5;' — which parses
+        # as a self-reload (url None), never as a WRONG edge
+        page = (b"<html><head><meta http-equiv='refresh' "
+                b"content='5; url=https://a.example/page/9"
+                b"<link rel='canonical' href='/c'></head>"
+                b"<body><p>Body text.</p></body></html>")
+        got = harvest_directives(page)
+        assert ("refresh", "5;") in got
+        assert parse_refresh("5;") == (5, None)
+
     def test_duplicate_attribute_first_wins(self):
         # review regression: WHATWG drops duplicate attributes (first
         # occurrence wins); last-wins would follow the wrong target
