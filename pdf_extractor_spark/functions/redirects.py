@@ -93,14 +93,23 @@ def redirect_edges(docs: DataFrame) -> DataFrame:
 
 
 def resolve_redirects(docs: DataFrame) -> DataFrame:
-    """(doc_id, final_id, hops, status) for every document.
+    """(doc_id, final_id, hops, status) for every document against
+    the fixture edge rule — see :func:`resolve_from_edges` for the
+    algorithm (which works over ANY functional edge frame and is
+    property-tested on random graphs)."""
+    return resolve_from_edges(docs.select("doc_id"),
+                              redirect_edges(docs))
+
+
+def resolve_from_edges(ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """(doc_id, final_id, hops, status) for every row of ``ids``
+    (column ``doc_id``) against a functional edge frame ``(node,
+    nxt)`` — at most one outgoing edge per node.
 
     ``final_id``/``hops`` are the endpoint and exact step count of a
     sequential walk capped at :data:`HOP_CAP`; ``status`` is ``'ok'``
     when the endpoint is terminal and ``'unresolved'`` when the cap
     fired mid-loop (the endpoint still has an edge)."""
-    edges = redirect_edges(docs)
-
     # succ(node) after round r = endpoint + distance of following
     # min(2^r, to-terminal) edges
     succ = edges.select("node", "nxt", F.lit(1).alias("dist"))
@@ -125,7 +134,7 @@ def resolve_redirects(docs: DataFrame) -> DataFrame:
         )
 
     resolved = (
-        docs.select("doc_id")
+        ids
         .join(succ, F.col("doc_id") == succ.node, "left")
         .select(
             "doc_id",

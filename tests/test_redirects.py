@@ -45,6 +45,50 @@ class TestFixtureTopology:
         assert exits > 0 and loops > 0
 
 
+class TestRandomGraphs:
+    def test_doubling_equals_walk_on_random_functional_graphs(
+        self, spark
+    ):
+        """The algorithm, not the fixture: on arbitrary functional
+        graphs (self-loops, k-cycles, long tails, dense terminals)
+        the doubling resolution must equal a sequential capped walk
+        exactly — endpoint, hop count, and status."""
+        import random
+
+        from pdf_extractor_spark.functions.redirects import (
+            resolve_from_edges,
+        )
+
+        rng = random.Random(42)
+        for trial in range(4):
+            n = rng.randint(8, 60)
+            # ~60% of nodes redirect; targets anywhere in [0, n+5)
+            edge_map = {
+                i: rng.randrange(n + 5)
+                for i in range(n) if rng.random() < 0.6
+            }
+            if trial == 0:
+                edge_map[0] = 0  # explicit self-loop
+            ids = spark.createDataFrame(
+                [(i,) for i in range(n)], "doc_id long"
+            )
+            edges = spark.createDataFrame(
+                list(edge_map.items()), "node long, nxt long"
+            )
+            got = {r.doc_id: r for r in
+                   resolve_from_edges(ids, edges).collect()}
+            assert len(got) == n
+            for src in range(n):
+                cur, hops = src, 0
+                while hops < HOP_CAP and cur in edge_map:
+                    cur = edge_map[cur]
+                    hops += 1
+                status = ("unresolved" if cur in edge_map else "ok")
+                r = got[src]
+                assert (r.final_id, r.hops, r.status) == \
+                    (cur, hops, status), (trial, src)
+
+
 class TestSparkResolution:
     def test_matches_sequential_walk(self, spark):
         docs = spark.read.parquet(f"{SF}/documents.parquet")
