@@ -82,6 +82,40 @@ class TestReader:
             assert r["cap_idx"] > 0 and r["mime"] == "warc/revisit"
 
 
+class TestFuzz:
+    def test_mutated_lines_never_misparse_silently(self):
+        """Random single-byte mutations of a valid CDX file must
+        either raise (sort/key/JSON violation) or still parse into
+        internally-consistent records — never silently produce a
+        record whose key disagrees with its URL."""
+        import random
+
+        data = build_cdxj(list(range(24)))
+        rng = random.Random(99)
+        raised, parsed = 0, 0
+        for _ in range(120):
+            buf = bytearray(data)
+            pos = rng.randrange(len(buf))
+            buf[pos] = rng.randrange(32, 127)
+            try:
+                rows = parse_cdxj(bytes(buf))
+            except (ValueError, KeyError) as _e:
+                raised += 1
+                continue
+            except UnicodeDecodeError:
+                raised += 1
+                continue
+            parsed += 1
+            # the reader itself re-derives each key from its record's
+            # URL and refuses mismatches, so surviving rows are
+            # key-consistent BY CONSTRUCTION; check shape invariants
+            for r in rows:
+                assert r["surt_key"] and ")" in r["surt_key"]
+                assert isinstance(r["status"], int)
+                assert r["cap_idx"] >= 0
+        assert raised > 0 and parsed > 0  # both regimes exercised
+
+
 class TestSparkStage:
     def test_latest_matches_roundtrip_max(self, spark):
         docs = spark.read.parquet(f"{SF}/documents.parquet")
