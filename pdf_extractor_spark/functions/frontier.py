@@ -242,6 +242,31 @@ def frontier_batch(docs: DataFrame,
     )
 
 
+def select_topk(cands: DataFrame, k: int) -> DataFrame:
+    """Per-host top-k SELECTION — the production fetch loop's shape.
+
+    Declared as the obvious single window + ``rk <= k`` filter, and
+    that is the point: Spark ≥ 3.5's optimizer rewrites a
+    ``row_number() <= k`` filter into **WindowGroupLimit** — a
+    partial, map-side per-group limit BEFORE the host exchange and a
+    final one after — so a mega-host's candidate pile is pruned to k
+    rows per input partition before it ever converges on one task.
+    The hand-rolled salted two-stage this replaces measured SLOWER
+    than letting Catalyst do it (``scripts/frontier_skew_bench.py``
+    records the comparison and pins the WindowGroupLimit node).
+
+    Only the full AUDIT frame (``frontier_batch``, which reports a
+    rank for every candidate) pays the complete per-host sort — by
+    construction, because ranking every row is its contract."""
+    w = Window.partitionBy("host").orderBy(
+        F.col("prio").desc(), F.col("cand_id")
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
 def duck_frontier_sql(source: str = "documents",
                       seen_mode: str = "exact") -> str:
     """DuckDB twin — same arithmetic, same parsed robots rule table,

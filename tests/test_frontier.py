@@ -100,6 +100,37 @@ class TestFetchSchedule:
         assert offs == set(delays.values())
 
 
+class TestSelectTopk:
+    def test_group_limit_in_plan_and_exact_results(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.functions.frontier import select_topk
+
+        cands = spark.range(500).select(
+            F.col("id").alias("cand_id"),
+            F.expr("concat('h', cast(pmod(id, 7) as string))")
+            .alias("host"),
+            F.expr("cast(pmod(id * 37, 100) as int)").alias("prio"),
+        )
+        out = select_topk(cands, 3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # Catalyst's rewrite: partial map-side group limit BEFORE the
+        # exchange + final after — the skew-immune selection shape
+        # (measured in scripts/frontier_skew_bench.py)
+        assert plan.count("WindowGroupLimit") >= 2
+        rows = out.collect()
+        by_host: dict[str, list] = {}
+        for r in cands.collect():
+            by_host.setdefault(r.host, []).append(r)
+        for host, rs in by_host.items():
+            rs.sort(key=lambda r: (-r.prio, r.cand_id))
+            expect = [(r.cand_id, i + 1) for i, r in enumerate(rs[:3])]
+            got = sorted(
+                (r.cand_id, r.rk) for r in rows if r.host == host
+            )
+            assert got == sorted(expect), host
+
+
 class TestBloomVariant:
     def test_bloom_output_identical_to_exact(self, spark):
         docs = spark.read.parquet(f"{SF}/documents.parquet")
