@@ -28,9 +28,16 @@ form):
    oracle agrees row for row).
 
 Demand here = admitted candidates per host from the frontier's own
-verdict frame, so the operator composes with the catalog's admission
-stack; budget ``B`` is a module constant at fixture scale and a
-parameter in production.
+verdict frame, CEILED at the politeness cap ``POLITENESS_K`` — a
+grant above what the per-host window downstream can consume in one
+cycle would strand budget (slots charged globally but unusable) —
+so the global and per-host constraints compose.  Budget ``B`` is a
+module constant at fixture scale and a parameter in production.
+
+``capped`` in the output means the host did NOT receive its full
+(ceiled) demand — computed from the FINAL allocation, after the
+remainder hand-out, so a host topped up to its demand by a remainder
+slot reports capped = false.
 
 Scale shape (100 TB contract): rows are (host, demand) — one per
 host, orders of magnitude fewer than candidates.  One sort-window
@@ -48,7 +55,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .frontier import frontier_batch
+from .frontier import POLITENESS_K, frontier_batch
 
 BUDGET = 40  # global fetch slots per cycle at fixture scale
 
@@ -89,7 +96,9 @@ def crawl_budget_report(docs: DataFrame,
         .where("rk != -1")
         .select(F.expr("split(url, '/')[0]").alias("host"))
         .groupBy("host")
-        .agg(F.count("*").cast("int").alias("demand"))
+        .agg(F.expr(
+            f"cast(least(count(*), {POLITENESS_K}) as int)"
+        ).alias("demand"))
     )
     w = Window.orderBy("demand", "host")
     ranked = demand.select(
@@ -147,7 +156,12 @@ def crawl_budget_report(docs: DataFrame,
                 "cast(base + CASE WHEN cap_rank > 0 AND"
                 " cap_rank <= rem THEN 1 ELSE 0 END as int)"
             ).alias("alloc"),
-            "capped",
+        )
+        # capped = final allocation short of demand (remainder slots
+        # can top a level-adjacent host up to its full demand)
+        .select(
+            "host", "demand", "alloc",
+            (F.col("alloc") < F.col("demand")).alias("capped"),
         )
     )
 
@@ -156,12 +170,12 @@ def duck_budget_sql(source: str = "documents",
                     budget: int = BUDGET) -> str:
     """DuckDB twin over the frontier subquery — same rank/prefix
     window, same integer level identity, same remainder hand-out."""
-    from .frontier import duck_frontier_sql
+    from .frontier import POLITENESS_K, duck_frontier_sql
 
     return f"""
 WITH demand AS (
   SELECT string_split(url, '/')[1] AS host,
-         CAST(count(*) AS INT) AS demand
+         CAST(least(count(*), {POLITENESS_K}) AS INT) AS demand
   FROM ({duck_frontier_sql(source)}) f
   WHERE rk != -1
   GROUP BY 1
@@ -202,10 +216,12 @@ ranked_cap AS (
               ELSE 0 END AS cap_rank
   FROM capped
 )
-SELECT host, demand,
-       CAST(base + CASE WHEN cap_rank > 0
-                         AND cap_rank <= {budget} - spent
-                    THEN 1 ELSE 0 END AS INT) AS alloc,
-       is_capped AS capped
-FROM ranked_cap
+SELECT host, demand, alloc, (alloc < demand) AS capped
+FROM (
+  SELECT host, demand,
+         CAST(base + CASE WHEN cap_rank > 0
+                           AND cap_rank <= {budget} - spent
+                      THEN 1 ELSE 0 END AS INT) AS alloc
+  FROM ranked_cap
+)
 """

@@ -43,7 +43,15 @@ Stage shapes (the 100 TB contract):
   rows report rank -1.  The window exchange carries fixed-width
   verdict rows, partitioned by host — hosts are orders of magnitude
   fewer than candidates, and a pathological single-host candidate
-  pile is exactly what the cap bounds.
+  pile is exactly what the cap bounds.  Skew note (measured,
+  ``scripts/frontier_skew_bench.py``): this AUDIT frame ranks every
+  candidate, so a planted mega-host pays its full per-host sort
+  (23× at 20M rows) — the contract's known price.  A production
+  fetch loop that only needs the SELECTED rows should filter
+  ``row_number() <= k`` directly: Spark ≥ 3.5 rewrites that into a
+  map-side WindowGroupLimit before the host exchange, and the bench
+  shows it beating a hand-rolled salted two-stage top-k.  Declare
+  the plan; let Catalyst pick the physical strategy.
 
 No reference counterpart (the reference is a single-document
 extractor) — this is the web-scale discovery layer from the task
@@ -239,31 +247,6 @@ def frontier_batch(docs: DataFrame,
                 _delay_case(_SPARK_PROFILE_T.format(c="cand_id"))
             ),
         ).otherwise(F.lit(-1)).alias("fetch_offset_s"),
-    )
-
-
-def select_topk(cands: DataFrame, k: int) -> DataFrame:
-    """Per-host top-k SELECTION — the production fetch loop's shape.
-
-    Declared as the obvious single window + ``rk <= k`` filter, and
-    that is the point: Spark ≥ 3.5's optimizer rewrites a
-    ``row_number() <= k`` filter into **WindowGroupLimit** — a
-    partial, map-side per-group limit BEFORE the host exchange and a
-    final one after — so a mega-host's candidate pile is pruned to k
-    rows per input partition before it ever converges on one task.
-    The hand-rolled salted two-stage this replaces measured SLOWER
-    than letting Catalyst do it (``scripts/frontier_skew_bench.py``
-    records the comparison and pins the WindowGroupLimit node).
-
-    Only the full AUDIT frame (``frontier_batch``, which reports a
-    rank for every candidate) pays the complete per-host sort — by
-    construction, because ranking every row is its contract."""
-    w = Window.partitionBy("host").orderBy(
-        F.col("prio").desc(), F.col("cand_id")
-    )
-    return (
-        cands.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
     )
 
 

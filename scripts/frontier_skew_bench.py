@@ -40,7 +40,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import Window, functions as F  # noqa: E402
 
-from pdf_extractor_spark.functions.frontier import select_topk  # noqa: E402
 from pdf_extractor_spark.plans.session import build_session  # noqa: E402
 
 N_ROWS = 20_000_000
@@ -67,6 +66,19 @@ def build_cands(spark):
             F.expr("cast(pmod(id * 2654435761, 1000) as int)")
             .alias("prio"),
         )
+    )
+
+
+def select_topk(cands, k):
+    """The production selection shape: declared window + rk <= k —
+    Spark >= 3.5 rewrites the filter into WindowGroupLimit (asserted
+    below), which is the whole lesson this bench records."""
+    w = Window.partitionBy("host").orderBy(
+        F.col("prio").desc(), F.col("cand_id")
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
     )
 
 

@@ -63,22 +63,29 @@ class TestReference:
 class TestSparkStage:
     def test_matches_reference_on_frontier_demand(self, spark):
         from pdf_extractor_spark.functions.frontier import (
+            POLITENESS_K,
             frontier_batch,
         )
 
         docs = spark.read.parquet(f"{SF}/documents.parquet")
-        demand: dict[str, int] = {}
+        raw: dict[str, int] = {}
         for r in frontier_batch(docs).collect():
             if r.rk != -1:
                 host = r.url.split("/")[0]
-                demand[host] = demand.get(host, 0) + 1
+                raw[host] = raw.get(host, 0) + 1
+        # demand composes with the politeness cap: grants above what
+        # the per-host window can consume would strand budget
+        demand = {h: min(d, POLITENESS_K) for h, d in raw.items()}
         expect = fair_allocation(sorted(demand.items()), BUDGET)
         got = {r.host: r for r in crawl_budget_report(docs).collect()}
         assert {h: r.alloc for h, r in got.items()} == expect
         assert sum(r.alloc for r in got.values()) == \
             min(BUDGET, sum(demand.values()))
         for h, r in got.items():
-            assert r.capped == (r.alloc < demand[h]) or not r.capped
+            assert r.demand == demand[h]
+            # capped == final allocation short of (ceiled) demand —
+            # exact, two-sided
+            assert r.capped == (r.alloc < demand[h]), h
 
     def test_plan_no_cartesian_on_data(self, spark):
         from pdf_extractor_spark.functions.query_catalog import CATALOG

@@ -102,9 +102,11 @@ class TestFetchSchedule:
 
 class TestSelectTopk:
     def test_group_limit_in_plan_and_exact_results(self, spark):
-        from pyspark.sql import functions as F
-
-        from pdf_extractor_spark.functions.frontier import select_topk
+        """The frontier docstring's skew claim: a declared window +
+        ``rk <= k`` filter gets Catalyst's WindowGroupLimit rewrite
+        (map-side per-group prune) — pinned here so a Spark upgrade
+        that drops the rewrite is caught."""
+        from pyspark.sql import Window, functions as F
 
         cands = spark.range(500).select(
             F.col("id").alias("cand_id"),
@@ -112,7 +114,11 @@ class TestSelectTopk:
             .alias("host"),
             F.expr("cast(pmod(id * 37, 100) as int)").alias("prio"),
         )
-        out = select_topk(cands, 3)
+        w = Window.partitionBy("host").orderBy(
+            F.col("prio").desc(), F.col("cand_id")
+        )
+        out = (cands.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") <= 3))
         plan = out._jdf.queryExecution().executedPlan().toString()
         # Catalyst's rewrite: partial map-side group limit BEFORE the
         # exchange + final after — the skew-immune selection shape
