@@ -2224,6 +2224,28 @@ def _crawl_frontier_sql() -> str:
 _CRAWL_FRONTIER_SQL = _crawl_frontier_sql()
 
 
+def _host_templates(spark, sf_dir):
+    """Host-level template detection (functions/templates.py):
+    intra-host content diversity via the dedup stack's engine-twin
+    SimHash — hosts whose pages collapse onto a handful of
+    signatures are flagged for exclusion (the RefinedWeb-class
+    host-granularity filter page-level dedup cannot replace).
+    Integer-threshold flag; the one exchange carries (host, simhash)
+    pairs, never text."""
+    from .templates import host_template_report
+
+    return host_template_report(_t(spark, sf_dir, "documents"))
+
+
+def _host_templates_sql() -> str:
+    from .templates import duck_templates_sql
+
+    return duck_templates_sql()
+
+
+_HOST_TEMPLATES_SQL = _host_templates_sql()
+
+
 def _crawl_budget(spark, sf_dir):
     """Max-min fair crawl budget (functions/budget.py): integer
     water-filling over the frontier's admitted per-host demand — one
@@ -3800,7 +3822,6 @@ CATALOG: dict[str, QueryDef] = {
     "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
     "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
     "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
-    "q4_order_priority": QueryDef(_q4_order_priority, _Q4_SQL),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
@@ -3876,6 +3897,9 @@ CATALOG: dict[str, QueryDef] = {
         _crawl_frontier_bloom, _CRAWL_FRONTIER_BLOOM_SQL
     ),
     "corpus_crawl_budget": QueryDef(_crawl_budget, _CRAWL_BUDGET_SQL),
+    "corpus_host_templates": QueryDef(
+        _host_templates, _HOST_TEMPLATES_SQL
+    ),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3913,9 +3937,11 @@ CATALOG: dict[str, QueryDef] = {
     "q10_returned_items": QueryDef(_q10_returned_items, _Q10_SQL),
     "q22_global_sales": QueryDef(_q22_global_sales, _Q22_SQL),
     "q17_small_quantity": QueryDef(_q17_small_quantity, _Q17_SQL),
-    # q18 displaced by the water-filling crawl budget (same rule +
-    # same local both-SF crosscheck evidence).
+    # q18 / q4 displaced by the water-filling crawl budget and the
+    # host-template detector (same rule + same local both-SF
+    # crosscheck evidence).
     "q18_large_orders": QueryDef(_q18_large_orders, _Q18_SQL),
+    "q4_order_priority": QueryDef(_q4_order_priority, _Q4_SQL),
     # -------- displaced by the fourth-session additions (all with r3
     # driver rows; text_pii_scrub and multimodal_resize changed in r4
     # but carry this session's crosscheck + their unit/golden suites —
