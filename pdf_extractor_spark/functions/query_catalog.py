@@ -3778,12 +3778,12 @@ CATALOG: dict[str, QueryDef] = {
     # exposed through __spark_entry__.queries()/oracle_sql().
     # ALL entries NEW this round sit inside the window — an entry
     # with no driver row ever outranks any entry that has one.
-    # Window arithmetic (final session of round 4): 31 never-driver-
-    # checked round-4 entries (including the five new source
-    # roundtrips warc/feed/sitemap/wet/cdx) + 16 r2-rotated + the 2
-    # pinned flagship roundtrips (html/pdf, r3-green) +
-    # multimodal_decode (r3-green but its codec changed in r4) = 50
-    # exactly.  The
+    # Window arithmetic (final session of round 4, catalog frozen at
+    # 111): 32 never-driver-checked round-4 entries (including the
+    # five new source roundtrips warc/feed/sitemap/wet/cdx) + 15
+    # r2-rotated + the 2 pinned flagship roundtrips (html/pdf,
+    # r3-green) + multimodal_decode (r3-green but its codec changed
+    # in r4) = 50 exactly.  The
     # displacements that made that fit are documented at the window
     # edge below; everything past position 50 is r2/r3-green AND
     # carries a this-session local DuckDB crosscheck at both SFs
