@@ -2246,6 +2246,28 @@ def _host_templates_sql() -> str:
 _HOST_TEMPLATES_SQL = _host_templates_sql()
 
 
+def _url_param_rules(spark, sf_dir):
+    """URL query-parameter significance learning
+    (functions/urlparams.py): DUST detection — per (host, param),
+    group URLs by the residual with that param removed; a param whose
+    residual groups never span two content fingerprints (with ≥ 1
+    group of actual value variation as evidence) is strippable before
+    frontier insert.  Residuals are md5-hashed BEFORE the exchange —
+    fixed-width group keys, no raw URLs shuffled, text never read."""
+    from .urlparams import param_rules, synth_pages
+
+    return param_rules(synth_pages(_t(spark, sf_dir, "documents")))
+
+
+def _url_param_rules_sql() -> str:
+    from .urlparams import duck_param_rules_sql
+
+    return duck_param_rules_sql()
+
+
+_URL_PARAM_RULES_SQL = _url_param_rules_sql()
+
+
 def _crawl_budget(spark, sf_dir):
     """Max-min fair crawl budget (functions/budget.py): integer
     water-filling over the frontier's admitted per-host demand — one
@@ -3778,9 +3800,9 @@ CATALOG: dict[str, QueryDef] = {
     # exposed through __spark_entry__.queries()/oracle_sql().
     # ALL entries NEW this round sit inside the window — an entry
     # with no driver row ever outranks any entry that has one.
-    # Window arithmetic (final session of round 4, catalog frozen at
-    # 111): 32 never-driver-checked round-4 entries (including the
-    # five new source roundtrips warc/feed/sitemap/wet/cdx) + 15
+    # Window arithmetic (final session of round 4, catalog at 112):
+    # 33 never-driver-checked round-4 entries (including the five new
+    # source roundtrips warc/feed/sitemap/wet/cdx) + 14
     # r2-rotated + the 2 pinned flagship roundtrips (html/pdf,
     # r3-green) + multimodal_decode (r3-green but its codec changed
     # in r4) = 50 exactly.  The
@@ -3820,7 +3842,6 @@ CATALOG: dict[str, QueryDef] = {
     # relational battery
     "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
     "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
-    "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
     "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
@@ -3900,6 +3921,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_host_templates": QueryDef(
         _host_templates, _HOST_TEMPLATES_SQL
     ),
+    "corpus_url_param_rules": QueryDef(
+        _url_param_rules, _URL_PARAM_RULES_SQL
+    ),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3908,6 +3932,11 @@ CATALOG: dict[str, QueryDef] = {
     # relational bodies unchanged since r2, both re-crosschecked
     # locally vs DuckDB at sf0.001 AND sf0.01 this session. --------
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
+    # q5 displaced by corpus_url_param_rules (never driver-checked
+    # outranks r2-green): pure fully-broadcast snowflake unchanged
+    # since r2, plan-pinned by tests/test_plans.py, re-crosschecked
+    # locally vs DuckDB at both SFs this session.
+    "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
     "q14_promo_revenue": QueryDef(_q14_promo_revenue, _Q14_SQL),
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
     # q13 / rollup_returns / q8 displaced by extract_sitemap_roundtrip,
