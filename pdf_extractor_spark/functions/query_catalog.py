@@ -2268,6 +2268,28 @@ def _url_param_rules_sql() -> str:
 _URL_PARAM_RULES_SQL = _url_param_rules_sql()
 
 
+def _crawl_traps(spark, sf_dir):
+    """Crawl-trap detection (functions/traps.py): hosts whose paths
+    are dominated by immediately-repeating segment pairs (calendar /
+    faceted-navigation URL spaces) get flagged before they sink the
+    frontier's politeness-limited budget.  Pure native higher-order
+    functions over the segment array; the path string is dropped
+    before the one exchange, which carries (host, int, int) partials;
+    integer majority threshold."""
+    from .traps import synth_paths, trap_report
+
+    return trap_report(synth_paths(_t(spark, sf_dir, "documents")))
+
+
+def _crawl_traps_sql() -> str:
+    from .traps import duck_traps_sql
+
+    return duck_traps_sql()
+
+
+_CRAWL_TRAPS_SQL = _crawl_traps_sql()
+
+
 def _crawl_budget(spark, sf_dir):
     """Max-min fair crawl budget (functions/budget.py): integer
     water-filling over the frontier's admitted per-host demand — one
@@ -3800,9 +3822,9 @@ CATALOG: dict[str, QueryDef] = {
     # exposed through __spark_entry__.queries()/oracle_sql().
     # ALL entries NEW this round sit inside the window — an entry
     # with no driver row ever outranks any entry that has one.
-    # Window arithmetic (final session of round 4, catalog at 112):
-    # 33 never-driver-checked round-4 entries (including the five new
-    # source roundtrips warc/feed/sitemap/wet/cdx) + 14
+    # Window arithmetic (final session of round 4, catalog at 113):
+    # 34 never-driver-checked round-4 entries (including the five new
+    # source roundtrips warc/feed/sitemap/wet/cdx) + 13
     # r2-rotated + the 2 pinned flagship roundtrips (html/pdf,
     # r3-green) + multimodal_decode (r3-green but its codec changed
     # in r4) = 50 exactly.  The
@@ -3842,7 +3864,6 @@ CATALOG: dict[str, QueryDef] = {
     # relational battery
     "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
     "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
-    "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
     "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
@@ -3924,6 +3945,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_url_param_rules": QueryDef(
         _url_param_rules, _URL_PARAM_RULES_SQL
     ),
+    "corpus_crawl_traps": QueryDef(_crawl_traps, _CRAWL_TRAPS_SQL),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3932,11 +3954,13 @@ CATALOG: dict[str, QueryDef] = {
     # relational bodies unchanged since r2, both re-crosschecked
     # locally vs DuckDB at sf0.001 AND sf0.01 this session. --------
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
-    # q5 displaced by corpus_url_param_rules (never driver-checked
-    # outranks r2-green): pure fully-broadcast snowflake unchanged
-    # since r2, plan-pinned by tests/test_plans.py, re-crosschecked
-    # locally vs DuckDB at both SFs this session.
+    # q5 / q6 displaced by corpus_url_param_rules and
+    # corpus_crawl_traps (never driver-checked outranks r2-green):
+    # pure relational bodies unchanged since r2, plan-pinned by
+    # tests/test_plans.py (q5 broadcast chain, q6 pushdown+pruning),
+    # re-crosschecked locally vs DuckDB at both SFs this session.
     "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
+    "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
     "q14_promo_revenue": QueryDef(_q14_promo_revenue, _Q14_SQL),
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
     # q13 / rollup_returns / q8 displaced by extract_sitemap_roundtrip,
