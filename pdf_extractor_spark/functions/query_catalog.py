@@ -2290,6 +2290,27 @@ def _crawl_traps_sql() -> str:
 _CRAWL_TRAPS_SQL = _crawl_traps_sql()
 
 
+def _mime_sniff(spark, sf_dir):
+    """WHATWG-subset MIME sniffing (functions/mimesniff.py): the
+    corpus-level audit of the pipeline's byte-based parse routing —
+    sniff every payload (REAL binary column, latin-1 decode) with the
+    spec-ordered magic/tag grammar and report the declared-vs-sniffed
+    confusion matrix.  One narrow native map, no UDF; only the two
+    MIME-name strings reach the partially-aggregable exchange."""
+    from .mimesniff import sniff_report, synth_payloads
+
+    return sniff_report(synth_payloads(_t(spark, sf_dir, "documents")))
+
+
+def _mime_sniff_sql() -> str:
+    from .mimesniff import duck_sniff_sql
+
+    return duck_sniff_sql()
+
+
+_MIME_SNIFF_SQL = _mime_sniff_sql()
+
+
 def _crawl_budget(spark, sf_dir):
     """Max-min fair crawl budget (functions/budget.py): integer
     water-filling over the frontier's admitted per-host demand — one
@@ -3822,9 +3843,9 @@ CATALOG: dict[str, QueryDef] = {
     # exposed through __spark_entry__.queries()/oracle_sql().
     # ALL entries NEW this round sit inside the window — an entry
     # with no driver row ever outranks any entry that has one.
-    # Window arithmetic (final session of round 4, catalog at 113):
-    # 34 never-driver-checked round-4 entries (including the five new
-    # source roundtrips warc/feed/sitemap/wet/cdx) + 13
+    # Window arithmetic (final session of round 4, catalog at 114):
+    # 35 never-driver-checked round-4 entries (including the five new
+    # source roundtrips warc/feed/sitemap/wet/cdx) + 12
     # r2-rotated + the 2 pinned flagship roundtrips (html/pdf,
     # r3-green) + multimodal_decode (r3-green but its codec changed
     # in r4) = 50 exactly.  The
@@ -3864,7 +3885,6 @@ CATALOG: dict[str, QueryDef] = {
     # relational battery
     "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
     "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
-    "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "events_pivot_hourly": QueryDef(
         _events_pivot_hourly, _EVENTS_PIVOT_SQL
@@ -3946,6 +3966,7 @@ CATALOG: dict[str, QueryDef] = {
         _url_param_rules, _URL_PARAM_RULES_SQL
     ),
     "corpus_crawl_traps": QueryDef(_crawl_traps, _CRAWL_TRAPS_SQL),
+    "corpus_mime_sniff": QueryDef(_mime_sniff, _MIME_SNIFF_SQL),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green
@@ -3954,13 +3975,15 @@ CATALOG: dict[str, QueryDef] = {
     # relational bodies unchanged since r2, both re-crosschecked
     # locally vs DuckDB at sf0.001 AND sf0.01 this session. --------
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
-    # q5 / q6 displaced by corpus_url_param_rules and
-    # corpus_crawl_traps (never driver-checked outranks r2-green):
-    # pure relational bodies unchanged since r2, plan-pinned by
+    # q5 / q6 / q7 displaced by corpus_url_param_rules,
+    # corpus_crawl_traps and corpus_mime_sniff (never driver-checked
+    # outranks r2-green): pure relational bodies, plan-pinned by
     # tests/test_plans.py (q5 broadcast chain, q6 pushdown+pruning),
-    # re-crosschecked locally vs DuckDB at both SFs this session.
+    # re-crosschecked locally vs DuckDB at both SFs this session
+    # (q7 non-vacuous at both — the crosscheck's vacuous guard holds).
     "q5_region_volume": QueryDef(_q5_region_volume, _Q5_SQL, True),
     "q6_forecast_revenue": QueryDef(_q6_forecast_revenue, _Q6_SQL, True),
+    "q7_volume_shipping": QueryDef(_q7_volume_shipping, _Q7_SQL),
     "q14_promo_revenue": QueryDef(_q14_promo_revenue, _Q14_SQL),
     "set_ops_customers": QueryDef(_set_ops_customers, _SET_OPS_SQL),
     # q13 / rollup_returns / q8 displaced by extract_sitemap_roundtrip,
