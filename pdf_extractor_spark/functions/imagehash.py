@@ -1,0 +1,239 @@
+"""Image near-duplicate detection via perceptual average-hash (aHash)
+over REAL decoded pixels — the LAION-class image-dedup leg of the
+multimodal battery.
+
+Training-data pipelines dedup images the way they dedup text: a
+compact perceptual fingerprint per image, then a Hamming-ball join.
+aHash is the classic fingerprint (resize to an 8×8 grid of area
+means, threshold each cell against the global mean, pack 64 bits) —
+by construction it is invariant to uniform brightness shifts and to
+resolution changes, which is exactly what makes it a NEAR-duplicate
+detector rather than a byte-hash.
+
+Everything here is real end-to-end:
+
+* payloads are genuine PNG files (from-scratch codec in
+  :mod:`..operators.png_codec`, CRC'd chunks, all five scanline
+  filters exercised) decoded to pixel arrays inside an Arrow-batched
+  ``mapInPandas`` stage;
+* the hash is computed FROM THE DECODED PIXELS by a generic area
+  down-sample + threshold kernel (:func:`ahash64`) — not read off the
+  generation parameters;
+* the near-dup join is the same banded Hamming-ball shape as SimHash
+  dedup (``dedup.py``): 64 bits → 4 bands × 16; Hamming ≤ 3 ⟹ at
+  least one whole band equal (pigeonhole), so the band equi-join is a
+  lossless candidate generator, verified by an exact popcount.
+
+Fixture (closed form so a plain-SQL oracle can predict every hash):
+documents come in groups of 4 (``group = doc_id // 4``).  A 64-cell
+block pattern is drawn from 60 md5 bits of the group id plus 4 pinned
+cells (bits 60/62 set, 61/63 clear — guarantees a mixed pattern for
+the threshold and keeps the hash a positive signed bigint).  Group
+members XOR fixed flip masks into the pattern:
+
+    member 0: base          member 1: flip {5}          (d = 1)
+    member 2: flip {11,23,47} (d = 3)
+    member 3: flip 29 even bits (d = 29 — never a near-dup)
+
+and each member renders the pattern at a DIFFERENT size, channel
+count and brightness (``w,h ∈ 24..63``, ``c ∈ {1,3}``, ``k =
+doc_id % 24``), so the planted (0,1) and (0,2) pairs prove
+brightness- and resolution-invariance through the real codec, not
+just mask arithmetic.  Cells are painted on the ``floor(8·y/h)``
+partition — the same decomposition :func:`ahash64` aggregates on —
+so every aHash cell mean is exactly one painted value and the
+threshold is deterministic.
+
+Scale shape (100 TB contract): doc_ids hash-repartition BEFORE
+payload synthesis (pixels are born on the partition that hashes
+them — media bytes never cross an exchange; against real stored
+blobs the same holds via parquet split sizing).  The band self-join
+shuffles only ``(band, bval, doc_id, phash)`` rows — 32 bytes per
+image regardless of image size.  Reference tie-in: the reference
+pipeline has no image leg (``extractor.py`` is text-only); this is
+the training-pipeline extension the task brief grades alongside §2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.png_codec import png_encode, png_decode
+from .multimodal import _partitioned_payloads
+
+#: member flip masks (XOR'd into the 60 md5 bits); even bits 2..58
+#: give member 3 Hamming distance 29 from base — far outside every
+#: radius — while members 1/2 sit at exactly 1 and 3
+FLIP_MASKS: tuple[int, int, int, int] = (
+    0,
+    1 << 5,
+    (1 << 11) | (1 << 23) | (1 << 47),
+    sum(1 << i for i in range(2, 59, 2)),
+)
+
+#: pinned high cells: 60/62 bright, 61/63 dark — mixed pattern, sign bit clear
+PIN_BITS = (1 << 60) | (1 << 62)
+
+DARK, BRIGHT = 40, 180  # painted levels before the brightness shift k
+
+
+def target_bits(doc_id: int) -> int:
+    """The 64-bit pattern document ``doc_id``'s image encodes (and the
+    hash :func:`ahash64` must recover from its decoded pixels)."""
+    group, member = doc_id // 4, doc_id % 4
+    bh = int(hashlib.md5(str(group).encode()).hexdigest()[:15], 16)
+    return (bh ^ FLIP_MASKS[member]) | PIN_BITS
+
+
+def fixture_phash_image(doc_id: int) -> bytes:
+    """Deterministic real PNG: the 8×8 block pattern of
+    :func:`target_bits` rendered at a member-specific size, channel
+    count and brightness, with the PNG row filters cycling through all
+    five types."""
+    w = 24 + (doc_id * 7) % 40
+    h = 24 + (doc_id * 13) % 40
+    c = 1 if doc_id % 2 == 0 else 3
+    k = doc_id % 24
+    bits = target_bits(doc_id)
+    grid = np.array(
+        [(bits >> i) & 1 for i in range(64)], dtype=bool
+    ).reshape(8, 8)
+    by = (np.arange(h) * 8) // h
+    bx = (np.arange(w) * 8) // w
+    img = np.where(grid[by[:, None], bx[None, :]], BRIGHT + k, DARK + k)
+    pixels = np.repeat(img[:, :, None], c, axis=2).astype(np.uint8)
+    return png_encode(
+        pixels, row_filters=[(doc_id + row) % 5 for row in range(h)]
+    )
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """Average hash of an (H, W, C) pixel array: grayscale by channel
+    mean, area-downsample onto the ``floor(8·y/H) × floor(8·x/W)``
+    8×8 cell partition, threshold each cell mean against the global
+    mean, pack bit ``by*8+bx``.  Generic — knows nothing about the
+    fixture construction."""
+    h, w, _ = pixels.shape
+    gray = pixels.astype(np.float64).mean(axis=2)
+    # first row/col index of each cell under the floor(8y/H) partition
+    yb = (np.arange(8) * h + 7) // 8
+    xb = (np.arange(8) * w + 7) // 8
+    sums = np.add.reduceat(np.add.reduceat(gray, yb, axis=0), xb, axis=1)
+    ny = np.diff(np.append(yb, h))
+    nx = np.diff(np.append(xb, w))
+    means = sums / (ny[:, None] * nx[None, :])
+    bits = (means > gray.mean()).astype(np.uint64).ravel()
+    packed = (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    # two's-complement signed value — the Spark `long` the hash ships as
+    # (fixture patterns pin bit 63 clear, but the kernel is generic)
+    return int(packed.astype(np.int64))
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def phash_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, payload) → (doc_id, phash) — one
+    real PNG decode + aHash per row, one Python hop per Arrow batch."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "phash": [
+                    ahash64(png_decode(bytes(p))) for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+def phash_signatures(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """documents → (doc_id, phash): payload synthesis after the id
+    repartition (layout rule shared with every multimodal leg via
+    ``_partitioned_payloads``), then the Arrow decode+hash stage."""
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_phash_image
+    ).mapInPandas(phash_pandas, PHASH_SCHEMA)
+
+
+PHASH_BANDS = 4  # 64 bits → 4 bands of 16: Hamming ≤ 3 ⟹ a band matches
+
+
+def phash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, num_partitions: int = 8
+) -> DataFrame:
+    """Banded Hamming-ball join over the perceptual hashes — the same
+    lossless two-stage shape as SimHash near-dup (recall from the band
+    equi-join by pigeonhole, precision from the exact popcount).
+    Returns (left_id, right_id, hamming), ordered."""
+    sigs = phash_signatures(docs, num_partitions).localCheckpoint(
+        eager=False
+    )  # the band self-join must not run the decode stage per side
+    bands = sigs.selectExpr(
+        "doc_id",
+        "phash",
+        "stack({n}, {args}) as (band, bval)".format(
+            n=PHASH_BANDS,
+            args=", ".join(
+                f"{b}, shiftright(phash, {b * 16}) & 65535"
+                for b in range(PHASH_BANDS)
+            ),
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", F.col("hamming").cast("long"))
+        .orderBy("left_id", "right_id")
+    )
+
+
+def duck_phash_sql(max_hamming: int = 3, source: str = "documents") -> str:
+    """DuckDB twin: the hash is predicted CLOSED FORM from the fixture
+    parameters (md5 group bits XOR the member flip mask, plus the
+    pins) — it meets the Spark side, which measures the hash from
+    decoded pixels, only if codec + downsample + threshold + packing
+    are all correct.  The join is the exact quadratic form the banded
+    join must reproduce."""
+    masks = (
+        f"CASE doc_id % 4 WHEN 1 THEN {FLIP_MASKS[1]} "
+        f"WHEN 2 THEN {FLIP_MASKS[2]} WHEN 3 THEN {FLIP_MASKS[3]} "
+        "ELSE 0 END"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         xor(CAST('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 15)
+                  AS BIGINT),
+             {masks}) + {PIN_BITS} AS phash
+  FROM {source}
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM h a JOIN h b
+  ON a.doc_id < b.doc_id
+ AND bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+ORDER BY left_id, right_id
+"""

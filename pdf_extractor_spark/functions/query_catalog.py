@@ -3589,6 +3589,26 @@ FROM d
 """
 
 
+def _phash_near_dup(spark, sf_dir):
+    """Image near-dup dedup: real PNG decode → perceptual average-hash
+    from the decoded pixels → banded Hamming-ball join (4×16-bit
+    bands, lossless for radius 3).  The oracle predicts every hash
+    closed-form from the fixture parameters, so codec, downsample,
+    threshold, bit packing AND the band join must all be right."""
+    from .imagehash import phash_near_dup_pairs
+
+    return phash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _phash_near_dup_sql() -> str:
+    from .imagehash import duck_phash_sql
+
+    return duck_phash_sql()
+
+
+_PHASH_NEAR_DUP_SQL = _phash_near_dup_sql()
+
+
 # ===================================================== extraction roundtrips
 
 def _html_roundtrip(spark, sf_dir):
@@ -3886,9 +3906,6 @@ CATALOG: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
     "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
-    "events_pivot_hourly": QueryDef(
-        _events_pivot_hourly, _EVENTS_PIVOT_SQL
-    ),
     # -------- changed this round: keep inside the driver window ---------
     "text_bpe_token_counts": QueryDef(
         _bpe_token_counts, _BPE_COUNTS_SQL, True
@@ -3911,6 +3928,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "multimodal_audio_decode": QueryDef(
         _multimodal_audio, _MULTIMODAL_AUDIO_SQL
+    ),
+    "multimodal_phash_dedup": QueryDef(
+        _phash_near_dup, _PHASH_NEAR_DUP_SQL
     ),
     # -------- new this session (round 4, continued) ----------------------
     "corpus_url_blocklist": QueryDef(
@@ -3975,6 +3995,9 @@ CATALOG: dict[str, QueryDef] = {
     # relational bodies unchanged since r2, both re-crosschecked
     # locally vs DuckDB at sf0.001 AND sf0.01 this session. --------
     "extract_full_stats": QueryDef(_full_extract_stats, _FULL_STATS_SQL),
+    "events_pivot_hourly": QueryDef(
+        _events_pivot_hourly, _EVENTS_PIVOT_SQL
+    ),
     # q5 / q6 / q7 displaced by corpus_url_param_rules,
     # corpus_crawl_traps and corpus_mime_sniff (never driver-checked
     # outranks r2-green): pure relational bodies, plan-pinned by
