@@ -3589,6 +3589,26 @@ FROM d
 """
 
 
+def _mojibake_repair(spark, sf_dir):
+    """ftfy-class encoding repair: guarded UTF-8-as-Latin-1 inverse
+    (signature + RFC 3629 validity gate) over per-class fixture
+    tails. One narrow native map — zero UDFs, zero exchanges."""
+    from .mojibake import mojibake_report, synth_encoding_classes
+
+    return mojibake_report(
+        synth_encoding_classes(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _mojibake_sql() -> str:
+    from .mojibake import duck_mojibake_sql
+
+    return duck_mojibake_sql()
+
+
+_MOJIBAKE_SQL = _mojibake_sql()
+
+
 def _phash_near_dup(spark, sf_dir):
     """Image near-dup dedup: real PNG decode → perceptual average-hash
     from the decoded pixels → banded Hamming-ball join (4×16-bit
@@ -3905,7 +3925,6 @@ CATALOG: dict[str, QueryDef] = {
     # relational battery
     "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
     "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
-    "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     # -------- changed this round: keep inside the driver window ---------
     "text_bpe_token_counts": QueryDef(
         _bpe_token_counts, _BPE_COUNTS_SQL, True
@@ -3932,6 +3951,7 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_phash_dedup": QueryDef(
         _phash_near_dup, _PHASH_NEAR_DUP_SQL
     ),
+    "text_mojibake_repair": QueryDef(_mojibake_repair, _MOJIBAKE_SQL),
     # -------- new this session (round 4, continued) ----------------------
     "corpus_url_blocklist": QueryDef(
         _url_blocklist, _URL_BLOCKLIST_SQL, True
@@ -3998,6 +4018,7 @@ CATALOG: dict[str, QueryDef] = {
     "events_pivot_hourly": QueryDef(
         _events_pivot_hourly, _EVENTS_PIVOT_SQL
     ),
+    "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     # q5 / q6 / q7 displaced by corpus_url_param_rules,
     # corpus_crawl_traps and corpus_mime_sniff (never driver-checked
     # outranks r2-green): pure relational bodies, plan-pinned by
