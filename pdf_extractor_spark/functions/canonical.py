@@ -102,11 +102,13 @@ def _directive_iter(
             for kind, value in harvest_directives(payload):
                 if kind == "canonical":
                     url, delay = value, -1
-                else:
+                elif kind == "refresh":
                     parsed = parse_refresh(value)
                     if parsed is None or parsed[1] is None:
                         continue  # self-reload / garbage: no edge
                     delay, url = parsed
+                else:
+                    continue  # other directive kinds (e.g. robots)
                 m = _TARGET_ID_RE.search(url)
                 if not m:
                     continue

@@ -3589,6 +3589,24 @@ FROM d
 """
 
 
+def _meta_robots(spark, sf_dir):
+    """Page-level REP: robots-meta through the real parser (template
+    inertness included) + native X-Robots-Tag header scan,
+    restrictive-wins; one Arrow pass, no joins."""
+    from .metarobots import meta_robots_verdicts
+
+    return meta_robots_verdicts(_t(spark, sf_dir, "documents"))
+
+
+def _meta_robots_sql() -> str:
+    from .metarobots import duck_meta_robots_sql
+
+    return duck_meta_robots_sql()
+
+
+_META_ROBOTS_SQL = _meta_robots_sql()
+
+
 def _mojibake_repair(spark, sf_dir):
     """ftfy-class encoding repair: guarded UTF-8-as-Latin-1 inverse
     (signature + RFC 3629 validity gate) over per-class fixture
@@ -3910,7 +3928,6 @@ CATALOG: dict[str, QueryDef] = {
         _wet_roundtrip, _WARC_ROUNDTRIP_SQL
     ),
     # -------- the 29 rotated-in entries (driver rows last seen r2) ------
-    "j2_asof_band": QueryDef(_j2_asof_band, _J2_ASOF_SQL),
     "w_tumbling_hour": QueryDef(_w_tumbling_hour, _W_TUMBLING_SQL),
     "d5_shingle_uniqueness": QueryDef(
         _d5_shingle_uniqueness, _D5_SHINGLE_SQL
@@ -3952,6 +3969,7 @@ CATALOG: dict[str, QueryDef] = {
         _phash_near_dup, _PHASH_NEAR_DUP_SQL
     ),
     "text_mojibake_repair": QueryDef(_mojibake_repair, _MOJIBAKE_SQL),
+    "corpus_meta_robots": QueryDef(_meta_robots, _META_ROBOTS_SQL),
     # -------- new this session (round 4, continued) ----------------------
     "corpus_url_blocklist": QueryDef(
         _url_blocklist, _URL_BLOCKLIST_SQL, True
@@ -4019,6 +4037,7 @@ CATALOG: dict[str, QueryDef] = {
         _events_pivot_hourly, _EVENTS_PIVOT_SQL
     ),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
+    "j2_asof_band": QueryDef(_j2_asof_band, _J2_ASOF_SQL),
     # q5 / q6 / q7 displaced by corpus_url_param_rules,
     # corpus_crawl_traps and corpus_mime_sniff (never driver-checked
     # outranks r2-green): pure relational bodies, plan-pinned by

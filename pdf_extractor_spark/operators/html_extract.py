@@ -346,6 +346,11 @@ class _BlockParser(HTMLParser):
             elif (a.get("http-equiv") or "").lower() == "refresh" \
                     and a.get("content"):
                 self.directives.append(("refresh", a["content"]))
+            elif (a.get("name") or "").lower() == "robots" \
+                    and a.get("content") is not None:
+                # page-level REP (robots meta): raw value out, token
+                # semantics live with the consumer (metarobots.py)
+                self.directives.append(("robots", a["content"]))
         if tag in _SKIP_TAGS:
             for t in _SKIP_IMPLIED_BY_START.get(tag, ()):
                 self._close_skip(t)
