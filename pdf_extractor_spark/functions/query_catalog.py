@@ -3589,6 +3589,24 @@ FROM d
 """
 
 
+def _soft404(spark, sf_dir):
+    """Soft-404 host detection: error-phrase flag on 200-status pages
+    + modal-length template signal, two partially-aggregable
+    exchanges, body text never shuffles."""
+    from .soft404 import soft404_report, synth_status_pages
+
+    return soft404_report(synth_status_pages(_t(spark, sf_dir, "documents")))
+
+
+def _soft404_sql() -> str:
+    from .soft404 import duck_soft404_sql
+
+    return duck_soft404_sql()
+
+
+_SOFT404_SQL = _soft404_sql()
+
+
 def _meta_robots(spark, sf_dir):
     """Page-level REP: robots-meta through the real parser (template
     inertness included) + native X-Robots-Tag header scan,
@@ -3928,7 +3946,6 @@ CATALOG: dict[str, QueryDef] = {
         _wet_roundtrip, _WARC_ROUNDTRIP_SQL
     ),
     # -------- the 29 rotated-in entries (driver rows last seen r2) ------
-    "w_tumbling_hour": QueryDef(_w_tumbling_hour, _W_TUMBLING_SQL),
     "d5_shingle_uniqueness": QueryDef(
         _d5_shingle_uniqueness, _D5_SHINGLE_SQL
     ),
@@ -3970,6 +3987,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_mojibake_repair": QueryDef(_mojibake_repair, _MOJIBAKE_SQL),
     "corpus_meta_robots": QueryDef(_meta_robots, _META_ROBOTS_SQL),
+    "corpus_soft404": QueryDef(_soft404, _SOFT404_SQL),
     # -------- new this session (round 4, continued) ----------------------
     "corpus_url_blocklist": QueryDef(
         _url_blocklist, _URL_BLOCKLIST_SQL, True
@@ -4038,6 +4056,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "events_json_props": QueryDef(_json_props_rollup, _JSON_PROPS_SQL),
     "j2_asof_band": QueryDef(_j2_asof_band, _J2_ASOF_SQL),
+    "w_tumbling_hour": QueryDef(_w_tumbling_hour, _W_TUMBLING_SQL),
     # q5 / q6 / q7 displaced by corpus_url_param_rules,
     # corpus_crawl_traps and corpus_mime_sniff (never driver-checked
     # outranks r2-green): pure relational bodies, plan-pinned by
