@@ -2417,6 +2417,28 @@ def _html_redirect_edges_sql() -> str:
 _HTML_REDIRECT_EDGES_SQL = _html_redirect_edges_sql()
 
 
+def _structured_data(spark, sf_dir):
+    """Open Graph + JSON-LD harvesting through the REAL parser
+    (functions/structured.py): meta property pairs and
+    ``application/ld+json`` islands recovered from page heads by the
+    same decode + quote-repair + parse pipeline as extraction; strict
+    ``json.loads`` with typed skip (a malformed island next to a valid
+    one costs its own rows only); ``@graph`` envelopes descended;
+    MIME-essence type match; template traps inert."""
+    from .structured import structured_data
+
+    return structured_data(_t(spark, sf_dir, "documents"))
+
+
+def _structured_data_sql() -> str:
+    from .structured import duck_structured_sql
+
+    return duck_structured_sql()
+
+
+_STRUCTURED_DATA_SQL = _structured_data_sql()
+
+
 def _recrawl_schedule(spark, sf_dir):
     """Recrawl scheduling (functions/recrawl.py): Cho-Garcia-Molina
     change-rate estimation over revisit histories, with the
@@ -3958,7 +3980,9 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
     # relational battery
     "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
-    "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
+    # q3_shipping_priority displaced past the window edge by
+    # corpus_structured_data (r2-green + every-session local
+    # crosscheck vs never-driver-checked)
     # -------- changed this round: keep inside the driver window ---------
     "text_bpe_token_counts": QueryDef(
         _bpe_token_counts, _BPE_COUNTS_SQL, True
@@ -4043,6 +4067,10 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_crawl_traps": QueryDef(_crawl_traps, _CRAWL_TRAPS_SQL),
     "corpus_mime_sniff": QueryDef(_mime_sniff, _MIME_SNIFF_SQL),
+    "corpus_structured_data": QueryDef(
+        _structured_data, _STRUCTURED_DATA_SQL
+    ),
+    "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
     # + 2 pinned roundtrips > 50).  extract_full_stats is r3-green

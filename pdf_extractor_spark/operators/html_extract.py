@@ -289,6 +289,12 @@ class _BlockParser(HTMLParser):
         self.anchors: list[tuple[str, str]] = []
         # head directives: ("canonical", href) / ("refresh", content)
         self.directives: list[tuple[str, str]] = []
+        # structured data: <meta property=… content=…> pairs (RDFa /
+        # Open Graph) and raw <script type="application/ld+json">
+        # bodies, in document order
+        self.meta_props: list[tuple[str, str]] = []
+        self.ldjson: list[str] = []
+        self._ldjson_buf: list[str] | None = None
         self._a_href: str | None = None
         self._a_text: list[str] = []
         self._buf: list[str] = []
@@ -351,6 +357,27 @@ class _BlockParser(HTMLParser):
                 # page-level REP (robots meta): raw value out, token
                 # semantics live with the consumer (metarobots.py)
                 self.directives.append(("robots", a["content"]))
+            if tag == "meta" and a.get("content") is not None:
+                # RDFa/Open Graph carries the key in `property`;
+                # classic metadata (description, twitter:*) in `name`
+                prop = a.get("property") or ""
+                name = (a.get("name") or "").lower()
+                if prop:
+                    self.meta_props.append((prop, a["content"]))
+                elif name == "description" or name.startswith("twitter:"):
+                    self.meta_props.append((name, a["content"]))
+        if tag == "script" and not self._skip_counts.get("template"):
+            # JSON-LD island: essence match on the `type` attribute
+            # (parameters stripped, case-insensitive) per WHATWG
+            # script-data-block rules; cdata mode delivers the body
+            # raw (charrefs undecoded) which is what JSON needs
+            a2: dict[str, str] = {}
+            for k, v in attrs:
+                if v is not None:
+                    a2.setdefault(k, v)
+            essence = (a2.get("type") or "").split(";", 1)[0]
+            if essence.strip().lower() == "application/ld+json":
+                self._ldjson_buf = []
         if tag in _SKIP_TAGS:
             for t in _SKIP_IMPLIED_BY_START.get(tag, ()):
                 self._close_skip(t)
@@ -402,6 +429,9 @@ class _BlockParser(HTMLParser):
         for t in _SKIP_CLEARED_BY_END.get(tag, ()):
             while self._skip_counts.get(t, 0):
                 self._close_skip(t)
+        if tag == "script" and self._ldjson_buf is not None:
+            self.ldjson.append("".join(self._ldjson_buf))
+            self._ldjson_buf = None
         if tag in _SKIP_TAGS:
             self._close_skip(tag)
             return
@@ -431,6 +461,11 @@ class _BlockParser(HTMLParser):
         self._a_text = []
 
     def handle_data(self, data):
+        if self._ldjson_buf is not None:
+            # raw JSON-LD body (script is a skip subtree for text, so
+            # this never reaches the block buffer)
+            self._ldjson_buf.append(data)
+            return
         if self._skip_depth:
             return
         self._buf.append(data)
@@ -597,6 +632,26 @@ def harvest_directives(
     parser.feed(repair_unterminated_quotes(text))
     parser.close()
     return parser.directives
+
+
+def harvest_structured(
+    html_bytes: bytes, transport_charset: str | None = None
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """Structured-data surfaces through the same decode + quote-
+    repair + parse pipeline as extraction: ``(meta_props, ldjson)``
+    where ``meta_props`` is ordered ``(key, content)`` pairs from
+    ``<meta property=…>`` (RDFa/Open Graph) plus ``name=description``
+    / ``name=twitter:*``, and ``ldjson`` is the RAW bodies of
+    ``<script type="application/ld+json">`` islands (JSON semantics
+    live with the consumer, :mod:`..functions.structured`).
+    ``<template>`` contents are inert per WHATWG and never emitted;
+    an unterminated script at EOF (truncated crawl) is dropped, not
+    guessed at."""
+    text, _codec = sniff_decode(html_bytes, transport_charset)
+    parser = _BlockParser()
+    parser.feed(repair_unterminated_quotes(text))
+    parser.close()
+    return parser.meta_props, parser.ldjson
 
 
 def classify_blocks(blocks: list[Block], cfg: ExtractConfig) -> list[bool]:
