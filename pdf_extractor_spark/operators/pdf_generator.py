@@ -58,6 +58,19 @@ class PageSpec:
     # whose payload contains token-lookalike bytes — the tokenizer
     # must skip it, not hallucinate words from it
     inline_image: bool = False
+    # link annotations: (rect, uri, form) where form selects the
+    # layout — "inline" (/A << /S /URI … >> in the annot dict),
+    # "indirect" (/A as its own object), "hex" (URI as a hex string),
+    # "goto" (internal /GoTo action: a Link with NO URI — trap),
+    # "square" (/Subtype /Square: not a Link at all — trap)
+    links: list[tuple[tuple[float, float, float, float], str, str]] = \
+        field(default_factory=list)
+
+    def put_link(
+        self, uri: str, form: str = "inline",
+        rect: tuple[float, float, float, float] = (72, 72, 200, 90),
+    ) -> None:
+        self.links.append((rect, uri, form))
 
     # -- convenience builders (used by fixtures) --------------------
     def put(self, x: float, y_top: float, size: float, text: str) -> None:
@@ -498,12 +511,60 @@ def build_pdf(
             objs[content_id] = _finish_stream(stream, content_id)
             contents_ref = f"/Contents {content_id} 0 R"
         rotate = f" /Rotate {p.rotate}" if p.rotate else ""
+        annots_ref = ""
+        if p.links:
+            if enc_key is not None:
+                # strings in encrypted documents are themselves
+                # encrypted (ISO 32000 §7.6.2); the fixture writer
+                # keeps link fixtures and crypto fixtures orthogonal
+                raise ValueError("links on encrypted fixtures "
+                                 "not supported")
+            annot_ids = []
+            for rect, uri, form in p.links:
+                rect_s = " ".join(f"{v:g}" for v in rect)
+                aid = next_id
+                next_id += 1
+                annot_ids.append(aid)
+                if form == "square":
+                    objs[aid] = (
+                        f"<< /Type /Annot /Subtype /Square "
+                        f"/Rect [{rect_s}] >>"
+                    ).encode("latin-1")
+                    continue
+                if form == "goto":
+                    objs[aid] = (
+                        f"<< /Type /Annot /Subtype /Link /Rect [{rect_s}]"
+                        f" /A << /S /GoTo /D [2 0 R /Fit] >> >>"
+                    ).encode("latin-1")
+                    continue
+                if form == "hex":
+                    ustr = "<" + uri.encode("utf-8").hex().upper() + ">"
+                else:
+                    ustr = _pdf_literal(uri.encode("utf-8"))
+                action = f"<< /S /URI /URI {ustr} >>"
+                if form == "indirect":
+                    act_id = next_id
+                    next_id += 1
+                    objs[act_id] = action.encode("latin-1")
+                    objs[aid] = (
+                        f"<< /Type /Annot /Subtype /Link /Rect [{rect_s}]"
+                        f" /A {act_id} 0 R >>"
+                    ).encode("latin-1")
+                else:
+                    objs[aid] = (
+                        f"<< /Type /Annot /Subtype /Link /Rect [{rect_s}]"
+                        f" /A {action} >>"
+                    ).encode("latin-1")
+            annots_ref = " /Annots [{}]".format(
+                " ".join(f"{a} 0 R" for a in annot_ids)
+            )
         page_attrs = (
             "" if inherit_attrs
             else f" /MediaBox [0 0 {p.width:g} {p.height:g}] {resources}"
         )
         objs[page_id] = (
-            f"<< /Type /Page /Parent 2 0 R{page_attrs}{rotate} "
+            f"<< /Type /Page /Parent 2 0 R{page_attrs}{rotate}"
+            f"{annots_ref} "
             f"{contents_ref} >>"
         ).encode("latin-1")
 

@@ -55,6 +55,9 @@ class PdfPage:
     height: float
     rotation: int
     words: Words              # WORD_COLUMNS (columnar struct)
+    # URI targets of /Link annotations (document outlinks) — the
+    # PDF branch's counterpart of the HTML anchor harvest
+    links: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -1429,6 +1432,36 @@ _ID_RE = re.compile(
 )
 
 
+_URI_STR_RE = re.compile(
+    rb"/URI\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
+)
+
+
+def _page_links(body: bytes, bodies: dict[int, bytes]) -> list[str]:
+    """URI targets of the page's ``/Link`` annotations (ISO 32000
+    §12.5.6.5 link annotations, §12.6.4.7 URI actions): ``/Annots``
+    refs resolved, the ``/A`` action inline OR an indirect object,
+    the URI a literal or hex string.  Non-link annotations (Square,
+    …) and non-URI actions (GoTo — document-internal) yield nothing;
+    an annot ref beyond a crawl truncation is skipped."""
+    out: list[str] = []
+    for aid in _dict_refarray(body, b"Annots"):
+        ab = bodies.get(aid)
+        if ab is None or b"/Link" not in ab:
+            continue
+        src = ab
+        if b"/URI" not in src:
+            act = _dict_ref(ab, b"A")
+            src = bodies.get(act, b"") if act is not None else b""
+        m = _URI_STR_RE.search(src)
+        if m is None:
+            continue
+        out.append(
+            _string_token_bytes(m.group(1)).decode("utf-8", "replace")
+        )
+    return out
+
+
 def _find_encrypt_ref(data: bytes, bodies: dict[int, bytes]) -> int | None:
     """Object id of the ``/Encrypt`` dictionary, from the classic
     ``trailer`` dict (last occurrence) or an xref-stream object's
@@ -1715,10 +1748,14 @@ def parse_pdf(data: bytes) -> PdfDoc:
                     {"type": "rotation", "severity": "warning", "page": idx,
                      "message": f"page rotated {rotation}"}
                 )
+            try:
+                links = _page_links(body, bodies)
+            except Exception:
+                links = []  # malformed annots never cost the text
             doc.pages.append(
                 PdfPage(
                     page_number=idx, width=width, height=height,
-                    rotation=rotation, words=words,
+                    rotation=rotation, words=words, links=links,
                 )
             )
     except Exception as exc:
