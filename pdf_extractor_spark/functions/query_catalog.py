@@ -2439,6 +2439,46 @@ def _structured_data_sql() -> str:
 _STRUCTURED_DATA_SQL = _structured_data_sql()
 
 
+def _pdf_links(spark, sf_dir):
+    """PDF outlink harvesting (functions/pdflinks.py): /Link URI
+    annotations recovered by the REAL tokenizer from the layout
+    variety real writers emit — inline /A dicts, indirect action
+    objects, hex-string URIs — with /Square and /GoTo traps excluded.
+    The PDF branch's counterpart of the anchor harvest."""
+    from .pdflinks import pdf_links
+
+    return pdf_links(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_links_sql() -> str:
+    from .pdflinks import duck_pdf_links_sql
+
+    return duck_pdf_links_sql()
+
+
+_PDF_LINKS_SQL = _pdf_links_sql()
+
+
+def _html_tables(spark, sf_dir):
+    """Web-table extraction (functions/tabledata.py): markup → (doc,
+    table, row, col, is_header, cell) grids through a dedicated
+    streaming parse — optional ``</td>``/``</tr>`` implied ends,
+    thead/tbody wrappers, entity decode, nested tables as their own
+    table_idx, style payloads dropped."""
+    from .tabledata import html_tables
+
+    return html_tables(_t(spark, sf_dir, "documents"))
+
+
+def _html_tables_sql() -> str:
+    from .tabledata import duck_tables_sql
+
+    return duck_tables_sql()
+
+
+_HTML_TABLES_SQL = _html_tables_sql()
+
+
 def _recrawl_schedule(spark, sf_dir):
     """Recrawl scheduling (functions/recrawl.py): Cho-Garcia-Molina
     change-rate estimation over revisit histories, with the
@@ -3941,16 +3981,18 @@ CATALOG: dict[str, QueryDef] = {
     # exposed through __spark_entry__.queries()/oracle_sql().
     # ALL entries NEW this round sit inside the window — an entry
     # with no driver row ever outranks any entry that has one.
-    # Window arithmetic (final session of round 4, catalog at 114):
-    # 35 never-driver-checked round-4 entries (including the five new
-    # source roundtrips warc/feed/sitemap/wet/cdx) + 12
-    # r2-rotated + the 2 pinned flagship roundtrips (html/pdf,
-    # r3-green) + multimodal_decode (r3-green but its codec changed
-    # in r4) = 50 exactly.  The
-    # displacements that made that fit are documented at the window
-    # edge below; everything past position 50 is r2/r3-green AND
-    # carries a this-session local DuckDB crosscheck at both SFs
-    # (full-catalog runs recorded in BASELINE.md).
+    # Window arithmetic (resumed session of round 4, catalog at 121):
+    # 46 never-driver-checked round-4 entries (the five source
+    # roundtrips warc/feed/sitemap/wet/cdx, the discovery/corpus
+    # battery, and this session's corpus_structured_data /
+    # corpus_pdf_links / corpus_html_tables at positions 48-50) + 1
+    # r2-rotated (dedup_exact block) + the 2 pinned flagship
+    # roundtrips (html/pdf, r3-green) + multimodal_decode (r3-green
+    # but its codec changed in r4) = 50 exactly.  The displacements
+    # that made that fit are documented at the window edge below;
+    # everything past position 50 is r2/r3-green AND carries a
+    # this-session local DuckDB crosscheck at both SFs (full-catalog
+    # runs recorded in BASELINE.md).
     #
     # extraction roundtrips (the flagship correctness gates — pinned)
     "extract_html_roundtrip": QueryDef(_html_roundtrip, _ROUNDTRIP_SQL, True),
@@ -3968,9 +4010,8 @@ CATALOG: dict[str, QueryDef] = {
         _wet_roundtrip, _WARC_ROUNDTRIP_SQL
     ),
     # -------- the 29 rotated-in entries (driver rows last seen r2) ------
-    "d5_shingle_uniqueness": QueryDef(
-        _d5_shingle_uniqueness, _D5_SHINGLE_SQL
-    ),
+    # d5_shingle_uniqueness displaced past the window edge by
+    # corpus_html_tables (same rotation rationale as q1/q3 below)
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
@@ -3978,11 +4019,10 @@ CATALOG: dict[str, QueryDef] = {
         _lsh_precision, _LSH_PRECISION_SQL, True
     ),
     "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
-    # relational battery
-    "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
-    # q3_shipping_priority displaced past the window edge by
-    # corpus_structured_data (r2-green + every-session local
-    # crosscheck vs never-driver-checked)
+    # q1_pricing_summary / q3_shipping_priority displaced past the
+    # window edge by corpus_structured_data / corpus_pdf_links
+    # (r2-green + every-session local crosscheck vs
+    # never-driver-checked)
     # -------- changed this round: keep inside the driver window ---------
     "text_bpe_token_counts": QueryDef(
         _bpe_token_counts, _BPE_COUNTS_SQL, True
@@ -4070,6 +4110,12 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_structured_data": QueryDef(
         _structured_data, _STRUCTURED_DATA_SQL
     ),
+    "corpus_pdf_links": QueryDef(_pdf_links, _PDF_LINKS_SQL),
+    "corpus_html_tables": QueryDef(_html_tables, _HTML_TABLES_SQL),
+    "d5_shingle_uniqueness": QueryDef(
+        _d5_shingle_uniqueness, _D5_SHINGLE_SQL
+    ),
+    "q1_pricing_summary": QueryDef(_q1_pricing_summary, _Q1_SQL, True),
     "q3_shipping_priority": QueryDef(_q3_shipping_priority, _Q3_SQL, True),
     # -------- displaced past the window edge THIS session (window
     # demand: 21 never-driver-checked entries + 27 r2-stale rotations
