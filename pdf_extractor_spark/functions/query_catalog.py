@@ -2459,6 +2459,26 @@ def _pdf_links_sql() -> str:
 _PDF_LINKS_SQL = _pdf_links_sql()
 
 
+def _pdf_metadata(spark, sf_dir):
+    """PDF document-metadata harvesting (functions/pdfmeta.py):
+    /Info dictionaries (ASCII literal + UTF-16BE-BOM hex text
+    strings) and /Outlines trees recovered by the REAL tokenizer,
+    with the malformed sibling-ring trap terminated by the visited
+    guard and surfaced as has_cycle."""
+    from .pdfmeta import pdf_metadata
+
+    return pdf_metadata(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_metadata_sql() -> str:
+    from .pdfmeta import duck_pdf_meta_sql
+
+    return duck_pdf_meta_sql()
+
+
+_PDF_META_SQL = _pdf_metadata_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -3981,14 +4001,16 @@ CATALOG: dict[str, QueryDef] = {
     # exposed through __spark_entry__.queries()/oracle_sql().
     # ALL entries NEW this round sit inside the window — an entry
     # with no driver row ever outranks any entry that has one.
-    # Window arithmetic (resumed session of round 4, catalog at 121):
-    # 46 never-driver-checked round-4 entries (the five source
+    # Window arithmetic (resumed session of round 4, catalog at 122):
+    # 47 never-driver-checked round-4 entries (the five source
     # roundtrips warc/feed/sitemap/wet/cdx, the discovery/corpus
-    # battery, and this session's corpus_structured_data /
-    # corpus_pdf_links / corpus_html_tables at positions 48-50) + 1
-    # r2-rotated (dedup_exact block) + the 2 pinned flagship
-    # roundtrips (html/pdf, r3-green) + multimodal_decode (r3-green
-    # but its codec changed in r4) = 50 exactly.  The displacements
+    # battery, and the harvest trio corpus_structured_data /
+    # corpus_pdf_links / corpus_pdf_metadata / corpus_html_tables
+    # closing the window at positions 47-50) + the r2-rotated
+    # dedup block (lsh_pair_count displaced out this session) + the
+    # 2 pinned flagship roundtrips (html/pdf, r3-green) +
+    # multimodal_decode (r3-green but its codec changed in r4)
+    # = 50 exactly.  The displacements
     # that made that fit are documented at the window edge below;
     # everything past position 50 is r2/r3-green AND carries a
     # this-session local DuckDB crosscheck at both SFs (full-catalog
@@ -4014,7 +4036,8 @@ CATALOG: dict[str, QueryDef] = {
     # corpus_html_tables (same rotation rationale as q1/q3 below)
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
-    "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
+    # dedup_lsh_pair_count moved past the window edge this session —
+    # see the note at its new position
     "dedup_lsh_precision": QueryDef(
         _lsh_precision, _LSH_PRECISION_SQL, True
     ),
@@ -4111,7 +4134,14 @@ CATALOG: dict[str, QueryDef] = {
         _structured_data, _STRUCTURED_DATA_SQL
     ),
     "corpus_pdf_links": QueryDef(_pdf_links, _PDF_LINKS_SQL),
+    "corpus_pdf_metadata": QueryDef(_pdf_metadata, _PDF_META_SQL),
     "corpus_html_tables": QueryDef(_html_tables, _HTML_TABLES_SQL),
+    # dedup_lsh_pair_count displaced past the window edge by
+    # corpus_pdf_metadata (never driver-checked outranks r2-green);
+    # its candidate machinery stays covered in-window by
+    # dedup_lsh_precision, and it keeps the every-session local
+    # both-SF crosscheck.
+    "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
     "d5_shingle_uniqueness": QueryDef(
         _d5_shingle_uniqueness, _D5_SHINGLE_SQL
     ),

@@ -144,6 +144,17 @@ def _pdf_literal(raw: bytes) -> str:
     return "(" + "".join(out) + ")"
 
 
+def _pdf_text_string(value: str) -> str:
+    """String → PDF *text string* syntax (ISO 32000 §7.9.2.2): ASCII
+    values as literal strings, anything wider as a UTF-16BE hex
+    string with BOM — the two spellings real writers emit for /Info
+    values and outline titles."""
+    if _is_ascii(value):
+        return _pdf_literal(value.encode("ascii"))
+    raw = b"\xfe\xff" + value.encode("utf-16-be")
+    return "<" + raw.hex().upper() + ">"
+
+
 # 16 bytes of 4×4 gray samples that LOOK like text-show tokens —
 # the adversarial payload an inline-image skip must not trip on
 _INLINE_IMG_BLOB = b"(fake) Tj 72 0\xff\x00"
@@ -354,6 +365,9 @@ def build_pdf(
     inherit_attrs: bool = False, content_parts: int = 1,
     encrypt_p_unsigned: bool = False, id_literal: bool = False,
     predefined_cmap: str | None = None,
+    info: dict[str, str] | None = None,
+    outline: list[tuple[int, str]] | None = None,
+    outline_cycle: bool = False,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -401,16 +415,34 @@ def build_pdf(
     layout real writers emit (ISO 32000 §7.7.3.4).
     ``content_parts > 1`` splits each page's content stream at text-
     block boundaries into that many objects referenced as a
-    ``/Contents [..]`` array."""
+    ``/Contents [..]`` array.
+
+    ``info`` ({key: value}) writes a document-information dictionary
+    referenced as ``/Info`` from the trailer (ISO 32000 §14.3.3);
+    values are PDF text strings — ASCII as literals, anything else as
+    UTF-16BE-with-BOM hex strings, the two spellings real writers
+    emit (§7.9.2.2).  ``outline`` ([(depth, title), ..], depth-0 =
+    top level, deeper rows children of the nearest shallower row)
+    writes the document-outline tree (§12.3.3): items linked
+    /First /Last /Next /Prev /Parent with per-node /Count, the
+    catalog gaining ``/Outlines``.  ``outline_cycle=True`` points the
+    LAST top-level item's /Next back at the FIRST (a malformed-writer
+    trap — a reader without a visited guard loops forever)."""
     if xref_stream:
         if tounicode_chars or tounicode_ranges or \
                 cid_tounicode_chars or differences or header_xobject or \
-                predefined_cmap:
+                predefined_cmap or info or outline:
             raise ValueError(
                 "tounicode/differences/xobject supported on the "
                 "classic layout only"
             )
         return _build_pdf_xref_stream(pages, compress, encrypt)
+    if encrypt is not None and (info or outline):
+        # strings in encrypted documents are themselves encrypted
+        # (ISO 32000 §7.6.2); the fixture writer keeps metadata
+        # fixtures and crypto fixtures orthogonal, same as links
+        raise ValueError("info/outline on encrypted fixtures "
+                         "not supported")
     enc_key, enc_aes, enc_dict = (None, False, b"")
     if encrypt is not None:
         enc_key, enc_aes, enc_dict = _encrypt_setup(
@@ -569,7 +601,71 @@ def build_pdf(
         ).encode("latin-1")
 
     kids = " ".join(f"{pid} 0 R" for pid in page_ids)
-    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    info_ref = ""
+    if info:
+        info_id = next_id
+        next_id += 1
+        items = " ".join(
+            f"/{k} {_pdf_text_string(v)}" for k, v in info.items()
+        )
+        objs[info_id] = f"<< {items} >>".encode("latin-1")
+        info_ref = f" /Info {info_id} 0 R"
+    outlines_ref = ""
+    if outline:
+        root_oid = next_id
+        next_id += 1
+        item_ids = list(range(next_id, next_id + len(outline)))
+        next_id += len(outline)
+        # parent = nearest shallower preceding row (depth-0 rows are
+        # top level, children of the invisible Outlines root)
+        children: dict[int | None, list[int]] = {None: []}
+        parent: dict[int, int | None] = {}
+        stack: list[tuple[int, int]] = []
+        for i, (depth, _title) in enumerate(outline):
+            while stack and stack[-1][0] >= depth:
+                stack.pop()
+            par = stack[-1][1] if stack else None
+            parent[i] = par
+            children.setdefault(par, []).append(i)
+            children.setdefault(i, [])
+            stack.append((depth, i))
+
+        def _descendants(i: int) -> int:
+            return sum(1 + _descendants(c) for c in children[i])
+
+        top = children[None]
+        for i, (_depth, title) in enumerate(outline):
+            sibs = children[parent[i]]
+            k = sibs.index(i)
+            pid = root_oid if parent[i] is None else item_ids[parent[i]]
+            parts = [
+                f"/Title {_pdf_text_string(title)}",
+                f"/Parent {pid} 0 R",
+            ]
+            if k > 0:
+                parts.append(f"/Prev {item_ids[sibs[k - 1]]} 0 R")
+            if k + 1 < len(sibs):
+                parts.append(f"/Next {item_ids[sibs[k + 1]]} 0 R")
+            elif outline_cycle and parent[i] is None and len(top) > 0:
+                # the malformed-writer trap: last top-level item's
+                # /Next points back at the first — a reader without a
+                # visited guard walks the ring forever
+                parts.append(f"/Next {item_ids[top[0]]} 0 R")
+            if children[i]:
+                parts.append(f"/First {item_ids[children[i][0]]} 0 R")
+                parts.append(f"/Last {item_ids[children[i][-1]]} 0 R")
+                parts.append(f"/Count {_descendants(i)}")
+            objs[item_ids[i]] = (
+                "<< " + " ".join(parts) + " >>"
+            ).encode("latin-1")
+        objs[root_oid] = (
+            f"<< /Type /Outlines /First {item_ids[top[0]]} 0 R "
+            f"/Last {item_ids[top[-1]]} 0 R /Count {len(outline)} >>"
+        ).encode("latin-1")
+        outlines_ref = f" /Outlines {root_oid} 0 R"
+    objs[1] = (
+        f"<< /Type /Catalog /Pages 2 0 R{outlines_ref} >>"
+    ).encode("latin-1")
     pages_attrs = (
         f" /MediaBox [0 0 {pages[0].width:g} {pages[0].height:g}] "
         f"{resources}"
@@ -687,7 +783,8 @@ def build_pdf(
     for oid in range(1, n_objs):
         out += f"{offsets[oid]:010d} 00000 n \n".encode("latin-1")
     out += (
-        f"trailer\n<< /Size {n_objs} /Root 1 0 R{encrypt_ref} >>\n"
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R{info_ref}"
+        f"{encrypt_ref} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode("latin-1")
     return bytes(out)

@@ -64,6 +64,12 @@ class PdfPage:
 class PdfDoc:
     pages: list[PdfPage] = field(default_factory=list)
     errors: list[dict] = field(default_factory=list)
+    # document-information dictionary (ISO 32000 §14.3.3): decoded
+    # /Info text strings, e.g. {"Title": .., "Author": ..}
+    info: dict[str, str] = field(default_factory=dict)
+    # document outline (§12.3.3) flattened depth-first:
+    # (depth, title) with depth 0 = top level
+    outline: list[tuple[int, str]] = field(default_factory=list)
 
 
 def empty_word_frame() -> Words:
@@ -1462,6 +1468,112 @@ def _page_links(body: bytes, bodies: dict[int, bytes]) -> list[str]:
     return out
 
 
+# text strings (ISO 32000 §7.9.2.2) come as literal OR hex strings;
+# same alternation as _URI_STR_RE / _ID_RE
+_INFO_KEY_RE = re.compile(
+    rb"/([A-Za-z][A-Za-z0-9]*)\s*"
+    rb"(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
+)
+_TITLE_RE = re.compile(
+    rb"/Title\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
+)
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+# backstops for the outline walk: real-writer outlines are small, and
+# a malformed ring (the /Next-cycle trap) must terminate loudly
+_OUTLINE_MAX_ITEMS = 4096
+_OUTLINE_MAX_DEPTH = 32
+
+
+def _text_string(tok: bytes) -> str:
+    """PDF *text string* (ISO 32000 §7.9.2.2): UTF-16BE when the
+    decoded bytes open with the FE FF BOM, else PDFDocEncoding —
+    which agrees with Latin-1 over the printable range real /Info
+    writers use."""
+    raw = _string_token_bytes(tok)
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
+def _doc_info(data: bytes, bodies: dict[int, bytes]) -> dict[str, str]:
+    """Decoded entries of the document-information dictionary (ISO
+    32000 §14.3.3): the trailer's ``/Info`` ref (classic layout, last
+    trailer wins) or an xref-stream object's dict; {} when absent."""
+    oid: int | None = None
+    t = data.rfind(b"trailer")
+    if t != -1:
+        m = _INFO_REF_RE.search(data[t : t + 1024])
+        if m:
+            oid = int(m.group(1))
+    if oid is None:
+        for body in bodies.values():
+            head = body.split(b"stream", 1)[0]
+            if b"/XRef" in head:
+                m = _INFO_REF_RE.search(head)
+                if m:
+                    oid = int(m.group(1))
+                    break
+    body = bodies.get(oid) if oid is not None else None
+    if body is None:
+        return {}
+    return {
+        m.group(1).decode("ascii"): _text_string(m.group(2))
+        for m in _INFO_KEY_RE.finditer(body)
+    }
+
+
+def _doc_outline(
+    catalog: bytes, bodies: dict[int, bytes], errors: list[dict]
+) -> list[tuple[int, str]]:
+    """Document outline (ISO 32000 §12.3.3) flattened depth-first to
+    (depth, title) rows: follow /First into children and /Next along
+    siblings from the catalog's /Outlines root.  A VISITED guard stops
+    malformed rings (a last item whose /Next points back at the first
+    — real broken writers emit this) with a warning instead of
+    spinning; item/depth caps bound adversarial trees."""
+    root = _dict_ref(catalog, b"Outlines")
+    if root is None:
+        return []
+    root_body = bodies.get(root)
+    if root_body is None:
+        return []
+    out: list[tuple[int, str]] = []
+    visited: set[int] = set()
+
+    def walk(oid: int | None, depth: int) -> None:
+        while oid is not None:
+            if oid in visited:
+                errors.append(
+                    {"type": "malformed", "severity": "warning",
+                     "page": 0,
+                     "message": f"outline item {oid} revisited "
+                                "(sibling ring); walk stopped"}
+                )
+                return
+            visited.add(oid)
+            if len(out) >= _OUTLINE_MAX_ITEMS or \
+                    depth > _OUTLINE_MAX_DEPTH:
+                errors.append(
+                    {"type": "malformed", "severity": "warning",
+                     "page": 0,
+                     "message": "outline item/depth cap reached; "
+                                "walk stopped"}
+                )
+                return
+            b = bodies.get(oid)
+            if b is None:  # item beyond a crawl truncation
+                return
+            m = _TITLE_RE.search(b)
+            out.append((depth, _text_string(m.group(1)) if m else ""))
+            first = _dict_ref(b, b"First")
+            if first is not None:
+                walk(first, depth + 1)
+            oid = _dict_ref(b, b"Next")
+
+    walk(_dict_ref(root_body, b"First"), 0)
+    return out
+
+
 def _find_encrypt_ref(data: bytes, bodies: dict[int, bytes]) -> int | None:
     """Object id of the ``/Encrypt`` dictionary, from the classic
     ``trailer`` dict (last occurrence) or an xref-stream object's
@@ -1641,6 +1753,18 @@ def parse_pdf(data: bytes) -> PdfDoc:
                 if b"/Type" in b and b"/Catalog" in b:
                     root_id = oid
                     break
+        # metadata harvest rides the same resolved-object pass as the
+        # text; malformed metadata never costs the text
+        try:
+            doc.info = _doc_info(data, bodies)
+        except Exception:
+            doc.info = {}
+        try:
+            doc.outline = _doc_outline(
+                bodies[root_id], bodies, doc.errors
+            )
+        except Exception:
+            doc.outline = []
         pages_root = _dict_ref(bodies[root_id], b"Pages")
         # Page-tree walk with ATTRIBUTE INHERITANCE (ISO 32000
         # §7.7.3.4): /MediaBox, /Rotate and /Resources may live on any

@@ -1,0 +1,164 @@
+"""PDF /Info + /Outlines harvesting: text-string spellings (ASCII
+literal, UTF-16BE-with-BOM hex), outline tree walk with /First//Next
+linkage, the sibling-ring trap terminated by the visited guard,
+truncation behavior, and the one-Arrow-pass plan."""
+
+from __future__ import annotations
+
+from pdf_extractor_spark.functions.pdfmeta import (
+    pdf_metadata,
+    wrap_pdf_meta,
+)
+from pdf_extractor_spark.operators.pdf_generator import PageSpec, build_pdf
+from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+SF = "/root/testdata/sf0.001"
+
+
+def _page():
+    p = PageSpec()
+    p.put_words(72.0, 100.0, 12.0, ["Hello", "world"])
+    return p
+
+
+class TestInfo:
+    def test_ascii_literals(self):
+        doc = parse_pdf(build_pdf(
+            [_page()],
+            info={"Title": "A Test", "Author": "Someone",
+                  "Producer": "writer/1"},
+        ))
+        assert doc.info == {
+            "Title": "A Test", "Author": "Someone",
+            "Producer": "writer/1",
+        }
+        assert not doc.errors
+
+    def test_utf16be_hex_values(self):
+        # non-ASCII values serialize as UTF-16BE-with-BOM hex strings
+        # (ISO 32000 §7.9.2.2) and must decode back exactly
+        doc = parse_pdf(build_pdf(
+            [_page()], info={"Title": "日本語の文書", "Author": "Ōe"}
+        ))
+        assert doc.info["Title"] == "日本語の文書"
+        assert doc.info["Author"] == "Ōe"
+
+    def test_literal_escapes(self):
+        doc = parse_pdf(build_pdf(
+            [_page()], info={"Title": "a(b)\\c"}
+        ))
+        assert doc.info["Title"] == "a(b)\\c"
+
+    def test_absent_info_is_empty(self):
+        doc = parse_pdf(build_pdf([_page()]))
+        assert doc.info == {}
+
+    def test_info_never_costs_the_text(self):
+        doc = parse_pdf(build_pdf(
+            [_page()], info={"Title": "T"}
+        ))
+        assert list(doc.pages[0].words["text"]) == ["Hello", "world"]
+
+
+class TestOutline:
+    def test_flat_and_nested_depths(self):
+        outline = [(0, "Intro"), (1, "Background"), (1, "Scope"),
+                   (2, "Detail"), (0, "Methods")]
+        doc = parse_pdf(build_pdf([_page()], outline=outline))
+        assert doc.outline == outline
+        assert not doc.errors
+
+    def test_utf16be_titles(self):
+        outline = [(0, "序論"), (0, "方法")]
+        doc = parse_pdf(build_pdf([_page()], outline=outline))
+        assert doc.outline == outline
+
+    def test_absent_outline_is_empty(self):
+        doc = parse_pdf(build_pdf([_page()]))
+        assert doc.outline == []
+
+    def test_sibling_ring_terminates_loudly(self):
+        # the malformed-writer trap: last top item's /Next points back
+        # at the first — every item harvested exactly once, one warning
+        outline = [(0, "A"), (1, "A.1"), (0, "B"), (0, "C")]
+        doc = parse_pdf(build_pdf(
+            [_page()], outline=outline, outline_cycle=True
+        ))
+        assert doc.outline == outline
+        rings = [e for e in doc.errors
+                 if "sibling ring" in e["message"]]
+        assert len(rings) == 1
+        assert rings[0]["severity"] == "warning"
+
+    def test_self_loop_single_item(self):
+        doc = parse_pdf(build_pdf(
+            [_page()], outline=[(0, "Only")], outline_cycle=True
+        ))
+        assert doc.outline == [(0, "Only")]
+        assert any("sibling ring" in e["message"] for e in doc.errors)
+
+    def test_truncated_outline_degrades(self):
+        # chop the file before the outline objects: text salvage still
+        # works and the outline degrades (never a critical failure)
+        data = build_pdf(
+            [_page()], outline=[(0, "Intro"), (0, "Methods")]
+        )
+        cut = data[: data.rfind(b"/Title")]
+        doc = parse_pdf(cut)
+        texts = [
+            t for pg in doc.pages for t in list(pg.words["text"])
+        ]
+        assert "Hello" in texts
+        assert not any(
+            e["severity"] == "critical" for e in doc.errors
+        )
+
+    def test_outline_never_costs_the_text(self):
+        doc = parse_pdf(build_pdf(
+            [_page()], outline=[(0, "S1")], outline_cycle=True
+        ))
+        assert list(doc.pages[0].words["text"]) == ["Hello", "world"]
+
+
+class TestWrapper:
+    def test_trap_schedule(self):
+        # 5 % 11 == 5 → ring; 7 % 13 == 7 → no outline; 3 % 7 == 3 →
+        # non-ASCII author
+        d5 = parse_pdf(wrap_pdf_meta("t", 5))
+        assert any("sibling ring" in e["message"] for e in d5.errors)
+        d7 = parse_pdf(wrap_pdf_meta("t", 7))
+        assert d7.outline == [] and not d7.errors
+        d3 = parse_pdf(wrap_pdf_meta("t", 3))
+        assert d3.info["Author"].startswith("Authör")
+
+
+class TestSparkStage:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.pdfmeta import (
+            duck_pdf_meta_sql,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = pdf_metadata(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_pdf_meta_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
+
+    def test_plan_one_arrow_pass(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_pdf_metadata"].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange") == 1  # _spread only
