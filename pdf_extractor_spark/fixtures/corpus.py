@@ -416,6 +416,34 @@ def _pdf_string_syntax() -> bytes:
     return build_pdf([p])
 
 
+def _pdf_info_outline() -> bytes:
+    """Document metadata alongside text (ISO 32000 §14.3.3 /Info,
+    §12.3.3 /Outlines): an /Info dict with both text-string spellings
+    (ASCII literal, UTF-16BE-BOM hex) and a nested outline whose last
+    top-level item's /Next points back at the first — the
+    malformed-writer ring.  The golden pins that metadata objects
+    never leak into or cost the extracted text, and that the ring
+    yields exactly one warning, never a spin or a critical."""
+    pages = []
+    for pno in range(2):
+        p = PageSpec()
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put_words(
+            72, 190, 12,
+            ["metadata", "case", "page", f"number{pno + 1}", "body",
+             "stays", "dense", "enough"],
+        )
+        pages.append(p)
+    return build_pdf(
+        pages,
+        info={"Title": "Fixture Report 7", "Author": "Ōe Kenzaburō",
+              "Subject": "metadata (with) parens", "Producer": "fw/2"},
+        outline=[(0, "Introduction"), (1, "背景"), (1, "Scope"),
+                 (0, "Methods"), (0, "Results"), (1, "Details")],
+        outline_cycle=True,
+    )
+
+
 def _pdf_astral_tounicode() -> bytes:
     """Supplementary-plane /ToUnicode destinations (emoji, rare
     ideographs): bfchar entries whose UTF-16BE values are surrogate
@@ -1253,6 +1281,7 @@ _PDF_CASES = {
     "pdf-mixed-direction": _pdf_mixed_direction,
     "pdf-astral-tounicode": _pdf_astral_tounicode,
     "pdf-string-syntax": _pdf_string_syntax,
+    "pdf-info-outline": _pdf_info_outline,
 }
 
 _HTML_CASES = {
@@ -1310,6 +1339,7 @@ _CASE_LANG = {
     "pdf-mixed-direction": "ja",
     "pdf-astral-tounicode": "mixed",
     "pdf-string-syntax": "en",
+    "pdf-info-outline": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",
