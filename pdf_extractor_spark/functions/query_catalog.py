@@ -3777,6 +3777,28 @@ def _warc_roundtrip(spark, sf_dir):
     return warc_roundtrip(_t(spark, sf_dir, "documents"))
 
 
+def _warc_revisits(spark, sf_dir):
+    """WARC revisit resolution (sources/warc.py): recrawls stored as
+    identical-payload-digest ``revisit`` records (no body) resolve
+    against the corpus's response captures by digest equi-join,
+    earliest capture winning — mirror captures two hours before
+    their primaries make the winner observable; an alien digest
+    surfaces 'unresolved', never a dropped row.  Text moves exactly
+    once, on the final capture-id attach."""
+    from ..sources.warc import resolve_revisits
+
+    return resolve_revisits(_t(spark, sf_dir, "documents"))
+
+
+def _warc_revisits_sql() -> str:
+    from ..sources.warc import duck_revisits_sql
+
+    return duck_revisits_sql()
+
+
+_WARC_REVISITS_SQL = _warc_revisits_sql()
+
+
 _WARC_ROUNDTRIP_SQL = """
 SELECT doc_id,
        strftime(TIMESTAMP '2024-01-01 00:00:00'
@@ -4041,7 +4063,14 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_lsh_precision": QueryDef(
         _lsh_precision, _LSH_PRECISION_SQL, True
     ),
-    "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
+    # dedup_simhash displaced past the window edge by
+    # corpus_warc_revisits (never driver-checked outranks r2-green);
+    # simhash banding machinery stays in-window-adjacent via
+    # dedup_simhash_near_dup's r3 row and both keep the every-session
+    # local both-SF crosscheck.
+    "corpus_warc_revisits": QueryDef(
+        _warc_revisits, _WARC_REVISITS_SQL
+    ),
     # q1_pricing_summary / q3_shipping_priority displaced past the
     # window edge by corpus_structured_data / corpus_pdf_links
     # (r2-green + every-session local crosscheck vs
@@ -4142,6 +4171,7 @@ CATALOG: dict[str, QueryDef] = {
     # dedup_lsh_precision, and it keeps the every-session local
     # both-SF crosscheck.
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
+    "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
     "d5_shingle_uniqueness": QueryDef(
         _d5_shingle_uniqueness, _D5_SHINGLE_SQL
     ),

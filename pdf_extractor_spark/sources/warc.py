@@ -451,3 +451,252 @@ def wet_roundtrip(docs: DataFrame,
     return _spread(docs, num_partitions).mapInPandas(
         _wet_iter, WARC_ROUNDTRIP_SCHEMA
     )
+
+
+# ====================================================== revisit records
+
+# Common Crawl stores a recrawl whose content is unchanged as a
+# ``revisit`` record (WARC 1.1 §6.7.2, identical-payload-digest
+# profile): no body is re-stored — only ``WARC-Payload-Digest`` and a
+# ``WARC-Refers-To`` pointer at a capture from a PREVIOUS crawl, which
+# is in a different archive, so resolution is inherently a corpus-wide
+# join on digest, not an in-archive lookup.  The fixture schedule:
+# every doc gets a primary ``response`` (digest stamped in the
+# header); ``doc_id % 6 == 3`` adds a MIRROR capture of the same
+# content at another URL dated two hours EARLIER (so earliest-capture-
+# wins resolution is observable, not a self-identity); ``doc_id % 4
+# == 1`` adds a revisit dated a day later whose digest is the doc's
+# own content digest — except ``doc_id % 20 == 13``, which carries a
+# digest from a crawl not present in the corpus and MUST surface as
+# 'unresolved', never be dropped.
+
+_REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+)
+_MIRROR_URL_FMT = "https://mirror.example/doc/{}"
+_MIRROR_URL_RE = re.compile(r"//mirror\.example/doc/(\d+)$")
+_MIRROR_CAPTURE_OFFSET = 1_000_000
+
+
+def _content_digest(text: str) -> str:
+    """Deterministic payload digest of the logical body (the entity
+    bytes before transfer/content codings), in the labeled-algorithm
+    spelling WARC headers use."""
+    return "md5:" + md5(wrap_html(text)).hexdigest()
+
+
+def _warc_date_at(seconds: int) -> str:
+    t = WARC_EPOCH + timedelta(seconds=seconds)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def build_crawl_archive(pages: list[tuple[int, str]],
+                        gzip_members: bool = True) -> bytes:
+    """``pages`` = [(doc_id, text)] → two-crawl WARC bytes with the
+    revisit schedule above.  Separate from :func:`build_archive` so
+    the frozen roundtrip contract (one response per doc) is untouched."""
+    records: list[bytes] = []
+    records.append(warc_record("warcinfo", {
+        "WARC-Record-ID": _record_id("info", "crawl-archive"),
+        "WARC-Date": _warc_date(0),
+        "Content-Type": "application/warc-fields",
+    }, b"software: pdf-extractor-spark warc writer\r\n"))
+    for doc_id, text in pages:
+        url = _URL_FMT.format(doc_id)
+        digest = _content_digest(text)
+        body = wrap_html(text)
+        if doc_id % 6 == 3:
+            # mirror capture, two hours before the primary
+            murl = _MIRROR_URL_FMT.format(doc_id)
+            records.append(warc_record("response", {
+                "WARC-Record-ID": _record_id("mresp", murl),
+                "WARC-Date": _warc_date_at(doc_id - 7200),
+                "WARC-Target-URI": murl,
+                "WARC-Payload-Digest": digest,
+                "Content-Type": "application/http; msgtype=response",
+            }, http_response(body)))
+        records.append(warc_record("response", {
+            "WARC-Record-ID": _record_id("resp", url),
+            "WARC-Date": _warc_date(doc_id),
+            "WARC-Target-URI": url,
+            "WARC-Payload-Digest": digest,
+            "Content-Type": "application/http; msgtype=response",
+        }, http_response(body, chunked=(doc_id % 3 == 0),
+                         gzip_body=(doc_id % 5 == 0))))
+        if doc_id % 4 == 1:
+            rev_digest = (
+                "md5:" + md5(f"prev-crawl:{doc_id}".encode()).hexdigest()
+                if doc_id % 20 == 13 else digest
+            )
+            # identical-payload-digest profile: the record re-stores
+            # only the HTTP response HEADERS, never the body
+            records.append(warc_record("revisit", {
+                "WARC-Record-ID": _record_id("rev", url),
+                "WARC-Date": _warc_date_at(doc_id + 86400),
+                "WARC-Target-URI": url,
+                "WARC-Profile": _REVISIT_PROFILE,
+                "WARC-Refers-To": _record_id("resp", url),
+                "WARC-Payload-Digest": rev_digest,
+                "Content-Type": "application/http; msgtype=response",
+            }, b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"))
+    if gzip_members:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+def extract_captures(archive: bytes) -> list[dict]:
+    """Parse a two-crawl archive into typed capture rows: ``response``
+    records run through the extraction kernel (mirror captures get
+    ``capture_id = doc_id + 1_000_000``); ``revisit`` records surface
+    with their header digest and NO text — resolving them requires
+    the corpus-wide digest join, which is Spark's job, not the
+    reader's (the referred capture is in another archive at scale)."""
+    rows: list[dict] = []
+    for rec in parse_warc(archive):
+        digest = rec["headers"].get("warc-payload-digest", "")
+        if rec["type"] == "response":
+            m = _MIRROR_URL_RE.search(rec["url"])
+            if m is not None:
+                capture_id = int(m.group(1)) + _MIRROR_CAPTURE_OFFSET
+                doc_id = int(m.group(1))
+            else:
+                m = _URL_RE.search(rec["url"])
+                if not m:
+                    continue
+                capture_id = doc_id = int(m.group(1))
+            result = extract_document(
+                normalized_http(rec["payload"]), DEFAULT_CONFIG
+            )
+            rows.append({
+                "capture_id": capture_id, "doc_id": doc_id,
+                "kind": "response", "warc_ts": rec["date"],
+                "digest": digest,
+                "extracted_text": result["extracted_text"],
+            })
+        elif rec["type"] == "revisit":
+            m = _URL_RE.search(rec["url"])
+            if not m:
+                continue
+            rows.append({
+                "capture_id": None, "doc_id": int(m.group(1)),
+                "kind": "revisit", "warc_ts": rec["date"],
+                "digest": digest, "extracted_text": None,
+            })
+    return rows
+
+
+CAPTURES_SCHEMA = (
+    "capture_id long, doc_id long, kind string, warc_ts string, "
+    "digest string, extracted_text string"
+)
+_CAPTURE_COLS = [
+    "capture_id", "doc_id", "kind", "warc_ts", "digest",
+    "extracted_text",
+]
+
+
+def _captures_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            groups.setdefault(
+                int(doc_id) // _DOCS_PER_ARCHIVE, []
+            ).append((int(doc_id), text))
+        rows: list[dict] = []
+        for gid, pages in groups.items():
+            archive = build_crawl_archive(
+                pages, gzip_members=(gid % 2 == 0)
+            )
+            rows.extend(extract_captures(archive))
+        yield pd.DataFrame(rows, columns=_CAPTURE_COLS)
+
+
+def resolve_revisits(docs: DataFrame,
+                     num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, warc_ts, status, src_capture, extracted_text) — every
+    revisit resolved against the corpus's response captures by
+    payload digest, earliest capture winning (warc_ts is ISO-8601 so
+    string order IS time order; capture_id breaks ties); an alien
+    digest surfaces status='unresolved' with NULLs, never a dropped
+    row.
+
+    Scale shape (100 TB contract): one Arrow parse pass feeds three
+    legs (lazy localCheckpoint — Catalyst has no common-subplan
+    reuse, and re-running the parse per leg would triple the
+    dominant cost); the digest→winner aggregation and the
+    revisit⋈digest join exchange only fixed-width (digest,
+    capture_id) keys; extracted text moves exactly ONCE, on the
+    final capture-id attach that the output itself requires."""
+    import pyspark.sql.functions as F
+
+    caps = _spread(docs, num_partitions).mapInPandas(
+        _captures_iter, CAPTURES_SCHEMA
+    ).localCheckpoint(eager=False)
+    resp = caps.where(F.col("kind") == "response")
+    winners = (
+        resp.select("digest", "warc_ts", "capture_id")
+        .groupBy("digest")
+        .agg(F.min(F.struct("warc_ts", "capture_id")).alias("w"))
+        .select("digest", F.col("w.capture_id").alias("src_capture"))
+    )
+    texts = resp.select(
+        F.col("capture_id").alias("src_capture"),
+        F.col("extracted_text").alias("src_text"),
+    )
+    rev = caps.where(F.col("kind") == "revisit").select(
+        "doc_id", "warc_ts", "digest"
+    )
+    # sentinels, not NULLs, on the unresolved leg: hash-compare
+    # harnesses treat numeric NULL as NaN (never equal to itself),
+    # and `status` already carries the semantics
+    return (
+        rev.join(winners, "digest", "left")
+        .join(texts, "src_capture", "left")
+        .select(
+            "doc_id", "warc_ts",
+            F.when(F.col("src_capture").isNull(), F.lit("unresolved"))
+            .otherwise(F.lit("resolved")).alias("status"),
+            F.coalesce("src_capture", F.lit(-1)).alias("src_capture"),
+            F.coalesce(F.col("src_text"), F.lit(""))
+            .alias("extracted_text"),
+        )
+    )
+
+
+def duck_revisits_sql(source: str = "documents") -> str:
+    """Relational twin of the revisit resolution: digest equality is
+    text equality (the digest is a pure function of the body), so the
+    oracle rebuilds the capture set — every primary, plus a
+    two-hours-earlier mirror for ``doc_id % 6 == 3`` — and picks the
+    earliest capture per identical text.  This recomputes rather than
+    asserts the winner, so it stays correct when the corpus contains
+    genuinely duplicate texts (sf0.1 has 8) where the winner is
+    another document's capture entirely."""
+    return f"""
+WITH caps AS (
+  SELECT doc_id AS capture_id, text, doc_id AS ts_s FROM {source}
+  UNION ALL
+  SELECT doc_id + {_MIRROR_CAPTURE_OFFSET}, text, doc_id - 7200
+  FROM {source} WHERE doc_id % 6 = 3
+), winners AS (
+  SELECT text, capture_id,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY ts_s, capture_id) AS rn
+  FROM caps
+)
+SELECT d.doc_id,
+  strftime(TIMESTAMP '2024-01-01 00:00:00'
+           + d.doc_id * INTERVAL 1 SECOND + INTERVAL 1 DAY,
+           '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+  CASE WHEN d.doc_id % 20 = 13 THEN 'unresolved'
+       ELSE 'resolved' END AS status,
+  CASE WHEN d.doc_id % 20 = 13 THEN -1
+       ELSE w.capture_id END AS src_capture,
+  CASE WHEN d.doc_id % 20 = 13 THEN ''
+       ELSE d.text END AS extracted_text
+FROM {source} d
+JOIN winners w ON w.text = d.text AND w.rn = 1
+WHERE d.doc_id % 4 = 1
+"""
