@@ -3799,6 +3799,27 @@ def _warc_revisits_sql() -> str:
 _WARC_REVISITS_SQL = _warc_revisits_sql()
 
 
+def _conditional_fetch(spark, sf_dir):
+    """HTTP revalidation processing (sources/warc.py): the second
+    crawl's 304 Not Modified captures (body-less, RFC 9110 §15.4.5)
+    carry the prior corpus text forward via ONE doc_id equi-join;
+    200s keep their freshly extracted body; a 304 for a URL the
+    prior corpus never captured surfaces as 'orphan', never
+    dropped.  The pre-fetch twin of revisit-record resolution."""
+    from ..sources.warc import process_recrawl
+
+    return process_recrawl(_t(spark, sf_dir, "documents"))
+
+
+def _conditional_fetch_sql() -> str:
+    from ..sources.warc import duck_recrawl_sql
+
+    return duck_recrawl_sql()
+
+
+_CONDITIONAL_FETCH_SQL = _conditional_fetch_sql()
+
+
 _WARC_ROUNDTRIP_SQL = """
 SELECT doc_id,
        strftime(TIMESTAMP '2024-01-01 00:00:00'
@@ -4057,7 +4078,6 @@ CATALOG: dict[str, QueryDef] = {
     # d5_shingle_uniqueness displaced past the window edge by
     # corpus_html_tables (same rotation rationale as q1/q3 below)
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
-    "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
     # dedup_lsh_pair_count moved past the window edge this session —
     # see the note at its new position
     "dedup_lsh_precision": QueryDef(
@@ -4070,6 +4090,13 @@ CATALOG: dict[str, QueryDef] = {
     # local both-SF crosscheck.
     "corpus_warc_revisits": QueryDef(
         _warc_revisits, _WARC_REVISITS_SQL
+    ),
+    # dedup_minhash_signatures displaced past the window edge by
+    # corpus_conditional_fetch (never driver-checked outranks
+    # r2-green); its signature kernel is pinned bit-identical by
+    # tests/test_kernels.py and it keeps the local both-SF crosscheck.
+    "corpus_conditional_fetch": QueryDef(
+        _conditional_fetch, _CONDITIONAL_FETCH_SQL
     ),
     # q1_pricing_summary / q3_shipping_priority displaced past the
     # window edge by corpus_structured_data / corpus_pdf_links
@@ -4171,6 +4198,7 @@ CATALOG: dict[str, QueryDef] = {
     # dedup_lsh_precision, and it keeps the every-session local
     # both-SF crosscheck.
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
+    "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
     "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
     "d5_shingle_uniqueness": QueryDef(
         _d5_shingle_uniqueness, _D5_SHINGLE_SQL

@@ -700,3 +700,203 @@ FROM {source} d
 JOIN winners w ON w.text = d.text AND w.rn = 1
 WHERE d.doc_id % 4 = 1
 """
+
+
+# ================================================== conditional fetch
+
+# The PRE-fetch twin of revisit records: a crawler that kept the
+# previous capture's validators (ETag / Last-Modified) revalidates
+# with If-None-Match and the origin answers ``304 Not Modified`` with
+# NO body (RFC 9110 §15.4.5) — the capture is stored as a response
+# record whose HTTP payload is just the 304 status line + headers
+# (Heritrix stores these; the body must come from crawler state).
+# Fixture schedule for the second crawl, dated two days after the
+# first: ``doc_id % 3 == 0`` revalidates (304, body-less, ETag
+# echoed), everything else refetches (200, body = text + " updated").
+# Trap: ``doc_id % 21 == 6`` is a 304 for a URL the prior corpus
+# never captured (evicted state / crawler bug) — it must surface as
+# 'orphan' with no text, never resolve or vanish.
+
+_ORPHAN_URL_OFFSET = 5_000_000
+
+
+def _etag(text: str) -> str:
+    return '"' + md5(wrap_html(text)).hexdigest()[:16] + '"'
+
+
+def build_recrawl_archive(pages: list[tuple[int, str]],
+                          gzip_members: bool = True) -> bytes:
+    """``pages`` = [(doc_id, text)] (the PRIOR crawl's rows) → the
+    second crawl's WARC bytes under the schedule above."""
+    records: list[bytes] = []
+    records.append(warc_record("warcinfo", {
+        "WARC-Record-ID": _record_id("info", "recrawl-archive"),
+        "WARC-Date": _warc_date(0),
+        "Content-Type": "application/warc-fields",
+    }, b"software: pdf-extractor-spark warc writer\r\n"))
+    for doc_id, text in pages:
+        date = _warc_date_at(doc_id + 2 * 86400)
+        if doc_id % 3 == 0:
+            url_id = (doc_id + _ORPHAN_URL_OFFSET
+                      if doc_id % 21 == 6 else doc_id)
+            payload = (b"HTTP/1.1 304 Not Modified\r\n"
+                       b"ETag: " + _etag(text).encode() + _CRLF
+                       + b"Date: " + date.encode() + _CRLF + _CRLF)
+            records.append(warc_record("response", {
+                "WARC-Record-ID": _record_id(
+                    "reval", _URL_FMT.format(url_id)
+                ),
+                "WARC-Date": date,
+                "WARC-Target-URI": _URL_FMT.format(url_id),
+                "Content-Type": "application/http; msgtype=response",
+            }, payload))
+        else:
+            body = wrap_html(text + " updated")
+            headers = (b"HTTP/1.1 200 OK\r\n"
+                       b"Content-Type: text/html; charset=utf-8\r\n"
+                       b"ETag: " + _etag(text + " updated").encode()
+                       + _CRLF
+                       + b"Content-Length: "
+                       + str(len(body)).encode() + _CRLF + _CRLF)
+            records.append(warc_record("response", {
+                "WARC-Record-ID": _record_id(
+                    "refetch", _URL_FMT.format(doc_id)
+                ),
+                "WARC-Date": date,
+                "WARC-Target-URI": _URL_FMT.format(doc_id),
+                "Content-Type": "application/http; msgtype=response",
+            }, headers + body))
+    if gzip_members:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+_STATUS_RE = re.compile(rb"^HTTP/\d\.\d\s+(\d{3})")
+
+
+def extract_recrawl(archive: bytes) -> list[dict]:
+    """Second-crawl archive → rows ``{"doc_id", "http_status",
+    "warc_ts", "etag", "new_text"}``: a 200 runs the extraction
+    kernel; a 304 carries NO text (``new_text`` None) — filling it is
+    the corpus join's job, the prior capture lives in crawler state,
+    not this archive."""
+    rows: list[dict] = []
+    for rec in parse_warc(archive):
+        if rec["type"] != "response":
+            continue
+        m = _URL_RE.search(rec["url"])
+        if not m:
+            continue
+        sm = _STATUS_RE.match(rec["payload"])
+        status = int(sm.group(1)) if sm else 200
+        head_end, sep = _header_end(rec["payload"], 0)
+        http_headers = _parse_headers(
+            rec["payload"][:head_end] if head_end >= 0
+            else rec["payload"]
+        )
+        if status == 304:
+            text = None
+        else:
+            text = extract_document(
+                normalized_http(rec["payload"]), DEFAULT_CONFIG
+            )["extracted_text"]
+        rows.append({
+            "doc_id": int(m.group(1)), "http_status": status,
+            "warc_ts": rec["date"],
+            "etag": http_headers.get("etag", ""),
+            "new_text": text,
+        })
+    return rows
+
+
+RECRAWL_SCHEMA = (
+    "doc_id long, http_status int, warc_ts string, etag string, "
+    "new_text string"
+)
+_RECRAWL_COLS = ["doc_id", "http_status", "warc_ts", "etag", "new_text"]
+
+
+def _recrawl_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            groups.setdefault(
+                int(doc_id) // _DOCS_PER_ARCHIVE, []
+            ).append((int(doc_id), text))
+        rows: list[dict] = []
+        for gid, pages in groups.items():
+            archive = build_recrawl_archive(
+                pages, gzip_members=(gid % 2 == 0)
+            )
+            rows.extend(extract_recrawl(archive))
+        yield pd.DataFrame(rows, columns=_RECRAWL_COLS)
+
+
+def process_recrawl(docs: DataFrame,
+                    num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, http_status, warc_ts, origin, extracted_text) — the
+    second crawl merged with crawler state: a 200 keeps its freshly
+    extracted body ('refetched'); a 304 carries the PRIOR capture's
+    text forward ('revalidated'); a 304 whose URL has no prior
+    capture is 'orphan' with empty text, never dropped.
+
+    Scale shape (100 TB contract): one Arrow parse pass; the state
+    attach is a single doc_id equi-join against the prior corpus —
+    prior text moves exactly once, and only for rows that need it
+    (the join's left side projects 304 rows to fixed-width keys; 200
+    rows never touch the state table)."""
+    import pyspark.sql.functions as F
+
+    recs = _spread(docs, num_partitions).mapInPandas(
+        _recrawl_iter, RECRAWL_SCHEMA
+    )
+    fetched = recs.where(F.col("http_status") != 304).select(
+        "doc_id", "http_status", "warc_ts",
+        F.lit("refetched").alias("origin"),
+        F.col("new_text").alias("extracted_text"),
+    )
+    prior = docs.select(
+        "doc_id", F.col("text").alias("prior_text")
+    )
+    revalidated = (
+        recs.where(F.col("http_status") == 304)
+        .select("doc_id", "http_status", "warc_ts")
+        .join(prior, "doc_id", "left")
+        .select(
+            "doc_id", "http_status", "warc_ts",
+            F.when(F.col("prior_text").isNull(), F.lit("orphan"))
+            .otherwise(F.lit("revalidated")).alias("origin"),
+            F.coalesce("prior_text", F.lit(""))
+            .alias("extracted_text"),
+        )
+    )
+    return fetched.unionByName(revalidated)
+
+
+def duck_recrawl_sql(source: str = "documents") -> str:
+    """Closed-form twin of the recrawl schedule: 304s carry the prior
+    text forward, 200s extract ``text || ' updated'``, and the
+    orphan-304 trap (a URL the prior corpus never captured) surfaces
+    with its shifted id and empty text."""
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 304 ELSE 200 END AS INT)
+    AS http_status,
+  strftime(TIMESTAMP '2024-01-01 00:00:00'
+           + doc_id * INTERVAL 1 SECOND + INTERVAL 2 DAY,
+           '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+  CASE WHEN doc_id % 3 = 0 THEN 'revalidated'
+       ELSE 'refetched' END AS origin,
+  CASE WHEN doc_id % 3 = 0 THEN text
+       ELSE text || ' updated' END AS extracted_text
+FROM {source} WHERE doc_id % 21 <> 6
+UNION ALL
+SELECT doc_id + {_ORPHAN_URL_OFFSET}, 304,
+  strftime(TIMESTAMP '2024-01-01 00:00:00'
+           + doc_id * INTERVAL 1 SECOND + INTERVAL 2 DAY,
+           '%Y-%m-%dT%H:%M:%SZ'),
+  'orphan', ''
+FROM {source} WHERE doc_id % 21 = 6
+"""
