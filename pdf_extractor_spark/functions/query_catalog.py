@@ -3820,6 +3820,28 @@ def _conditional_fetch_sql() -> str:
 _CONDITIONAL_FETCH_SQL = _conditional_fetch_sql()
 
 
+def _hreflang_clusters(spark, sf_dir):
+    """hreflang translation clusters (functions/hreflang.py):
+    rel=alternate declarations harvested through the REAL parser —
+    feed-link (type=, no hreflang) and template traps excluded,
+    malformed BCP 47 codes surfaced in n_invalid — with cluster
+    membership derived from the harvested edges (smallest declared
+    target), so a broken member still lands in its cluster through
+    its siblings' declarations."""
+    from .hreflang import hreflang_clusters
+
+    return hreflang_clusters(_t(spark, sf_dir, "documents"))
+
+
+def _hreflang_sql() -> str:
+    from .hreflang import duck_hreflang_sql
+
+    return duck_hreflang_sql()
+
+
+_HREFLANG_SQL = _hreflang_sql()
+
+
 _WARC_ROUNDTRIP_SQL = """
 SELECT doc_id,
        strftime(TIMESTAMP '2024-01-01 00:00:00'
@@ -4080,9 +4102,6 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     # dedup_lsh_pair_count moved past the window edge this session —
     # see the note at its new position
-    "dedup_lsh_precision": QueryDef(
-        _lsh_precision, _LSH_PRECISION_SQL, True
-    ),
     # dedup_simhash displaced past the window edge by
     # corpus_warc_revisits (never driver-checked outranks r2-green);
     # simhash banding machinery stays in-window-adjacent via
@@ -4097,6 +4116,13 @@ CATALOG: dict[str, QueryDef] = {
     # tests/test_kernels.py and it keeps the local both-SF crosscheck.
     "corpus_conditional_fetch": QueryDef(
         _conditional_fetch, _CONDITIONAL_FETCH_SQL
+    ),
+    # dedup_lsh_precision displaced past the window edge by
+    # corpus_hreflang_clusters (never driver-checked outranks
+    # r2-green); the LSH candidate machinery keeps its local both-SF
+    # crosscheck and the skew bench.
+    "corpus_hreflang_clusters": QueryDef(
+        _hreflang_clusters, _HREFLANG_SQL
     ),
     # q1_pricing_summary / q3_shipping_priority displaced past the
     # window edge by corpus_structured_data / corpus_pdf_links
@@ -4199,6 +4225,9 @@ CATALOG: dict[str, QueryDef] = {
     # both-SF crosscheck.
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
+    "dedup_lsh_precision": QueryDef(
+        _lsh_precision, _LSH_PRECISION_SQL, True
+    ),
     "dedup_simhash": QueryDef(_simhash, _SIMHASH_SQL, True),
     "d5_shingle_uniqueness": QueryDef(
         _d5_shingle_uniqueness, _D5_SHINGLE_SQL

@@ -349,6 +349,16 @@ class _BlockParser(HTMLParser):
                 rel = (a.get("rel") or "").lower().split()
                 if "canonical" in rel and a.get("href"):
                     self.directives.append(("canonical", a["href"]))
+                if "alternate" in rel and a.get("href") \
+                        and a.get("hreflang"):
+                    # translation declarations: rel=alternate WITH an
+                    # hreflang (a feed link is rel=alternate too, but
+                    # carries type=, not hreflang); the raw code goes
+                    # out — BCP 47 validity lives with the consumer
+                    self.directives.append(
+                        ("hreflang",
+                         f"{a['hreflang']} {a['href']}")
+                    )
             elif (a.get("http-equiv") or "").lower() == "refresh" \
                     and a.get("content"):
                 self.directives.append(("refresh", a["content"]))
