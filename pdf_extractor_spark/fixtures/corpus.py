@@ -416,6 +416,28 @@ def _pdf_string_syntax() -> bytes:
     return build_pdf([p])
 
 
+def _pdf_hybrid_xref() -> bytes:
+    """Hybrid-reference layout (ISO 32000 §7.5.8.4, the Acrobat
+    1.4-compatibility format): startxref names a CLASSIC table whose
+    trailer carries /XRefStm; the page dictionaries live in an
+    /ObjStm reachable only through the stream, and the classic table
+    lists them FREE — a reader that tombstones those free entries
+    before honoring the stream loses every page."""
+    from ..operators.pdf_generator import build_pdf_hybrid
+
+    pages = []
+    for pno in range(2):
+        p = PageSpec()
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put_words(
+            72, 190, 12,
+            ["hybrid", "reference", "page", f"number{pno + 1}",
+             "body", "stays", "dense"],
+        )
+        pages.append(p)
+    return build_pdf_hybrid(pages, compress=True)
+
+
 def _pdf_info_outline() -> bytes:
     """Document metadata alongside text (ISO 32000 §14.3.3 /Info,
     §12.3.3 /Outlines): an /Info dict with both text-string spellings
@@ -1282,6 +1304,7 @@ _PDF_CASES = {
     "pdf-astral-tounicode": _pdf_astral_tounicode,
     "pdf-string-syntax": _pdf_string_syntax,
     "pdf-info-outline": _pdf_info_outline,
+    "pdf-hybrid-xref": _pdf_hybrid_xref,
 }
 
 _HTML_CASES = {
@@ -1340,6 +1363,7 @@ _CASE_LANG = {
     "pdf-astral-tounicode": "mixed",
     "pdf-string-syntax": "en",
     "pdf-info-outline": "en",
+    "pdf-hybrid-xref": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

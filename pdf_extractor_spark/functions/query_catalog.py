@@ -4066,16 +4066,19 @@ CATALOG: dict[str, QueryDef] = {
     # exposed through __spark_entry__.queries()/oracle_sql().
     # ALL entries NEW this round sit inside the window — an entry
     # with no driver row ever outranks any entry that has one.
-    # Window arithmetic (resumed session of round 4, catalog at 122):
+    # Window arithmetic (resumed session of round 4, catalog at 125):
     # 47 never-driver-checked round-4 entries (the five source
     # roundtrips warc/feed/sitemap/wet/cdx, the discovery/corpus
-    # battery, and the harvest trio corpus_structured_data /
+    # battery, this session's corpus_warc_revisits /
+    # corpus_conditional_fetch / corpus_hreflang_clusters at 8-10,
+    # and the harvest entries corpus_structured_data /
     # corpus_pdf_links / corpus_pdf_metadata / corpus_html_tables
-    # closing the window at positions 47-50) + the r2-rotated
-    # dedup block (lsh_pair_count displaced out this session) + the
-    # 2 pinned flagship roundtrips (html/pdf, r3-green) +
-    # multimodal_decode (r3-green but its codec changed in r4)
-    # = 50 exactly.  The displacements
+    # closing the window at 47-50) + dedup_exact (the one remaining
+    # r2-rotated slot; the other four dedup entries were displaced
+    # past the edge this session, each with a written rationale at
+    # its new position) + the 2 pinned flagship roundtrips (html/pdf,
+    # r3-green) + multimodal_decode (r3-green but its codec changed
+    # in r4) = 50 exactly.  The displacements
     # that made that fit are documented at the window edge below;
     # everything past position 50 is r2/r3-green AND carries a
     # this-session local DuckDB crosscheck at both SFs (full-catalog

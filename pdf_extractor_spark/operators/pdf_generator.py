@@ -1021,3 +1021,128 @@ def _build_pdf_xref_stream(
     )
     out += f"startxref\n{xref_pos}\n%%EOF\n".encode("latin-1")
     return bytes(out)
+
+
+def build_pdf_hybrid(pages: list[PageSpec],
+                     compress: bool = False) -> bytes:
+    """HYBRID-REFERENCE file (ISO 32000 §7.5.8.4) — the layout
+    Acrobat emits for PDF-1.5 features with 1.4 compatibility:
+    startxref points at a CLASSIC xref table whose trailer carries
+    ``/XRefStm``, a cross-reference STREAM holding the entries the
+    table lists as FREE (here: the page dictionaries, packed into an
+    /ObjStm).  An old reader sees a structurally valid file and
+    degrades; a conforming reader reads the stream BEFORE the table,
+    so the free entries must not tombstone the ids the stream just
+    claimed.  The stream's /Index uses per-object ranges (page ids
+    interleave with content ids, so they are not contiguous)."""
+    import zlib
+
+    direct: dict[int, bytes] = {}
+    packed: dict[int, bytes] = {}
+    page_ids = []
+    next_id = 5
+    for p in pages:
+        page_id, content_id = next_id, next_id + 1
+        next_id += 2
+        page_ids.append(page_id)
+        stream = _content_stream(p)
+        filt = ""
+        if compress:
+            stream = zlib.compress(stream, 9)
+            filt = " /Filter /FlateDecode"
+        packed[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {p.width:g} "
+            f"{p.height:g}] /Contents {content_id} 0 R "
+            f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> >>"
+        ).encode("latin-1")
+        direct[content_id] = (
+            f"<< /Length {len(stream)}{filt} >>\nstream\n".encode(
+                "latin-1"
+            )
+            + stream
+            + b"\nendstream"
+        )
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    direct[1] = b"<< /Type /Catalog /Pages 2 0 R /Version /1.5 >>"
+    direct[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>"
+    ).encode("latin-1")
+    direct[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    direct[4] = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
+        b"/Encoding /Identity-H >>"
+    )
+    objstm_id = next_id
+    xrefstm_id = next_id + 1
+    size = xrefstm_id + 1
+    member_ids = sorted(packed)
+    offs, bodyparts, cursor = [], [], 0
+    for oid in member_ids:
+        offs.append((oid, cursor))
+        bodyparts.append(packed[oid])
+        cursor += len(packed[oid]) + 1
+    header = " ".join(f"{oid} {off}" for oid, off in offs) + "\n"
+    payload = header.encode("latin-1") + b"\n".join(bodyparts) + b"\n"
+    zpayload = zlib.compress(payload, 9)
+
+    out = bytearray(b"%PDF-1.4\n")  # header stays 1.4 — that is the point
+    offsets: dict[int, int] = {}
+    for oid in sorted(direct):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode("latin-1") + direct[oid] \
+            + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += (
+        f"{objstm_id} 0 obj\n<< /Type /ObjStm /N {len(member_ids)} "
+        f"/First {len(header)} /Filter /FlateDecode "
+        f"/Length {len(zpayload)} >>\nstream\n".encode("latin-1")
+        + zpayload
+        + b"\nendstream\nendobj\n"
+    )
+    # the /XRefStm stream: ONLY the entries the classic table hides
+    # (packed members, the ObjStm, itself), per-object /Index ranges
+    xrefstm_pos = len(out)
+    offsets[xrefstm_id] = xrefstm_pos
+    stream_oids = member_ids + [objstm_id, xrefstm_id]
+    objstm_index = {oid: i for i, (oid, _off) in enumerate(offs)}
+    rows = []
+    for oid in stream_oids:
+        if oid in objstm_index:
+            rows.append(
+                b"\x02" + objstm_id.to_bytes(4, "big")
+                + objstm_index[oid].to_bytes(2, "big")
+            )
+        else:
+            rows.append(
+                b"\x01" + offsets[oid].to_bytes(4, "big")
+                + (0).to_bytes(2, "big")
+            )
+    index = " ".join(f"{oid} 1" for oid in stream_oids)
+    xdata = zlib.compress(b"".join(rows), 9)
+    out += (
+        f"{xrefstm_id} 0 obj\n<< /Type /XRef /Size {size} "
+        f"/W [1 4 2] /Index [{index}] /Root 1 0 R "
+        f"/Filter /FlateDecode /Length {len(xdata)} >>\nstream\n"
+        .encode("latin-1")
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    # classic table: every object listed — packed members as FREE
+    # (old-reader degradation), everything else at its offset
+    xref_pos = len(out)
+    out += f"xref\n0 {size}\n".encode("latin-1")
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, size):
+        if oid in offsets:
+            out += f"{offsets[oid]:010d} 00000 n \n".encode("latin-1")
+        else:
+            out += b"0000000000 00001 f \n"
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R "
+        f"/XRefStm {xrefstm_pos} >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)

@@ -78,14 +78,23 @@ def empty_word_frame() -> Words:
 
 # ----------------------------------------------------------------- xref
 
-def _parse_xref_offsets(data: bytes) -> dict[int, int]:
+def _parse_xref_offsets(
+    data: bytes,
+) -> tuple[dict[int, int], dict[int, tuple[int, int]]]:
     """Parse the classic xref table(s) named by startxref; return
-    obj_id → byte offset. Follows the trailer ``/Prev`` chain
-    (incremental updates, ISO 32000 §7.5.6 — every desktop "Save"
-    appends one): the NEWEST section is visited first and wins, and a
-    free ("f") entry in a newer section tombstones the id so an older
-    revision cannot resurrect a deleted object. Raises on any
-    structural surprise (caller falls back to a scan)."""
+    (obj_id → byte offset, obj_id → (ObjStm id, index)). Follows the
+    trailer ``/Prev`` chain (incremental updates, ISO 32000 §7.5.6 —
+    every desktop "Save" appends one): the NEWEST section is visited
+    first and wins, and a free ("f") entry in a newer section
+    tombstones the id so an older revision cannot resurrect a deleted
+    object.  HYBRID-REFERENCE files (§7.5.8.4, the layout Acrobat
+    emits for 1.5-compatibility) carry ``/XRefStm`` in the trailer: a
+    cross-reference STREAM holding the entries (typically ObjStm
+    members) the classic table lists as free so old readers degrade
+    gracefully — the stream is read BEFORE its section's table, which
+    is exactly why those free entries must not tombstone the ids the
+    stream just claimed.  Raises on any structural surprise (caller
+    falls back to a scan)."""
     tail = data[-256:]
     # LAST startxref in the tail: a small final incremental update can
     # leave TWO startxref/%%EOF pairs within 256 bytes, and taking the
@@ -95,6 +104,7 @@ def _parse_xref_offsets(data: bytes) -> dict[int, int]:
         raise ValueError("no startxref")
     pos: int | None = int(ms[-1].group(1))
     offsets: dict[int, int] = {}
+    in_objstm: dict[int, tuple[int, int]] = {}
     dead: set[int] = set()
     seen_sections: set[int] = set()
     while pos is not None and pos not in seen_sections:
@@ -102,6 +112,9 @@ def _parse_xref_offsets(data: bytes) -> dict[int, int]:
         if not data[pos : pos + 4] == b"xref":
             raise ValueError("startxref does not point at xref")
         cursor = pos + 4
+        # collect this section's table entries; they apply AFTER the
+        # section's /XRefStm stream (if any), per §7.5.8.4
+        section: list[tuple[int, int | None]] = []  # (oid, off|free)
         while True:
             m = re.match(
                 rb"\s*(\d+)\s+(\d+)\s*\n", data[cursor : cursor + 64]
@@ -113,23 +126,39 @@ def _parse_xref_offsets(data: bytes) -> dict[int, int]:
             for i in range(count):
                 entry = data[cursor : cursor + 20]
                 off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
-                oid = start + i
-                if oid not in offsets and oid not in dead:
-                    if kind == b"n":
-                        offsets[oid] = int(off)
-                    elif oid != 0:
-                        dead.add(oid)
+                section.append(
+                    (start + i, int(off) if kind == b"n" else None)
+                )
                 cursor += 20
         pos = None
         tm = re.search(rb"trailer", data[cursor : cursor + 64])
         if tm:
             tdict = data[cursor + tm.end() : cursor + tm.end() + 512]
+            xm = re.search(rb"/XRefStm\s+(\d+)", tdict)
+            if xm:
+                for oid, etype, f2, f3 in _read_xref_stream_section(
+                    data, int(xm.group(1))
+                )[0]:
+                    if oid in offsets or oid in in_objstm or \
+                            oid in dead:
+                        continue
+                    if etype == 1:
+                        offsets[oid] = f2
+                    elif etype == 2:
+                        in_objstm[oid] = (f2, f3)
             pm = re.search(rb"/Prev\s+(\d+)", tdict)
             if pm:
                 pos = int(pm.group(1))
+        for oid, off in section:
+            if oid in offsets or oid in in_objstm or oid in dead:
+                continue
+            if off is not None:
+                offsets[oid] = off
+            elif oid != 0:
+                dead.add(oid)
     if not offsets:
         raise ValueError("empty xref")
-    return offsets
+    return offsets, in_objstm
 
 
 def _scan_objects(data: bytes) -> dict[int, int]:
@@ -158,48 +187,58 @@ def _parse_xref_stream_chain(
     seen: set[int] = set()
     while pos is not None and pos not in seen:
         seen.add(pos)
-        body = _object_body(data, pos)
-        if b"/XRef" not in body:
-            raise ValueError("startxref does not point at an xref stream")
-        ws = [int(x) for x in (_dict_numarray(body, b"W") or [])]
-        if len(ws) != 3:
-            raise ValueError("bad /W")
-        size = _dict_int(body, b"Size") or 0
-        idx = _dict_numarray(body, b"Index")
-        index = [int(x) for x in idx] if idx else [0, size]
-        raw = _stream_bytes(body)
-        entry_len = sum(ws)
-        cursor = 0
-        for k in range(0, len(index) - 1, 2):
-            start, count = index[k], index[k + 1]
-            for n in range(count):
-                if cursor + entry_len > len(raw):
-                    raise ValueError("xref stream truncated")
-                fields: list[int] = []
-                for wlen in ws:
-                    if wlen == 0:
-                        # omitted field: type defaults to 1, others to 0
-                        fields.append(1 if not fields else 0)
-                    else:
-                        fields.append(
-                            int.from_bytes(
-                                raw[cursor : cursor + wlen], "big"
-                            )
-                        )
-                        cursor += wlen
-                etype, f2, f3 = fields
-                oid = start + n
-                if oid in offsets or oid in in_objstm:
-                    continue
-                if etype == 1:
-                    offsets[oid] = f2
-                elif etype == 2:
-                    in_objstm[oid] = (f2, f3)
-                # type 0 = free: skip
-        pos = _dict_int(body, b"Prev")
+        entries, pos = _read_xref_stream_section(data, pos)
+        for oid, etype, f2, f3 in entries:
+            if oid in offsets or oid in in_objstm:
+                continue
+            if etype == 1:
+                offsets[oid] = f2
+            elif etype == 2:
+                in_objstm[oid] = (f2, f3)
+            # type 0 = free: skip
     if not offsets and not in_objstm:
         raise ValueError("empty xref stream")
     return offsets, in_objstm
+
+
+def _read_xref_stream_section(
+    data: bytes, pos: int
+) -> tuple[list[tuple[int, int, int, int]], int | None]:
+    """Decode ONE cross-reference stream object at ``pos`` into
+    ``([(oid, type, field2, field3)], /Prev)`` — shared by the
+    xref-stream chain walk and the hybrid-file ``/XRefStm`` merge."""
+    body = _object_body(data, pos)
+    if b"/XRef" not in body:
+        raise ValueError("startxref does not point at an xref stream")
+    ws = [int(x) for x in (_dict_numarray(body, b"W") or [])]
+    if len(ws) != 3:
+        raise ValueError("bad /W")
+    size = _dict_int(body, b"Size") or 0
+    idx = _dict_numarray(body, b"Index")
+    index = [int(x) for x in idx] if idx else [0, size]
+    raw = _stream_bytes(body)
+    entry_len = sum(ws)
+    cursor = 0
+    entries: list[tuple[int, int, int, int]] = []
+    for k in range(0, len(index) - 1, 2):
+        start, count = index[k], index[k + 1]
+        for n in range(count):
+            if cursor + entry_len > len(raw):
+                raise ValueError("xref stream truncated")
+            fields: list[int] = []
+            for wlen in ws:
+                if wlen == 0:
+                    # omitted field: type defaults to 1, others to 0
+                    fields.append(1 if not fields else 0)
+                else:
+                    fields.append(
+                        int.from_bytes(
+                            raw[cursor : cursor + wlen], "big"
+                        )
+                    )
+                    cursor += wlen
+            entries.append((start + n, fields[0], fields[1], fields[2]))
+    return entries, _dict_int(body, b"Prev")
 
 
 def _objstm_members(body: bytes, transform=None) -> dict[int, bytes]:
@@ -1681,7 +1720,7 @@ def parse_pdf(data: bytes) -> PdfDoc:
     try:
         in_objstm: dict[int, tuple[int, int]] = {}
         try:
-            offsets = _parse_xref_offsets(data)
+            offsets, in_objstm = _parse_xref_offsets(data)
         except Exception:
             try:
                 offsets, in_objstm = _parse_xref_stream_chain(data)

@@ -642,7 +642,7 @@ class TestReviewRegressionFixes:
             + str(new_xref).encode()
             + b"\n%%EOF\n"
         )
-        assert _parse_xref_offsets(data)[3] == 900
+        assert _parse_xref_offsets(data)[0][3] == 900
 
     def test_odd_hex_file_id_degrades_gracefully(self):
         from pdf_extractor_spark.operators.pdf_tokenizer import (
@@ -827,7 +827,7 @@ class TestIncrementalUpdates:
             + str(new_xref_pos).encode()
             + b"\n%%EOF\n"
         )
-        offsets = _parse_xref_offsets(data)
+        offsets, _stm = _parse_xref_offsets(data)
         assert 5 not in offsets
         assert offsets[6] == 200
 
@@ -841,7 +841,7 @@ class TestIncrementalUpdates:
             b"trailer\n<< /Size 4 /Prev 0 >>\n"  # /Prev → itself
             b"startxref\n0\n%%EOF\n"
         )
-        offsets = _parse_xref_offsets(data)
+        offsets, _stm = _parse_xref_offsets(data)
         assert offsets == {3: 300}
 
 
@@ -1789,3 +1789,71 @@ class TestUnbalancedParenSalvage:
     def test_unbalanced_open_paren_without_close_stays_on_line(self):
         t = self._extract("(totally unterminated garbage")
         assert "trailing text still extracts fine" in t
+
+
+class TestHybridReference:
+    """Hybrid-reference files (ISO 32000 §7.5.8.4): classic table +
+    trailer /XRefStm, stream entries read BEFORE the table."""
+
+    def _build(self):
+        from pdf_extractor_spark.operators.pdf_generator import (
+            PageSpec, build_pdf_hybrid,
+        )
+        pages = []
+        for pno in range(2):
+            p = PageSpec()
+            p.put_words(
+                72, 700, 12, ["hybrid", "words", f"p{pno}", "stay"]
+            )
+            pages.append(p)
+        return build_pdf_hybrid(pages, compress=True)
+
+    def test_roundtrip_both_pages(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+        doc = parse_pdf(self._build())
+        assert len(doc.pages) == 2 and not doc.errors
+        assert list(doc.pages[0].words["text"]) == [
+            "hybrid", "words", "p0", "stay"
+        ]
+
+    def test_free_entries_do_not_tombstone_stream_claims(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_xref_offsets,
+        )
+        data = self._build()
+        offsets, in_objstm = _parse_xref_offsets(data)
+        # page dicts (5, 7) are FREE in the classic table but claimed
+        # as ObjStm members by the /XRefStm stream read first
+        assert set(in_objstm) == {5, 7}
+        assert 5 not in offsets and 7 not in offsets
+
+    def test_stream_wins_over_table_within_section(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_xref_offsets,
+        )
+        # hand-built: object 3 listed at CONFLICTING offsets — the
+        # /XRefStm stream says 300, the classic table says 999; the
+        # stream is read first and must win (§7.5.8.4)
+        import zlib
+        entry = b"\x01" + (300).to_bytes(4, "big") + (0).to_bytes(2, "big")
+        xdata = zlib.compress(entry, 9)
+        head = b"%PDF-1.4\n"
+        stm_pos = len(head)
+        stm = (
+            b"90 0 obj\n<< /Type /XRef /Size 91 /W [1 4 2] "
+            b"/Index [3 1] /Root 1 0 R /Filter /FlateDecode "
+            b"/Length " + str(len(xdata)).encode() + b" >>\nstream\n"
+            + xdata + b"\nendstream\nendobj\n"
+        )
+        table_pos = len(head) + len(stm)
+        data = head + stm + (
+            b"xref\n3 1\n0000000999 00000 n \n"
+            b"trailer\n<< /Size 91 /Root 1 0 R /XRefStm "
+            + str(stm_pos).encode() + b" >>\nstartxref\n"
+            + str(table_pos).encode() + b"\n%%EOF\n"
+        )
+        offsets, _stm = _parse_xref_offsets(data)
+        assert offsets[3] == 300
+
+    def test_header_stays_14(self):
+        assert self._build().startswith(b"%PDF-1.4")
