@@ -45,6 +45,25 @@ def wrap_pdf(text: str) -> bytes:
     return build_pdf([page])
 
 
+def wrap_pdf_layout(text: str, doc_id: int) -> bytes:
+    """Same page, rotating WRITER LAYOUTS — byte-identity must hold
+    regardless of the container a real writer chose: classic xref
+    table, PDF-1.5 xref stream + ObjStm, or the hybrid-reference
+    /XRefStm layout (ISO 32000 §7.5.8.4), with compression flipped
+    on half of each."""
+    from ..operators.pdf_generator import build_pdf_hybrid
+
+    page = PageSpec(width=60000.0, height=792.0)
+    page.put_words(72.0, 400.0, 12.0, text.split(" "), gap=6.0)
+    compress = doc_id % 2 == 0
+    variant = doc_id % 3
+    if variant == 1:
+        return build_pdf([page], compress=compress, xref_stream=True)
+    if variant == 2:
+        return build_pdf_hybrid([page], compress=compress)
+    return build_pdf([page], compress=compress)
+
+
 def _roundtrip_iter(wrapper):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,10 +98,26 @@ def html_roundtrip(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     )
 
 
+def _pdf_layout_iter(batches: Iterator[pd.DataFrame]):
+    for pdf in batches:
+        texts = [
+            extract_document(
+                wrap_pdf_layout(t, int(d)), DEFAULT_CONFIG
+            )["extracted_text"]
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].to_numpy(),
+             "extracted_text": texts}
+        )
+
+
 def pdf_roundtrip(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """documents → synth PDF → extract → (doc_id, extracted_text)."""
+    """documents → synth PDF (writer layout rotating classic /
+    xref-stream / hybrid-reference by doc_id) → extract →
+    (doc_id, extracted_text)."""
     return _spread(docs, num_partitions).mapInPandas(
-        _roundtrip_iter(wrap_pdf), ROUNDTRIP_SCHEMA
+        _pdf_layout_iter, ROUNDTRIP_SCHEMA
     )
 
 
