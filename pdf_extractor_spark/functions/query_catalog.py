@@ -3820,6 +3820,27 @@ def _conditional_fetch_sql() -> str:
 _CONDITIONAL_FETCH_SQL = _conditional_fetch_sql()
 
 
+def _dust_strip(spark, sf_dir):
+    """DUST rules APPLIED (functions/urlparams.py): the learned
+    per-host strip-list broadcasts back against the corpus, flagged
+    params are removed with remaining params re-sorted to canonical
+    order (pure native array expressions), and the per-host frontier
+    collapse is measured before/after — the 8-variant fixture groups
+    must collapse to 2 (sort survives, utm does not)."""
+    from .urlparams import dust_strip_report
+
+    return dust_strip_report(_t(spark, sf_dir, "documents"))
+
+
+def _dust_strip_sql() -> str:
+    from .urlparams import duck_dust_strip_sql
+
+    return duck_dust_strip_sql()
+
+
+_DUST_STRIP_SQL = _dust_strip_sql()
+
+
 def _hreflang_clusters(spark, sf_dir):
     """hreflang translation clusters (functions/hreflang.py):
     rel=alternate declarations harvested through the REAL parser —
@@ -4102,7 +4123,6 @@ CATALOG: dict[str, QueryDef] = {
     # -------- the 29 rotated-in entries (driver rows last seen r2) ------
     # d5_shingle_uniqueness displaced past the window edge by
     # corpus_html_tables (same rotation rationale as q1/q3 below)
-    "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     # dedup_lsh_pair_count moved past the window edge this session —
     # see the note at its new position
     # dedup_simhash displaced past the window edge by
@@ -4213,6 +4233,11 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_url_param_rules": QueryDef(
         _url_param_rules, _URL_PARAM_RULES_SQL
     ),
+    # dedup_exact displaced past the window edge by corpus_dust_strip
+    # (never driver-checked outranks r2-green); the exact-hash dedup
+    # machinery stays in-window via corpus_incremental_dedup, which
+    # runs the same hash-groupBy shape.
+    "corpus_dust_strip": QueryDef(_dust_strip, _DUST_STRIP_SQL),
     "corpus_crawl_traps": QueryDef(_crawl_traps, _CRAWL_TRAPS_SQL),
     "corpus_mime_sniff": QueryDef(_mime_sniff, _MIME_SNIFF_SQL),
     "corpus_structured_data": QueryDef(
@@ -4226,6 +4251,7 @@ CATALOG: dict[str, QueryDef] = {
     # its candidate machinery stays covered in-window by
     # dedup_lsh_precision, and it keeps the every-session local
     # both-SF crosscheck.
+    "dedup_exact": QueryDef(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_lsh_pair_count": QueryDef(_lsh_pairs, _LSH_PAIRS_SQL),
     "dedup_minhash_signatures": QueryDef(_minhash, _MINHASH_SQL, True),
     "dedup_lsh_precision": QueryDef(

@@ -176,3 +176,94 @@ SELECT host, param,
          AS strippable
 FROM groups GROUP BY host, param ORDER BY host, param
 """
+
+
+def dust_strip_report(docs: DataFrame) -> DataFrame:
+    """(host, n_rules, n_raw, n_after) — the learned rules APPLIED:
+    every parameter flagged strippable is removed from its host's
+    URLs (remaining params re-sorted into canonical order) and the
+    per-host frontier collapse is measured as distinct-URL counts
+    before and after.  The fixture's 8-variant groups must collapse
+    to 2 (``sort`` survives, ``utm`` does not).
+
+    Scale shape (100 TB contract): the rule table is hosts × params —
+    broadcast back against the corpus (never shuffled); the strip is
+    a pure native array expression (no UDF); the one exchange is the
+    per-host distinct aggregation whose keys are short canonical URL
+    strings, the same width the frontier itself shuffles."""
+    pages = synth_pages(docs)
+    strip_sets = (
+        param_rules(pages)
+        .where("strippable")
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("strip_params"))
+    )
+    parsed = pages.select(
+        "url",
+        F.expr("element_at(split(url, '[?]'), 1)").alias("base"),
+        F.expr("split(element_at(split(url, '[?]'), 2), '&')")
+        .alias("pairs"),
+        F.expr("element_at(split(url, '/'), 3)").alias("host"),
+    )
+    stripped = (
+        parsed.join(F.broadcast(strip_sets), "host", "left")
+        .select(
+            "host", "url",
+            F.expr(
+                "CASE WHEN strip_params IS NULL THEN url ELSE "
+                "CASE WHEN size(filter(pairs, x -> NOT "
+                "array_contains(strip_params, "
+                "element_at(split(x, '='), 1)))) = 0 THEN base "
+                "ELSE concat(base, '?', array_join(array_sort("
+                "filter(pairs, x -> NOT array_contains(strip_params, "
+                "element_at(split(x, '='), 1)))), '&')) END END"
+            ).alias("canonical_url"),
+        )
+    )
+    return (
+        stripped.groupBy("host")
+        .agg(
+            F.countDistinct("url").alias("n_raw"),
+            F.countDistinct("canonical_url").alias("n_after"),
+        )
+        .join(
+            F.broadcast(
+                strip_sets.select(
+                    "host",
+                    F.size("strip_params").cast("bigint")
+                    .alias("n_rules"),
+                )
+            ),
+            "host", "left",
+        )
+        .select(
+            "host",
+            F.coalesce("n_rules", F.lit(0)).alias("n_rules"),
+            "n_raw", "n_after",
+        )
+        .orderBy("host")
+    )
+
+
+def duck_dust_strip_sql(source: str = "documents") -> str:
+    """Closed-form twin: per host, raw URLs are the (group, sort,
+    utm) synthesis and stripping the one strippable param (utm)
+    leaves (group, sort) — counted over the doc_ids actually present
+    so partial trailing groups stay exact."""
+    return f"""
+WITH p AS (
+  SELECT (doc_id // 8) % 20 AS h, doc_id // 8 AS grp,
+         (doc_id % 8) // 4 AS sort, doc_id % 4 AS utm
+  FROM {source}
+)
+SELECT 'shop' || CAST(h AS VARCHAR) || '.example' AS host,
+       CAST(1 AS BIGINT) AS n_rules,
+       count(DISTINCT CAST(grp AS VARCHAR) || ':'
+             || CAST(sort AS VARCHAR) || ':'
+             || CAST(utm AS VARCHAR)) AS n_raw,
+       count(DISTINCT CAST(grp AS VARCHAR) || ':'
+             || CAST(sort AS VARCHAR)) AS n_after
+FROM p
+GROUP BY h
+ORDER BY host
+"""

@@ -75,3 +75,46 @@ class TestPlan:
             head = seg.split("\n")[0]
             for col in ("url#", "base#", "pairs#"):
                 assert col not in head, head
+
+
+class TestDustStrip:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.urlparams import (
+            duck_dust_strip_sql, dust_strip_report,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = dust_strip_report(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_dust_strip_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
+
+    def test_collapse_ratio(self, spark):
+        from pdf_extractor_spark.functions.urlparams import (
+            dust_strip_report,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = dust_strip_report(docs).toPandas()
+        # every host learned exactly one rule (utm), and full
+        # 8-variant groups collapse 4:1 → n_after < n_raw everywhere
+        assert (got["n_rules"] == 1).all()
+        assert (got["n_after"] < got["n_raw"]).all()
+
+    def test_rules_broadcast_not_shuffled(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_dust_strip"].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
