@@ -4131,21 +4131,21 @@ CATALOG: dict[str, QueryDef] = {
     # dedup_simhash_near_dup's r3 row and both keep the every-session
     # local both-SF crosscheck.
     "corpus_warc_revisits": QueryDef(
-        _warc_revisits, _WARC_REVISITS_SQL
+        _warc_revisits, _WARC_REVISITS_SQL, True
     ),
     # dedup_minhash_signatures displaced past the window edge by
     # corpus_conditional_fetch (never driver-checked outranks
     # r2-green); its signature kernel is pinned bit-identical by
     # tests/test_kernels.py and it keeps the local both-SF crosscheck.
     "corpus_conditional_fetch": QueryDef(
-        _conditional_fetch, _CONDITIONAL_FETCH_SQL
+        _conditional_fetch, _CONDITIONAL_FETCH_SQL, True
     ),
     # dedup_lsh_precision displaced past the window edge by
     # corpus_hreflang_clusters (never driver-checked outranks
     # r2-green); the LSH candidate machinery keeps its local both-SF
     # crosscheck and the skew bench.
     "corpus_hreflang_clusters": QueryDef(
-        _hreflang_clusters, _HREFLANG_SQL
+        _hreflang_clusters, _HREFLANG_SQL, True
     ),
     # q1_pricing_summary / q3_shipping_priority displaced past the
     # window edge by corpus_structured_data / corpus_pdf_links
@@ -4237,14 +4237,14 @@ CATALOG: dict[str, QueryDef] = {
     # (never driver-checked outranks r2-green); the exact-hash dedup
     # machinery stays in-window via corpus_incremental_dedup, which
     # runs the same hash-groupBy shape.
-    "corpus_dust_strip": QueryDef(_dust_strip, _DUST_STRIP_SQL),
+    "corpus_dust_strip": QueryDef(_dust_strip, _DUST_STRIP_SQL, True),
     "corpus_crawl_traps": QueryDef(_crawl_traps, _CRAWL_TRAPS_SQL),
     "corpus_mime_sniff": QueryDef(_mime_sniff, _MIME_SNIFF_SQL),
     "corpus_structured_data": QueryDef(
         _structured_data, _STRUCTURED_DATA_SQL
     ),
     "corpus_pdf_links": QueryDef(_pdf_links, _PDF_LINKS_SQL),
-    "corpus_pdf_metadata": QueryDef(_pdf_metadata, _PDF_META_SQL),
+    "corpus_pdf_metadata": QueryDef(_pdf_metadata, _PDF_META_SQL, True),
     "corpus_html_tables": QueryDef(_html_tables, _HTML_TABLES_SQL),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
