@@ -70,6 +70,37 @@ _EMPTY_INVENTORY = {
 # quality_scorer.py:81-413 five-dimension sub-batteries)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo chunked transfer coding (RFC 9112 §7.1); malformed
+    framing degrades to the raw remainder from the failure point
+    (never raises).  Owned here because a chunked capture can reach
+    the kernel directly as a page payload, not only through the WARC
+    reader (which imports this)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            out += body[pos:]
+            break
+        size_tok = body[pos:nl].strip().split(b";")[0]
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            out += body[pos:]
+            break
+        if n == 0:
+            break
+        chunk = body[nl + 1:nl + 1 + n]
+        out += chunk
+        pos = nl + 1 + n
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos:pos + 1] == b"\n":
+            pos += 1
+    return bytes(out)
+
+
 def _extract_pdf_once(
     payload: bytes, cfg: ExtractConfig
 ) -> dict[str, Any]:
@@ -443,6 +474,13 @@ def extract_document(
                         "ascii", "replace"
                     )
                 payload = payload[head_end + sep:]
+                if re.search(
+                    rb"(?im)^transfer-encoding:[^\r\n]*chunked", head
+                ):
+                    # chunked is a TRANSFER coding (RFC 9112 §7.1):
+                    # undone before the content coding, or the hex
+                    # size tokens leak into the extracted text
+                    payload = _dechunk(payload)
                 http_note = "http response headers stripped" + (
                     f" (charset={transport_charset})"
                     if transport_charset else ""

@@ -25,15 +25,51 @@ from ..operators.pdf_generator import PageSpec, build_pdf
 ROUNDTRIP_SCHEMA = "doc_id long, extracted_text string"
 
 
-def wrap_html(text: str) -> bytes:
+def _page_html(text: str, meta_charset: str | None = None) -> str:
+    meta = (
+        f"<meta charset='{meta_charset}'>" if meta_charset else ""
+    )
     return (
-        "<html><head><title>doc</title></head><body>"
+        f"<html><head>{meta}<title>doc</title></head><body>"
         "<nav><a href='/'>Home</a> <a href='/idx'>Index</a> "
         "<a href='/c'>Contact</a></nav>"
         f"<p>{_html.escape(text)}</p>"
         "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
         "</body></html>"
-    ).encode("utf-8")
+    )
+
+
+def wrap_html(text: str) -> bytes:
+    return _page_html(text).encode("utf-8")
+
+
+def wrap_html_transport(text: str, doc_id: int) -> bytes:
+    """Same page, rotating the TRANSPORT containers crawled payloads
+    actually arrive in — byte-identity must hold regardless: plain
+    UTF-8, a captured HTTP response with a gzip content coding, a
+    chunked HTTP response, UTF-16LE with a BOM plus a LYING in-
+    document meta (the BOM must win, per WHATWG), and a bare gzip
+    transport wrapper (the mis-served Content-Encoding layout)."""
+    import gzip as _gzip
+
+    variant = doc_id % 5
+    if variant == 1 or variant == 2:
+        from .warc import http_response
+
+        return http_response(
+            wrap_html(text),
+            gzip_body=(variant == 1),
+            chunked=(variant == 2),
+        )
+    if variant == 3:
+        import codecs
+
+        return codecs.BOM_UTF16_LE + _page_html(
+            text, meta_charset="iso-8859-1"
+        ).encode("utf-16-le")
+    if variant == 4:
+        return _gzip.compress(wrap_html(text), mtime=0)
+    return wrap_html(text)
 
 
 def wrap_pdf(text: str) -> bytes:
@@ -91,10 +127,26 @@ def _spread(docs: DataFrame, num_partitions: int | None) -> DataFrame:
     return docs.select("doc_id", "text").repartition(n, F.col("doc_id"))
 
 
+def _html_transport_iter(batches: Iterator[pd.DataFrame]):
+    for pdf in batches:
+        texts = [
+            extract_document(
+                wrap_html_transport(t, int(d)), DEFAULT_CONFIG
+            )["extracted_text"]
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].to_numpy(),
+             "extracted_text": texts}
+        )
+
+
 def html_roundtrip(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """documents → synth HTML → extract → (doc_id, extracted_text)."""
+    """documents → synth HTML (transport container rotating plain /
+    HTTP+gzip / HTTP+chunked / BOM'd UTF-16LE with a lying meta /
+    bare-gzip by doc_id) → extract → (doc_id, extracted_text)."""
     return _spread(docs, num_partitions).mapInPandas(
-        _roundtrip_iter(wrap_html), ROUNDTRIP_SCHEMA
+        _html_transport_iter, ROUNDTRIP_SCHEMA
     )
 
 

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..config import DEFAULT_CONFIG
-from ..operators.document import extract_document
+from ..operators.document import _dechunk, extract_document
 from .docwrap import _spread, wrap_html
 
 WARC_EPOCH = datetime(2024, 1, 1)
@@ -207,34 +207,6 @@ def _parse_headers(block: bytes) -> dict[str, str]:
         last = k.strip().decode("latin-1").lower()
         headers[last] = v.strip().decode("latin-1")
     return headers
-
-
-def _dechunk(body: bytes) -> bytes:
-    """Undo chunked transfer coding; malformed framing degrades to the
-    raw remainder from the failure point (never raises)."""
-    out = bytearray()
-    pos = 0
-    while True:
-        nl = body.find(b"\n", pos)
-        if nl < 0:
-            out += body[pos:]
-            break
-        size_tok = body[pos:nl].strip().split(b";")[0]
-        try:
-            n = int(size_tok, 16)
-        except ValueError:
-            out += body[pos:]
-            break
-        if n == 0:
-            break
-        chunk = body[nl + 1:nl + 1 + n]
-        out += chunk
-        pos = nl + 1 + n
-        if body[pos:pos + 2] == _CRLF:
-            pos += 2
-        elif body[pos:pos + 1] == b"\n":
-            pos += 1
-    return bytes(out)
 
 
 def parse_warc(data: bytes) -> list[dict]:

@@ -246,3 +246,55 @@ class TestWetSink:
         for row in docs.collect():
             ts, text = got[row.doc_id]
             assert text == row.text
+
+
+class TestKernelTransportCodings:
+    """Transport containers routed straight into the kernel — the
+    layouts a pages-table payload can arrive in without a WARC
+    reader in front."""
+
+    def _text(self):
+        return ("the quick brown fox jumps over the lazy dog "
+                "repeatedly for this transport coding test")
+
+    def test_chunked_http_payload_dechunked(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.sources.docwrap import wrap_html
+        from pdf_extractor_spark.sources.warc import http_response
+
+        payload = http_response(wrap_html(self._text()), chunked=True)
+        rec = extract_document(payload)
+        # chunk-size hex tokens must never leak into the text
+        assert rec["extracted_text"] == self._text()
+
+    def test_chunked_plus_gzip_content_coding(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.sources.docwrap import wrap_html
+        from pdf_extractor_spark.sources.warc import http_response
+
+        payload = http_response(
+            wrap_html(self._text()), chunked=True, gzip_body=True
+        )
+        rec = extract_document(payload)
+        assert rec["extracted_text"] == self._text()
+
+    def test_malformed_chunk_framing_degrades(self):
+        from pdf_extractor_spark.operators.document import _dechunk
+
+        # garbage size token: raw remainder kept, never a raise
+        assert _dechunk(b"zz\r\npayload") == b"zz\r\npayload"
+
+    def test_bom_beats_lying_meta(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.sources.docwrap import (
+            wrap_html_transport,
+        )
+
+        rec = extract_document(wrap_html_transport(self._text(), 3))
+        assert rec["extracted_text"] == self._text()
