@@ -373,3 +373,48 @@ def test_mutation_fuzz_never_raises():
             rec = extract_document(bytes(buf))
             assert isinstance(rec["extracted_text"], str)
             assert isinstance(rec["errors"], list)
+
+
+def test_mutation_fuzz_crawl_readers_never_raise():
+    """The round-4 crawl readers (revisit captures, recrawl/304
+    processing) under seeded byte corruption of REAL archives: rows
+    may be lost past the damage point, but the readers must never
+    raise, hang, or invent rows with malformed ids."""
+    import random
+
+    from pdf_extractor_spark.sources.warc import (
+        build_crawl_archive,
+        build_recrawl_archive,
+        extract_captures,
+        extract_recrawl,
+    )
+
+    rng = random.Random(0xBEEF)
+    pages = [
+        (i, f"fuzz body text number {i} with several words")
+        for i in range(12)
+    ]
+    for build, read in (
+        (build_crawl_archive, extract_captures),
+        (build_recrawl_archive, extract_recrawl),
+    ):
+        for gz in (False, True):
+            payload = build(pages, gzip_members=gz)
+            n = len(payload)
+            for _ in range(8):
+                mode = rng.randrange(3)
+                buf = bytearray(payload)
+                if mode == 0:
+                    for _k in range(rng.randrange(1, 8)):
+                        buf[rng.randrange(n)] = rng.randrange(256)
+                elif mode == 1:
+                    buf = buf[: rng.randrange(n)]
+                else:
+                    if n > 64:
+                        src = rng.randrange(n - 32)
+                        dst = rng.randrange(n - 32)
+                        buf[dst : dst + 32] = payload[src : src + 32]
+                rows = read(bytes(buf))
+                assert isinstance(rows, list)
+                for r in rows:
+                    assert isinstance(r["doc_id"], int)
