@@ -131,3 +131,126 @@ SELECT doc_id,
   (doc_id % 11 = 5 AND doc_id % 13 <> 7) AS has_cycle
 FROM {source}
 """
+
+
+# ==================================================== section chunking
+
+# Outline-aware chunking: the composition a RAG / training pipeline
+# actually wants from document metadata — chunk boundaries anchored
+# at the HARVESTED section headings, each chunk carrying its heading
+# as provenance.  The wrapper writes a PDF whose page text interleaves
+# section headings with the doc's tokens AND whose /Outlines tree
+# declares exactly those headings; the operator re-derives the chunks
+# from the two real parses (text extraction + outline harvest), never
+# from the synthesis arithmetic.
+
+_SEC_GROUPS = 3  # n_sections = doc_id % _SEC_GROUPS + 1
+
+
+def wrap_pdf_sections(text: str, doc_id: int) -> bytes:
+    """One wide page whose text is the doc's tokens split into
+    ``doc_id % 3 + 1`` contiguous sections, each prefixed with an
+    uppercase ``SEC{k}`` heading token (the corpus is lowercase, so
+    headings cannot collide with content), and an outline declaring
+    exactly those headings."""
+    toks = text.split(" ")
+    n = doc_id % _SEC_GROUPS + 1
+    lth = len(toks)
+    parts: list[str] = []
+    outline: list[tuple[int, str]] = []
+    for k in range(n):
+        lo, hi = lth * k // n, lth * (k + 1) // n
+        outline.append((0, f"SEC{k + 1}"))
+        parts.append(f"SEC{k + 1} " + " ".join(toks[lo:hi]))
+    page = PageSpec(width=120000.0, height=792.0)
+    page.put_words(72.0, 400.0, 12.0, " ".join(parts).split(" "),
+                   gap=6.0)
+    return build_pdf([page], outline=outline)
+
+
+SECTION_DOC_SCHEMA = (
+    "doc_id long, extracted_text string, titles array<string>"
+)
+
+
+def _sections_iter(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    from ..operators.document import extract_document
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = wrap_pdf_sections(text, int(doc_id))
+            rec = extract_document(payload)
+            doc = parse_pdf(payload)
+            rows.append({
+                "doc_id": int(doc_id),
+                "extracted_text": rec["extracted_text"],
+                "titles": [t for _d, t in doc.outline],
+            })
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "extracted_text", "titles"]
+        )
+
+
+def section_chunks(docs: DataFrame,
+                   num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, section_idx, title, chunk) — extracted text split at
+    the first occurrence of each HARVESTED outline heading; a chunk
+    runs to the next harvested heading (not to arithmetic the
+    synthesis used).
+
+    Scale shape (100 TB contract): one Arrow pass produces (text,
+    titles); the explode + boundary math (locate / substring) is a
+    pure narrow map — the next section's start comes from
+    ``element_at(titles, idx + 2)``, NOT a window, so there is no
+    exchange after the doc-id spread at all."""
+    from pyspark.sql import functions as F
+
+    base = _spread(docs, num_partitions).mapInPandas(
+        _sections_iter, SECTION_DOC_SCHEMA
+    )
+    ex = base.select(
+        "doc_id", "extracted_text", "titles",
+        F.posexplode("titles").alias("section_idx", "title"),
+    )
+    # boundary math: a chunk starts at ITS harvested heading and runs
+    # to the NEXT harvested heading (or end+1, so the final rtrim is
+    # uniform) — "heading" means "title followed by a space", which
+    # cannot occur inside the lowercase corpus text
+    start = "locate(concat(title, ' '), extracted_text)"
+    nxt = (
+        "(CASE WHEN section_idx + 2 <= size(titles) THEN "
+        "locate(concat(element_at(titles, section_idx + 2), ' '), "
+        "extracted_text) ELSE length(extracted_text) + 2 END)"
+    )
+    return ex.select(
+        "doc_id",
+        F.col("section_idx").cast("long").alias("section_idx"),
+        "title",
+        F.expr(
+            f"rtrim(substring(extracted_text, {start}, "
+            f"{nxt} - {start}))"
+        ).alias("chunk"),
+    )
+
+
+def duck_section_chunks_sql(source: str = "documents") -> str:
+    """Closed-form twin of the synthesis: section k of a doc is
+    tokens [floor(L*k/n), floor(L*(k+1)/n)) prefixed with its
+    heading."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         doc_id % {_SEC_GROUPS} + 1 AS n
+  FROM {source}
+)
+SELECT doc_id, u.k AS section_idx,
+  'SEC' || CAST(u.k + 1 AS VARCHAR) AS title,
+  'SEC' || CAST(u.k + 1 AS VARCHAR) || ' ' || array_to_string(
+    toks[CAST(floor(len(toks) * u.k / n) AS INT) + 1
+         : CAST(floor(len(toks) * (u.k + 1) / n) AS INT)], ' ')
+    AS chunk
+FROM t, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT))) AS u(k)
+"""

@@ -2479,6 +2479,27 @@ def _pdf_metadata_sql() -> str:
 _PDF_META_SQL = _pdf_metadata_sql()
 
 
+def _section_chunks(spark, sf_dir):
+    """Outline-aware chunking (functions/pdfmeta.py): chunk
+    boundaries anchored at the HARVESTED /Outlines headings in the
+    extracted text — both sides of the composition come from real
+    parses of the same PDF, and the boundary math (locate /
+    substring, next-heading lookup via element_at) is a pure narrow
+    map with zero exchanges after the doc-id spread."""
+    from .pdfmeta import section_chunks
+
+    return section_chunks(_t(spark, sf_dir, "documents"))
+
+
+def _section_chunks_sql() -> str:
+    from .pdfmeta import duck_section_chunks_sql
+
+    return duck_section_chunks_sql()
+
+
+_SECTION_CHUNKS_SQL = _section_chunks_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4246,6 +4267,14 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_pdf_links": QueryDef(_pdf_links, _PDF_LINKS_SQL),
     "corpus_pdf_metadata": QueryDef(_pdf_metadata, _PDF_META_SQL, True),
     "corpus_html_tables": QueryDef(_html_tables, _HTML_TABLES_SQL),
+    # -------- position 51: first entry past the window edge ----------
+    # The window is saturated with never-driver-checked entries (plus
+    # the two pinned roundtrips and multimodal_decode, whose codec
+    # changed in r4); corpus_section_chunks carries this session's
+    # local both-SF crosscheck as its evidence until a slot opens.
+    "corpus_section_chunks": QueryDef(
+        _section_chunks, _SECTION_CHUNKS_SQL
+    ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

@@ -162,3 +162,59 @@ class TestSparkStage:
         assert plan.count("MapInPandas") == 1
         assert "CartesianProduct" not in plan
         assert plan.count("Exchange") == 1  # _spread only
+
+
+class TestSectionChunks:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.pdfmeta import (
+            duck_section_chunks_sql, section_chunks,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = section_chunks(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_section_chunks_sql()).df()
+        key = ["doc_id", "section_idx"]
+        gs = got.sort_values(key).reset_index(drop=True)
+        ws = want[got.columns].sort_values(key).reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
+
+    def test_chunks_reassemble_to_document(self, spark):
+        from pdf_extractor_spark.functions.pdfmeta import (
+            section_chunks,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = section_chunks(docs).toPandas()
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in docs.select("doc_id", "text").collect()
+        }
+        joined = (
+            got.sort_values(["doc_id", "section_idx"])
+            .groupby("doc_id")["chunk"].apply(" ".join)
+        )
+        import re
+
+        for doc_id, body in joined.items():
+            # strip the harvested headings back out → original text
+            stripped = re.sub(r"SEC\d+ ", "", body)
+            assert stripped == texts[doc_id], doc_id
+
+    def test_plan_no_exchange_after_spread(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["corpus_section_chunks"].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert plan.count("MapInPandas") == 1
+        # the boundary math is a narrow map: the only exchange is the
+        # doc-id spread feeding the Arrow stage
+        assert plan.count("Exchange") == 1
