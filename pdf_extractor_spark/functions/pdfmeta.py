@@ -254,3 +254,89 @@ SELECT doc_id, u.k AS section_idx,
     AS chunk
 FROM t, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT))) AS u(k)
 """
+
+
+# ====================================================== form fields
+
+def wrap_pdf_form(text: str, doc_id: int) -> bytes:
+    """One-page PDF carrying the doc's words plus a deterministic
+    AcroForm: two text fields always, a checkbox for every fourth
+    doc (/V is a NAME, not a string), a hierarchical address field
+    with dotted fully-qualified names for every fifth, a UTF-16BE
+    value for every ninth — and every seventh doc has no form at
+    all."""
+    page = PageSpec(width=60000.0, height=792.0)
+    page.put_words(72.0, 400.0, 12.0, text.split(" ")[:8], gap=6.0)
+    if doc_id % 7 == 6:
+        return build_pdf([page])
+    owner_stem = "Ōwner" if doc_id % 9 == 4 else "Owner"
+    fields: list = [
+        ("title", f"Form {doc_id}"),
+        ("owner", f"{owner_stem} {doc_id % 50}"),
+    ]
+    if doc_id % 4 == 2:
+        fields.append(("agree", doc_id % 8 == 2))
+    if doc_id % 5 == 1:
+        fields.append(("address", [
+            ("line1", f"{doc_id} Main St"),
+            ("city", f"City{doc_id % 10}"),
+        ]))
+    return build_pdf([page], form_fields=fields)
+
+
+PDF_FORM_SCHEMA = "doc_id long, field_name string, field_value string"
+
+
+def _form_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = wrap_pdf_form(text, int(doc_id))
+            doc = parse_pdf(payload)
+            for name, value in doc.form_fields:
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "field_name": name,
+                    "field_value": value,
+                })
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "field_name", "field_value"]
+        )
+
+
+def pdf_form_fields(docs: DataFrame,
+                    num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, field_name, field_value) — AcroForm values recovered
+    by the real tokenizer.  Form data lives OUTSIDE content streams
+    (ISO 32000 §12.7) — invisible to text extraction, which is why a
+    corpus pipeline harvests it as its own pass over the same
+    resolved objects."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _form_iter, PDF_FORM_SCHEMA
+    )
+
+
+def duck_pdf_form_sql(source: str = "documents") -> str:
+    """Closed-form twin of the wrapper schedule."""
+    return f"""
+SELECT doc_id, 'title' AS field_name,
+       'Form ' || doc_id AS field_value
+FROM {source} WHERE doc_id % 7 <> 6
+UNION ALL
+SELECT doc_id, 'owner',
+  (CASE WHEN doc_id % 9 = 4 THEN 'Ōwner ' ELSE 'Owner ' END)
+    || (doc_id % 50)
+FROM {source} WHERE doc_id % 7 <> 6
+UNION ALL
+SELECT doc_id, 'agree',
+  CASE WHEN doc_id % 8 = 2 THEN 'Yes' ELSE 'Off' END
+FROM {source} WHERE doc_id % 7 <> 6 AND doc_id % 4 = 2
+UNION ALL
+SELECT doc_id, 'address.line1', doc_id || ' Main St'
+FROM {source} WHERE doc_id % 7 <> 6 AND doc_id % 5 = 1
+UNION ALL
+SELECT doc_id, 'address.city', 'City' || (doc_id % 10)
+FROM {source} WHERE doc_id % 7 <> 6 AND doc_id % 5 = 1
+"""

@@ -2500,6 +2500,27 @@ def _section_chunks_sql() -> str:
 _SECTION_CHUNKS_SQL = _section_chunks_sql()
 
 
+def _pdf_form_fields(spark, sf_dir):
+    """AcroForm field harvesting (functions/pdfmeta.py): interactive-
+    form values live OUTSIDE content streams (ISO 32000 §12.7) —
+    invisible to text extraction — recovered as (fully qualified
+    name, value) rows through the real tokenizer: dotted names via
+    /Kids, checkbox /V as a NAME not a string, UTF-16BE values,
+    every seventh doc form-less."""
+    from .pdfmeta import pdf_form_fields
+
+    return pdf_form_fields(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_form_sql() -> str:
+    from .pdfmeta import duck_pdf_form_sql
+
+    return duck_pdf_form_sql()
+
+
+_PDF_FORM_SQL = _pdf_form_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4274,6 +4295,9 @@ CATALOG: dict[str, QueryDef] = {
     # local both-SF crosscheck as its evidence until a slot opens.
     "corpus_section_chunks": QueryDef(
         _section_chunks, _SECTION_CHUNKS_SQL
+    ),
+    "corpus_pdf_form_fields": QueryDef(
+        _pdf_form_fields, _PDF_FORM_SQL
     ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);

@@ -368,6 +368,7 @@ def build_pdf(
     info: dict[str, str] | None = None,
     outline: list[tuple[int, str]] | None = None,
     outline_cycle: bool = False,
+    form_fields: list[tuple[str, str | bool | list]] | None = None,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -427,21 +428,30 @@ def build_pdf(
     /First /Last /Next /Prev /Parent with per-node /Count, the
     catalog gaining ``/Outlines``.  ``outline_cycle=True`` points the
     LAST top-level item's /Next back at the FIRST (a malformed-writer
-    trap — a reader without a visited guard loops forever)."""
+    trap — a reader without a visited guard loops forever).
+
+    ``form_fields`` writes an interactive-form dictionary (AcroForm,
+    §12.7): the catalog gains ``/AcroForm << /Fields [..] >>``.  Each
+    entry is ``(name, value)`` where a str value makes a text field
+    (/FT /Tx, /V a text string), a bool makes a checkbox (/FT /Btn,
+    /V the NAME /Yes or /Off — not a string, a trap for readers that
+    assume strings), and a list of (name, value) pairs makes a
+    non-terminal field whose kids inherit the dotted name prefix
+    (§12.7.3.2 fully qualified names)."""
     if xref_stream:
         if tounicode_chars or tounicode_ranges or \
                 cid_tounicode_chars or differences or header_xobject or \
-                predefined_cmap or info or outline:
+                predefined_cmap or info or outline or form_fields:
             raise ValueError(
                 "tounicode/differences/xobject supported on the "
                 "classic layout only"
             )
         return _build_pdf_xref_stream(pages, compress, encrypt)
-    if encrypt is not None and (info or outline):
+    if encrypt is not None and (info or outline or form_fields):
         # strings in encrypted documents are themselves encrypted
         # (ISO 32000 §7.6.2); the fixture writer keeps metadata
         # fixtures and crypto fixtures orthogonal, same as links
-        raise ValueError("info/outline on encrypted fixtures "
+        raise ValueError("info/outline/form on encrypted fixtures "
                          "not supported")
     enc_key, enc_aes, enc_dict = (None, False, b"")
     if encrypt is not None:
@@ -663,8 +673,54 @@ def build_pdf(
             f"/Last {item_ids[top[-1]]} 0 R /Count {len(outline)} >>"
         ).encode("latin-1")
         outlines_ref = f" /Outlines {root_oid} 0 R"
+    acroform_ref = ""
+    if form_fields:
+        def _emit_field(name: str, value) -> int:
+            nonlocal next_id
+            fid = next_id
+            next_id += 1
+            if isinstance(value, list):
+                kid_ids = [
+                    _emit_field(kn, kv) for kn, kv in value
+                ]
+                kids = " ".join(f"{k} 0 R" for k in kid_ids)
+                body = (
+                    f"<< /T {_pdf_text_string(name)} "
+                    f"/Kids [{kids}] >>"
+                )
+                for k in kid_ids:
+                    # splice the /Parent back-ref in (kids were
+                    # emitted before this node's id was known)
+                    objs[k] = objs[k][:-3] + (
+                        f" /Parent {fid} 0 R >>"
+                    ).encode("latin-1")
+            elif isinstance(value, bool):
+                state = "/Yes" if value else "/Off"
+                body = (
+                    f"<< /FT /Btn /T {_pdf_text_string(name)} "
+                    f"/V {state} >>"
+                )
+            else:
+                body = (
+                    f"<< /FT /Tx /T {_pdf_text_string(name)} "
+                    f"/V {_pdf_text_string(value)} >>"
+                )
+            objs[fid] = body.encode("latin-1")
+            return fid
+
+        root_fields = [
+            _emit_field(n, v) for n, v in form_fields
+        ]
+        acro_id = next_id
+        next_id += 1
+        flist = " ".join(f"{f} 0 R" for f in root_fields)
+        objs[acro_id] = (
+            f"<< /Fields [{flist}] >>"
+        ).encode("latin-1")
+        acroform_ref = f" /AcroForm {acro_id} 0 R"
     objs[1] = (
-        f"<< /Type /Catalog /Pages 2 0 R{outlines_ref} >>"
+        f"<< /Type /Catalog /Pages 2 0 R{outlines_ref}"
+        f"{acroform_ref} >>"
     ).encode("latin-1")
     pages_attrs = (
         f" /MediaBox [0 0 {pages[0].width:g} {pages[0].height:g}] "

@@ -70,6 +70,8 @@ class PdfDoc:
     # document outline (§12.3.3) flattened depth-first:
     # (depth, title) with depth 0 = top level
     outline: list[tuple[int, str]] = field(default_factory=list)
+    # AcroForm field values (§12.7): (fully qualified name, value)
+    form_fields: list[tuple[str, str]] = field(default_factory=list)
 
 
 def empty_word_frame() -> Words:
@@ -1613,6 +1615,68 @@ def _doc_outline(
     return out
 
 
+_T_RE = re.compile(
+    rb"/T\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
+)
+_V_STR_RE = re.compile(
+    rb"/V\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
+)
+_V_NAME_RE = re.compile(rb"/V\s*/([A-Za-z0-9.#_-]+)")
+_FORM_MAX_FIELDS = 4096
+_FORM_MAX_DEPTH = 16
+
+
+def _doc_form_fields(
+    catalog: bytes, bodies: dict[int, bytes]
+) -> list[tuple[str, str]]:
+    """Interactive-form field values (AcroForm, ISO 32000 §12.7):
+    the catalog's /AcroForm → /Fields tree flattened to (fully
+    qualified name, value) rows — §12.7.3.2 dotted names through
+    /Kids.  A text field's /V is a text string; a button's /V is a
+    NAME (/Yes, /Off — not a string, the trap readers that assume
+    strings trip on).  Form data lives OUTSIDE content streams —
+    invisible to text extraction, which is exactly why a corpus
+    pipeline must harvest it separately."""
+    acro = _dict_ref(catalog, b"AcroForm")
+    if acro is None:
+        return []
+    body = bodies.get(acro)
+    if body is None:
+        return []
+    out: list[tuple[str, str]] = []
+    visited: set[int] = set()
+
+    def walk(oid: int, prefix: str, depth: int) -> None:
+        if oid in visited or depth > _FORM_MAX_DEPTH or \
+                len(out) >= _FORM_MAX_FIELDS:
+            return
+        visited.add(oid)
+        b = bodies.get(oid)
+        if b is None:  # field beyond a crawl truncation
+            return
+        tm = _T_RE.search(b)
+        name = _text_string(tm.group(1)) if tm else ""
+        full = f"{prefix}.{name}" if prefix else name
+        kids = _dict_refarray(b, b"Kids")
+        if kids:
+            for kid in kids:
+                walk(kid, full, depth + 1)
+            return
+        vm = _V_STR_RE.search(b)
+        if vm is not None:
+            out.append((full, _text_string(vm.group(1))))
+            return
+        nm = _V_NAME_RE.search(b)
+        if nm is not None:
+            out.append((full, nm.group(1).decode("latin-1")))
+            return
+        out.append((full, ""))  # field with no value set
+
+    for fid in _dict_refarray(body, b"Fields"):
+        walk(fid, "", 0)
+    return out
+
+
 def _find_encrypt_ref(data: bytes, bodies: dict[int, bytes]) -> int | None:
     """Object id of the ``/Encrypt`` dictionary, from the classic
     ``trailer`` dict (last occurrence) or an xref-stream object's
@@ -1804,6 +1868,12 @@ def parse_pdf(data: bytes) -> PdfDoc:
             )
         except Exception:
             doc.outline = []
+        try:
+            doc.form_fields = _doc_form_fields(
+                bodies[root_id], bodies
+            )
+        except Exception:
+            doc.form_fields = []
         pages_root = _dict_ref(bodies[root_id], b"Pages")
         # Page-tree walk with ATTRIBUTE INHERITANCE (ISO 32000
         # §7.7.3.4): /MediaBox, /Rotate and /Resources may live on any

@@ -218,3 +218,67 @@ class TestSectionChunks:
         # the boundary math is a narrow map: the only exchange is the
         # doc-id spread feeding the Arrow stage
         assert plan.count("Exchange") == 1
+
+
+class TestFormFields:
+    def test_text_checkbox_hierarchy_roundtrip(self):
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["Hello", "world"])
+        pdf = build_pdf([p], form_fields=[
+            ("applicant", "山田 太郎"),
+            ("agree", True),
+            ("newsletter", False),
+            ("address", [("line1", "1-2-3 Chiyoda"),
+                         ("city", "Tōkyō")]),
+        ])
+        doc = parse_pdf(pdf)
+        assert doc.form_fields == [
+            ("applicant", "山田 太郎"),
+            ("agree", "Yes"),
+            ("newsletter", "Off"),
+            ("address.line1", "1-2-3 Chiyoda"),
+            ("address.city", "Tōkyō"),
+        ]
+        assert not doc.errors
+        # form data never enters the extracted text
+        assert list(doc.pages[0].words["text"]) == ["Hello", "world"]
+
+    def test_no_form_is_empty(self):
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["w"])
+        assert parse_pdf(build_pdf([p])).form_fields == []
+
+    def test_truncated_form_degrades(self):
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["Hello"])
+        data = build_pdf([p], form_fields=[("a", "1"), ("b", "2")])
+        cut = data[: data.rfind(b"/FT")]
+        doc = parse_pdf(cut)
+        texts = [
+            t for pg in doc.pages for t in list(pg.words["text"])
+        ]
+        assert "Hello" in texts
+        assert not any(
+            e["severity"] == "critical" for e in doc.errors
+        )
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.pdfmeta import (
+            duck_pdf_form_sql, pdf_form_fields,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = pdf_form_fields(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_pdf_form_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
