@@ -340,3 +340,73 @@ UNION ALL
 SELECT doc_id, 'address.city', 'City' || (doc_id % 10)
 FROM {source} WHERE doc_id % 7 <> 6 AND doc_id % 5 = 1
 """
+
+
+# ====================================================== attachments
+
+def wrap_pdf_attachments(text: str, doc_id: int) -> bytes:
+    """One-page PDF carrying the doc's words plus ``doc_id % 4``
+    embedded files (so form-less docs exist) through the /Names
+    /EmbeddedFiles name tree — flat leaf for most, the two-level
+    /Kids + /Limits layout for every fifth doc with ≥ 2 entries;
+    odd-index payloads travel Flate-compressed."""
+    page = PageSpec(width=60000.0, height=792.0)
+    page.put_words(72.0, 400.0, 12.0, text.split(" ")[:8], gap=6.0)
+    n = doc_id % 4
+    if n == 0:
+        return build_pdf([page])
+    atts = [
+        (f"att{k}.txt", f"attachment {doc_id}-{k}".encode("ascii"))
+        for k in range(n)
+    ]
+    return build_pdf(
+        [page], attachments=atts,
+        attachments_kids_tree=(doc_id % 5 == 0 and n >= 2),
+    )
+
+
+PDF_ATTACH_SCHEMA = "doc_id long, filename string, content string"
+
+
+def _attach_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = wrap_pdf_attachments(text, int(doc_id))
+            doc = parse_pdf(payload)
+            for fname, content in doc.attachments:
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "filename": fname,
+                    "content": content.decode("utf-8", "replace"),
+                })
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "filename", "content"]
+        )
+
+
+def pdf_attachments(docs: DataFrame,
+                    num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, filename, content) — embedded files recovered from
+    the /EmbeddedFiles name tree by the real tokenizer.  Attachments
+    are how e-invoice XML and source data travel inside PDFs —
+    payload text extraction never sees."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _attach_iter, PDF_ATTACH_SCHEMA
+    )
+
+
+def duck_pdf_attach_sql(source: str = "documents") -> str:
+    """Closed-form twin of the wrapper schedule: doc_id % 4 files per
+    doc, deterministic names and payloads; tree shape and compression
+    change NOTHING about the recovered rows."""
+    return f"""
+SELECT doc_id, 'att' || u.k || '.txt' AS filename,
+       'attachment ' || doc_id || '-' || u.k AS content
+FROM {source},
+     UNNEST(generate_series(0, CAST(doc_id % 4 - 1 AS BIGINT)))
+       AS u(k)
+WHERE doc_id % 4 > 0
+"""

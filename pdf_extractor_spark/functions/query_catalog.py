@@ -2521,6 +2521,27 @@ def _pdf_form_sql() -> str:
 _PDF_FORM_SQL = _pdf_form_sql()
 
 
+def _pdf_attachments(spark, sf_dir):
+    """Embedded-file harvesting (functions/pdfmeta.py): /Names
+    /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
+    two-level /Kids + /Limits layout) resolved to /Filespec → /EF
+    /EmbeddedFile streams through the same filter machinery as
+    content streams; Flate-compressed payloads decode, names in both
+    text-string spellings."""
+    from .pdfmeta import pdf_attachments
+
+    return pdf_attachments(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_attach_sql() -> str:
+    from .pdfmeta import duck_pdf_attach_sql
+
+    return duck_pdf_attach_sql()
+
+
+_PDF_ATTACH_SQL = _pdf_attach_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4298,6 +4319,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_pdf_form_fields": QueryDef(
         _pdf_form_fields, _PDF_FORM_SQL
+    ),
+    "corpus_pdf_attachments": QueryDef(
+        _pdf_attachments, _PDF_ATTACH_SQL
     ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);

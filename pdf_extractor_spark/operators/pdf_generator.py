@@ -369,6 +369,8 @@ def build_pdf(
     outline: list[tuple[int, str]] | None = None,
     outline_cycle: bool = False,
     form_fields: list[tuple[str, str | bool | list]] | None = None,
+    attachments: list[tuple[str, bytes]] | None = None,
+    attachments_kids_tree: bool = False,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -437,17 +439,27 @@ def build_pdf(
     /V the NAME /Yes or /Off — not a string, a trap for readers that
     assume strings), and a list of (name, value) pairs makes a
     non-terminal field whose kids inherit the dotted name prefix
-    (§12.7.3.2 fully qualified names)."""
+    (§12.7.3.2 fully qualified names).
+
+    ``attachments`` ([(filename, bytes)]) embeds files (§7.11): the
+    catalog gains ``/Names << /EmbeddedFiles <name tree> >>``; each
+    entry becomes a /Filespec whose /EF /F is an /EmbeddedFile
+    stream — odd entries Flate-compressed, even stored raw.
+    ``attachments_kids_tree=True`` splits the name tree into an
+    intermediate-node layout with /Kids and /Limits (§7.9.6 — the
+    two-level shape mass writers emit for large trees)."""
     if xref_stream:
         if tounicode_chars or tounicode_ranges or \
                 cid_tounicode_chars or differences or header_xobject or \
-                predefined_cmap or info or outline or form_fields:
+                predefined_cmap or info or outline or form_fields or \
+                attachments:
             raise ValueError(
                 "tounicode/differences/xobject supported on the "
                 "classic layout only"
             )
         return _build_pdf_xref_stream(pages, compress, encrypt)
-    if encrypt is not None and (info or outline or form_fields):
+    if encrypt is not None and (info or outline or form_fields
+                                or attachments):
         # strings in encrypted documents are themselves encrypted
         # (ISO 32000 §7.6.2); the fixture writer keeps metadata
         # fixtures and crypto fixtures orthogonal, same as links
@@ -718,9 +730,70 @@ def build_pdf(
             f"<< /Fields [{flist}] >>"
         ).encode("latin-1")
         acroform_ref = f" /AcroForm {acro_id} 0 R"
+    names_ref = ""
+    if attachments:
+        import zlib as _zlib
+
+        pair_parts: list[tuple[str, int]] = []
+        for i, (fname, payload) in enumerate(attachments):
+            stream_id = next_id
+            fs_id = next_id + 1
+            next_id += 2
+            if i % 2 == 1:
+                z = _zlib.compress(payload, 9)
+                objs[stream_id] = (
+                    f"<< /Type /EmbeddedFile /Filter /FlateDecode "
+                    f"/Length {len(z)} >>\nstream\n".encode("latin-1")
+                    + z + b"\nendstream"
+                )
+            else:
+                objs[stream_id] = (
+                    f"<< /Type /EmbeddedFile /Length {len(payload)} "
+                    f">>\nstream\n".encode("latin-1")
+                    + payload + b"\nendstream"
+                )
+            objs[fs_id] = (
+                f"<< /Type /Filespec /F {_pdf_text_string(fname)} "
+                f"/EF << /F {stream_id} 0 R >> >>"
+            ).encode("latin-1")
+            pair_parts.append((fname, fs_id))
+        pair_parts.sort()  # name trees are lexicographically ordered
+        def _names_array(pairs) -> str:
+            return " ".join(
+                f"{_pdf_text_string(n)} {fs} 0 R" for n, fs in pairs
+            )
+        tree_id = next_id
+        next_id += 1
+        if attachments_kids_tree and len(pair_parts) >= 2:
+            mid = len(pair_parts) // 2
+            halves = [pair_parts[:mid], pair_parts[mid:]]
+            kid_ids = []
+            for half in halves:
+                kid = next_id
+                next_id += 1
+                kid_ids.append(kid)
+                objs[kid] = (
+                    f"<< /Limits [{_pdf_text_string(half[0][0])} "
+                    f"{_pdf_text_string(half[-1][0])}] "
+                    f"/Names [{_names_array(half)}] >>"
+                ).encode("latin-1")
+            kid_refs = " ".join(f"{k} 0 R" for k in kid_ids)
+            objs[tree_id] = (
+                f"<< /Kids [{kid_refs}] >>"
+            ).encode("latin-1")
+        else:
+            objs[tree_id] = (
+                f"<< /Names [{_names_array(pair_parts)}] >>"
+            ).encode("latin-1")
+        names_id = next_id
+        next_id += 1
+        objs[names_id] = (
+            f"<< /EmbeddedFiles {tree_id} 0 R >>"
+        ).encode("latin-1")
+        names_ref = f" /Names {names_id} 0 R"
     objs[1] = (
         f"<< /Type /Catalog /Pages 2 0 R{outlines_ref}"
-        f"{acroform_ref} >>"
+        f"{acroform_ref}{names_ref} >>"
     ).encode("latin-1")
     pages_attrs = (
         f" /MediaBox [0 0 {pages[0].width:g} {pages[0].height:g}] "

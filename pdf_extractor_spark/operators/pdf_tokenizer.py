@@ -72,6 +72,8 @@ class PdfDoc:
     outline: list[tuple[int, str]] = field(default_factory=list)
     # AcroForm field values (§12.7): (fully qualified name, value)
     form_fields: list[tuple[str, str]] = field(default_factory=list)
+    # embedded files (§7.11): (filename, decoded payload bytes)
+    attachments: list[tuple[str, bytes]] = field(default_factory=list)
 
 
 def empty_word_frame() -> Words:
@@ -1615,6 +1617,78 @@ def _doc_outline(
     return out
 
 
+_NAME_PAIR_RE = re.compile(
+    rb"(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s+(\d+)\s+\d+\s+R"
+)
+_NAMETREE_MAX_DEPTH = 16
+
+
+def _doc_attachments(
+    catalog: bytes, bodies: dict[int, bytes]
+) -> list[tuple[str, bytes]]:
+    """Embedded files (ISO 32000 §7.11) via the catalog's
+    ``/Names /EmbeddedFiles`` NAME TREE (§7.9.6): leaf nodes carry
+    sorted (name string, filespec ref) pairs in /Names arrays,
+    intermediate nodes route through /Kids (with /Limits — ignored
+    here, every leaf is read); each /Filespec's /EF /F is an
+    /EmbeddedFile stream decoded through the same filter machinery
+    as content streams.  Attachments are how e-invoice XML
+    (Factur-X-class) and source data travel inside PDFs — payload a
+    text extractor never sees."""
+    names = _dict_ref(catalog, b"Names")
+    if names is None:
+        return []
+    nbody = bodies.get(names)
+    if nbody is None:
+        return []
+    tree = _dict_ref(nbody, b"EmbeddedFiles")
+    if tree is None:
+        return []
+    out: list[tuple[str, bytes]] = []
+    visited: set[int] = set()
+
+    def walk(oid: int, depth: int) -> None:
+        if oid in visited or depth > _NAMETREE_MAX_DEPTH:
+            return
+        visited.add(oid)
+        b = bodies.get(oid)
+        if b is None:
+            return
+        kids = _dict_refarray(b, b"Kids")
+        if kids:
+            for kid in kids:
+                walk(kid, depth + 1)
+            return
+        # leaf: /Limits (if present) shares the string grammar with
+        # the /Names pairs, so scope the pair scan to the array
+        lb = b.find(b"/Names")
+        arr = b[lb:] if lb >= 0 else b
+        for m in _NAME_PAIR_RE.finditer(arr):
+            fname = _text_string(m.group(1))
+            fs = bodies.get(int(m.group(2)))
+            if fs is None:
+                continue
+            # /EF is usually an inline dict (<< /F N 0 R >>) — the
+            # only ref after a /F key either way; fall back to an
+            # indirect /EF object
+            stream_id = _dict_ref(fs, b"F")
+            if stream_id is None:
+                ef = _dict_ref(fs, b"EF")
+                if ef is not None:
+                    stream_id = _dict_ref(bodies.get(ef, b""), b"F")
+            sb = bodies.get(stream_id) if stream_id is not None \
+                else None
+            if sb is None:
+                continue
+            try:
+                out.append((fname, _stream_bytes(sb)))
+            except Exception:
+                continue  # undecodable attachment never costs others
+
+    walk(tree, 0)
+    return out
+
+
 _T_RE = re.compile(
     rb"/T\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
 )
@@ -1874,6 +1948,12 @@ def parse_pdf(data: bytes) -> PdfDoc:
             )
         except Exception:
             doc.form_fields = []
+        try:
+            doc.attachments = _doc_attachments(
+                bodies[root_id], bodies
+            )
+        except Exception:
+            doc.attachments = []
         pages_root = _dict_ref(bodies[root_id], b"Pages")
         # Page-tree walk with ATTRIBUTE INHERITANCE (ISO 32000
         # §7.7.3.4): /MediaBox, /Rotate and /Resources may live on any

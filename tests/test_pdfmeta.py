@@ -282,3 +282,73 @@ class TestFormFields:
         ws = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(gs) == len(ws) > 0
         assert (gs.to_numpy() == ws.to_numpy()).all()
+
+
+class TestAttachments:
+    def test_flat_and_kids_trees_roundtrip(self):
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["Hello", "world"])
+        atts = [("invoice.xml", b"<xml>payload</xml>"),
+                ("data.csv", b"a,b\n1,2\n" * 10),
+                ("notes.txt", b"plain notes"),
+                ("zōne.txt", b"utf16 name")]
+        for kids in (False, True):
+            doc = parse_pdf(build_pdf(
+                [p], attachments=atts, attachments_kids_tree=kids
+            ))
+            assert sorted(doc.attachments) == sorted(atts), kids
+            assert not doc.errors
+            assert list(doc.pages[0].words["text"]) == [
+                "Hello", "world"
+            ]
+
+    def test_no_attachments_is_empty(self):
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["w"])
+        assert parse_pdf(build_pdf([p])).attachments == []
+
+    def test_flate_payload_decodes(self):
+        # odd-index entries are written Flate-compressed; recovered
+        # bytes must be the ORIGINAL payload
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["w"])
+        atts = [("a.bin", b"\x00\x01" * 50), ("b.bin", b"\xff" * 200)]
+        doc = parse_pdf(build_pdf([p], attachments=atts))
+        assert sorted(doc.attachments) == sorted(atts)
+
+    def test_truncated_tree_degrades(self):
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["Hello"])
+        data = build_pdf(
+            [p], attachments=[("a.txt", b"x"), ("b.txt", b"y")]
+        )
+        cut = data[: data.rfind(b"/Filespec")]
+        doc = parse_pdf(cut)
+        texts = [
+            t for pg in doc.pages for t in list(pg.words["text"])
+        ]
+        assert "Hello" in texts
+        assert not any(
+            e["severity"] == "critical" for e in doc.errors
+        )
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.pdfmeta import (
+            duck_pdf_attach_sql, pdf_attachments,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = pdf_attachments(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_pdf_attach_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
