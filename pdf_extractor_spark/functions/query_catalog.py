@@ -2542,6 +2542,28 @@ def _pdf_attach_sql() -> str:
 _PDF_ATTACH_SQL = _pdf_attach_sql()
 
 
+def _resolved_links(spark, sf_dir):
+    """RFC 3986 link resolution (functions/urlresolve.py): anchors
+    harvested through the real parser resolved against the page's
+    harvested <base href> (first base wins, template base inert) or
+    its own URL — dotted ancestor paths, rooted paths, scheme-
+    relative authorities, with §5.2.4 dot-segment removal verified
+    against the spec's own §5.4 vector battery; fragment-only refs
+    never become edges."""
+    from .urlresolve import resolved_links
+
+    return resolved_links(_t(spark, sf_dir, "documents"))
+
+
+def _resolved_links_sql() -> str:
+    from .urlresolve import duck_resolved_links_sql
+
+    return duck_resolved_links_sql()
+
+
+_RESOLVED_LINKS_SQL = _resolved_links_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4322,6 +4344,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_pdf_attachments": QueryDef(
         _pdf_attachments, _PDF_ATTACH_SQL
+    ),
+    "corpus_resolved_links": QueryDef(
+        _resolved_links, _RESOLVED_LINKS_SQL
     ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);

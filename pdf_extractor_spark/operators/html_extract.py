@@ -335,7 +335,7 @@ class _BlockParser(HTMLParser):
         # head directives are harvested even though <head> is a skip
         # subtree for TEXT — but a directive inside <template> is
         # inert per WHATWG (template contents are not in the document)
-        if tag in ("link", "meta") and not self._skip_counts.get(
+        if tag in ("link", "meta", "base") and not self._skip_counts.get(
             "template"
         ):
             # WHATWG tokenizer drops duplicate attributes — FIRST
@@ -345,6 +345,11 @@ class _BlockParser(HTMLParser):
             for k, v in attrs:
                 if v is not None:
                     a.setdefault(k, v)
+            if tag == "base" and a.get("href") is not None:
+                # document base URL (WHATWG: the FIRST base with an
+                # href wins; later ones are ignored)
+                if not any(k == "base" for k, _v in self.directives):
+                    self.directives.append(("base", a["href"]))
             if tag == "link":
                 rel = (a.get("rel") or "").lower().split()
                 if "canonical" in rel and a.get("href"):
