@@ -2564,6 +2564,28 @@ def _resolved_links_sql() -> str:
 _RESOLVED_LINKS_SQL = _resolved_links_sql()
 
 
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (functions/similarity.py):
+    IVF-cell clustering bounds the pairwise stage to within-cell
+    comparisons; a vector is dropped iff an earlier-id cell-mate's
+    cosine reaches the threshold (earliest-id-wins, deterministic).
+    Integer dots, one-association double threshold, no sqrt — exact
+    across engines."""
+    from .similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+def _semantic_dedup_sql() -> str:
+    from .similarity import duck_semantic_dedup_sql
+
+    # 64 = embeddings dim (also _EMB_DIM, defined later in this file)
+    return duck_semantic_dedup_sql(64)
+
+
+_SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4348,6 +4370,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_resolved_links": QueryDef(
         _resolved_links, _RESOLVED_LINKS_SQL
     ),
+    "dedup_semantic": QueryDef(_semantic_dedup, _SEMANTIC_DEDUP_SQL),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

@@ -885,3 +885,129 @@ def ann_recall_stats(
         "k int, srp_hits long, ivf_hits long, "
         "srp_recall double, ivf_recall double",
     )
+
+
+# ------------------------------------------------------ semantic dedup
+
+def semantic_dedup(
+    embeddings: DataFrame, n_cells: int = 8, tau_bp: int = 4000
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the IVF codebook, then
+    WITHIN each cell drop every vector whose cosine to an
+    earlier-id cell-mate reaches ``tau_bp`` basis points — pairwise
+    comparison happens only inside cells, never corpus-wide, which is
+    the whole point of the clustering step.
+
+    Returns (vec_id, cell_id, kept).  The keep rule is
+    "earliest id wins": x is dropped iff some y < x in its cell has
+    cos(x, y) ≥ τ — deterministic, order-free, and exactly
+    re-derivable relationally.  τ is a corpus parameter: SemDeDup
+    uses ~0.95 on real encoder embeddings; the synthetic test
+    corpus's near-isotropic vectors top out near cos 0.48, so the
+    default is calibrated to 0.40 to keep the gate non-vacuous
+    (pinned by a test that some rows actually drop).
+
+    Cross-engine exactness: the threshold test is
+    ``dot > 0 AND (dot·dot)·10⁸ ≥ τ_bp²·(nx²·ny²)`` over the
+    integer-quantized view — integer dots (≤ 2⁴⁶, exact in int64)
+    multiplied in ONE fixed association as doubles, identical IEEE
+    rounding on both engines, no sqrt anywhere.
+
+    Scale shape (100 TB contract): the pair join's key is cell_id —
+    cells bound the quadratic stage (SemDeDup's k is chosen so cells
+    fit a worker); the exchange carries (cell_id, vec_id, xq) rows,
+    never documents; the final flag is one LEFT ANTI-shaped join on
+    vec_id."""
+    xqv = embeddings.select(
+        "vec_id", F.expr(_XQ).alias("xq")
+    )
+    crows, _n = ivf_codebook_rows(embeddings, n_cells)
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        crows, "cell_id int, cxq array<bigint>"
+    )
+    assigned = _assign_cells(xqv, cents)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("xq").alias("a_xq"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("xq").alias("b_xq"),
+        "cell_id",
+    )
+    idot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "b_id",
+            F.expr(idot.format(x="a_xq", y="b_xq")).alias("dot"),
+            F.expr(idot.format(x="a_xq", y="a_xq")).alias("nx2"),
+            F.expr(idot.format(x="b_xq", y="b_xq")).alias("ny2"),
+        )
+    )
+    dups = (
+        pairs.where(
+            (F.col("dot") > 0)
+            & (
+                F.expr(
+                    "(cast(dot as double) * cast(dot as double)) "
+                    "* 100000000.0"
+                )
+                >= F.expr(
+                    f"({tau_bp}.0 * {tau_bp}.0) * "
+                    "(cast(nx2 as double) * cast(ny2 as double))"
+                )
+            )
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cell_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "cell_id",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def duck_semantic_dedup_sql(
+    dim: int, n_cells: int = 8, tau_bp: int = 4000
+) -> str:
+    """Relational twin: same codebook CTEs as the IVF oracle, same
+    integer dots, same one-association double threshold."""
+    return f"""WITH {duck_vq_cte(dim)},{duck_ivf_ctes(n_cells)},
+  norms AS (
+    SELECT vec_id, sum(xq * xq) AS n2 FROM vq GROUP BY vec_id
+  ), m AS (
+    SELECT a1.vec_id, a1.cell_id, v.d, v.xq
+    FROM a1 JOIN vq v USING (vec_id)
+  ), pr AS (
+    SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+           sum(x.xq * y.xq) AS dot
+    FROM m x JOIN m y
+      ON x.cell_id = y.cell_id AND x.d = y.d
+         AND x.vec_id < y.vec_id
+    GROUP BY x.vec_id, y.vec_id
+  ), dups AS (
+    SELECT DISTINCT p.b_id AS vec_id
+    FROM pr p
+    JOIN norms na ON na.vec_id = p.a_id
+    JOIN norms nb ON nb.vec_id = p.b_id
+    WHERE p.dot > 0
+      AND (CAST(p.dot AS DOUBLE) * CAST(p.dot AS DOUBLE))
+          * 100000000.0
+          >= ({tau_bp}.0 * {tau_bp}.0)
+             * (CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+  )
+SELECT a1.vec_id, a1.cell_id,
+       dups.vec_id IS NULL AS kept
+FROM a1 LEFT JOIN dups USING (vec_id)
+ORDER BY vec_id"""

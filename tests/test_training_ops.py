@@ -772,3 +772,52 @@ class TestAudioDecode:
         patched = cut[:4] + struct.pack("<I", len(cut) - 8) + cut[8:]
         with pytest.raises(WavError, match="not a complete chunk"):
             wav_decode(patched)
+
+
+class TestSemanticDedup:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.similarity import (
+            duck_semantic_dedup_sql, semantic_dedup,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        got = semantic_dedup(emb).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        want = con.sql(duck_semantic_dedup_sql(64)).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values("vec_id").reset_index(drop=True)
+        ws = want[cols].sort_values("vec_id").reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
+
+    def test_non_vacuous_and_earliest_wins(self, spark):
+        from pdf_extractor_spark.functions.similarity import (
+            semantic_dedup,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        got = semantic_dedup(emb).toPandas()
+        dropped = got[~got["kept"]]
+        assert len(dropped) > 0  # the gate must actually fire
+        # earliest id per cell is always kept (nothing precedes it)
+        firsts = got.sort_values("vec_id").groupby("cell_id").first()
+        assert firsts["kept"].all()
+
+    def test_pair_stage_is_cell_bounded(self, spark):
+        from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+        df = CATALOG["dedup_semantic"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
