@@ -410,3 +410,113 @@ FROM {source},
        AS u(k)
 WHERE doc_id % 4 > 0
 """
+
+
+# ================================================== unified harvest
+
+def wrap_pdf_everything(text: str, doc_id: int) -> bytes:
+    """One-page PDF combining EVERY metadata surface under the same
+    schedules as the dedicated wrappers: /Info + outline
+    (wrap_pdf_meta), AcroForm (wrap_pdf_form), embedded files
+    (wrap_pdf_attachments), plus one URI link annotation."""
+    page = PageSpec(width=60000.0, height=792.0)
+    page.put_words(72.0, 400.0, 12.0, text.split(" ")[:8], gap=6.0)
+    t1 = (doc_id * 31 + 7) % 100000
+    page.put_link(f"https://site{t1 % 20}.example/page/{t1}")
+    author_stem = "Authör" if doc_id % 7 == 3 else "Author"
+    info = {
+        "Title": f"Document {doc_id}",
+        "Author": f"{author_stem} {doc_id % 50}",
+        "Producer": f"writer/{doc_id % 5}",
+    }
+    outline: list[tuple[int, str]] = []
+    if doc_id % 13 != 7:
+        for j in range(1, doc_id % 3 + 2):
+            outline.append((0, f"S{j}"))
+            for k in range(1, doc_id % 2 + 1):
+                outline.append((1, f"S{j}.{k}"))
+    fields: list | None = None
+    if doc_id % 7 != 6:
+        fields = [
+            ("title", f"Form {doc_id}"),
+            ("owner", f"Owner {doc_id % 50}"),
+        ]
+        if doc_id % 4 == 2:
+            fields.append(("agree", doc_id % 8 == 2))
+        if doc_id % 5 == 1:
+            fields.append(("address", [
+                ("line1", f"{doc_id} Main St"),
+                ("city", f"City{doc_id % 10}"),
+            ]))
+    atts = [
+        (f"att{k}.txt", f"attachment {doc_id}-{k}".encode("ascii"))
+        for k in range(doc_id % 4)
+    ] or None
+    return build_pdf(
+        [page], info=info, outline=outline or None,
+        outline_cycle=(doc_id % 11 == 5),
+        form_fields=fields, attachments=atts,
+    )
+
+
+PDF_FULL_META_SCHEMA = (
+    "doc_id long, title string, n_outline long, has_cycle boolean, "
+    "n_form_fields long, n_attachments long, n_links long"
+)
+_FULL_COLS = [
+    "doc_id", "title", "n_outline", "has_cycle",
+    "n_form_fields", "n_attachments", "n_links",
+]
+
+
+def _full_meta_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = wrap_pdf_everything(text, int(doc_id))
+            doc = parse_pdf(payload)  # ONE parse, every surface
+            rows.append({
+                "doc_id": int(doc_id),
+                "title": doc.info.get("Title", ""),
+                "n_outline": len(doc.outline),
+                "has_cycle": any(
+                    "sibling ring" in e["message"] for e in doc.errors
+                ),
+                "n_form_fields": len(doc.form_fields),
+                "n_attachments": len(doc.attachments),
+                "n_links": sum(len(p.links) for p in doc.pages),
+            })
+        yield pd.DataFrame(rows, columns=_FULL_COLS)
+
+
+def pdf_full_metadata(docs: DataFrame,
+                      num_partitions: int | None = None) -> DataFrame:
+    """Every metadata surface from ONE parse — the scale claim the
+    per-surface operators each make ("harvesting rides the
+    extraction pass, zero extra scans"), demonstrated as a single
+    Arrow stage whose output row carries /Info, outline, AcroForm,
+    attachment and link-annotation results simultaneously."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _full_meta_iter, PDF_FULL_META_SCHEMA
+    )
+
+
+def duck_pdf_full_meta_sql(source: str = "documents") -> str:
+    """Composed closed form of the combined schedules."""
+    return f"""
+SELECT doc_id,
+  'Document ' || doc_id AS title,
+  CAST(CASE WHEN doc_id % 13 = 7 THEN 0
+       ELSE (doc_id % 3 + 1) * (1 + doc_id % 2) END AS BIGINT)
+    AS n_outline,
+  (doc_id % 11 = 5 AND doc_id % 13 <> 7) AS has_cycle,
+  CAST(CASE WHEN doc_id % 7 = 6 THEN 0
+       ELSE 2 + CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 5 = 1 THEN 2 ELSE 0 END
+       END AS BIGINT) AS n_form_fields,
+  CAST(doc_id % 4 AS BIGINT) AS n_attachments,
+  CAST(1 AS BIGINT) AS n_links
+FROM {source}
+"""

@@ -2586,6 +2586,26 @@ def _semantic_dedup_sql() -> str:
 _SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+def _pdf_full_meta(spark, sf_dir):
+    """Unified metadata harvest (functions/pdfmeta.py): /Info,
+    outline, AcroForm, embedded files AND link annotations from ONE
+    parse_pdf call per document — the single-pass scale claim the
+    per-surface operators each make, demonstrated as one Arrow
+    stage."""
+    from .pdfmeta import pdf_full_metadata
+
+    return pdf_full_metadata(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_full_meta_sql() -> str:
+    from .pdfmeta import duck_pdf_full_meta_sql
+
+    return duck_pdf_full_meta_sql()
+
+
+_PDF_FULL_META_SQL = _pdf_full_meta_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4371,6 +4391,9 @@ CATALOG: dict[str, QueryDef] = {
         _resolved_links, _RESOLVED_LINKS_SQL
     ),
     "dedup_semantic": QueryDef(_semantic_dedup, _SEMANTIC_DEDUP_SQL),
+    "corpus_pdf_full_meta": QueryDef(
+        _pdf_full_meta, _PDF_FULL_META_SQL
+    ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

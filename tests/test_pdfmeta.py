@@ -352,3 +352,40 @@ class TestAttachments:
         ws = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(gs) == len(ws) > 0
         assert (gs.to_numpy() == ws.to_numpy()).all()
+
+
+class TestFullMetadata:
+    def test_one_parse_all_surfaces(self):
+        from pdf_extractor_spark.functions.pdfmeta import (
+            wrap_pdf_everything,
+        )
+
+        # doc 2: outline + form + checkbox + 2 attachments + link
+        doc = parse_pdf(wrap_pdf_everything("some words here", 2))
+        assert doc.info["Title"] == "Document 2"
+        assert len(doc.outline) == 3
+        assert len(doc.form_fields) == 3
+        assert len(doc.attachments) == 2
+        assert sum(len(p.links) for p in doc.pages) == 1
+        assert list(doc.pages[0].words["text"])[:2] == ["some", "words"]
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.pdfmeta import (
+            duck_pdf_full_meta_sql, pdf_full_metadata,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = pdf_full_metadata(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_pdf_full_meta_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values("doc_id").reset_index(drop=True)
+        ws = want[cols].sort_values("doc_id").reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
