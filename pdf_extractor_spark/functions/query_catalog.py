@@ -4390,9 +4390,11 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_resolved_links": QueryDef(
         _resolved_links, _RESOLVED_LINKS_SQL
     ),
-    "dedup_semantic": QueryDef(_semantic_dedup, _SEMANTIC_DEDUP_SQL),
+    "dedup_semantic": QueryDef(
+        _semantic_dedup, _SEMANTIC_DEDUP_SQL, True
+    ),
     "corpus_pdf_full_meta": QueryDef(
-        _pdf_full_meta, _PDF_FULL_META_SQL
+        _pdf_full_meta, _PDF_FULL_META_SQL, True
     ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
