@@ -2606,6 +2606,26 @@ def _pdf_full_meta_sql() -> str:
 _PDF_FULL_META_SQL = _pdf_full_meta_sql()
 
 
+def _image_links(spark, sf_dir):
+    """(image URL, alt text) harvesting (functions/imagelinks.py):
+    the LAION-class multimodal corpus seed — img src, lazy data-src
+    behind a data: stub, srcset candidates with descriptors,
+    picture/source variants, decorative empty-alt, template trap —
+    every reference resolved per RFC 3986 against the page URL."""
+    from .imagelinks import image_links
+
+    return image_links(_t(spark, sf_dir, "documents"))
+
+
+def _image_links_sql() -> str:
+    from .imagelinks import duck_image_links_sql
+
+    return duck_image_links_sql()
+
+
+_IMAGE_LINKS_SQL = _image_links_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4396,6 +4416,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_pdf_full_meta": QueryDef(
         _pdf_full_meta, _PDF_FULL_META_SQL, True
     ),
+    "corpus_image_links": QueryDef(_image_links, _IMAGE_LINKS_SQL),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

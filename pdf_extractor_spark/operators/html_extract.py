@@ -294,6 +294,10 @@ class _BlockParser(HTMLParser):
         # bodies, in document order
         self.meta_props: list[tuple[str, str]] = []
         self.ldjson: list[str] = []
+        # image candidates: (tag, src-or-data-src, srcset, alt) from
+        # <img> and <picture><source> — the (image URL, alt text)
+        # harvest surface
+        self.images: list[tuple[str, str, str, str]] = []
         self._ldjson_buf: list[str] | None = None
         self._a_href: str | None = None
         self._a_text: list[str] = []
@@ -421,6 +425,23 @@ class _BlockParser(HTMLParser):
             self._hint_stacks.setdefault(tag, []).append(hinted)
             if tag in _HEADING_TAGS:
                 self._heading_depth += 1
+        if tag in ("img", "source") and not self._skip_depth:
+            a: dict[str, str] = {}
+            for k, v in attrs:
+                if v is not None:
+                    a.setdefault(k, v)
+            # lazy-loading pages park the real URL in data-src and
+            # leave src a placeholder (or absent) — prefer src unless
+            # it is missing or an inline data: stub
+            src = a.get("src", "")
+            if (not src or src.startswith("data:")) \
+                    and a.get("data-src"):
+                src = a["data-src"]
+            srcset = a.get("srcset", "")
+            if src or srcset:
+                self.images.append(
+                    (tag, src, srcset, a.get("alt", ""))
+                )
         if tag == "a":
             # anchors inside skip subtrees (template contents, select,
             # head, …) are as inert as their text — recording the href
@@ -598,6 +619,22 @@ def segment_blocks(
     parser.close()
     parser._flush()
     return parser.blocks
+
+
+def harvest_images(
+    html_bytes: bytes, transport_charset: str | None = None
+) -> list[tuple[str, str, str, str]]:
+    """(tag, src, srcset, alt) candidates from ``<img>`` and
+    ``<picture><source>`` through the SAME decode + quote-repair +
+    parse pipeline as extraction — the (image URL, alt text) harvest
+    surface a multimodal corpus pipeline starts from.  Lazy-load
+    ``data-src`` replaces a missing or ``data:``-stub src; anything
+    inside ``<template>`` (or another skip subtree) is inert."""
+    text, _codec = sniff_decode(html_bytes, transport_charset)
+    parser = _BlockParser()
+    parser.feed(repair_unterminated_quotes(text))
+    parser.close()
+    return parser.images
 
 
 def harvest_anchors(
