@@ -58,6 +58,12 @@ def wrap_html_images(text: str, doc_id: int) -> bytes:
         )
     if doc_id % 11 == 3:
         parts.append(f"<img src='/deco/{(t + 4) % _N}.png'>")
+    if doc_id % 9 == 7:
+        # the lazy-load fallback real galleries wrap in <noscript>
+        parts.append(
+            f"<noscript><img src='/ns/{(t + 5) % _N}.jpg' "
+            "alt='fallback'></noscript>"
+        )
     if doc_id % 7 == 5:
         parts.append(
             "<template><img src='/evil/trap.jpg' alt='x'>"
@@ -160,4 +166,8 @@ FROM p WHERE doc_id % 5 = 2
 UNION ALL
 SELECT doc_id, 'img', h || '/deco/' || (t + 4) % {_N} || '.png', ''
 FROM p WHERE doc_id % 11 = 3
+UNION ALL
+SELECT doc_id, 'img', h || '/ns/' || (t + 5) % {_N} || '.jpg',
+  'fallback'
+FROM p WHERE doc_id % 9 = 7
 """

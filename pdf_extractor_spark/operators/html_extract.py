@@ -425,7 +425,15 @@ class _BlockParser(HTMLParser):
             self._hint_stacks.setdefault(tag, []).append(hinted)
             if tag in _HEADING_TAGS:
                 self._heading_depth += 1
-        if tag in ("img", "source") and not self._skip_depth:
+        # images are harvested even inside <noscript> — lazy-loading
+        # galleries put the REAL <img> fallback there, and a non-JS
+        # consumer parses noscript children as content (WHATWG);
+        # every other skip subtree (template, head, svg, …) stays
+        # inert for images too
+        img_visible = self._skip_depth == 0 or (
+            self._skip_depth == self._skip_counts.get("noscript", 0)
+        )
+        if tag in ("img", "source") and img_visible:
             a: dict[str, str] = {}
             for k, v in attrs:
                 if v is not None:

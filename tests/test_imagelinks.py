@@ -80,3 +80,29 @@ class TestSparkStage:
         got = image_links(docs).toPandas()
         assert got["url"].str.startswith("https://gal").all()
         assert not got["url"].str.contains("data:").any()
+
+
+class TestNoscriptFallback:
+    def test_noscript_images_harvested_text_still_skipped(self):
+        from pdf_extractor_spark.config import DEFAULT_CONFIG
+        from pdf_extractor_spark.operators.html_extract import (
+            extract_html,
+        )
+
+        html = (
+            b"<html><body><p>the real page content stays here with "
+            b"plenty of words to keep the block</p>"
+            b"<noscript><img src='/ns/9.jpg' alt='fb'>"
+            b"<p>enable javascript please</p></noscript></body></html>"
+        )
+        out = harvest_images(html)
+        assert ("img", "/ns/9.jpg", "", "fb") in out
+        text = extract_html(html, DEFAULT_CONFIG)[0]
+        assert "enable javascript" not in text  # text stays skipped
+
+    def test_template_still_inert_for_images(self):
+        out = harvest_images(
+            b"<html><body><template><img src='/evil.jpg'>"
+            b"</template></body></html>"
+        )
+        assert out == []
