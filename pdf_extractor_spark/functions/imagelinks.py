@@ -43,7 +43,7 @@ def wrap_html_images(text: str, doc_id: int) -> bytes:
     if doc_id % 2 == 0:
         parts.append(
             f"<img srcset='/media/img/{(t + 1) % _N}-1x.jpg 1x, "
-            f"/media/img/{(t + 1) % _N}-2x.jpg 2x' alt='gallery'>"
+            f"/media/img/{(t + 1) % _N}-2x.jpg 2x' alt='gallery view {t}'>"
         )
     if doc_id % 3 == 1:
         parts.append(
@@ -145,11 +145,13 @@ SELECT doc_id, 'img' AS kind,
 FROM p
 UNION ALL
 SELECT doc_id, 'srcset',
-  h || '/media/img/' || (t + 1) % {_N} || '-1x.jpg', 'gallery'
+  h || '/media/img/' || (t + 1) % {_N} || '-1x.jpg',
+  'gallery view ' || t
 FROM p WHERE doc_id % 2 = 0
 UNION ALL
 SELECT doc_id, 'srcset',
-  h || '/media/img/' || (t + 1) % {_N} || '-2x.jpg', 'gallery'
+  h || '/media/img/' || (t + 1) % {_N} || '-2x.jpg',
+  'gallery view ' || t
 FROM p WHERE doc_id % 2 = 0
 UNION ALL
 SELECT doc_id, 'img', h || '/lazy/' || (t + 2) % {_N} || '.jpg',
@@ -170,4 +172,56 @@ UNION ALL
 SELECT doc_id, 'img', h || '/ns/' || (t + 5) % {_N} || '.jpg',
   'fallback'
 FROM p WHERE doc_id % 9 = 7
+"""
+
+
+# --------------------------------------------------- caption filtering
+
+_PLACEHOLDER_RE = (
+    "^(image|img|photo|picture|logo|icon|banner|thumbnail|lazy|"
+    "fallback|art|spacer)[0-9_-]*$"
+)
+
+
+def caption_filter_report(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_candidates, n_kept) — the LAION-class caption gate
+    applied to the harvested (url, alt) pairs: keep a pair iff the
+    alt has ≥ 2 whitespace tokens, ≥ 5 characters, and is not a
+    single placeholder word (image/logo/icon/…-style).  Pure native
+    expressions over the harvest's output; the per-doc rollup is one
+    map-side-combinable aggregate on doc_id."""
+    from pyspark.sql import functions as F
+
+    rows = image_links(docs)
+    kept = (
+        (F.size(F.split(F.trim(F.col("alt")), " +")) >= 2)
+        & (F.length("alt") >= 5)
+        & (~F.lower("alt").rlike(_PLACEHOLDER_RE))
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def duck_caption_filter_sql(source: str = "documents") -> str:
+    """Closed-form twin: the only multi-token alts are 'photo t'
+    (every doc, 1 row) and 'gallery view t' (even docs, 2 srcset
+    rows); every other alt is a single placeholder word or empty."""
+    return f"""
+SELECT doc_id,
+  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+         + CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 5 = 2 THEN 2 ELSE 0 END
+         + CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 9 = 7 THEN 1 ELSE 0 END
+       AS BIGINT) AS n_candidates,
+  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+       AS BIGINT) AS n_kept
+FROM {source}
+ORDER BY doc_id
 """

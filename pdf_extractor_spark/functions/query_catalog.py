@@ -2626,6 +2626,25 @@ def _image_links_sql() -> str:
 _IMAGE_LINKS_SQL = _image_links_sql()
 
 
+def _caption_filter(spark, sf_dir):
+    """LAION-class caption gate (functions/imagelinks.py): keep an
+    (image URL, alt) pair iff the alt has ≥ 2 tokens, ≥ 5 chars and
+    is not a single placeholder word — pure native expressions over
+    the harvest, one map-side-combinable per-doc rollup."""
+    from .imagelinks import caption_filter_report
+
+    return caption_filter_report(_t(spark, sf_dir, "documents"))
+
+
+def _caption_filter_sql() -> str:
+    from .imagelinks import duck_caption_filter_sql
+
+    return duck_caption_filter_sql()
+
+
+_CAPTION_FILTER_SQL = _caption_filter_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4417,6 +4436,9 @@ CATALOG: dict[str, QueryDef] = {
         _pdf_full_meta, _PDF_FULL_META_SQL, True
     ),
     "corpus_image_links": QueryDef(_image_links, _IMAGE_LINKS_SQL),
+    "corpus_caption_filter": QueryDef(
+        _caption_filter, _CAPTION_FILTER_SQL
+    ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

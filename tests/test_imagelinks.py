@@ -106,3 +106,38 @@ class TestNoscriptFallback:
             b"</template></body></html>"
         )
         assert out == []
+
+
+class TestCaptionFilter:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.imagelinks import (
+            caption_filter_report, duck_caption_filter_sql,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = caption_filter_report(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_caption_filter_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values("doc_id").reset_index(drop=True)
+        ws = want[cols].sort_values("doc_id").reset_index(drop=True)
+        assert (gs.to_numpy() == ws.to_numpy()).all()
+
+    def test_placeholders_and_empties_drop(self, spark):
+        from pdf_extractor_spark.functions.imagelinks import (
+            caption_filter_report,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = caption_filter_report(docs).toPandas()
+        # every doc keeps its 'photo t' caption; single-word alts
+        # (lazy/art/fallback), empties and placeholders never pass
+        assert (got["n_kept"] >= 1).all()
+        assert (got["n_kept"] <= 3).all()
+        assert (got["n_kept"] < got["n_candidates"]).any()
