@@ -520,3 +520,94 @@ SELECT doc_id,
   CAST(1 AS BIGINT) AS n_links
 FROM {source}
 """
+
+
+# =========================================================== XMP
+
+def wrap_pdf_xmp(text: str, doc_id: int) -> bytes:
+    """One-page PDF carrying BOTH metadata channels: a legacy /Info
+    dict and an XMP packet.  Every sixth doc's XMP title DISAGREES
+    with /Info (the stale-Info layout real writers leave behind when
+    only the XMP side gets updated); every eighth carries XML-entity
+    material (& < >) that must unescape exactly; every tenth has no
+    XMP at all (legacy-only writer)."""
+    page = PageSpec(width=60000.0, height=792.0)
+    page.put_words(72.0, 400.0, 12.0, text.split(" ")[:8], gap=6.0)
+    info = {"Title": f"Document {doc_id}"}
+    if doc_id % 10 == 9:
+        return build_pdf([page], info=info)
+    if doc_id % 8 == 3:
+        title = f"R&D <report> {doc_id}"
+    elif doc_id % 6 == 1:
+        title = f"Document {doc_id} rev2"
+    else:
+        title = f"Document {doc_id}"
+    return build_pdf([page], info=info, xmp={
+        "title": title,
+        "creator": f"Creator {doc_id % 20}",
+        "create_date": f"2024-01-{doc_id % 28 + 1:02d}T00:00:00Z",
+    })
+
+
+PDF_XMP_SCHEMA = (
+    "doc_id long, xmp_title string, creator string, "
+    "create_date string, has_xmp boolean, agrees_info boolean"
+)
+_XMP_COLS = [
+    "doc_id", "xmp_title", "creator", "create_date",
+    "has_xmp", "agrees_info",
+]
+
+
+def _xmp_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = wrap_pdf_xmp(text, int(doc_id))
+            doc = parse_pdf(payload)
+            rows.append({
+                "doc_id": int(doc_id),
+                "xmp_title": doc.xmp.get("title", ""),
+                "creator": doc.xmp.get("creator", ""),
+                "create_date": doc.xmp.get("create_date", ""),
+                "has_xmp": bool(doc.xmp),
+                "agrees_info": (
+                    doc.xmp.get("title") == doc.info.get("Title")
+                    if doc.xmp else False
+                ),
+            })
+        yield pd.DataFrame(rows, columns=_XMP_COLS)
+
+
+def pdf_xmp_metadata(docs: DataFrame,
+                     num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, xmp_title, creator, create_date, has_xmp,
+    agrees_info) — the modern metadata channel beside legacy /Info,
+    with the stale-Info disagreement surfaced as an audit flag."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _xmp_iter, PDF_XMP_SCHEMA
+    )
+
+
+def duck_pdf_xmp_sql(source: str = "documents") -> str:
+    """Closed-form twin of the XMP schedule (trap precedence: no-XMP
+    beats entity beats rev2)."""
+    return f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 10 = 9 THEN ''
+       WHEN doc_id % 8 = 3 THEN 'R&D <report> ' || doc_id
+       WHEN doc_id % 6 = 1 THEN 'Document ' || doc_id || ' rev2'
+       ELSE 'Document ' || doc_id END AS xmp_title,
+  CASE WHEN doc_id % 10 = 9 THEN ''
+       ELSE 'Creator ' || (doc_id % 20) END AS creator,
+  CASE WHEN doc_id % 10 = 9 THEN ''
+       ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                               2, '0') || 'T00:00:00Z'
+  END AS create_date,
+  doc_id % 10 <> 9 AS has_xmp,
+  (doc_id % 10 <> 9 AND doc_id % 8 <> 3 AND doc_id % 6 <> 1)
+    AS agrees_info
+FROM {source}
+"""

@@ -2645,6 +2645,26 @@ def _caption_filter_sql() -> str:
 _CAPTION_FILTER_SQL = _caption_filter_sql()
 
 
+def _pdf_xmp(spark, sf_dir):
+    """XMP metadata harvest (functions/pdfmeta.py): the modern
+    /Metadata XML channel beside legacy /Info — dc:title rdf:Alt,
+    dc:creator rdf:Seq, attribute-form xmp:CreateDate, XML entities
+    unescaped exactly, legacy-only docs flagged has_xmp=false, and
+    the stale-Info disagreement surfaced as agrees_info."""
+    from .pdfmeta import pdf_xmp_metadata
+
+    return pdf_xmp_metadata(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_xmp_sql() -> str:
+    from .pdfmeta import duck_pdf_xmp_sql
+
+    return duck_pdf_xmp_sql()
+
+
+_PDF_XMP_SQL = _pdf_xmp_sql()
+
+
 def _html_tables(spark, sf_dir):
     """Web-table extraction (functions/tabledata.py): markup → (doc,
     table, row, col, is_header, cell) grids through a dedicated
@@ -4439,6 +4459,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_caption_filter": QueryDef(
         _caption_filter, _CAPTION_FILTER_SQL
     ),
+    "corpus_pdf_xmp": QueryDef(_pdf_xmp, _PDF_XMP_SQL),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

@@ -371,6 +371,7 @@ def build_pdf(
     form_fields: list[tuple[str, str | bool | list]] | None = None,
     attachments: list[tuple[str, bytes]] | None = None,
     attachments_kids_tree: bool = False,
+    xmp: dict[str, str] | None = None,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -447,19 +448,26 @@ def build_pdf(
     stream — odd entries Flate-compressed, even stored raw.
     ``attachments_kids_tree=True`` splits the name tree into an
     intermediate-node layout with /Kids and /Limits (§7.9.6 — the
-    two-level shape mass writers emit for large trees)."""
+    two-level shape mass writers emit for large trees).
+
+    ``xmp`` ({"title":…, "creator":…, "create_date":…}) writes an XMP
+    metadata stream (§14.3.2, XMP Part 1): the catalog gains
+    ``/Metadata``, the packet carries dc:title as an rdf:Alt,
+    dc:creator as an rdf:Seq and xmp:CreateDate in ATTRIBUTE form —
+    stored uncompressed, as the spec recommends so packet scanners
+    find it."""
     if xref_stream:
         if tounicode_chars or tounicode_ranges or \
                 cid_tounicode_chars or differences or header_xobject or \
                 predefined_cmap or info or outline or form_fields or \
-                attachments:
+                attachments or xmp:
             raise ValueError(
                 "tounicode/differences/xobject supported on the "
                 "classic layout only"
             )
         return _build_pdf_xref_stream(pages, compress, encrypt)
     if encrypt is not None and (info or outline or form_fields
-                                or attachments):
+                                or attachments or xmp):
         # strings in encrypted documents are themselves encrypted
         # (ISO 32000 §7.6.2); the fixture writer keeps metadata
         # fixtures and crypto fixtures orthogonal, same as links
@@ -730,6 +738,39 @@ def build_pdf(
             f"<< /Fields [{flist}] >>"
         ).encode("latin-1")
         acroform_ref = f" /AcroForm {acro_id} 0 R"
+    metadata_ref = ""
+    if xmp:
+        def _x(v: str) -> str:
+            return (v.replace("&", "&amp;").replace("<", "&lt;")
+                    .replace(">", "&gt;").replace('"', "&quot;"))
+        packet = (
+            '<?xpacket begin="\ufeff" '
+            'id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+            '<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+            '<rdf:RDF xmlns:rdf='
+            '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+            '<rdf:Description rdf:about="" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+            'xmlns:xmp="http://ns.adobe.com/xap/1.0/" '
+            f'xmp:CreateDate="{_x(xmp.get("create_date", ""))}">\n'
+            "<dc:title><rdf:Alt>"
+            '<rdf:li xml:lang="x-default">'
+            f'{_x(xmp.get("title", ""))}</rdf:li>'
+            "</rdf:Alt></dc:title>\n"
+            "<dc:creator><rdf:Seq>"
+            f"<rdf:li>{_x(xmp.get('creator', ''))}</rdf:li>"
+            "</rdf:Seq></dc:creator>\n"
+            "</rdf:Description>\n</rdf:RDF>\n</x:xmpmeta>\n"
+            '<?xpacket end="w"?>'
+        ).encode("utf-8")
+        meta_id = next_id
+        next_id += 1
+        objs[meta_id] = (
+            f"<< /Type /Metadata /Subtype /XML "
+            f"/Length {len(packet)} >>\nstream\n".encode("latin-1")
+            + packet + b"\nendstream"
+        )
+        metadata_ref = f" /Metadata {meta_id} 0 R"
     names_ref = ""
     if attachments:
         import zlib as _zlib
@@ -793,7 +834,7 @@ def build_pdf(
         names_ref = f" /Names {names_id} 0 R"
     objs[1] = (
         f"<< /Type /Catalog /Pages 2 0 R{outlines_ref}"
-        f"{acroform_ref}{names_ref} >>"
+        f"{acroform_ref}{names_ref}{metadata_ref} >>"
     ).encode("latin-1")
     pages_attrs = (
         f" /MediaBox [0 0 {pages[0].width:g} {pages[0].height:g}] "

@@ -74,6 +74,9 @@ class PdfDoc:
     form_fields: list[tuple[str, str]] = field(default_factory=list)
     # embedded files (§7.11): (filename, decoded payload bytes)
     attachments: list[tuple[str, bytes]] = field(default_factory=list)
+    # XMP metadata (§14.3.2): {"title": .., "creator": ..,
+    # "create_date": ..} — the modern channel beside legacy /Info
+    xmp: dict[str, str] = field(default_factory=dict)
 
 
 def empty_word_frame() -> Words:
@@ -1617,6 +1620,59 @@ def _doc_outline(
     return out
 
 
+_XMP_TITLE_RE = re.compile(
+    rb"<dc:title>.*?<rdf:li[^>]*>(.*?)</rdf:li>", re.DOTALL
+)
+_XMP_CREATOR_RE = re.compile(
+    rb"<dc:creator>.*?<rdf:li[^>]*>(.*?)</rdf:li>", re.DOTALL
+)
+# xmp:CreateDate travels in ATTRIBUTE form (compact writers) or
+# ELEMENT form — both are legal XMP serializations
+_XMP_DATE_ATTR_RE = re.compile(rb'xmp:CreateDate="([^"]*)"')
+_XMP_DATE_EL_RE = re.compile(
+    rb"<xmp:CreateDate>(.*?)</xmp:CreateDate>", re.DOTALL
+)
+
+
+def _xml_unescape(raw: bytes) -> str:
+    s = raw.decode("utf-8", "replace")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, ch)
+    return s
+
+
+def _doc_xmp(catalog: bytes, bodies: dict[int, bytes]) -> dict[str, str]:
+    """XMP metadata (ISO 32000 §14.3.2, XMP Part 1): the catalog's
+    /Metadata stream decoded and mined for the Dublin-Core title
+    (rdf:Alt), creator (rdf:Seq) and xmp:CreateDate in either its
+    attribute or element serialization.  XMP is the MODERN metadata
+    channel — real writers keep it alongside a legacy /Info dict,
+    and the two routinely disagree (the consumer's audit surface)."""
+    meta = _dict_ref(catalog, b"Metadata")
+    if meta is None:
+        return {}
+    body = bodies.get(meta)
+    if body is None:
+        return {}
+    try:
+        packet = _stream_bytes(body)
+    except Exception:
+        return {}
+    out: dict[str, str] = {}
+    m = _XMP_TITLE_RE.search(packet)
+    if m:
+        out["title"] = _xml_unescape(m.group(1))
+    m = _XMP_CREATOR_RE.search(packet)
+    if m:
+        out["creator"] = _xml_unescape(m.group(1))
+    m = _XMP_DATE_ATTR_RE.search(packet) or \
+        _XMP_DATE_EL_RE.search(packet)
+    if m:
+        out["create_date"] = _xml_unescape(m.group(1))
+    return out
+
+
 _NAME_PAIR_RE = re.compile(
     rb"(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s+(\d+)\s+\d+\s+R"
 )
@@ -1954,6 +2010,10 @@ def parse_pdf(data: bytes) -> PdfDoc:
             )
         except Exception:
             doc.attachments = []
+        try:
+            doc.xmp = _doc_xmp(bodies[root_id], bodies)
+        except Exception:
+            doc.xmp = {}
         pages_root = _dict_ref(bodies[root_id], b"Pages")
         # Page-tree walk with ATTRIBUTE INHERITANCE (ISO 32000
         # §7.7.3.4): /MediaBox, /Rotate and /Resources may live on any

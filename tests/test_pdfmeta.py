@@ -389,3 +389,69 @@ class TestFullMetadata:
         ws = want[cols].sort_values("doc_id").reset_index(drop=True)
         assert len(gs) == len(ws) > 0
         assert (gs.to_numpy() == ws.to_numpy()).all()
+
+
+class TestXmp:
+    def test_roundtrip_with_entities_and_disagreement(self):
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["Hello", "world"])
+        doc = parse_pdf(build_pdf(
+            [p],
+            info={"Title": "Stale"},
+            xmp={"title": "Fresh & <new>", "creator": "J",
+                 "create_date": "2024-03-01T12:00:00Z"},
+        ))
+        assert doc.xmp == {
+            "title": "Fresh & <new>", "creator": "J",
+            "create_date": "2024-03-01T12:00:00Z",
+        }
+        assert doc.info["Title"] == "Stale"  # both channels surfaced
+        assert not doc.errors
+        assert list(doc.pages[0].words["text"]) == ["Hello", "world"]
+
+    def test_element_form_create_date(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _doc_xmp,
+        )
+
+        # hand-built element-form serialization (the other legal XMP
+        # spelling) routed through the same helper
+        packet = (
+            b"<rdf:Description>"
+            b"<xmp:CreateDate>2023-07-04T00:00:00Z</xmp:CreateDate>"
+            b"</rdf:Description>"
+        )
+        bodies = {
+            1: b"<< /Metadata 2 0 R >>",
+            2: b"<< /Type /Metadata /Length "
+               + str(len(packet)).encode()
+               + b" >>\nstream\n" + packet + b"\nendstream",
+        }
+        out = _doc_xmp(bodies[1], bodies)
+        assert out["create_date"] == "2023-07-04T00:00:00Z"
+
+    def test_no_xmp_is_empty(self):
+        p = PageSpec()
+        p.put_words(72.0, 100.0, 12.0, ["w"])
+        assert parse_pdf(build_pdf([p])).xmp == {}
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.pdfmeta import (
+            duck_pdf_xmp_sql, pdf_xmp_metadata,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = pdf_xmp_metadata(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_pdf_xmp_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values("doc_id").reset_index(drop=True)
+        ws = want[cols].sort_values("doc_id").reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
