@@ -83,6 +83,32 @@ def _pdf_header_footer() -> bytes:
     return build_pdf(pages)
 
 
+def _pdf_artifact_marked() -> bytes:
+    """Tagged-PDF artifact suppression (ISO 32000 §14.8.2.2): running
+    heads and folios wrapped in ``/Artifact`` marked content are
+    pagination furniture, not logical content — dropped at the
+    content-stream level BEFORE any statistical filter. Only two
+    pages, each with a page-UNIQUE header/footer string, so the A1
+    repeating-line detector cannot be what removes them; the
+    declarative channel must. Structure-tagged text (``/P BDC``) and
+    the literal words "Artifact BMC EMC" in prose must survive."""
+    pages = []
+    for pno in range(2):
+        p = PageSpec()
+        p.put(200, 20, 10, f"Quarterly Bulletin Issue {pno + 7}",
+              artifact="Pagination")
+        _lines(p, [ln.split() for ln in _BODY_EN])
+        p.put_words(72, 180, 12, ["prose", "mentioning", "Artifact",
+                                  "BMC", "and", "EMC", "words", "stays",
+                                  f"visible{pno + 1}"])
+        p.put(72, 210, 12, "tagged paragraph content kept verbatim",
+              mc_tag="P")
+        p.put(250, 760, 10, f"folio {pno + 1} marked artifact",
+              artifact="")
+        pages.append(p)
+    return build_pdf(pages)
+
+
 def _pdf_section_numbers() -> bytes:
     p = PageSpec()
     p.put(72, 100, 12, "1.2")
@@ -1305,6 +1331,7 @@ _PDF_CASES = {
     "pdf-string-syntax": _pdf_string_syntax,
     "pdf-info-outline": _pdf_info_outline,
     "pdf-hybrid-xref": _pdf_hybrid_xref,
+    "pdf-artifact-marked": _pdf_artifact_marked,
 }
 
 _HTML_CASES = {
@@ -1364,6 +1391,7 @@ _CASE_LANG = {
     "pdf-string-syntax": "en",
     "pdf-info-outline": "en",
     "pdf-hybrid-xref": "en",
+    "pdf-artifact-marked": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -46,6 +46,13 @@ class TextOp:
     # string syntax the canonical writer never emits (nested balanced
     # parens, \<EOL> continuations, raw EOL bytes; ISO 32000 §7.3.4.2)
     raw_shown: str | None = None
+    # marked-content wrapping (ISO 32000 §14.6/§14.8.2.2): an artifact
+    # subtype ("Pagination", "Layout", …) wraps the block in
+    # /Artifact <</Type /X>> BDC … EMC; "" uses the bare BMC form;
+    # a non-artifact structure tag ("P", "Span") wraps in /P BDC …
+    # EMC — content that a reader MUST keep
+    artifact: str | None = None
+    mc_tag: str | None = None
 
 
 @dataclass
@@ -73,11 +80,16 @@ class PageSpec:
         self.links.append((rect, uri, form))
 
     # -- convenience builders (used by fixtures) --------------------
-    def put(self, x: float, y_top: float, size: float, text: str) -> None:
+    def put(self, x: float, y_top: float, size: float, text: str,
+            artifact: str | None = None,
+            mc_tag: str | None = None) -> None:
         """Place ``text`` with its TOP edge at ``y_top`` from the page
-        top (reader coordinates) — converts to PDF baseline y."""
+        top (reader coordinates) — converts to PDF baseline y.
+        ``artifact``/``mc_tag`` wrap the block in marked content
+        (see ``TextOp``)."""
         baseline = self.height - y_top - 0.8 * size
-        self.ops.append(TextOp(x=x, y=baseline, size=size, text=text))
+        self.ops.append(TextOp(x=x, y=baseline, size=size, text=text,
+                               artifact=artifact, mc_tag=mc_tag))
 
     def put_words(
         self,
@@ -184,9 +196,19 @@ def _content_stream(page: PageSpec) -> bytes:
         else:
             hexs = op.text.encode("utf-16-be").hex().upper()
             font, shown = "/F2", f"<{hexs}>"
-        parts.append(
+        block = (
             f"BT {font} {op.size:g} Tf {op.x:g} {op.y:g} Td {shown} Tj ET"
         )
+        if op.artifact is not None:
+            if op.artifact:
+                block = (
+                    f"/Artifact <</Type /{op.artifact}>> BDC {block} EMC"
+                )
+            else:
+                block = f"/Artifact BMC {block} EMC"
+        elif op.mc_tag is not None:
+            block = f"/{op.mc_tag} <</MCID 0>> BDC {block} EMC"
+        parts.append(block)
     return ("\n".join(parts)).encode("latin-1", errors="strict")
 
 

@@ -1314,6 +1314,19 @@ def _scan_stream(
     tz = 1.0               # Tz horizontal scale (§9.3.4)
     x = y = 0.0
     lx = ly = 0.0          # line-start (Td is relative to line matrix)
+    # marked content (§14.6): /Artifact spans (§14.8.2.2) mark
+    # pagination furniture — running heads, folios, rules — that is
+    # real page content but NOT logical content; tagged-PDF writers
+    # (Word, LaTeX+tagpdf, InDesign) wrap headers/footers in them.
+    # Suppression is a SINK SWAP: while any enclosing span is an
+    # artifact, shows emit into a throwaway sink, so x/y advances stay
+    # bit-exact (suppressed text still moves the pen) and Do-invoked
+    # forms inherit suppression for free through the `rows` argument.
+    # Non-artifact tags (/P, /Span, AF structure tags) pass through.
+    mc_stack: list[bool] = []  # one bool per open BMC/BDC: artifact?
+    hide_depth = 0
+    live_rows = rows
+    trash_rows: "_WordSink | None" = None
     # CTM TRANSLATION component + q/Q stack (§8.4.4): real writers
     # place content — especially invoked forms — via `q a b c d e f
     # cm`; the translation (e, f) is tracked and composed, scale/
@@ -1468,8 +1481,32 @@ def _scan_stream(
                         rows, depth + 1, ctm_tx, ctm_ty, page_width,
                     )
             stack.clear()
-        else:
+        elif tok in (b"BMC", b"BDC"):
+            # operand order (§14.6): tag name first, then (BDC only)
+            # the property list — stack[0] IS the tag
+            hide = bool(stack) and stack[0] == b"/Artifact"
+            mc_stack.append(hide)
+            if hide:
+                hide_depth += 1
+                if trash_rows is None:
+                    trash_rows = _WordSink()
+                rows = trash_rows
             stack.clear()
+        elif tok == b"EMC":
+            # stray EMC (unbalanced writer) pops nothing and never
+            # un-hides — damage stays local to the malformed span
+            if mc_stack and mc_stack.pop():
+                hide_depth -= 1
+                if hide_depth == 0:
+                    rows = live_rows
+            stack.clear()
+        else:
+            if tok in (b"true", b"false", b"null"):
+                # keyword VALUES inside a BDC property list — operands,
+                # not operators; clearing here would drop the BDC tag
+                stack.append(tok)
+            else:
+                stack.clear()
 
 
 # --------------------------------------------------------------- parse

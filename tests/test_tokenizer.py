@@ -1857,3 +1857,81 @@ class TestHybridReference:
 
     def test_header_stays_14(self):
         assert self._build().startswith(b"%PDF-1.4")
+
+
+class TestArtifactMarkedContent:
+    """/Artifact marked-content suppression (ISO 32000 §14.8.2.2):
+    pagination furniture is dropped at the content-stream level;
+    structure tags and artifact-lookalike prose pass through; the pen
+    keeps advancing through suppressed shows (sink swap, not skip)."""
+
+    def _texts(self, stream: bytes, xobjects=None):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        w = _parse_content(stream, 792.0, 1, xobjects=xobjects)
+        return list(w["text"])
+
+    def test_bdc_and_bmc_forms_suppressed_via_writer(self):
+        p = PageSpec()
+        p.put(200, 20, 10, "Running Head Unique", artifact="Pagination")
+        p.put(72, 100, 12, "Body text stays")
+        p.put(72, 130, 12, "Tagged kept", mc_tag="P")
+        p.put(250, 760, 10, "folio 1", artifact="")
+        doc = parse_pdf(build_pdf([p]))
+        assert not doc.errors
+        texts = doc.pages[0].words["text"].tolist()
+        assert "Running" not in texts and "folio" not in texts
+        assert "Body" in texts and "Tagged" in texts
+
+    def test_advance_continues_through_suppressed_show(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        marked = (b"BT /F1 12 Tf 10 700 Td (AA) Tj "
+                  b"/Artifact BMC (HIDDEN) Tj EMC (BB) Tj ET")
+        plain = (b"BT /F1 12 Tf 10 700 Td (AA) Tj "
+                 b"(HIDDEN) Tj (BB) Tj ET")
+        wm = _parse_content(marked, 792.0, 1)
+        wp = _parse_content(plain, 792.0, 1)
+        assert list(wm["text"]) == ["AA", "BB"]
+        assert list(wp["text"]) == ["AA", "HIDDEN", "BB"]
+        # BB starts where it would have had HIDDEN been shown
+        assert wm["x0"][1] == wp["x0"][2]
+
+    def test_nested_structure_tag_inside_artifact_stays_hidden(self):
+        s = (b"/Artifact <</Type /Pagination>> BDC "
+             b"BT /F1 10 Tf 72 720 Td (Head) Tj "
+             b"/P <</MCID 0>> BDC (InnerTagged) Tj EMC "
+             b"(StillHead) Tj ET EMC "
+             b"BT /F1 12 Tf 72 100 Td (After) Tj ET")
+        assert self._texts(s) == ["After"]
+
+    def test_stray_emc_is_harmless(self):
+        s = (b"EMC BT /F1 12 Tf 72 100 Td (Kept) Tj ET EMC "
+             b"BT /F1 12 Tf 72 120 Td (AlsoKept) Tj ET")
+        assert self._texts(s) == ["Kept", "AlsoKept"]
+
+    def test_bdc_property_with_boolean_value_keeps_tag(self):
+        # `true` inside the property dict must act as an OPERAND —
+        # a stack clear there would lose the /Artifact tag
+        s = (b"BT /F1 12 Tf 72 100 Td "
+             b"/Artifact <</Attached true>> BDC (Hid) Tj EMC "
+             b"(Seen) Tj ET")
+        assert self._texts(s) == ["Seen"]
+
+    def test_non_artifact_bmc_passes_through(self):
+        s = (b"/ReversedChars BMC "
+             b"BT /F1 12 Tf 72 100 Td (Visible) Tj ET EMC")
+        assert self._texts(s) == ["Visible"]
+
+    def test_artifact_wrapping_form_xobject_suppresses_form_text(self):
+        form = b"BT /F1 12 Tf 0 0 Td (FormText) Tj ET"
+        xobjs = {"Fm1": (form, None, None)}
+        s = (b"/Artifact BMC /Fm1 Do EMC "
+             b"BT /F1 12 Tf 72 100 Td (Kept) Tj ET")
+        assert self._texts(s, xobjects=xobjs) == ["Kept"]
+        # control: same form outside the artifact span IS extracted
+        s2 = b"/Fm1 Do BT /F1 12 Tf 72 100 Td (Kept) Tj ET"
+        assert sorted(self._texts(s2, xobjects=xobjs)) == [
+            "FormText", "Kept"]
