@@ -611,3 +611,94 @@ SELECT doc_id,
     AS agrees_info
 FROM {source}
 """
+
+
+# ====================================================== annotations
+
+def wrap_pdf_annots(text: str, doc_id: int) -> bytes:
+    """One-page (two when the FreeText fires) PDF carrying the doc's
+    words plus a deterministic review-comment schedule (ISO 32000
+    §12.5.6): every fifth doc carries NO annotations at all;
+    otherwise page 1 holds a Text sticky note with an author, every
+    fourth doc adds an author-less Highlight remark, and every third
+    doc adds a page-2 FreeText callout (UTF-16BE author for every
+    ninth). Every annotated doc ALSO carries the three payloads the
+    harvest must skip: a /Popup mirroring the note's /Contents
+    (§12.5.6.14 — harvesting it would double the note), a
+    geometry-only Highlight with no /Contents, and a /Link."""
+    page = PageSpec(width=60000.0, height=792.0)
+    page.put_words(72.0, 400.0, 12.0, text.split(" ")[:8], gap=6.0)
+    pages = [page]
+    if doc_id % 5 == 0:
+        return build_pdf(pages)
+    page.put_annot("Text", f"note {doc_id}", f"rev{doc_id % 7}")
+    page.put_annot("Popup", f"note {doc_id}", None)
+    page.put_annot("Highlight", None, "ghost")
+    page.put_link("https://annot.test/skip")
+    if doc_id % 4 == 2:
+        page.put_annot("Highlight", f"hl {doc_id % 10}", None)
+    if doc_id % 3 == 1:
+        p2 = PageSpec(width=60000.0, height=792.0)
+        p2.put_words(72.0, 400.0, 12.0, text.split(" ")[:4], gap=6.0)
+        author = "Révïewer" if doc_id % 9 == 4 else "Reviewer"
+        p2.put_annot("FreeText", f"callout {doc_id % 100}", author)
+        pages.append(p2)
+    return build_pdf(pages)
+
+
+PDF_ANNOT_SCHEMA = (
+    "doc_id long, page int, subtype string, contents string, "
+    "author string"
+)
+
+
+def _annot_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = wrap_pdf_annots(text, int(doc_id))
+            doc = parse_pdf(payload)
+            for page, subtype, contents, author in doc.annotations:
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "page": page,
+                    "subtype": subtype,
+                    "contents": contents,
+                    "author": author,
+                })
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "page", "subtype", "contents", "author"],
+        )
+
+
+def pdf_annotations(docs: DataFrame,
+                    num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, page, subtype, contents, author) — markup-annotation
+    text recovered by the real tokenizer. Review comments live in
+    annotation dicts OUTSIDE content streams (ISO 32000 §12.5.6) —
+    invisible to text extraction — and carry reviewer names and
+    remarks a corpus pipeline either harvests deliberately or scrubs
+    as PII; either way it must SEE them first."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _annot_iter, PDF_ANNOT_SCHEMA
+    )
+
+
+def duck_pdf_annot_sql(source: str = "documents") -> str:
+    """Closed-form twin of the wrapper schedule."""
+    return f"""
+SELECT doc_id, 1 AS page, 'Text' AS subtype,
+       'note ' || doc_id AS contents,
+       'rev' || (doc_id % 7) AS author
+FROM {source} WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, 1, 'Highlight', 'hl ' || (doc_id % 10), ''
+FROM {source} WHERE doc_id % 5 <> 0 AND doc_id % 4 = 2
+UNION ALL
+SELECT doc_id, 2, 'FreeText', 'callout ' || (doc_id % 100),
+  CASE WHEN doc_id % 9 = 4 THEN 'Révïewer' ELSE 'Reviewer' END
+FROM {source} WHERE doc_id % 5 <> 0 AND doc_id % 3 = 1
+"""

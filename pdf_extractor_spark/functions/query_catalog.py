@@ -2521,6 +2521,27 @@ def _pdf_form_sql() -> str:
 _PDF_FORM_SQL = _pdf_form_sql()
 
 
+def _pdf_annotations(spark, sf_dir):
+    """Markup-annotation text harvesting (functions/pdfmeta.py):
+    review comments / sticky notes / highlight remarks live in
+    annotation dicts OUTSIDE content streams (ISO 32000 §12.5.6) —
+    invisible to text extraction — recovered as (page, subtype,
+    contents, author) rows through the real tokenizer; /Popup
+    mirrors, geometry-only markup and /Link navigation are skipped."""
+    from .pdfmeta import pdf_annotations
+
+    return pdf_annotations(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_annot_sql() -> str:
+    from .pdfmeta import duck_pdf_annot_sql
+
+    return duck_pdf_annot_sql()
+
+
+_PDF_ANNOT_SQL = _pdf_annot_sql()
+
+
 def _pdf_attachments(spark, sf_dir):
     """Embedded-file harvesting (functions/pdfmeta.py): /Names
     /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
@@ -4460,6 +4481,9 @@ CATALOG: dict[str, QueryDef] = {
         _caption_filter, _CAPTION_FILTER_SQL
     ),
     "corpus_pdf_xmp": QueryDef(_pdf_xmp, _PDF_XMP_SQL),
+    "corpus_pdf_annotations": QueryDef(
+        _pdf_annotations, _PDF_ANNOT_SQL
+    ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

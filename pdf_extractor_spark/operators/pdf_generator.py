@@ -72,6 +72,16 @@ class PageSpec:
     # "square" (/Subtype /Square: not a Link at all — trap)
     links: list[tuple[tuple[float, float, float, float], str, str]] = \
         field(default_factory=list)
+    # markup annotations (ISO 32000 §12.5.6): (subtype, contents,
+    # author) — subtype "Popup" writes a popup whose /Contents mirrors
+    # text (harvest must skip it); contents=None writes a
+    # geometry-only markup with NO /Contents (also skipped)
+    annots: list[tuple[str, str | None, str | None]] = \
+        field(default_factory=list)
+
+    def put_annot(self, subtype: str, contents: str | None,
+                  author: str | None = None) -> None:
+        self.annots.append((subtype, contents, author))
 
     def put_link(
         self, uri: str, form: str = "inline",
@@ -596,7 +606,7 @@ def build_pdf(
             contents_ref = f"/Contents {content_id} 0 R"
         rotate = f" /Rotate {p.rotate}" if p.rotate else ""
         annots_ref = ""
-        if p.links:
+        if p.links or p.annots:
             if enc_key is not None:
                 # strings in encrypted documents are themselves
                 # encrypted (ISO 32000 §7.6.2); the fixture writer
@@ -639,6 +649,19 @@ def build_pdf(
                         f"<< /Type /Annot /Subtype /Link /Rect [{rect_s}]"
                         f" /A {action} >>"
                     ).encode("latin-1")
+            for subtype, contents, author in p.annots:
+                aid = next_id
+                next_id += 1
+                annot_ids.append(aid)
+                extra = ""
+                if contents is not None:
+                    extra += f" /Contents {_pdf_text_string(contents)}"
+                if author is not None:
+                    extra += f" /T {_pdf_text_string(author)}"
+                objs[aid] = (
+                    f"<< /Type /Annot /Subtype /{subtype} "
+                    f"/Rect [72 72 200 90]{extra} >>"
+                ).encode("latin-1")
             annots_ref = " /Annots [{}]".format(
                 " ".join(f"{a} 0 R" for a in annot_ids)
             )

@@ -77,6 +77,10 @@ class PdfDoc:
     # XMP metadata (§14.3.2): {"title": .., "creator": ..,
     # "create_date": ..} — the modern channel beside legacy /Info
     xmp: dict[str, str] = field(default_factory=dict)
+    # markup-annotation text (§12.5.6): (page, subtype, contents,
+    # author) — review comments / sticky notes / highlight remarks
+    annotations: list[tuple[int, str, str, str]] = \
+        field(default_factory=list)
 
 
 def empty_word_frame() -> Words:
@@ -1525,6 +1529,51 @@ _URI_STR_RE = re.compile(
     rb"/URI\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
 )
 
+# annotation dict fields (§12.5.2): /Contents and /T are *text
+# strings* — literal or hex; the /T pattern requires the next
+# non-space char to open a string, so /Type and /TU never match
+_ANNOT_SUBTYPE_RE = re.compile(rb"/Subtype\s*/([A-Za-z0-9]+)")
+_ANNOT_CONTENTS_RE = re.compile(
+    rb"/Contents\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
+)
+_ANNOT_T_RE = re.compile(
+    rb"/T\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)"
+)
+
+
+def _page_annotations(
+    page_no: int, body: bytes, bodies: dict[int, bytes],
+) -> list[tuple[int, str, str, str]]:
+    """Markup-annotation text (ISO 32000 §12.5.6): the ``/Contents``
+    of every page annotation EXCEPT ``/Link`` (navigation — its
+    payload is the URI, harvested by ``_page_links``) and ``/Popup``
+    (§12.5.6.14 — its /Contents mirrors the parent markup annot, so
+    harvesting both would double every sticky note). Review comments
+    live here, OUTSIDE content streams — invisible to text
+    extraction, which is why a corpus pipeline harvests them as their
+    own pass. Returns (page, subtype, contents, author) — ``/T`` is
+    the author for markup annotations (§12.5.6.2 Table 170)."""
+    out: list[tuple[int, str, str, str]] = []
+    for aid in _dict_refarray(body, b"Annots"):
+        ab = bodies.get(aid)
+        if ab is None:
+            continue
+        m = _ANNOT_SUBTYPE_RE.search(ab)
+        if m is None:
+            continue
+        subtype = m.group(1).decode("latin-1")
+        if subtype in ("Link", "Popup"):
+            continue
+        mc = _ANNOT_CONTENTS_RE.search(ab)
+        if mc is None:
+            continue  # geometry-only markup (bare highlight/square)
+        mt = _ANNOT_T_RE.search(ab)
+        out.append((
+            page_no, subtype, _text_string(mc.group(1)),
+            _text_string(mt.group(1)) if mt else "",
+        ))
+    return out
+
 
 def _page_links(body: bytes, bodies: dict[int, bytes]) -> list[str]:
     """URI targets of the page's ``/Link`` annotations (ISO 32000
@@ -2162,6 +2211,12 @@ def parse_pdf(data: bytes) -> PdfDoc:
                 links = _page_links(body, bodies)
             except Exception:
                 links = []  # malformed annots never cost the text
+            try:
+                doc.annotations.extend(
+                    _page_annotations(idx, body, bodies)
+                )
+            except Exception:
+                pass  # malformed annots never cost the text
             doc.pages.append(
                 PdfPage(
                     page_number=idx, width=width, height=height,

@@ -455,3 +455,70 @@ class TestXmp:
         ws = want[cols].sort_values("doc_id").reset_index(drop=True)
         assert len(gs) == len(ws) > 0
         assert (gs.to_numpy() == ws.to_numpy()).all()
+
+
+class TestAnnotations:
+    def test_roundtrip_subtypes_pages_authors(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+        p = _page()
+        p.put_annot("Text", "needs review", "Alice")
+        p.put_annot("FreeText", "コメント", "Bob")
+        p2 = _page()
+        p2.put_annot("StrikeOut", "drop this", None)
+        doc = parse_pdf(build_pdf([p, p2]))
+        assert doc.annotations == [
+            (1, "Text", "needs review", "Alice"),
+            (1, "FreeText", "コメント", "Bob"),
+            (2, "StrikeOut", "drop this", ""),
+        ]
+
+    def test_popup_geometry_only_and_link_skipped(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+        p = _page()
+        p.put_annot("Popup", "mirrored body", "Alice")
+        p.put_annot("Highlight", None, "ghost")
+        p.put_link("https://example.test/nav")
+        doc = parse_pdf(build_pdf([p]))
+        assert doc.annotations == []
+        assert doc.pages[0].links == ["https://example.test/nav"]
+
+    def test_wrapper_schedule_contract(self):
+        from pdf_extractor_spark.functions.pdfmeta import wrap_pdf_annots
+        from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+        # every fifth doc: no annotations at all
+        assert parse_pdf(wrap_pdf_annots("a b", 10)).annotations == []
+        # doc 22: %5!=0, %4==2 highlight, %3==1 page-2 FreeText,
+        # %9==4 → UTF-16BE author decodes exactly
+        got = parse_pdf(wrap_pdf_annots("a b", 22)).annotations
+        assert got == [
+            (1, "Text", "note 22", "rev1"),
+            (1, "Highlight", "hl 2", ""),
+            (2, "FreeText", "callout 22", "Révïewer"),
+        ]
+        # doc 16: %9==7 → the ASCII author spelling
+        got = parse_pdf(wrap_pdf_annots("a b", 16)).annotations
+        assert (2, "FreeText", "callout 16", "Reviewer") in got
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.pdfmeta import (
+            duck_pdf_annot_sql, pdf_annotations,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = pdf_annotations(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_pdf_annot_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(gs) == len(ws) > 0
+        assert (gs.to_numpy() == ws.to_numpy()).all()
