@@ -109,6 +109,24 @@ def _pdf_artifact_marked() -> bytes:
     return build_pdf(pages)
 
 
+def _pdf_actualtext() -> bytes:
+    """/ActualText replacement (ISO 32000 §14.9.4): a tagged writer
+    records the TRUE text when the shown glyphs are presentation
+    forms — ligature codepoints, garbled subset encodings. The
+    replacement must appear in the extraction exactly once, in
+    reading order, and the shown garbage never; the artifact channel
+    (§14.8.2.2) keeps working on the same page."""
+    p = PageSpec()
+    p.put(200, 20, 10, "ActualText Fixture Header", artifact="Pagination")
+    p.put(72, 100, 12, "the parser is")
+    p.put(160, 100, 12, "eﬀ-cient", actual_text="efficient")
+    p.put(240, 100, 12, "at scale")
+    p.put(72, 130, 12, "Ḡarbled", actual_text="Garbled")
+    p.put(140, 130, 12, "subset fonts recover their real words")
+    _lines(p, [ln.split() for ln in _BODY_EN], y0=200.0)
+    return build_pdf([p])
+
+
 def _pdf_section_numbers() -> bytes:
     p = PageSpec()
     p.put(72, 100, 12, "1.2")
@@ -1332,6 +1350,7 @@ _PDF_CASES = {
     "pdf-info-outline": _pdf_info_outline,
     "pdf-hybrid-xref": _pdf_hybrid_xref,
     "pdf-artifact-marked": _pdf_artifact_marked,
+    "pdf-actualtext": _pdf_actualtext,
 }
 
 _HTML_CASES = {
@@ -1392,6 +1411,7 @@ _CASE_LANG = {
     "pdf-info-outline": "en",
     "pdf-hybrid-xref": "en",
     "pdf-artifact-marked": "en",
+    "pdf-actualtext": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -53,6 +53,10 @@ class TextOp:
     # EMC — content that a reader MUST keep
     artifact: str | None = None
     mc_tag: str | None = None
+    # /ActualText replacement (§14.9.4): wraps the block in
+    # /Span <</ActualText (…)>> BDC … EMC — the shown string is what
+    # a renderer paints, actual_text is what the text really is
+    actual_text: str | None = None
 
 
 @dataclass
@@ -92,14 +96,16 @@ class PageSpec:
     # -- convenience builders (used by fixtures) --------------------
     def put(self, x: float, y_top: float, size: float, text: str,
             artifact: str | None = None,
-            mc_tag: str | None = None) -> None:
+            mc_tag: str | None = None,
+            actual_text: str | None = None) -> None:
         """Place ``text`` with its TOP edge at ``y_top`` from the page
         top (reader coordinates) — converts to PDF baseline y.
-        ``artifact``/``mc_tag`` wrap the block in marked content
-        (see ``TextOp``)."""
+        ``artifact``/``mc_tag``/``actual_text`` wrap the block in
+        marked content (see ``TextOp``)."""
         baseline = self.height - y_top - 0.8 * size
         self.ops.append(TextOp(x=x, y=baseline, size=size, text=text,
-                               artifact=artifact, mc_tag=mc_tag))
+                               artifact=artifact, mc_tag=mc_tag,
+                               actual_text=actual_text))
 
     def put_words(
         self,
@@ -216,6 +222,11 @@ def _content_stream(page: PageSpec) -> bytes:
                 )
             else:
                 block = f"/Artifact BMC {block} EMC"
+        elif op.actual_text is not None:
+            block = (
+                f"/Span <</ActualText "
+                f"{_pdf_text_string(op.actual_text)}>> BDC {block} EMC"
+            )
         elif op.mc_tag is not None:
             block = f"/{op.mc_tag} <</MCID 0>> BDC {block} EMC"
         parts.append(block)

@@ -1331,6 +1331,18 @@ def _scan_stream(
     hide_depth = 0
     live_rows = rows
     trash_rows: "_WordSink | None" = None
+    # /ActualText replacement (§14.9.4): the property list carries the
+    # TRUE text for the enclosed shows — ligature codes, end-of-line
+    # hyphenation ("under- stand" shown, "understand" meant). While a
+    # replacement span is open the shown glyphs are suppressed (same
+    # sink swap — the pen still advances physically) and at its EMC
+    # the replacement is emitted ONCE at the first enclosed show's
+    # position/size. The OUTERMOST span wins for nesting (§14.9.4:
+    # the replacement covers all enclosed content); an /Artifact
+    # enclosing the span keeps everything suppressed.
+    at_level = -1          # mc_stack depth of the open span, -1=none
+    at_text = ""           # decoded replacement
+    at_pos: tuple[float, float, float] | None = None  # x, y, size
     # CTM TRANSLATION component + q/Q stack (§8.4.4): real writers
     # place content — especially invoked forms — via `q a b c d e f
     # cm`; the translation (e, f) is tracked and composed, scale/
@@ -1422,6 +1434,8 @@ def _scan_stream(
             stack.clear()
         elif tok == b"Tj" and stack:
             s = stack[-1]
+            if at_level >= 0 and at_pos is None:
+                at_pos = (x + ctm_tx, y + ctm_ty, size)
             if cur_vert:
                 y = _emit_words_vertical(
                     decode_tok(s), x + ctm_tx, y + ctm_ty, size,
@@ -1442,6 +1456,8 @@ def _scan_stream(
                     tw, tc = float(stack[-3]), float(stack[-2])
                 ly -= leading
                 x, y = lx, ly
+                if at_level >= 0 and at_pos is None:
+                    at_pos = (x + ctm_tx, y + ctm_ty, size)
                 if cur_vert:
                     y = _emit_words_vertical(
                         decode_tok(s), x + ctm_tx, y + ctm_ty, size,
@@ -1454,6 +1470,8 @@ def _scan_stream(
                     ) - ctm_tx
             stack.clear()
         elif tok == b"TJ":
+            if at_level >= 0 and at_pos is None and in_array:
+                at_pos = (x + ctm_tx, y + ctm_ty, size)
             for item in in_array:
                 if item[:1] in (b"(", b"<"):
                     if cur_vert:
@@ -1489,6 +1507,14 @@ def _scan_stream(
             # operand order (§14.6): tag name first, then (BDC only)
             # the property list — stack[0] IS the tag
             hide = bool(stack) and stack[0] == b"/Artifact"
+            if (not hide and at_level < 0 and hide_depth == 0
+                    and tok == b"BDC" and b"/ActualText" in stack):
+                i = stack.index(b"/ActualText")
+                if i + 1 < len(stack) and stack[i + 1][:1] in (b"(", b"<"):
+                    at_level = len(mc_stack)
+                    at_text = _text_string(stack[i + 1])
+                    at_pos = None
+                    hide = True  # suppress the shown glyphs
             mc_stack.append(hide)
             if hide:
                 hide_depth += 1
@@ -1503,6 +1529,18 @@ def _scan_stream(
                 hide_depth -= 1
                 if hide_depth == 0:
                     rows = live_rows
+                if at_level == len(mc_stack):
+                    # replacement span closed: emit the TRUE text at
+                    # the first enclosed show's position (span-open
+                    # pen if the span showed nothing)
+                    ax, ay, asz = at_pos or (
+                        x + ctm_tx, y + ctm_ty, size
+                    )
+                    if at_text and hide_depth == 0:
+                        _emit_words(at_text, ax, ay, asz, height,
+                                    live_rows, tc, tw, tz)
+                    at_level = -1
+                    at_pos = None
             stack.clear()
         else:
             if tok in (b"true", b"false", b"null"):

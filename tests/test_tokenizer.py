@@ -1935,3 +1935,59 @@ class TestArtifactMarkedContent:
         s2 = b"/Fm1 Do BT /F1 12 Tf 72 100 Td (Kept) Tj ET"
         assert sorted(self._texts(s2, xobjects=xobjs)) == [
             "FormText", "Kept"]
+
+
+class TestActualText:
+    """/ActualText replacement (ISO 32000 §14.9.4): the property list
+    carries the TRUE text for the enclosed shows — ligature codes,
+    end-of-line hyphenation — emitted once at the first enclosed
+    show's position; outermost span wins; artifact context wins over
+    replacement."""
+
+    def _texts(self, stream: bytes):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        return list(_parse_content(stream, 792.0, 1)["text"])
+
+    def test_writer_roundtrip_ligature_repair(self):
+        p = PageSpec()
+        p.put(72, 100, 12, "an ef")
+        p.put(110, 100, 12, "Ücient", actual_text="efficient")
+        p.put(180, 100, 12, "engine")
+        doc = parse_pdf(build_pdf([p]))
+        texts = doc.pages[0].words["text"].tolist()
+        assert texts == ["an", "ef", "efficient", "engine"]
+
+    def test_hyphenation_span_replaced_once(self):
+        s = (b"BT /F1 12 Tf 72 700 Td (We must) Tj "
+             b"/Span <</ActualText (understand)>> BDC "
+             b"(under-) Tj 0 -14 Td (stand) Tj EMC "
+             b"( the rest) Tj ET")
+        assert self._texts(s) == ["We", "must", "understand",
+                                  "the", "rest"]
+
+    def test_nested_outermost_span_wins(self):
+        s = (b"/Span <</ActualText (outer)>> BDC "
+             b"BT /F1 12 Tf 72 700 Td (shownA) Tj "
+             b"/Span <</ActualText (inner)>> BDC (shownB) Tj EMC "
+             b"ET EMC")
+        assert self._texts(s) == ["outer"]
+
+    def test_artifact_context_suppresses_replacement(self):
+        s = (b"/Artifact BMC /Span <</ActualText (ghost)>> BDC "
+             b"BT /F1 12 Tf 72 700 Td (shown) Tj ET EMC EMC "
+             b"BT /F1 12 Tf 72 600 Td (kept) Tj ET")
+        assert self._texts(s) == ["kept"]
+
+    def test_utf16_actual_text_decodes(self):
+        s = (b"/Span <</ActualText <FEFF65E5672C8A9E>>> BDC "
+             b"BT /F1 12 Tf 72 700 Td (nihongo) Tj ET EMC")
+        assert self._texts(s) == ["日本語"]
+
+    def test_empty_span_emits_nothing_shown(self):
+        # a span that shows nothing: replacement still emitted at the
+        # span-open pen position
+        s = (b"BT /F1 12 Tf 72 700 Td "
+             b"/Span <</ActualText (soft)>> BDC EMC (after) Tj ET")
+        assert self._texts(s) == ["soft", "after"]
