@@ -2542,6 +2542,29 @@ def _pdf_annot_sql() -> str:
 _PDF_ANNOT_SQL = _pdf_annot_sql()
 
 
+def _license_signals(spark, sf_dir):
+    """Content-license harvest + CC normalization (functions/
+    license.py): <link rel=license>, the CC badge anchor (rel token
+    list), and the schema.org JSON-LD license field — one row per
+    declaration with (family, version, allows_commercial,
+    allows_derivatives); unknown URLs get the conservative
+    False/False. Conflicts stay visible (resolution is a downstream
+    policy aggregate). The compliance gate of every openly-licensed
+    training corpus (C4-licensed / LAION / CommonPool lineage)."""
+    from .license import license_signals
+
+    return license_signals(_t(spark, sf_dir, "documents"))
+
+
+def _license_sql() -> str:
+    from .license import duck_license_sql
+
+    return duck_license_sql()
+
+
+_LICENSE_SQL = _license_sql()
+
+
 def _pdf_attachments(spark, sf_dir):
     """Embedded-file harvesting (functions/pdfmeta.py): /Names
     /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
@@ -4483,6 +4506,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_pdf_xmp": QueryDef(_pdf_xmp, _PDF_XMP_SQL),
     "corpus_pdf_annotations": QueryDef(
         _pdf_annotations, _PDF_ANNOT_SQL
+    ),
+    "corpus_license_signals": QueryDef(
+        _license_signals, _LICENSE_SQL
     ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);

@@ -358,6 +358,10 @@ class _BlockParser(HTMLParser):
                 rel = (a.get("rel") or "").lower().split()
                 if "canonical" in rel and a.get("href"):
                     self.directives.append(("canonical", a["href"]))
+                if "license" in rel and a.get("href"):
+                    # rel is a TOKEN LIST (WHATWG §4.6.6.12) — a
+                    # "nofollow license" value still declares one
+                    self.directives.append(("license_link", a["href"]))
                 if "alternate" in rel and a.get("href") \
                         and a.get("hreflang"):
                     # translation declarations: rel=alternate WITH an
@@ -462,10 +466,16 @@ class _BlockParser(HTMLParser):
             # rest of the page as link text
             self._anchor_depth = min(self._anchor_depth + 1, 1)
             self._emit_anchor()
+            a_rel = ""
             for k, v in attrs:
-                if k == "href" and v:
+                if k == "href" and v and self._a_href is None:
                     self._a_href = v
-                    break
+                elif k == "rel" and v and not a_rel:
+                    a_rel = v
+            if self._a_href and "license" in a_rel.lower().split():
+                # the classic CC badge anchor (rel token list); an
+                # href-less rel=license declares nothing
+                self.directives.append(("license_a", self._a_href))
 
     def handle_endtag(self, tag):
         # implied-end clearing may hang off a NON-skip container's end
@@ -692,6 +702,29 @@ def harvest_directives(
     parser.feed(repair_unterminated_quotes(text))
     parser.close()
     return parser.directives
+
+
+def harvest_license(
+    html_bytes: bytes, transport_charset: str | None = None
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """License declarations in ONE parse: ``(decls, ldjson)`` where
+    ``decls`` is ordered ``(source, url)`` with source ``"link"``
+    (``<link rel=license href>``) or ``"a"`` (the classic CC badge
+    anchor, ``<a rel=license href>``), and ``ldjson`` is the raw
+    JSON-LD island bodies (the schema.org ``license`` field lives
+    with the consumer, :mod:`..functions.license`). ``rel`` is a
+    token list per WHATWG §4.6.6.12; ``<template>`` contents are
+    inert; href-less declarations declare nothing."""
+    text, _codec = sniff_decode(html_bytes, transport_charset)
+    parser = _BlockParser()
+    parser.feed(repair_unterminated_quotes(text))
+    parser.close()
+    decls = [
+        ("link" if k == "license_link" else "a", v)
+        for k, v in parser.directives
+        if k in ("license_link", "license_a")
+    ]
+    return decls, parser.ldjson
 
 
 def harvest_structured(
