@@ -127,6 +127,32 @@ def _pdf_actualtext() -> bytes:
     return build_pdf([p])
 
 
+def _pdf_type3_font() -> bytes:
+    """Type3 glyph-procedure font (ISO 32000 §9.6.5) — the classic
+    old-TeX/dvips output layout: codes are SCRAMBLED relative to
+    ASCII (code 1 = 'M', …), so the text is recoverable only through
+    the REQUIRED inline /Encoding /Differences names + AGL, never by
+    treating bytes as Latin-1; 'uni0041'-form names and the 'fi'
+    ligature name resolve through the same table."""
+    # codes dodge 10/13 (raw CR in a literal string normalizes to LF
+    # per §7.3.4.2 — correctly, in BOTH engines — which would alias
+    # two codes) — exactly the hole a real scrambled subset avoids too
+    glyphs = {
+        1: "M", 2: "e", 3: "t", 4: "a", 5: "f", 6: "o", 7: "n",
+        8: "space", 9: "uni0041", 16: "fi", 17: "x", 18: "e", 19: "d",
+    }
+    p = PageSpec()
+    # codes spell "Metafont" + " " + "A" + "ﬁxed"
+    p.put_codes(72, 100, 14, bytes([1, 2, 3, 4, 5, 6, 7, 3]),
+                font="F7")
+    p.put_codes(72, 130, 12, bytes([9, 8, 16, 17, 18, 19]),
+                font="F7")
+    p.put_words(72, 160, 12, ["regular", "font", "text", "beside",
+                              "the", "glyph", "procedures"])
+    _lines(p, [ln.split() for ln in _BODY_EN], y0=220.0)
+    return build_pdf([p], type3_glyphs=glyphs)
+
+
 def _pdf_section_numbers() -> bytes:
     p = PageSpec()
     p.put(72, 100, 12, "1.2")
@@ -1351,6 +1377,7 @@ _PDF_CASES = {
     "pdf-hybrid-xref": _pdf_hybrid_xref,
     "pdf-artifact-marked": _pdf_artifact_marked,
     "pdf-actualtext": _pdf_actualtext,
+    "pdf-type3-font": _pdf_type3_font,
 }
 
 _HTML_CASES = {
@@ -1412,6 +1439,7 @@ _CASE_LANG = {
     "pdf-hybrid-xref": "en",
     "pdf-artifact-marked": "en",
     "pdf-actualtext": "en",
+    "pdf-type3-font": "en",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -404,6 +404,7 @@ def build_pdf(
     tounicode_ranges: list[tuple[int, int, str]] | None = None,
     cid_tounicode_chars: dict[int, str] | None = None,
     differences: dict[int, str] | None = None,
+    type3_glyphs: dict[int, str] | None = None,
     header_xobject: list[str] | None = None,
     inherit_attrs: bool = False, content_parts: int = 1,
     encrypt_p_unsigned: bool = False, id_literal: bool = False,
@@ -501,7 +502,8 @@ def build_pdf(
     find it."""
     if xref_stream:
         if tounicode_chars or tounicode_ranges or \
-                cid_tounicode_chars or differences or header_xobject or \
+                cid_tounicode_chars or differences or type3_glyphs or \
+                header_xobject or \
                 predefined_cmap or info or outline or form_fields or \
                 attachments or xmp:
             raise ValueError(
@@ -539,6 +541,9 @@ def build_pdf(
     if predefined_cmap:
         font_refs["F6"] = n_fixed + 1
         n_fixed += 1  # Type0 font, predefined /Encoding, NO ToUnicode
+    if type3_glyphs:
+        font_refs["F7"] = n_fixed + 1
+        n_fixed += 2  # Type3 font + shared glyph-procedure stream
     xobj_id = None
     if header_xobject:
         xobj_id = n_fixed + 1
@@ -970,6 +975,40 @@ def build_pdf(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
             f"/Encoding /{predefined_cmap} >>"
         ).encode("latin-1")
+    if "F7" in font_refs:
+        # Type3 font (ISO 32000 §9.6.5): glyphs are content-stream
+        # PROCEDURES named by /CharProcs; /Encoding /Differences is
+        # the only code→name mapping and is REQUIRED — written INLINE
+        # here (F5 uses the indirect-object spelling) so both layouts
+        # are exercised. All names share one glyph proc: rendering
+        # identity is irrelevant to extraction, the names carry the
+        # text. FontMatrix is the conventional 0.001 scale.
+        fid, pid = font_refs["F7"], font_refs["F7"] + 1
+        diff_items = " ".join(
+            f"{c} /{n}" for c, n in sorted(type3_glyphs.items())
+        )
+        charprocs = " ".join(
+            f"/{n} {pid} 0 R" for _c, n in sorted(type3_glyphs.items())
+        )
+        lo, hi = min(type3_glyphs), max(type3_glyphs)
+        widths = " ".join(
+            "500" if c in type3_glyphs else "0"
+            for c in range(lo, hi + 1)
+        )
+        objs[fid] = (
+            f"<< /Type /Font /Subtype /Type3 "
+            f"/FontBBox [0 0 1000 1000] "
+            f"/FontMatrix [0.001 0 0 0.001 0 0] "
+            f"/CharProcs << {charprocs} >> "
+            f"/Encoding << /Type /Encoding "
+            f"/Differences [ {diff_items} ] >> "
+            f"/FirstChar {lo} /LastChar {hi} /Widths [ {widths} ] >>"
+        ).encode("latin-1")
+        proc = b"500 0 d0 0 0 m 500 700 l S"
+        objs[pid] = (
+            f"<< /Length {len(proc)} >>\nstream\n".encode("latin-1")
+            + proc + b"\nendstream"
+        )
     if xobj_id is not None:
         form = PageSpec()
         form.put_words(72, 22, 10, header_xobject)

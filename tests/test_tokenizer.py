@@ -1991,3 +1991,35 @@ class TestActualText:
         s = (b"BT /F1 12 Tf 72 700 Td "
              b"/Span <</ActualText (soft)>> BDC EMC (after) Tj ET")
         assert self._texts(s) == ["soft", "after"]
+
+
+class TestType3Font:
+    """Type3 glyph-procedure fonts (ISO 32000 §9.6.5): text is
+    recoverable ONLY through the required /Encoding /Differences
+    names (inline-dict spelling) + AGL — codes are scrambled vs
+    ASCII, glyph procs are drawings with no text."""
+
+    def test_scrambled_codes_decode_through_names(self):
+        g = {1: "T", 2: "y", 3: "p", 4: "e", 5: "three", 8: "space"}
+        p = PageSpec()
+        p.put_codes(72, 100, 12, bytes([1, 2, 3, 4, 8, 5]), font="F7")
+        doc = parse_pdf(build_pdf([p], type3_glyphs=g))
+        assert not doc.errors
+        assert doc.pages[0].words["text"].tolist() == ["Type", "3"]
+
+    def test_inline_encoding_dict_not_indirect(self):
+        # F5 pins the indirect /Encoding object; F7 must exercise the
+        # INLINE dict spelling of §9.6.6.3
+        pdf = build_pdf([PageSpec()], type3_glyphs={1: "a"})
+        assert b"/Subtype /Type3" in pdf
+        assert b"/Encoding << /Type /Encoding /Differences" in pdf
+
+    def test_coexists_with_standard_fonts(self):
+        g = {1: "o", 2: "k"}
+        p = PageSpec()
+        p.put(72, 100, 12, "plain")
+        p.put_codes(120, 100, 12, bytes([1, 2]), font="F7")
+        p.put(160, 100, 12, "日本語")
+        doc = parse_pdf(build_pdf([p], type3_glyphs=g))
+        assert doc.pages[0].words["text"].tolist() == [
+            "plain", "ok", "日本語"]
