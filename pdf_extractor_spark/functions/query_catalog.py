@@ -2565,6 +2565,28 @@ def _license_sql() -> str:
 _LICENSE_SQL = _license_sql()
 
 
+def _ai_optout(spark, sf_dir):
+    """AI-training opt-out verdicts (functions/aioptout.py): noai /
+    noimageai robots tokens (meta through the REAL parser + native
+    X-Robots-Tag header scan) and the W3C TDM Reservation Protocol
+    (tdm-reservation/tdm-policy metas + TDM-Reservation header) —
+    restrictive-wins across channels, template-wrapped declarations
+    inert, explicit '0' non-reservation honored, policy URL surfaced
+    only under a reservation."""
+    from .aioptout import ai_optout_signals
+
+    return ai_optout_signals(_t(spark, sf_dir, "documents"))
+
+
+def _ai_optout_sql() -> str:
+    from .aioptout import duck_aioptout_sql
+
+    return duck_aioptout_sql()
+
+
+_AI_OPTOUT_SQL = _ai_optout_sql()
+
+
 def _pdf_attachments(spark, sf_dir):
     """Embedded-file harvesting (functions/pdfmeta.py): /Names
     /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
@@ -4510,6 +4532,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_license_signals": QueryDef(
         _license_signals, _LICENSE_SQL
     ),
+    "corpus_ai_optout": QueryDef(_ai_optout, _AI_OPTOUT_SQL),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

@@ -380,6 +380,15 @@ class _BlockParser(HTMLParser):
                 # page-level REP (robots meta): raw value out, token
                 # semantics live with the consumer (metarobots.py)
                 self.directives.append(("robots", a["content"]))
+            elif (a.get("name") or "").lower() in (
+                "tdm-reservation", "tdm-policy"
+            ) and a.get("content") is not None:
+                # W3C TDM Reservation Protocol (TDMRep): the
+                # text-and-data-mining opt-out channel; raw value
+                # out, semantics live with functions/aioptout.py
+                self.directives.append(
+                    ((a.get("name") or "").lower(), a["content"])
+                )
             if tag == "meta" and a.get("content") is not None:
                 # RDFa/Open Graph carries the key in `property`;
                 # classic metadata (description, twitter:*) in `name`
