@@ -4530,9 +4530,9 @@ CATALOG: dict[str, QueryDef] = {
         _pdf_annotations, _PDF_ANNOT_SQL
     ),
     "corpus_license_signals": QueryDef(
-        _license_signals, _LICENSE_SQL
+        _license_signals, _LICENSE_SQL, True
     ),
-    "corpus_ai_optout": QueryDef(_ai_optout, _AI_OPTOUT_SQL),
+    "corpus_ai_optout": QueryDef(_ai_optout, _AI_OPTOUT_SQL, True),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

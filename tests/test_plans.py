@@ -92,6 +92,19 @@ class TestExtractionPipeline:
         cols = [c.split("#")[0].strip() for c in m.group(1).split(",")]
         assert "lang" not in cols  # only doc_id/text enter
 
+    def test_harvest_ops_stay_one_arrow_stage(self, spark):
+        # every metadata/compliance harvest is scan → one doc-id
+        # spread → one Arrow stage — nothing wide, nothing extra
+        for key in ("corpus_pdf_annotations", "corpus_license_signals",
+                    "corpus_ai_optout"):
+            plan = _plan(spark, key)
+            assert _n(plan, "MapInPandas") == 1, key
+            assert len(
+                re.findall(r"Exchange hashpartitioning", plan)
+            ) == 1, key
+            assert "Exchange rangepartitioning" not in plan, key
+            assert "SortMergeJoin" not in plan, key
+
 
 class TestDedupShapes:
     def test_lsh_pairs_shuffle_keys_never_text(self, spark):
