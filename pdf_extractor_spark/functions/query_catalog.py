@@ -2587,6 +2587,27 @@ def _ai_optout_sql() -> str:
 _AI_OPTOUT_SQL = _ai_optout_sql()
 
 
+def _compliance_gate(spark, sf_dir):
+    """The composed opt-out stack as ONE keep/drop verdict per doc
+    (functions/compliance.py): REP noindex (meta+header), noai, TDM
+    reservation, strictest-license commercial check — restrictive-
+    wins with a stable reason precedence; the capstone showing the
+    compliance harvests compose (doc_id-co-partitioned joins, license
+    leg pre-aggregated)."""
+    from .compliance import compliance_gate
+
+    return compliance_gate(_t(spark, sf_dir, "documents"))
+
+
+def _compliance_sql() -> str:
+    from .compliance import duck_compliance_sql
+
+    return duck_compliance_sql()
+
+
+_COMPLIANCE_SQL = _compliance_sql()
+
+
 def _pdf_attachments(spark, sf_dir):
     """Embedded-file harvesting (functions/pdfmeta.py): /Names
     /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
@@ -4533,6 +4554,9 @@ CATALOG: dict[str, QueryDef] = {
         _license_signals, _LICENSE_SQL, True
     ),
     "corpus_ai_optout": QueryDef(_ai_optout, _AI_OPTOUT_SQL, True),
+    "corpus_compliance_gate": QueryDef(
+        _compliance_gate, _COMPLIANCE_SQL
+    ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

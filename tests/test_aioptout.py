@@ -70,3 +70,35 @@ class TestSparkOracle:
         # the header-only channels actually fire in the fixture set
         assert bool(got[got.doc_id % 9 == 5].noai.all())
         assert bool(got[got.doc_id % 9 == 6].tdm_reserved.all())
+
+
+class TestComplianceGate:
+    def test_reason_precedence_and_composition(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.compliance import (
+            compliance_gate, duck_compliance_sql,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = compliance_gate(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_compliance_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        assert (gs.to_numpy() == ws.to_numpy()).all()
+        # every reason actually fires on the fixture corpus, and the
+        # gate is not vacuous in either direction
+        assert set(got.reason.unique()) == {
+            "", "noindex", "noai", "tdm-reservation", "license"}
+        assert 0 < got.keep.sum() < len(got)
+        # precedence: a doc that is BOTH noindex (header, %5==0) and
+        # noai (%9==1) must report the higher-precedence noindex
+        both = got[(got.doc_id % 5 == 0) & (got.doc_id % 9 == 1)]
+        if len(both):
+            assert (both.reason == "noindex").all()
