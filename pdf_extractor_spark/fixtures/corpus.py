@@ -153,6 +153,25 @@ def _pdf_type3_font() -> bytes:
     return build_pdf([p], type3_glyphs=glyphs)
 
 
+def _pdf_ocg_layers() -> bytes:
+    """Optional-content layers (ISO 32000 §8.11): a hidden
+    alternate-language layer (default-OFF in /OCProperties /D /OFF)
+    must not leak into the extraction — a conforming reader does not
+    draw it; a default-ON layer's content is real drawn text and
+    stays. The /OC spans use the named-resource property form
+    Acrobat emits."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put(72, 180, 12, "annotation layer note kept visible",
+          oc="ReviewNotes")
+    p.put(72, 210, 12, "texte alternatif masqué jamais extrait",
+          oc="FrenchAlt")
+    p.put(72, 240, 12, "body continues after the layered region")
+    return build_pdf(
+        [p], ocg_layers={"ReviewNotes": True, "FrenchAlt": False}
+    )
+
+
 def _pdf_section_numbers() -> bytes:
     p = PageSpec()
     p.put(72, 100, 12, "1.2")
@@ -1378,6 +1397,7 @@ _PDF_CASES = {
     "pdf-artifact-marked": _pdf_artifact_marked,
     "pdf-actualtext": _pdf_actualtext,
     "pdf-type3-font": _pdf_type3_font,
+    "pdf-ocg-layers": _pdf_ocg_layers,
 }
 
 _HTML_CASES = {
@@ -1440,6 +1460,7 @@ _CASE_LANG = {
     "pdf-artifact-marked": "en",
     "pdf-actualtext": "en",
     "pdf-type3-font": "en",
+    "pdf-ocg-layers": "mixed",
     "html-article": "en", "html-linkfarm": "en",
     "html-mixed-lang": "mixed", "html-tables-lists": "en",
     "html-entities": "en", "html-short-blocks": "en",

@@ -57,6 +57,10 @@ class TextOp:
     # /Span <</ActualText (…)>> BDC … EMC — the shown string is what
     # a renderer paints, actual_text is what the text really is
     actual_text: str | None = None
+    # optional-content layer NAME (§8.11): wraps the block in
+    # /OC /<resource> BDC … EMC; the layer's default visibility comes
+    # from build_pdf(ocg_layers={name: visible})
+    oc: str | None = None
 
 
 @dataclass
@@ -97,15 +101,16 @@ class PageSpec:
     def put(self, x: float, y_top: float, size: float, text: str,
             artifact: str | None = None,
             mc_tag: str | None = None,
-            actual_text: str | None = None) -> None:
+            actual_text: str | None = None,
+            oc: str | None = None) -> None:
         """Place ``text`` with its TOP edge at ``y_top`` from the page
         top (reader coordinates) — converts to PDF baseline y.
-        ``artifact``/``mc_tag``/``actual_text`` wrap the block in
-        marked content (see ``TextOp``)."""
+        ``artifact``/``mc_tag``/``actual_text``/``oc`` wrap the block
+        in marked content (see ``TextOp``)."""
         baseline = self.height - y_top - 0.8 * size
         self.ops.append(TextOp(x=x, y=baseline, size=size, text=text,
                                artifact=artifact, mc_tag=mc_tag,
-                               actual_text=actual_text))
+                               actual_text=actual_text, oc=oc))
 
     def put_words(
         self,
@@ -188,7 +193,9 @@ def _pdf_text_string(value: str) -> str:
 _INLINE_IMG_BLOB = b"(fake) Tj 72 0\xff\x00"
 
 
-def _content_stream(page: PageSpec) -> bytes:
+def _content_stream(
+    page: PageSpec, oc_res: dict[str, str] | None = None
+) -> bytes:
     parts: list[str] = []
     if page.inline_image:
         parts.append(
@@ -229,6 +236,11 @@ def _content_stream(page: PageSpec) -> bytes:
             )
         elif op.mc_tag is not None:
             block = f"/{op.mc_tag} <</MCID 0>> BDC {block} EMC"
+        elif op.oc is not None:
+            # the NAMED-resource property-list form (§14.6: a BDC
+            # property operand may be a name in /Resources
+            # /Properties) — the layout Acrobat emits for layers
+            block = f"/OC /{(oc_res or {})[op.oc]} BDC {block} EMC"
         parts.append(block)
     return ("\n".join(parts)).encode("latin-1", errors="strict")
 
@@ -405,6 +417,7 @@ def build_pdf(
     cid_tounicode_chars: dict[int, str] | None = None,
     differences: dict[int, str] | None = None,
     type3_glyphs: dict[int, str] | None = None,
+    ocg_layers: dict[str, bool] | None = None,
     header_xobject: list[str] | None = None,
     inherit_attrs: bool = False, content_parts: int = 1,
     encrypt_p_unsigned: bool = False, id_literal: bool = False,
@@ -503,7 +516,7 @@ def build_pdf(
     if xref_stream:
         if tounicode_chars or tounicode_ranges or \
                 cid_tounicode_chars or differences or type3_glyphs or \
-                header_xobject or \
+                ocg_layers or header_xobject or \
                 predefined_cmap or info or outline or form_fields or \
                 attachments or xmp:
             raise ValueError(
@@ -544,6 +557,13 @@ def build_pdf(
     if type3_glyphs:
         font_refs["F7"] = n_fixed + 1
         n_fixed += 2  # Type3 font + shared glyph-procedure stream
+    ocg_ids: dict[str, int] = {}
+    oc_res: dict[str, str] = {}
+    if ocg_layers:
+        for i, lname in enumerate(sorted(ocg_layers)):
+            ocg_ids[lname] = n_fixed + 1
+            oc_res[lname] = f"oc{i}"
+            n_fixed += 1
     xobj_id = None
     if header_xobject:
         xobj_id = n_fixed + 1
@@ -554,8 +574,15 @@ def build_pdf(
     xobj_dict = (
         f" /XObject << /Xh {xobj_id} 0 R >>" if xobj_id else ""
     )
+    props_dict = (
+        " /Properties << " + " ".join(
+            f"/{oc_res[n]} {ocg_ids[n]} 0 R" for n in sorted(ocg_ids)
+        ) + " >>"
+        if ocg_ids else ""
+    )
     resources = (
-        f"/Resources << /Font << {font_dict} >>{xobj_dict} >>"
+        f"/Resources << /Font << {font_dict} >>{xobj_dict}"
+        f"{props_dict} >>"
     )
     page_ids = []
     next_id = n_fixed + 1
@@ -596,7 +623,7 @@ def build_pdf(
         page_id = next_id
         next_id += 1
         page_ids.append(page_id)
-        stream = _content_stream(p)
+        stream = _content_stream(p, oc_res)
         if xobj_id is not None:
             stream = b"q /Xh Do Q\n" + stream
         if content_parts > 1:
@@ -893,9 +920,30 @@ def build_pdf(
             f"<< /EmbeddedFiles {tree_id} 0 R >>"
         ).encode("latin-1")
         names_ref = f" /Names {names_id} 0 R"
+    ocprops_ref = ""
+    if ocg_ids:
+        # OCG dicts (§8.11.2) + the catalog /OCProperties default
+        # configuration: /OFF lists the layers whose content a
+        # conforming reader does not draw — and an extractor must
+        # not read
+        for lname, oid in ocg_ids.items():
+            objs[oid] = (
+                f"<< /Type /OCG /Name ({lname}) >>"
+            ).encode("latin-1")
+        all_refs = " ".join(
+            f"{ocg_ids[n]} 0 R" for n in sorted(ocg_ids)
+        )
+        off_refs = " ".join(
+            f"{ocg_ids[n]} 0 R" for n in sorted(ocg_ids)
+            if not ocg_layers[n]
+        )
+        ocprops_ref = (
+            f" /OCProperties << /OCGs [{all_refs}] "
+            f"/D << /Order [{all_refs}] /OFF [{off_refs}] >> >>"
+        )
     objs[1] = (
         f"<< /Type /Catalog /Pages 2 0 R{outlines_ref}"
-        f"{acroform_ref}{names_ref}{metadata_ref} >>"
+        f"{acroform_ref}{names_ref}{metadata_ref}{ocprops_ref} >>"
     ).encode("latin-1")
     pages_attrs = (
         f" /MediaBox [0 0 {pages[0].width:g} {pages[0].height:g}] "

@@ -954,6 +954,53 @@ def _page_fonts(
     return fonts
 
 
+_OC_OFF_RE = re.compile(rb"/OFF\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
+_OC_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_OC_PROP_RE = re.compile(rb"/([A-Za-z0-9_.]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _oc_off_ids(
+    root: bytes, bodies: dict[int, bytes]
+) -> frozenset[int]:
+    """Object ids of optional-content groups the catalog's default
+    configuration turns OFF (ISO 32000 §8.11.4.3 /OCProperties /D
+    /OFF): content marked with them is not drawn by a conforming
+    reader, so an extractor must not read it either. No
+    /OCProperties (or no /OFF) → nothing hidden: layers default ON,
+    and an unknown layer keeps its text (fail-keep)."""
+    src = root
+    if b"/OCProperties" not in src:
+        return frozenset()
+    m = re.search(rb"/OCProperties\s+(\d+)\s+\d+\s+R", src)
+    if m is not None:
+        src = bodies.get(int(m.group(1)), b"")
+    else:
+        src = src[src.find(b"/OCProperties"):]
+    m = _OC_OFF_RE.search(src)
+    if m is None:
+        return frozenset()
+    return frozenset(
+        int(r.group(1)) for r in _OC_REF_RE.finditer(m.group(1))
+    )
+
+
+def _hidden_oc_names(
+    res: bytes, off_ids: frozenset[int]
+) -> frozenset[str]:
+    """Resource names under /Properties whose OCG is default-OFF —
+    the names a ``/OC /name BDC`` span may cite (§14.6.2)."""
+    if not off_ids:
+        return frozenset()
+    m = re.search(rb"/Properties\s*<<(.*?)>>", res, re.DOTALL)
+    if m is None:
+        return frozenset()
+    return frozenset(
+        pm.group(1).decode("latin-1")
+        for pm in _OC_PROP_RE.finditer(m.group(1))
+        if int(pm.group(2)) in off_ids
+    )
+
+
 def _resources_of(body: bytes, bodies: dict[int, bytes]) -> bytes:
     """The bytes holding a page/form's resource entries: an indirect
     ``/Resources N 0 R`` object's body, else the inline tail from
@@ -1251,6 +1298,7 @@ def _parse_content(
     fonts: dict[str, tuple[dict[int, str] | None, int, bool]] | None = None,
     xobjects: dict | None = None,
     width: float = 612.0,
+    hidden_ocs: frozenset[str] | None = None,
 ) -> pd.DataFrame:
     has_cmaps = fonts is not None and any(
         c is not None for c, _w, _v in fonts.values()
@@ -1268,7 +1316,7 @@ def _parse_content(
             return fast
     rows = _WordSink()
     _scan_stream(stream, height, fonts, xobjects, rows, 0,
-                 page_width=width)
+                 page_width=width, hidden_ocs=hidden_ocs)
     if not rows.texts:
         return empty_word_frame()
     return rows.frame(page_no)
@@ -1281,6 +1329,7 @@ def _scan_stream(
     rows: "_WordSink", depth: int,
     ctm_tx: float = 0.0, ctm_ty: float = 0.0,
     page_width: float = 612.0,
+    hidden_ocs: frozenset[str] | None = None,
 ) -> None:
     """Token-scan one content stream into the shared sink; ``Do``
     recurses into form XObjects (their own resources, same sink) up
@@ -1501,12 +1550,20 @@ def _scan_stream(
                     _scan_stream(
                         xstream, height, xfonts or fonts, xxobjs,
                         rows, depth + 1, ctm_tx, ctm_ty, page_width,
+                        hidden_ocs,
                     )
             stack.clear()
         elif tok in (b"BMC", b"BDC"):
             # operand order (§14.6): tag name first, then (BDC only)
             # the property list — stack[0] IS the tag
             hide = bool(stack) and stack[0] == b"/Artifact"
+            if (not hide and hidden_ocs and tok == b"BDC"
+                    and len(stack) >= 2 and stack[0] == b"/OC"
+                    and stack[1][:1] == b"/"
+                    and stack[1][1:].decode("latin-1") in hidden_ocs):
+                # optional content on a default-OFF layer (§8.11): a
+                # conforming reader does not draw it — same sink swap
+                hide = True
             if (not hide and at_level < 0 and hide_depth == 0
                     and tok == b"BDC" and b"/ActualText" in stack):
                 i = stack.index(b"/ActualText")
@@ -2138,6 +2195,10 @@ def parse_pdf(data: bytes) -> PdfDoc:
             doc.xmp = _doc_xmp(bodies[root_id], bodies)
         except Exception:
             doc.xmp = {}
+        try:
+            oc_off = _oc_off_ids(bodies.get(root_id, b""), bodies)
+        except Exception:
+            oc_off = frozenset()  # malformed OCProperties: fail-keep
         pages_root = _dict_ref(bodies[root_id], b"Pages")
         # Page-tree walk with ATTRIBUTE INHERITANCE (ISO 32000
         # §7.7.3.4): /MediaBox, /Rotate and /Resources may live on any
@@ -2209,9 +2270,14 @@ def parse_pdf(data: bytes) -> PdfDoc:
                     cached = (
                         _page_fonts(font_src, bodies, dec),
                         _page_xobjects(font_src, bodies, dec),
+                        _hidden_oc_names(
+                            _resources_of(font_src, bodies)
+                            or font_src,
+                            oc_off,
+                        ),
                     )
                     res_cache[font_src] = cached
-                fonts, xobjs = cached
+                fonts, xobjs, hidden_ocs = cached
                 salvage: list[str] = []
                 stream = b"\n".join(
                     _stream_bytes(
@@ -2226,7 +2292,8 @@ def parse_pdf(data: bytes) -> PdfDoc:
                          "page": idx, "message": note}
                     )
                 words = _parse_content(
-                    stream, height, idx, fonts, xobjs, width
+                    stream, height, idx, fonts, xobjs, width,
+                    hidden_ocs or None,
                 )
                 if any(v for _c, _w, v in fonts.values()):
                     doc.errors.append(

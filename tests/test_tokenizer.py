@@ -2023,3 +2023,46 @@ class TestType3Font:
         doc = parse_pdf(build_pdf([p], type3_glyphs=g))
         assert doc.pages[0].words["text"].tolist() == [
             "plain", "ok", "日本語"]
+
+
+class TestOptionalContent:
+    """Optional-content layers (§8.11): default-OFF OCGs' /OC spans
+    are suppressed; default-ON and unknown layers keep their text
+    (fail-keep); no /OCProperties means nothing hides."""
+
+    def test_off_layer_hidden_on_layer_kept(self):
+        p = PageSpec()
+        p.put(72, 100, 12, "base")
+        p.put(72, 130, 12, "shown layer", oc="On")
+        p.put(72, 160, 12, "hidden layer", oc="Off")
+        doc = parse_pdf(
+            build_pdf([p], ocg_layers={"On": True, "Off": False})
+        )
+        texts = doc.pages[0].words["text"].tolist()
+        assert texts == ["base", "shown", "layer"]
+
+    def test_unknown_layer_name_fails_keep(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        # an /OC citing a name not in /Properties (or not OFF) keeps
+        s = (b"/OC /ghost BDC BT /F1 12 Tf 72 700 Td (kept) Tj ET EMC")
+        w = _parse_content(s, 792.0, 1, hidden_ocs=frozenset({"oc9"}))
+        assert list(w["text"]) == ["kept"]
+
+    def test_no_ocproperties_nothing_hides(self):
+        p = PageSpec()
+        p.put(72, 100, 12, "plain")
+        doc = parse_pdf(build_pdf([p]))
+        assert doc.pages[0].words["text"].tolist() == ["plain"]
+
+    def test_off_layer_inside_artifact_and_vice_versa(self):
+        from pdf_extractor_spark.operators.pdf_tokenizer import (
+            _parse_content,
+        )
+        s = (b"/OC /oc0 BDC BT /F1 12 Tf 72 700 Td (h1) Tj ET EMC "
+             b"/Artifact BMC /OC /oc0 BDC "
+             b"BT /F1 12 Tf 72 650 Td (h2) Tj ET EMC EMC "
+             b"BT /F1 12 Tf 72 600 Td (kept) Tj ET")
+        w = _parse_content(s, 792.0, 1, hidden_ocs=frozenset({"oc0"}))
+        assert list(w["text"]) == ["kept"]
