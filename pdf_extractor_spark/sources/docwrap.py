@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 
 from ..config import DEFAULT_CONFIG
 from ..operators.document import extract_document
-from ..operators.pdf_generator import PageSpec, build_pdf
+from ..operators.pdf_generator import PageSpec, build_pdf, text_advance
 
 ROUNDTRIP_SCHEMA = "doc_id long, extracted_text string"
 
@@ -86,18 +86,52 @@ def wrap_pdf_layout(text: str, doc_id: int) -> bytes:
     regardless of the container a real writer chose: classic xref
     table, PDF-1.5 xref stream + ObjStm, or the hybrid-reference
     /XRefStm layout (ISO 32000 §7.5.8.4), with compression flipped
-    on half of each."""
+    on half of each.
+
+    A second, ORTHOGONAL rotation (``doc_id % 4``) exercises the
+    marked-content channels, every one of which must leave the
+    extracted text IDENTICAL to the input (the oracle stays the
+    identity):
+
+    - 1: a page-unique /Artifact running head — furniture, dropped
+      at the scanner (§14.8.2.2);
+    - 2: the first word shown as GARBAGE wrapped in /Span
+      <</ActualText …>> — the replacement, not the garbage, must
+      extract (§14.9.4);
+    - 3: a default-OFF optional-content layer carrying junk — never
+      drawn, never extracted (§8.11; classic container only — the
+      xref-stream writer doesn't emit /OCProperties — other
+      containers fall back to the artifact variant)."""
     from ..operators.pdf_generator import build_pdf_hybrid
 
+    words = text.split(" ")
     page = PageSpec(width=60000.0, height=792.0)
-    page.put_words(72.0, 400.0, 12.0, text.split(" "), gap=6.0)
     compress = doc_id % 2 == 0
     variant = doc_id % 3
+    mc = doc_id % 4
+    ocg_layers = None
+    if mc == 3 and variant != 0:
+        mc = 1
+    if mc == 2 and words and words[0]:
+        page.put(72.0, 400.0, 12.0, "~@#~", actual_text=words[0])
+        cx = 72.0 + text_advance(words[0], 12.0) + 6.0
+        page.put_words(cx, 400.0, 12.0, words[1:], gap=6.0)
+    else:
+        page.put_words(72.0, 400.0, 12.0, words, gap=6.0)
+    if mc == 1:
+        page.put(200.0, 20.0, 10.0, f"crawl shard {doc_id} folio",
+                 artifact="Pagination")
+    elif mc == 3:
+        page.put(72.0, 300.0, 12.0,
+                 f"hidden layer payload {doc_id} must never extract",
+                 oc="AltContent")
+        ocg_layers = {"AltContent": False}
     if variant == 1:
         return build_pdf([page], compress=compress, xref_stream=True)
     if variant == 2:
         return build_pdf_hybrid([page], compress=compress)
-    return build_pdf([page], compress=compress)
+    return build_pdf([page], compress=compress,
+                     ocg_layers=ocg_layers)
 
 
 def _roundtrip_iter(wrapper):
