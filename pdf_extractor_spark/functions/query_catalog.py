@@ -2608,6 +2608,27 @@ def _compliance_sql() -> str:
 _COMPLIANCE_SQL = _compliance_sql()
 
 
+def _confusable_skeleton(spark, sf_dir):
+    """Unicode confusable-skeleton fold (functions/confusables.py):
+    plant a deterministic homoglyph + zero-width attack natively,
+    fold it back with translate + one regexp_replace (no Python
+    touches the text), and verify the skeleton equals the original —
+    the dedup-key normalization that catches hash-evasion spam at
+    zero extra shuffle cost."""
+    from .confusables import confusable_skeleton_report
+
+    return confusable_skeleton_report(_t(spark, sf_dir, "documents"))
+
+
+def _confusables_sql() -> str:
+    from .confusables import duck_confusables_sql
+
+    return duck_confusables_sql()
+
+
+_CONFUSABLES_SQL = _confusables_sql()
+
+
 def _pdf_attachments(spark, sf_dir):
     """Embedded-file harvesting (functions/pdfmeta.py): /Names
     /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
@@ -4556,6 +4577,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_ai_optout": QueryDef(_ai_optout, _AI_OPTOUT_SQL, True),
     "corpus_compliance_gate": QueryDef(
         _compliance_gate, _COMPLIANCE_SQL
+    ),
+    "text_confusable_skeleton": QueryDef(
+        _confusable_skeleton, _CONFUSABLES_SQL
     ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);

@@ -172,3 +172,62 @@ class TestBigramCost:
         assert "CartesianProduct" not in plan
         for m in re.findall(r"Exchange [^\n]*", plan):
             assert "text" not in m, m
+
+
+class TestConfusableSkeleton:
+    """UTS #39-style homoglyph fold: the skeleton undoes the planted
+    attack, counts the confusables, and is a pure native plan."""
+
+    def test_fold_undoes_attack_and_counts(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.confusables import (
+            confusable_skeleton_report, duck_confusables_sql,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        got = confusable_skeleton_report(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.sql(duck_confusables_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        assert (gs.to_numpy() == ws.to_numpy()).all()
+        # the fold provably undoes the evasion on every doc
+        assert bool(got.skeleton_ok.all())
+        # the attack is non-vacuous: attacked docs carry confusables
+        atk = got[got.attacked]
+        assert len(atk) > 0 and bool((atk.n_confusables > 0).all())
+        assert bool((got[~got.attacked].n_confusables == 0).all())
+
+    def test_skeleton_is_pure_narrow_map(self, spark):
+        from pdf_extractor_spark.functions.confusables import (
+            confusable_skeleton_report,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        plan = (
+            confusable_skeleton_report(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+    def test_known_homoglyph_examples(self):
+        # pure expression check through Spark's local eval is covered
+        # above; here pin the TABLE itself: every src/dst pair aligned
+        from pdf_extractor_spark.functions.confusables import (
+            CONF_DST, CONF_SRC,
+        )
+        assert len(CONF_SRC) == len(CONF_DST)
+        fold = dict(zip(CONF_SRC, CONF_DST))
+        assert fold["а"] == "a" and fold["о"] == "o"  # Cyrillic
+        assert fold["Е"] == "E" and fold["Х"] == "X"
+        assert fold["ο"] == "o" and fold["ν"] == "v"  # Greek
