@@ -107,3 +107,72 @@ SELECT doc_id,
   ) = text AS skeleton_ok
 FROM b
 """
+
+
+def confusable_dedup_report(docs: DataFrame) -> DataFrame:
+    """One row: homoglyph-evaded duplicates caught by skeleton-keyed
+    exact dedup vs plain-hash exact dedup. The corpus is unioned with
+    an attacked COPY of every third document (Cyrillic swaps — a
+    spammer's repost); plain md5 keys see two distinct documents,
+    skeleton keys collapse them. Only 16-byte hashes ever shuffle —
+    text stays where it was scanned."""
+    base = docs.select("doc_id", "text")
+    attacked = base.where(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.translate(F.col("text"), _ATK_SRC, _ATK_DST).alias("text"),
+    )
+    uni = base.unionByName(attacked)
+
+    def dup_groups(key: Column) -> Column:
+        return F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+
+    plain = (
+        uni.groupBy(F.md5("text").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .agg(dup_groups(F.col("n")).alias("g"),
+             F.count("*").alias("t"))
+        .select(F.col("g").alias("plain_dup_groups"),
+                F.col("t").alias("plain_distinct"))
+    )
+    skel = (
+        uni.groupBy(F.md5(skeleton(F.col("text"))).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .agg(dup_groups(F.col("n")).alias("g"),
+             F.count("*").alias("t"))
+        .select(F.col("g").alias("skeleton_dup_groups"),
+                F.col("t").alias("skeleton_distinct"))
+    )
+    return plain.crossJoin(skel).select(
+        "plain_dup_groups", "plain_distinct",
+        "skeleton_dup_groups", "skeleton_distinct",
+        (F.col("skeleton_dup_groups") - F.col("plain_dup_groups"))
+        .alias("evasions_caught"),
+    )
+
+
+def duck_confusable_dedup_sql(source: str = "documents") -> str:
+    """Twin: same union + two group-bys under DuckDB."""
+    return f"""
+WITH uni AS (
+  SELECT doc_id, text FROM {source}
+  UNION ALL
+  SELECT doc_id + 1000000,
+         translate(text, '{_ATK_SRC}', '{_ATK_DST}')
+  FROM {source} WHERE doc_id % 3 = 1
+), p AS (
+  SELECT count(*) FILTER (n > 1) AS g, count(*) AS t
+  FROM (SELECT md5(text) AS k, count(*) AS n FROM uni GROUP BY 1)
+), s AS (
+  SELECT count(*) FILTER (n > 1) AS g, count(*) AS t
+  FROM (
+    SELECT md5(regexp_replace(
+             translate(text, '{CONF_SRC}', '{CONF_DST}'),
+             '{ZW_CLASS}', '', 'g')) AS k, count(*) AS n
+    FROM uni GROUP BY 1
+  )
+)
+SELECT p.g AS plain_dup_groups, p.t AS plain_distinct,
+       s.g AS skeleton_dup_groups, s.t AS skeleton_distinct,
+       s.g - p.g AS evasions_caught
+FROM p, s
+"""

@@ -2629,6 +2629,26 @@ def _confusables_sql() -> str:
 _CONFUSABLES_SQL = _confusables_sql()
 
 
+def _confusable_dedup(spark, sf_dir):
+    """Skeleton-keyed vs plain-hash exact dedup over the corpus plus
+    a homoglyph-attacked repost of every third document: plain md5
+    sees distinct documents, the skeleton key collapses them —
+    evasions_caught counts exactly the attacked reposts. Only
+    16-byte hashes shuffle; text never leaves its scan."""
+    from .confusables import confusable_dedup_report
+
+    return confusable_dedup_report(_t(spark, sf_dir, "documents"))
+
+
+def _confusable_dedup_sql() -> str:
+    from .confusables import duck_confusable_dedup_sql
+
+    return duck_confusable_dedup_sql()
+
+
+_CONFUSABLE_DEDUP_SQL = _confusable_dedup_sql()
+
+
 def _pdf_attachments(spark, sf_dir):
     """Embedded-file harvesting (functions/pdfmeta.py): /Names
     /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
@@ -4580,6 +4600,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_confusable_skeleton": QueryDef(
         _confusable_skeleton, _CONFUSABLES_SQL
+    ),
+    "dedup_confusable_exact": QueryDef(
+        _confusable_dedup, _CONFUSABLE_DEDUP_SQL
     ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);

@@ -231,3 +231,44 @@ class TestConfusableSkeleton:
         assert fold["а"] == "a" and fold["о"] == "o"  # Cyrillic
         assert fold["Е"] == "E" and fold["Х"] == "X"
         assert fold["ο"] == "o" and fold["ν"] == "v"  # Greek
+
+    def test_skeleton_dedup_catches_evasions(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.confusables import (
+            confusable_dedup_report, duck_confusable_dedup_sql,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        got = confusable_dedup_report(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.sql(duck_confusable_dedup_sql()).df()
+        cols = sorted(got.columns)
+        assert (got[cols].to_numpy() == want[cols].to_numpy()).all()
+        row = got.iloc[0]
+        # the attacked reposts are invisible to plain hashing but
+        # collapse under the skeleton key — and nothing else changes
+        assert row.evasions_caught > 0
+        assert row.skeleton_distinct == row.plain_distinct \
+            - row.evasions_caught
+
+    def test_dedup_report_shuffles_hashes_never_text(self, spark):
+        from pdf_extractor_spark.functions.confusables import (
+            confusable_dedup_report,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        plan = (
+            confusable_dedup_report(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re as _re
+        keys = "".join(_re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan))
+        assert keys and "text#" not in keys
