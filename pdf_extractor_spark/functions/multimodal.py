@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.jpeg_markers import build_jpeg_header, jpeg_dimensions
 from ..operators.png_codec import PngError, png_decode, png_encode
 
 DECODE_SCHEMA = (
@@ -328,3 +329,72 @@ def audio_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
     return _partitioned_payloads(
         docs, num_partitions, fixture_audio
     ).mapInPandas(body, AUDIO_DECODE_SCHEMA)
+
+
+# ================================================= JPEG dimension sniff
+
+def fixture_jpeg(doc_id: int) -> bytes:
+    """Structurally-valid JPEG header bytes with schedule-determined
+    frame dimensions (operators/jpeg_markers.py): every seventh doc
+    grayscale, every fourth progressive (SOF2), every ninth TRUNCATED
+    before the SOF (crawl-cut image); all carry the APP1 Exif trap
+    whose payload embeds a fake 16x16 thumbnail SOF."""
+    return build_jpeg_header(
+        width=160 + (doc_id % 40) * 8,
+        height=90 + (doc_id % 25) * 6,
+        components=1 if doc_id % 7 == 0 else 3,
+        progressive=doc_id % 4 == 1,
+        truncate=doc_id % 9 == 8,
+    )
+
+
+JPEG_DIMS_SCHEMA = (
+    "doc_id long, width int, height int, components int, "
+    "progressive boolean, readable boolean"
+)
+
+
+def jpeg_dims_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "components": [], "progressive": [], "readable": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, c, prog, ok = jpeg_dimensions(bytes(payload))
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["components"].append(c)
+            rows["progressive"].append(prog)
+            rows["readable"].append(ok)
+        yield pd.DataFrame(rows)
+
+
+def jpeg_dims(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """(doc_id, width, height, components, progressive, readable) —
+    the size-filter pass an image pipeline runs BEFORE paying for
+    fetch+full-decode: marker-length walk only (ITU-T T.81 §B), no
+    entropy decode; an Exif payload embedding a thumbnail's own SOF
+    cannot fool it (a byte-pattern scan would report 16x16)."""
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_jpeg
+    ).mapInPandas(jpeg_dims_pandas, JPEG_DIMS_SCHEMA)
+
+
+def duck_jpeg_dims_sql(source: str = "documents") -> str:
+    """Closed-form twin of the synthesis schedule."""
+    return f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 9 = 8 THEN -1
+       ELSE 160 + (doc_id % 40) * 8 END AS width,
+  CASE WHEN doc_id % 9 = 8 THEN -1
+       ELSE 90 + (doc_id % 25) * 6 END AS height,
+  CASE WHEN doc_id % 9 = 8 THEN -1
+       WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS components,
+  (doc_id % 9 <> 8 AND doc_id % 4 = 1) AS progressive,
+  doc_id % 9 <> 8 AS readable
+FROM {source}
+"""

@@ -2649,6 +2649,27 @@ def _confusable_dedup_sql() -> str:
 _CONFUSABLE_DEDUP_SQL = _confusable_dedup_sql()
 
 
+def _jpeg_dims(spark, sf_dir):
+    """JPEG dimension sniff (functions/multimodal.py + operators/
+    jpeg_markers.py): marker-length walk per ITU-T T.81 §B — the
+    size filter an image pipeline runs before paying for
+    fetch+decode. Exif payloads embedding a thumbnail's own SOF
+    cannot fool it; crawl-truncated streams come back readable=False
+    with -1 dims, never garbage."""
+    from .multimodal import jpeg_dims
+
+    return jpeg_dims(_t(spark, sf_dir, "documents"))
+
+
+def _jpeg_dims_sql() -> str:
+    from .multimodal import duck_jpeg_dims_sql
+
+    return duck_jpeg_dims_sql()
+
+
+_JPEG_DIMS_SQL = _jpeg_dims_sql()
+
+
 def _pdf_attachments(spark, sf_dir):
     """Embedded-file harvesting (functions/pdfmeta.py): /Names
     /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
@@ -4604,6 +4625,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_confusable_exact": QueryDef(
         _confusable_dedup, _CONFUSABLE_DEDUP_SQL
     ),
+    "multimodal_jpeg_dims": QueryDef(_jpeg_dims, _JPEG_DIMS_SQL),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by
