@@ -63,6 +63,11 @@ def fixture_image(doc_id: int) -> bytes:
     y = np.arange(h, dtype=np.int32)[:, None, None]
     ch = np.arange(c, dtype=np.int32)[None, None, :]
     pixels = (x + 2 * y + 3 * ch + k).astype(np.uint8)
+    if doc_id % 5 == 4:
+        # every fifth image ships Adam7-interlaced — same pixel
+        # values, so every measured-stat oracle is untouched while
+        # the de-interlace path runs under the driver gate
+        return png_encode(pixels, interlace=True)
     filters = [(doc_id + row) % 5 for row in range(h)]
     return png_encode(pixels, row_filters=filters)
 

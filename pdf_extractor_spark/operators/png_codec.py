@@ -9,10 +9,13 @@ repo already masters harder codecs (LZW, Flate predictors) in
 Scope (everything a deterministic training-pipeline fixture needs,
 rejected loudly otherwise):
 
-* bit depth 8; color types 0 (grayscale), 2 (RGB), 6 (RGBA)
+* bit depth 8; color types 0 (grayscale), 2 (RGB), 3 (palette,
+  PLTE required, resolved to RGB), 6 (RGBA)
 * all five scanline filters (None/Sub/Up/Average/Paeth, spec §6)
 * single IDAT or multiple IDAT chunks; CRC-32 verified per chunk
-* no interlace (Adam7 rejected), no palette, no 16-bit
+* Adam7 interlace (spec §8.2): per-pass filtered scanline blocks
+  de-interlaced by the pass grid; encoder can emit it too
+* no 16-bit, no sub-byte palette depths
 
 The encoder exists for fixture generation and tests; rows can carry a
 caller-chosen filter type so every decoder branch is exercised.
@@ -31,9 +34,15 @@ import numpy as np
 
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel
-_CHANNELS = {0: 1, 2: 3, 6: 4}
+# color type -> samples per pixel (3 = palette: one index per pixel)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 _COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 class PngError(ValueError):
@@ -141,13 +150,15 @@ def _unfilter_row(
 
 
 def png_encode(
-    pixels: np.ndarray, row_filters: list[int] | None = None
+    pixels: np.ndarray, row_filters: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """uint8 array (H, W) or (H, W, C) with C ∈ {1, 3, 4} → PNG bytes.
 
-    ``row_filters`` pins the per-row filter type (len H, values 0-4);
-    default None filters (type 0) keep the output byte-deterministic.
-    """
+    ``row_filters`` pins the per-row filter type (len H, values 0-4;
+    sequential layout only); default None filters (type 0) keep the
+    output byte-deterministic. ``interlace=True`` writes the Adam7
+    pass layout (spec §8.2)."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     if pixels.dtype != np.uint8:
@@ -155,33 +166,94 @@ def png_encode(
     h, w, c = pixels.shape
     if c not in _COLOR_TYPE:
         raise PngError(f"unsupported channel count {c}")
-    bpp = c  # bit depth 8: bytes per pixel == channels
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
-    prev = np.zeros(w * c, dtype=np.uint8)
-    lines = bytearray()
-    for y in range(h):
-        raw = pixels[y].reshape(-1)
-        ftype = row_filters[y] if row_filters is not None else 0
-        lines.append(ftype)
-        lines += _filter_row(ftype, raw, prev, bpp).tobytes()
-        prev = raw
-    idat = zlib.compress(bytes(lines), 6)
+    if interlace and row_filters is not None:
+        raise PngError("row_filters applies to sequential layout only")
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0,
+        1 if interlace else 0,
+    )
+    body = _serialize_scanlines(pixels, c, interlace, row_filters)
     return (
         SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", idat)
+        + _chunk(b"IDAT", zlib.compress(body, 6))
         + _chunk(b"IEND", b"")
     )
 
 
+def png_encode_palette(
+    indices: np.ndarray, palette: np.ndarray,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W) uint8 index array + (N, 3) uint8 palette → color-type-3
+    PNG with a PLTE chunk."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise PngError("palette encoder expects uint8 (H, W) indices")
+    if palette.ndim != 2 or palette.shape[1] != 3:
+        raise PngError("palette must be (N, 3)")
+    if int(indices.max(initial=0)) >= palette.shape[0]:
+        raise PngError("index exceeds palette size")
+    h, w = indices.shape
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0
+    )
+    body = _serialize_scanlines(indices[:, :, None], 1, interlace)
+    return (
+        SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _chunk(b"IDAT", zlib.compress(body, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _pass_dims(w: int, h: int, p: tuple[int, int, int, int]):
+    x0, y0, dx, dy = p
+    return (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
+
+
+def _serialize_scanlines(
+    pixels: np.ndarray, c: int, interlace: bool,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Filtered scanline serialization for the encoder: sequential,
+    or Adam7 pass blocks (each pass filters independently — the
+    previous row resets at every pass boundary, spec §8.2)."""
+    h, w = pixels.shape[:2]
+    lines = bytearray()
+
+    def emit(block: np.ndarray, filters: list[int] | None) -> None:
+        bh, bw = block.shape[:2]
+        if bh == 0 or bw == 0:
+            return
+        prev = np.zeros(bw * c, dtype=np.uint8)
+        for y in range(bh):
+            raw = block[y].reshape(-1)
+            ftype = filters[y] if filters is not None else 0
+            lines.append(ftype)
+            lines.extend(_filter_row(ftype, raw, prev, c).tobytes())
+            prev = raw
+
+    if not interlace:
+        emit(pixels, row_filters)
+    else:
+        for p in _ADAM7:
+            x0, y0, dx, dy = p
+            emit(pixels[y0::dy, x0::dx], None)
+    return bytes(lines)
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array (H, W, C). Raises :class:`PngError` on
-    anything malformed or outside the supported subset."""
+    """PNG bytes → uint8 array (H, W, C). Palette images come back
+    resolved to RGB; Adam7 streams de-interlaced. Raises
+    :class:`PngError` on anything malformed or outside the supported
+    subset."""
     if data[:8] != SIGNATURE:
         raise PngError("not a PNG (bad signature)")
     pos = 8
     ihdr: tuple | None = None
     idat = bytearray()
+    plte: np.ndarray | None = None
     seen_iend = False
     while pos < len(data):
         if pos + 8 > len(data):
@@ -200,6 +272,10 @@ def png_decode(data: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat += body
+        elif tag == b"PLTE":
+            if length % 3 != 0 or length == 0:
+                raise PngError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IEND":
             seen_iend = True
             break
@@ -216,28 +292,67 @@ def png_decode(data: bytes) -> np.ndarray:
         raise PngError(f"unsupported color type {ctype}")
     if comp != 0 or filt != 0:
         raise PngError("unsupported compression/filter method")
-    if interlace != 0:
-        raise PngError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
     if w == 0 or h == 0:
         raise PngError("zero-dimension image")
+    if ctype == 3 and plte is None:
+        raise PngError("palette image without PLTE")
     c = _CHANNELS[ctype]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise PngError(f"IDAT inflate failed: {exc}") from exc
-    stride = w * c
-    if len(raw) != h * (stride + 1):
-        raise PngError(
-            f"decoded length {len(raw)} != expected {h * (stride + 1)}"
-        )
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        rowstart = y * (stride + 1)
-        ftype = raw[rowstart]
-        filt_row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=rowstart + 1
-        )
-        prev = _unfilter_row(ftype, filt_row, prev, c)
-        out[y] = prev
-    return out.reshape(h, w, c)
+
+    def unfilter_block(
+        buf: memoryview, bh: int, bw: int
+    ) -> np.ndarray:
+        stride = bw * c
+        out = np.zeros((bh, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(bh):
+            rowstart = y * (stride + 1)
+            ftype = buf[rowstart]
+            filt_row = np.frombuffer(
+                buf, dtype=np.uint8, count=stride,
+                offset=rowstart + 1,
+            )
+            prev = _unfilter_row(ftype, filt_row, prev, c)
+            out[y] = prev
+        return out.reshape(bh, bw, c)
+
+    if interlace == 0:
+        stride = w * c
+        if len(raw) != h * (stride + 1):
+            raise PngError(
+                f"decoded length {len(raw)} != "
+                f"expected {h * (stride + 1)}"
+            )
+        out = unfilter_block(memoryview(raw), h, w)
+    else:
+        # Adam7 (§8.2): per-pass filtered blocks, previous row
+        # resets at each pass; pixels scatter back by the pass grid
+        out = np.zeros((h, w, c), dtype=np.uint8)
+        off = 0
+        mv = memoryview(raw)
+        for x0, y0, dx, dy in _ADAM7:
+            pw, ph = _pass_dims(w, h, (x0, y0, dx, dy))
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * c + 1)
+            if off + need > len(raw):
+                raise PngError("truncated interlaced pass data")
+            out[y0::dy, x0::dx] = unfilter_block(
+                mv[off:off + need], ph, pw
+            )
+            off += need
+        if off != len(raw):
+            raise PngError(
+                f"interlaced data length {len(raw)} != expected {off}"
+            )
+    if ctype == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise PngError("palette index out of range")
+        return plte[idx]
+    return out

@@ -148,16 +148,26 @@ class TestRejection:
         with pytest.raises(PngError):
             png_decode(data[: len(data) // 2])
 
-    def test_interlace_rejected(self):
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
-        data = (
+    def test_interlaced_roundtrip_and_truncated_pass(self):
+        # Adam7 is SUPPORTED now: roundtrip, plus a truncated pass
+        # block must fail loudly, not scatter garbage
+        import numpy as np
+
+        from pdf_extractor_spark.operators.png_codec import png_encode
+
+        px = np.arange(9 * 10 * 3, dtype=np.uint8).reshape(9, 10, 3)
+        data = png_encode(px, interlace=True)
+        assert (png_decode(data) == px).all()
+        # unknown interlace method still rejected
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)
+        bad = (
             SIGNATURE
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes([0, 1])))
             + _chunk(b"IEND", b"")
         )
         with pytest.raises(PngError, match="interlace"):
-            png_decode(data)
+            png_decode(bad)
 
     def test_16bit_rejected(self):
         ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
@@ -170,7 +180,19 @@ class TestRejection:
         with pytest.raises(PngError, match="bit depth"):
             png_decode(data)
 
-    def test_palette_rejected(self):
+    def test_palette_roundtrip_and_missing_plte(self):
+        # palette images are SUPPORTED now, resolved to RGB; a
+        # color-type-3 stream WITHOUT its PLTE must fail loudly
+        import numpy as np
+
+        from pdf_extractor_spark.operators.png_codec import (
+            png_encode_palette,
+        )
+
+        pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+        idx = (np.arange(30, dtype=np.uint8) % 16).reshape(5, 6)
+        assert (png_decode(png_encode_palette(idx, pal))
+                == pal[idx]).all()
         ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
         data = (
             SIGNATURE
@@ -178,8 +200,31 @@ class TestRejection:
             + _chunk(b"IDAT", zlib.compress(bytes([0, 0])))
             + _chunk(b"IEND", b"")
         )
-        with pytest.raises(PngError, match="color type"):
+        with pytest.raises(PngError, match="PLTE"):
             png_decode(data)
+
+    def test_palette_index_out_of_range_rejected(self):
+        import numpy as np
+
+        from pdf_extractor_spark.operators.png_codec import (
+            png_encode_palette,
+        )
+
+        pal = np.zeros((4, 3), dtype=np.uint8)
+        idx = np.zeros((2, 2), dtype=np.uint8)
+        good = png_encode_palette(idx, pal)
+        # a 2-entry palette with a spliced index of 3 must reject
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        data = (
+            SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", bytes(6))  # 2 entries
+            + _chunk(b"IDAT", zlib.compress(bytes([0, 3])))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngError, match="index"):
+            png_decode(data)
+        assert good  # the well-formed stream above still decodes
 
     def test_wrong_payload_length_detected(self):
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
