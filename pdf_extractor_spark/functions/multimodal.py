@@ -40,6 +40,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.image_sniff import (
+    build_gif_header,
+    build_webp_header,
+    sniff_image,
+)
 from ..operators.jpeg_markers import build_jpeg_header, jpeg_dimensions
 from ..operators.png_codec import PngError, png_decode, png_encode
 
@@ -401,5 +406,83 @@ SELECT doc_id,
        WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS components,
   (doc_id % 9 <> 8 AND doc_id % 4 = 1) AS progressive,
   doc_id % 9 <> 8 AS readable
+FROM {source}
+"""
+
+
+# ============================================== mixed-format sniffing
+
+def fixture_mixed_image(doc_id: int) -> bytes:
+    """Schedule-rotated mixed image payloads: jpeg / png / gif /
+    webp-vp8 / webp-vp8l / webp-vp8x / unknown bytes, dims from the
+    doc_id so the oracle is closed-form."""
+    w = 100 + (doc_id % 50) * 4
+    h = 60 + (doc_id % 30) * 5
+    k = doc_id % 7
+    if k == 0:
+        return build_jpeg_header(w, h)
+    if k == 1:
+        px = np.zeros((2, 2), dtype=np.uint8)
+        data = png_encode(px)
+        # real IHDR, fixture-size pixels would be wasteful: patch the
+        # header dims (the sniffer reads IHDR only, never the IDAT)
+        import struct as _struct
+        patched = bytearray(data)
+        patched[16:24] = _struct.pack(">II", w, h)
+        import zlib as _zlib
+        crc = _zlib.crc32(bytes(patched[12:29])) & 0xFFFFFFFF
+        patched[29:33] = _struct.pack(">I", crc)
+        return bytes(patched)
+    if k == 2:
+        return build_gif_header(w, h)
+    if k == 3:
+        return build_webp_header(w, h, "vp8")
+    if k == 4:
+        return build_webp_header(w, h, "vp8l")
+    if k == 5:
+        return build_webp_header(w, h, "vp8x")
+    return b"BM\x00garbage-not-an-image" + bytes([doc_id % 251])
+
+
+SNIFF_SCHEMA = "doc_id long, format string, width int, height int"
+
+
+def image_sniff_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "format": [], "width": [], "height": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            fmt, w, h = sniff_image(bytes(payload))
+            rows["doc_id"].append(int(doc_id))
+            rows["format"].append(fmt)
+            rows["width"].append(w)
+            rows["height"].append(h)
+        yield pd.DataFrame(rows)
+
+
+def image_sniff(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """(doc_id, format, width, height) — magic-number routing + per-
+    format header dims over a MIXED payload column: the first pass an
+    image pipeline runs to size-filter and format-route a crawl
+    before any decode. Unknown bytes come back ('unknown', -1, -1)."""
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_mixed_image
+    ).mapInPandas(image_sniff_pandas, SNIFF_SCHEMA)
+
+
+def duck_image_sniff_sql(source: str = "documents") -> str:
+    """Closed-form twin of the rotation schedule."""
+    return f"""
+SELECT doc_id,
+  CASE doc_id % 7 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+       WHEN 2 THEN 'gif' WHEN 3 THEN 'webp' WHEN 4 THEN 'webp'
+       WHEN 5 THEN 'webp' ELSE 'unknown' END AS format,
+  CASE WHEN doc_id % 7 = 6 THEN -1
+       ELSE 100 + (doc_id % 50) * 4 END AS width,
+  CASE WHEN doc_id % 7 = 6 THEN -1
+       ELSE 60 + (doc_id % 30) * 5 END AS height
 FROM {source}
 """

@@ -2670,6 +2670,26 @@ def _jpeg_dims_sql() -> str:
 _JPEG_DIMS_SQL = _jpeg_dims_sql()
 
 
+def _image_sniff(spark, sf_dir):
+    """Mixed-format image sniffing (operators/image_sniff.py): magic-
+    number routing + per-format header dims (GIF logical screen, PNG
+    IHDR, WebP RIFF VP8/VP8L/VP8X bit layouts, JPEG marker walk) over
+    a mixed payload column — the format-route-and-size-filter pass an
+    image pipeline runs before any decode; unknown bytes fail closed."""
+    from .multimodal import image_sniff
+
+    return image_sniff(_t(spark, sf_dir, "documents"))
+
+
+def _image_sniff_sql() -> str:
+    from .multimodal import duck_image_sniff_sql
+
+    return duck_image_sniff_sql()
+
+
+_IMAGE_SNIFF_SQL = _image_sniff_sql()
+
+
 def _pdf_attachments(spark, sf_dir):
     """Embedded-file harvesting (functions/pdfmeta.py): /Names
     /EmbeddedFiles name trees (§7.9.6 — flat leaves AND the
@@ -4626,6 +4646,9 @@ CATALOG: dict[str, QueryDef] = {
         _confusable_dedup, _CONFUSABLE_DEDUP_SQL
     ),
     "multimodal_jpeg_dims": QueryDef(_jpeg_dims, _JPEG_DIMS_SQL),
+    "multimodal_image_sniff": QueryDef(
+        _image_sniff, _IMAGE_SNIFF_SQL
+    ),
     # dedup_lsh_pair_count displaced past the window edge by
     # corpus_pdf_metadata (never driver-checked outranks r2-green);
     # its candidate machinery stays covered in-window by

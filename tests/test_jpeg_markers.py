@@ -64,3 +64,59 @@ class TestSparkOracle:
         assert (gs.to_numpy() == ws.to_numpy()).all()
         # truncated docs exist and fail closed
         assert (~got[got.doc_id % 9 == 8].readable).all()
+
+
+class TestImageSniff:
+    def test_format_routing_and_dims(self):
+        import numpy as np
+
+        from pdf_extractor_spark.operators.image_sniff import (
+            build_gif_header, build_webp_header, sniff_image,
+        )
+        from pdf_extractor_spark.operators.png_codec import png_encode
+
+        assert sniff_image(build_gif_header(320, 200)) == (
+            "gif", 320, 200)
+        px = np.zeros((7, 9, 3), dtype=np.uint8)
+        assert sniff_image(png_encode(px)) == ("png", 9, 7)
+        for kind in ("vp8", "vp8l", "vp8x"):
+            assert sniff_image(build_webp_header(641, 479, kind)) == (
+                "webp", 641, 479), kind
+        assert sniff_image(build_jpeg_header(200, 100)) == (
+            "jpeg", 200, 100)
+
+    def test_unknown_and_truncated_fail_closed(self):
+        from pdf_extractor_spark.operators.image_sniff import (
+            build_gif_header, build_webp_header, sniff_image,
+        )
+
+        assert sniff_image(b"BM\x00bitmapish") == ("unknown", -1, -1)
+        assert sniff_image(b"") == ("unknown", -1, -1)
+        assert sniff_image(build_gif_header(10, 10)[:7]) == (
+            "gif", -1, -1)
+        # a VP8 stream without its start code is corrupt, not 0x0
+        bad = bytearray(build_webp_header(100, 100, "vp8"))
+        bad[23] = 0x00
+        assert sniff_image(bytes(bad)) == ("webp", -1, -1)
+
+    def test_sniff_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from pdf_extractor_spark.functions.multimodal import (
+            duck_image_sniff_sql, image_sniff,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = image_sniff(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(duck_image_sniff_sql()).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        assert (gs.to_numpy() == ws.to_numpy()).all()
+        assert set(got.format.unique()) == {
+            "jpeg", "png", "gif", "webp", "unknown"}
