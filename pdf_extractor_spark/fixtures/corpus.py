@@ -1211,6 +1211,28 @@ def _html_legacy_raw() -> bytes:
     ).encode()
 
 
+def _html_embed_fallbacks() -> bytes:
+    """Legacy embed/frame fallbacks (WHATWG raw-text elements): the
+    content of <noembed> and <noframes> shows only when embeds or
+    frames are UNSUPPORTED — never in a modern consumer — and is raw
+    text, so markup-lookalike bytes inside must not disturb the tag
+    structure. <iframe> fallback children are equally invisible."""
+    return (
+        "<html><body>"
+        "<p>The opening paragraph carries honest article text that "
+        "survives every embed fallback below it.</p>"
+        "<iframe src='/player'><p>Your browser does not support "
+        "frames, iframe fallback junk.</p></iframe>"
+        "<noembed><p>install the plugin</p> noembed junk with "
+        "<b>markup-lookalike</b> payload</noembed>"
+        "<noframes>frameset era junk <div>still junk</div> that "
+        "only Netscape 2 ever displayed</noframes>"
+        "<p>The closing paragraph after the fallbacks extracts "
+        "normally, proving the skips stayed local.</p>"
+        "</body></html>"
+    ).encode()
+
+
 def _html_foreign_embed() -> bytes:
     """Foreign content and embed containers: SVG label text, iframe
     srcdoc payloads and object fallback chrome never leak; MathML
@@ -1434,6 +1456,7 @@ _HTML_CASES = {
     "html-form-controls": _html_form_controls,
     "html-surrogate-charrefs": _html_surrogate_charrefs,
     "html-downlevel-revealed": _html_downlevel_revealed,
+    "html-embed-fallbacks": _html_embed_fallbacks,
 }
 
 _CASE_LANG = {
@@ -1482,6 +1505,7 @@ _CASE_LANG = {
     "html-form-controls": "en",
     "html-surrogate-charrefs": "en",
     "html-downlevel-revealed": "en",
+    "html-embed-fallbacks": "en",
 }
 
 

@@ -168,6 +168,9 @@ _SKIP_TAGS = {
     # chrome (option lists, button labels, svg <text>), never content
     "select", "option", "optgroup", "datalist", "button", "textarea",
     "svg", "canvas", "map", "audio", "video", "iframe", "object",
+    # legacy raw-text fallbacks (WHATWG): shown only when embeds/
+    # frames are unsupported — never in a modern consumer
+    "noembed", "noframes",
     # ruby annotations: the reading (<rt>) and its fallback parens
     # (<rp>) must not interleave with the base text ("東京とうきょう")
     # — the furigana-duplication corruption a JP corpus pipeline
@@ -269,8 +272,13 @@ class _BlockParser(HTMLParser):
     # content flows to handle_data unparsed, charrefs NOT decoded
     # (also per spec for raw text). script/style keep their existing
     # skip behavior; xmp/plaintext are _BLOCK_TAGS so their literal
-    # content is kept as a block.
-    CDATA_CONTENT_ELEMENTS = ("script", "style", "xmp", "plaintext")
+    # content is kept as a block; noembed/noframes are raw text AND
+    # skipped (their fallback shows only when embeds/frames are
+    # unsupported), with cdata mode guaranteeing a markup-lookalike
+    # payload inside them can never disturb the tag structure.
+    CDATA_CONTENT_ELEMENTS = (
+        "script", "style", "xmp", "plaintext", "noembed", "noframes",
+    )
 
     def set_cdata_mode(self, elem):
         super().set_cdata_mode(elem)
