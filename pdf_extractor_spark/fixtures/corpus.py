@@ -1381,6 +1381,49 @@ def _html_downlevel_revealed() -> bytes:
     ).encode()
 
 
+def _html_hidden_content() -> bytes:
+    """CSS-suppressed content (the SEO-stuffing / collapsed-UI
+    channel): inline ``display:none`` (any case/spacing/!important),
+    the ``hidden`` boolean attribute (value ignored — hidden="false"
+    still hides), and ``visibility:hidden`` must never reach the text
+    layer. Three traps: the [hidden] UA rule loses to an inline
+    ``style="display:block"`` (that paragraph IS visible); visibility
+    INHERITS and a ``visibility:visible`` descendant re-renders inside
+    a hidden parent; and ``display:none`` as a substring of an
+    unrelated attribute or property value hides nothing."""
+    return (
+        "<html><body>"
+        "<p>Keyword stuffing hides behind stylesheet suppression on "
+        "real crawl pages, and an extractor that reads raw markup "
+        "order inhales paragraphs no human ever saw rendered.</p>"
+        "<div style='display:none'><p>stuffed invisible keywords "
+        "casino pharmacy replica that must never extract</p></div>"
+        "<p hidden>collapsed accordion body text that a scriptless "
+        "consumer never renders and must therefore never keep</p>"
+        "<p hidden='false'>boolean attribute semantics: a false "
+        "value still hides per the WHATWG attribute rules</p>"
+        "<p hidden style='display:block'>The inline display override "
+        "beats the hidden attribute's UA rule, so this paragraph is "
+        "genuinely visible content and must extract in place.</p>"
+        "<div style='visibility:hidden'>invisible wrapper prose "
+        "<span style='visibility:visible'>except this revealed "
+        "span, which renders because visibility inherits and a "
+        "descendant may override it back on</span> trailing "
+        "invisible tail</div>"
+        "<span style=' DISPLAY : NONE !important '>case and "
+        "whitespace games do not smuggle hidden spans through</span>"
+        "<p data-note='display:none'>A display:none substring inside "
+        "an unrelated attribute hides nothing, and this decoy "
+        "paragraph stays visible to prove the attribute gate.</p>"
+        "<p style='background:url(display:none.png)'>A property "
+        "value containing the magic words is equally inert — only a "
+        "real display declaration counts against rendering.</p>"
+        "<p>The closing visible paragraph extracts with stable "
+        "offsets on the far side of every suppressed subtree.</p>"
+        "</body></html>"
+    ).encode()
+
+
 _PDF_CASES = {
     "pdf-single-col": _pdf_single_col,
     "pdf-two-col": _pdf_two_col,
@@ -1457,6 +1500,7 @@ _HTML_CASES = {
     "html-surrogate-charrefs": _html_surrogate_charrefs,
     "html-downlevel-revealed": _html_downlevel_revealed,
     "html-embed-fallbacks": _html_embed_fallbacks,
+    "html-hidden-content": _html_hidden_content,
 }
 
 _CASE_LANG = {
@@ -1506,6 +1550,7 @@ _CASE_LANG = {
     "html-surrogate-charrefs": "en",
     "html-downlevel-revealed": "en",
     "html-embed-fallbacks": "en",
+    "html-hidden-content": "en",
 }
 
 

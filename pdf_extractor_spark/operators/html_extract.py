@@ -212,6 +212,38 @@ def _attrs_hint_bad(attrs: list[tuple[str, str | None]]) -> bool:
     return False
 
 
+# Void elements (WHATWG §13.1.2): no content, no end tag — excluded
+# from hide-state tracking (nothing to suppress, and an entry pushed
+# for them would never pop).
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+_IMPORTANT_RE = re.compile(r"\s*!\s*important\s*$")
+
+
+def _style_display_visibility(
+    style: str,
+) -> tuple[str | None, str | None]:
+    """The ``display`` / ``visibility`` values an inline ``style``
+    attribute sets (lowercased, ``!important`` stripped), or None per
+    property when unset. Last declaration wins, per CSS. A naive
+    ``display:none`` substring test would false-positive on values
+    like ``background:url("display:none.png")`` — splitting into
+    declarations first keeps property names honest."""
+    disp = vis = None
+    for decl in style.split(";"):
+        prop, sep, val = decl.partition(":")
+        if not sep:
+            continue
+        p = prop.strip().lower()
+        if p == "display":
+            disp = _IMPORTANT_RE.sub("", val.strip().lower())
+        elif p == "visibility":
+            vis = _IMPORTANT_RE.sub("", val.strip().lower())
+    return disp, vis
+
+
 # Implied end tags (HTML5 tree construction, the cases that matter
 # for counter hygiene): browsers auto-close these, html.parser does
 # not, and real markup routinely omits the end tags. Every block
@@ -321,6 +353,23 @@ class _BlockParser(HTMLParser):
         # that real (often unclosed) markup produces better than one
         # global element stack
         self._hint_stacks: dict[str, list[bool]] = {}
+        # hidden-content state (CSS-rendering suppression, the SEO-
+        # stuffing / collapsed-UI channel): _disp_hidden counts open
+        # elements whose subtree does not render (inline
+        # display:none, or the `hidden` attribute unless inline style
+        # overrides display — the [hidden] UA rule loses to inline
+        # style per cascade origin). _visible models CSS
+        # `visibility`, which INHERITS and is descendant-overridable
+        # (visibility:hidden parent, visibility:visible child →
+        # child renders), so each element that sets it records the
+        # state to restore. Per-NAME stacks, same survival rationale
+        # as _hint_stacks; entry None = element set nothing (pushed
+        # for balance so implied/real end tags pop their own element)
+        self._hide_stacks: dict[
+            str, list[tuple[bool, bool | None] | None]
+        ] = {}
+        self._disp_hidden = 0
+        self._visible = True
 
     def _flush(self) -> None:
         raw = _INVISIBLE_RE.sub("", "".join(self._buf))
@@ -342,6 +391,49 @@ class _BlockParser(HTMLParser):
         if self._skip_counts.get(tag, 0) > 0:
             self._skip_counts[tag] -= 1
             self._skip_depth = max(0, self._skip_depth - 1)
+
+    def _push_hide(self, tag: str, attrs) -> None:
+        """Record this element's rendering-suppression contribution.
+        Every tracked element pushes (None when it sets nothing) so
+        its end tag pops exactly itself. Skip tags are NOT tracked:
+        their text is gated regardless, and their implied closes run
+        through :meth:`_close_skip`, which bypasses ``handle_endtag``
+        and would leak entries."""
+        hid_attr = False
+        disp = vis = None
+        for k, v in attrs:
+            if k == "hidden":
+                # WHATWG boolean attribute: presence wins, value
+                # ignored (hidden="false" still hides; until-found
+                # does not paint either)
+                hid_attr = True
+            elif k == "style" and v:
+                disp, vis = _style_display_visibility(v)
+        hides = disp == "none" or (hid_attr and disp is None)
+        prev_vis = None
+        if vis is not None:
+            prev_vis = self._visible
+            # visibility:collapse behaves as hidden outside tables
+            self._visible = vis not in ("hidden", "collapse")
+        if hides:
+            self._disp_hidden += 1
+        self._hide_stacks.setdefault(tag, []).append(
+            (hides, prev_vis) if (hides or prev_vis is not None)
+            else None
+        )
+
+    def _pop_hide(self, tag: str) -> None:
+        st = self._hide_stacks.get(tag)
+        if not st:
+            return
+        entry = st.pop()
+        if entry is None:
+            return
+        hides, prev_vis = entry
+        if hides:
+            self._disp_hidden = max(0, self._disp_hidden - 1)
+        if prev_vis is not None:
+            self._visible = prev_vis
 
     def handle_starttag(self, tag, attrs):
         # head directives are harvested even though <head> is a skip
@@ -438,6 +530,9 @@ class _BlockParser(HTMLParser):
                 if self._hint_stacks.get(t):
                     self.handle_endtag(t)
             self._flush()
+            # push AFTER the implied ends — they pop their own
+            # elements' entries, not this one's
+            self._push_hide(tag, attrs)
             hinted = tag not in _BAD_CONTEXT_TAGS and _attrs_hint_bad(
                 attrs
             )
@@ -446,6 +541,11 @@ class _BlockParser(HTMLParser):
             self._hint_stacks.setdefault(tag, []).append(hinted)
             if tag in _HEADING_TAGS:
                 self._heading_depth += 1
+        elif tag not in _VOID_TAGS:
+            # phrasing elements (span, a, em, …) carry hidden state
+            # too — real SEO stuffing hides in <span style=
+            # "display:none"> as readily as in a div
+            self._push_hide(tag, attrs)
         # images are harvested even inside <noscript> — lazy-loading
         # galleries put the REAL <img> fallback there, and a non-JS
         # consumer parses noscript children as content (WHATWG);
@@ -500,6 +600,7 @@ class _BlockParser(HTMLParser):
         for t in _SKIP_CLEARED_BY_END.get(tag, ()):
             while self._skip_counts.get(t, 0):
                 self._close_skip(t)
+        self._pop_hide(tag)
         if tag == "script" and self._ldjson_buf is not None:
             self.ldjson.append("".join(self._ldjson_buf))
             self._ldjson_buf = None
@@ -538,6 +639,15 @@ class _BlockParser(HTMLParser):
             self._ldjson_buf.append(data)
             return
         if self._skip_depth:
+            return
+        if self._disp_hidden or not self._visible:
+            # CSS-suppressed content never renders — not text. The
+            # element itself stays in the document: its anchors'
+            # hrefs and its images are still harvested (crawl
+            # frontiers follow hidden links; lazy-load carousels
+            # park real <img> in display:none slides), but a hidden
+            # anchor contributes no anchor TEXT — "no visible text"
+            # is itself the honest harvest for a hidden link
             return
         self._buf.append(data)
         if self._anchor_depth:

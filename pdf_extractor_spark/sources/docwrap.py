@@ -25,15 +25,35 @@ from ..operators.pdf_generator import PageSpec, build_pdf, text_advance
 ROUNDTRIP_SCHEMA = "doc_id long, extracted_text string"
 
 
-def _page_html(text: str, meta_charset: str | None = None) -> str:
+def _page_html(
+    text: str, meta_charset: str | None = None, hidden: int = 0,
+    doc_id: int = 0,
+) -> str:
     meta = (
         f"<meta charset='{meta_charset}'>" if meta_charset else ""
     )
+    # CSS-suppressed junk the extractor must drop (variant > 0):
+    # display:none stuffing before the content, a hidden-attribute
+    # panel plus a visibility:hidden span after it — page-unique
+    # payloads so a leak can never hash-collide into a pass
+    pre = post = ""
+    if hidden == 1:
+        pre = (
+            "<div style='display:none'><p>hidden stuffing "
+            f"{doc_id} that must never extract</p></div>"
+        )
+    elif hidden == 2:
+        post = (
+            f"<p hidden>collapsed panel {doc_id} text a scriptless "
+            "consumer never renders</p>"
+            f"<span style='visibility:hidden'>invisible tail "
+            f"{doc_id}</span>"
+        )
     return (
         f"<html><head>{meta}<title>doc</title></head><body>"
         "<nav><a href='/'>Home</a> <a href='/idx'>Index</a> "
         "<a href='/c'>Contact</a></nav>"
-        f"<p>{_html.escape(text)}</p>"
+        f"{pre}<p>{_html.escape(text)}</p>{post}"
         "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
         "</body></html>"
     )
@@ -49,15 +69,22 @@ def wrap_html_transport(text: str, doc_id: int) -> bytes:
     UTF-8, a captured HTTP response with a gzip content coding, a
     chunked HTTP response, UTF-16LE with a BOM plus a LYING in-
     document meta (the BOM must win, per WHATWG), and a bare gzip
-    transport wrapper (the mis-served Content-Encoding layout)."""
+    transport wrapper (the mis-served Content-Encoding layout).
+
+    A second, ORTHOGONAL rotation (``doc_id % 3``; all 15 combos
+    recur with period 15) plants CSS-suppressed junk the extractor
+    must drop — ``display:none`` stuffing, a ``hidden``-attribute
+    panel, a ``visibility:hidden`` span — keeping the oracle the
+    identity: hidden content never renders, so it never extracts."""
     import gzip as _gzip
 
+    page = _page_html(text, hidden=doc_id % 3, doc_id=doc_id)
     variant = doc_id % 5
     if variant == 1 or variant == 2:
         from .warc import http_response
 
         return http_response(
-            wrap_html(text),
+            page.encode("utf-8"),
             gzip_body=(variant == 1),
             chunked=(variant == 2),
         )
@@ -65,11 +92,12 @@ def wrap_html_transport(text: str, doc_id: int) -> bytes:
         import codecs
 
         return codecs.BOM_UTF16_LE + _page_html(
-            text, meta_charset="iso-8859-1"
+            text, meta_charset="iso-8859-1", hidden=doc_id % 3,
+            doc_id=doc_id,
         ).encode("utf-16-le")
     if variant == 4:
-        return _gzip.compress(wrap_html(text), mtime=0)
-    return wrap_html(text)
+        return _gzip.compress(page.encode("utf-8"), mtime=0)
+    return page.encode("utf-8")
 
 
 def wrap_pdf(text: str) -> bytes:

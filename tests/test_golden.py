@@ -96,6 +96,17 @@ def test_specific_behaviors_pinned():
     t = recs["html-short-blocks"]["extracted_text"]
     assert "Short but kept." in t and "Orphan short." not in t
 
+    t = recs["html-hidden-content"]["extracted_text"]
+    assert "stuffed invisible keywords" not in t       # display:none
+    assert "collapsed accordion" not in t              # hidden attr
+    assert "a false value still hides" not in t        # hidden='false'
+    assert "inline display override" in t              # style beats UA
+    assert "invisible wrapper prose" not in t          # visibility
+    assert "except this revealed span" in t            # descendant wins
+    assert "whitespace games" not in t                 # DISPLAY : NONE
+    assert "decoy paragraph stays visible" in t        # attr substring
+    assert "equally inert" in t                        # value substring
+
 
 def test_garbage_payload_flagged_not_silent():
     """U3 contract: a payload that is neither PDF nor markup must come
