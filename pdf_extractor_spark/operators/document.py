@@ -451,6 +451,7 @@ def extract_document(
         gz_note = None
         http_note = None
         transport_charset = None
+        content_coding = None
         if payload[:5] == b"HTTP/":
             # WARC-response-style payload: HTTP status line + headers
             # precede the body. Strip them (BEFORE gzip — a
@@ -473,6 +474,12 @@ def extract_document(
                     transport_charset = cm.group(1).decode(
                         "ascii", "replace"
                     )
+                ce = re.search(
+                    rb"(?im)^content-encoding:\s*([A-Za-z0-9-]+)",
+                    head,
+                )
+                if ce:
+                    content_coding = ce.group(1).lower().decode("ascii")
                 payload = payload[head_end + sep:]
                 if re.search(
                     rb"(?im)^transfer-encoding:[^\r\n]*chunked", head
@@ -503,6 +510,27 @@ def extract_document(
                     gz_note = ("truncated gzip transport wrapper: "
                                f"{len(partial)} bytes salvaged")
                 # else: not really gzip — grade the raw bytes
+        elif content_coding == "deflate":
+            # RFC 9110 deflate = zlib-wrapped DEFLATE, but legacy
+            # servers (old IIS) mis-serve the bare stream under the
+            # same header. No magic to route on — the header decides,
+            # and like browsers we try zlib framing first, then raw.
+            import zlib
+
+            for wbits in (15, -15):
+                try:
+                    payload = zlib.decompress(payload, wbits)
+                    gz_note = (
+                        "deflate content coding stripped"
+                        if wbits == 15
+                        else "raw-deflate content coding stripped "
+                             "(non-conformant server)"
+                    )
+                    break
+                except Exception:
+                    continue
+            # neither framing decodes → grade the raw bytes; the
+            # mojibake grading downstream flags the binary soup
         if payload[:5] == b"WARC/":
             # a whole WARC capture landed as the page payload (crawl
             # dumps do this): unwrap the first response record and

@@ -68,18 +68,21 @@ def wrap_html_transport(text: str, doc_id: int) -> bytes:
     actually arrive in — byte-identity must hold regardless: plain
     UTF-8, a captured HTTP response with a gzip content coding, a
     chunked HTTP response, UTF-16LE with a BOM plus a LYING in-
-    document meta (the BOM must win, per WHATWG), and a bare gzip
-    transport wrapper (the mis-served Content-Encoding layout).
+    document meta (the BOM must win, per WHATWG), a bare gzip
+    transport wrapper (the mis-served Content-Encoding layout), an
+    HTTP response with the RFC 9110 deflate coding (zlib-wrapped),
+    and one with the bare-DEFLATE stream legacy servers mis-serve
+    under the same ``Content-Encoding: deflate`` header.
 
-    A second, ORTHOGONAL rotation (``doc_id % 3``; all 15 combos
-    recur with period 15) plants CSS-suppressed junk the extractor
+    A second, ORTHOGONAL rotation (``doc_id % 3``; all 21 combos
+    recur with period 21) plants CSS-suppressed junk the extractor
     must drop — ``display:none`` stuffing, a ``hidden``-attribute
     panel, a ``visibility:hidden`` span — keeping the oracle the
     identity: hidden content never renders, so it never extracts."""
     import gzip as _gzip
 
     page = _page_html(text, hidden=doc_id % 3, doc_id=doc_id)
-    variant = doc_id % 5
+    variant = doc_id % 7
     if variant == 1 or variant == 2:
         from .warc import http_response
 
@@ -87,6 +90,14 @@ def wrap_html_transport(text: str, doc_id: int) -> bytes:
             page.encode("utf-8"),
             gzip_body=(variant == 1),
             chunked=(variant == 2),
+        )
+    if variant == 5 or variant == 6:
+        from .warc import http_response
+
+        return http_response(
+            page.encode("utf-8"),
+            deflate_body=("zlib" if variant == 5 else "raw"),
+            chunked=(variant == 6),
         )
     if variant == 3:
         import codecs

@@ -76,12 +76,28 @@ def _chunk(body: bytes, size: int = 100) -> bytes:
 
 def http_response(body: bytes, *, chunked: bool = False,
                   gzip_body: bool = False,
+                  deflate_body: str | None = None,
                   content_type: str = "text/html; charset=utf-8") -> bytes:
     """Captured-HTTP-response bytes as a crawler would store them.
     When both apply, gzip is the CONTENT coding and chunking the
-    TRANSFER coding, so the body is gzipped first, then chunked."""
+    TRANSFER coding, so the body is gzipped first, then chunked.
+
+    ``deflate_body``: ``"zlib"`` emits the RFC 9110 deflate coding
+    (zlib-wrapped, the spec's meaning); ``"raw"`` emits the bare
+    DEFLATE stream countless legacy servers (old IIS) mis-serve
+    under the same header — readers must accept both, like
+    browsers do."""
     headers = [b"HTTP/1.1 200 OK",
                b"Content-Type: " + content_type.encode()]
+    if deflate_body is not None:
+        import zlib as _zlib
+
+        if deflate_body == "raw":
+            c = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+            body = c.compress(body) + c.flush()
+        else:
+            body = _zlib.compress(body, 9)
+        headers.append(b"Content-Encoding: deflate")
     if gzip_body:
         body = gzip.compress(body, mtime=0)
         headers.append(b"Content-Encoding: gzip")

@@ -282,6 +282,82 @@ class TestKernelTransportCodings:
         rec = extract_document(payload)
         assert rec["extracted_text"] == self._text()
 
+    def test_deflate_zlib_content_coding(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.sources.docwrap import wrap_html
+        from pdf_extractor_spark.sources.warc import http_response
+
+        payload = http_response(
+            wrap_html(self._text()), deflate_body="zlib"
+        )
+        rec = extract_document(payload)
+        assert rec["extracted_text"] == self._text()
+        notes = [e["message"] for e in rec["errors"]]
+        assert any("deflate content coding" in n for n in notes)
+
+    def test_deflate_raw_legacy_server(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.sources.docwrap import wrap_html
+        from pdf_extractor_spark.sources.warc import http_response
+
+        # the old-IIS layout: bare DEFLATE under the deflate header
+        payload = http_response(
+            wrap_html(self._text()), deflate_body="raw"
+        )
+        rec = extract_document(payload)
+        assert rec["extracted_text"] == self._text()
+        notes = [e["message"] for e in rec["errors"]]
+        assert any("raw-deflate" in n for n in notes)
+
+    def test_deflate_plus_chunked_transfer(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.sources.docwrap import wrap_html
+        from pdf_extractor_spark.sources.warc import http_response
+
+        # transfer coding undone first, then the content coding
+        payload = http_response(
+            wrap_html(self._text()), deflate_body="raw", chunked=True
+        )
+        rec = extract_document(payload)
+        assert rec["extracted_text"] == self._text()
+
+    def test_deflate_garbage_body_degrades(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+
+        # header promises deflate, body decodes under neither
+        # framing: graded raw, never a raise
+        payload = (b"HTTP/1.1 200 OK\r\n"
+                   b"Content-Type: text/html\r\n"
+                   b"Content-Encoding: deflate\r\n"
+                   b"Content-Length: 9\r\n\r\n"
+                   b"\x1f\x00garbage")
+        rec = extract_document(payload)
+        assert isinstance(rec["extracted_text"], str)
+
+    def test_transport_rotation_all_variants_roundtrip(self):
+        from pdf_extractor_spark.operators.document import (
+            extract_document,
+        )
+        from pdf_extractor_spark.sources.docwrap import (
+            wrap_html_transport,
+        )
+
+        # one full period of the 7x3 rotation (21 doc_ids) — every
+        # container and hidden-junk combination must roundtrip
+        for doc_id in range(21):
+            rec = extract_document(
+                wrap_html_transport(self._text(), doc_id)
+            )
+            assert rec["extracted_text"] == self._text(), doc_id
+
     def test_malformed_chunk_framing_degrades(self):
         from pdf_extractor_spark.operators.document import _dechunk
 
