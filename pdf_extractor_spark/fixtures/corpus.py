@@ -481,6 +481,57 @@ def _pdf_mixed_direction() -> bytes:
     return build_pdf([p], predefined_cmap="UniJIS-UCS2-V")
 
 
+def _pdf_rtl_bidi() -> bytes:
+    """RTL (Hebrew/Arabic) pages are stored in VISUAL order — the
+    logically-first word at the largest x, each word's characters
+    reversed — because the writer laid the page out after bidi
+    reordering. The golden pins visual→logical recovery
+    (``operators/bidi.py``): full RTL-base lines reverse at unit
+    level with embedded Latin/digit islands kept LTR as blocks,
+    LTR-base lines reflect only their RTL runs, paired brackets
+    mirror, digits inside an RTL word stay LTR, and Arabic
+    presentation forms (the SHAPED glyphs writers embed,
+    U+FB50-FEFC) fold back to base letters. Each line below is the
+    byte-literal VISUAL layout; the golden holds the logical text."""
+    p = PageSpec()
+    # RTL-base: logical "שלום עולם HTML טוב מאוד היום"
+    # (Latin island HTML keeps LTR position semantics as a block)
+    p.put_words(
+        72, 100, 12,
+        ["םויה", "דואמ", "בוט", "HTML", "םלוע", "םולש"],
+    )
+    # LTR-base with one embedded RTL run: logical
+    # "the word ראשון שני appears in this sentence"
+    p.put_words(
+        72, 130, 12,
+        ["the", "word", "ינש", "ןושאר", "appears", "in", "this",
+         "sentence"],
+    )
+    # mirrored brackets: logical "before (שלום עולם) after the parens"
+    p.put_words(
+        72, 160, 12,
+        ["before", "(םלוע", "םולש)", "after", "the", "parens"],
+    )
+    # digits stay LTR inside an RTL word: logical "page דף123 has ..."
+    p.put_words(
+        72, 190, 12,
+        ["page", "123ףד", "has", "numbers", "kept", "inside"],
+    )
+    # Arabic presentation forms, visual order: logical
+    # "مرحبا بالعالم words keep their order"
+    p.put_words(
+        72, 220, 12,
+        ["ملاعلاب", "ﻣﺮﺣﺒﺎ"[::-1], "words", "keep", "their", "order"],
+    )
+    # neutral (punctuation-only) box between two RTL words joins the
+    # run (UAX #9 N1): logical "אחד — שתיים ends the body here"
+    p.put_words(
+        72, 250, 12,
+        ["םייתש", "—", "דחא", "ends", "the", "body", "here"],
+    )
+    return build_pdf([p])
+
+
 def _pdf_string_syntax() -> bytes:
     """Literal-string syntax real writers emit but the canonical
     writer never does (ISO 32000 §7.3.4.2): nested BALANCED parens
@@ -1455,6 +1506,7 @@ _PDF_CASES = {
     "pdf-type0-predefined": _pdf_type0_predefined,
     "pdf-vertical-jp": _pdf_vertical_jp,
     "pdf-mixed-direction": _pdf_mixed_direction,
+    "pdf-rtl-bidi": _pdf_rtl_bidi,
     "pdf-astral-tounicode": _pdf_astral_tounicode,
     "pdf-string-syntax": _pdf_string_syntax,
     "pdf-info-outline": _pdf_info_outline,
@@ -1520,6 +1572,7 @@ _CASE_LANG = {
     "pdf-type0-predefined": "mixed",
     "pdf-vertical-jp": "ja",
     "pdf-mixed-direction": "ja",
+    "pdf-rtl-bidi": "mixed",
     "pdf-astral-tounicode": "mixed",
     "pdf-string-syntax": "en",
     "pdf-info-outline": "en",

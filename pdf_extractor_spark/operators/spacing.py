@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import ExtractConfig
+from . import bidi as _bidi
 from .charclass import JP_PARTICLES, JP_PUNCT, LINE_TERMINATORS, is_japanese_char
 
 _JP_RANGE_RE = (
@@ -59,7 +60,16 @@ def join_tokens(texts, x0s, x1s, cfg: ExtractConfig) -> str:
     if n == 0:
         return ""
     if n == 1:
-        return str(texts[0])
+        t = str(texts[0])
+        if _bidi.has_rtl(t):
+            return _bidi.visual_to_logical_token(t)
+        return t
+    if any(_bidi.has_rtl(str(t)) for t in texts):
+        # RTL line: visual x-order → logical order first (run
+        # reflection keeps every intra-run gap width, so the spacing
+        # table below is direction-blind)
+        texts, x0s, x1s = _bidi.reorder_visual_line(texts, x0s, x1s)
+        n = len(texts)
     # scalar loop, same first-match-wins table: typical lines are a
     # handful of words, where numpy array setup + select costs more
     # than the decisions themselves (profile-verified ~3x)
