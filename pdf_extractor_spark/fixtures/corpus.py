@@ -1002,9 +1002,11 @@ def _html_entities() -> bytes:
 
 def _html_invisible_chars() -> bytes:
     """Invisible formatting codepoints: soft hyphens (&shy;), zero-
-    width space, word joiner, and an in-body BOM are stripped —
-    a &shy;-riddled word must tokenize whole — while ZWJ survives
-    (emoji sequences, Indic orthography are content)."""
+    width space, word joiner, an in-body BOM, and the UAX #9 bidi
+    controls (LRM/RLM/ALM marks, LRE..PDF embeds/overrides,
+    LRI..PDI isolates) are stripped — a &shy;-riddled word must
+    tokenize whole — while ZWJ survives (emoji sequences, Indic
+    orthography are content)."""
     return (
         "<html><body><article>"
         "<p>The exceedingly long compound word "
@@ -1014,6 +1016,11 @@ def _html_invisible_chars() -> bytes:
         "<p>Zero\u200bwidth and word\u2060joiner and stray \ufeff "
         "marks vanish while the family emoji keeps its joiner: "
         "\U0001f468\u200d\U0001f469 stays intact in output.</p>"
+        "<p>Bidi controls such as the mark pair \u200emarked\u200f "
+        "and the isolate wrap \u2066isolated\u2069 and the "
+        "override run \u202eoverridden\u202c never survive into "
+        "extracted text because they carry direction hints only "
+        "and make identical prose fingerprint differently.</p>"
         "</article></body></html>"
     ).encode("utf-8")
 

@@ -1254,3 +1254,88 @@ FROM base b
 LEFT JOIN keptagg k ON k.doc_id = b.doc_id
 LEFT JOIN dup d ON d.doc_id = b.doc_id
 """
+
+
+# ------------------------------------------- intra-document repetition
+
+# fixture paragraph windows (chars): four 60-char slices; repeats are
+# injected below so the dedup has deterministic work to do
+PARA_WIDTH = 60
+
+
+def _fixture_paras() -> Column:
+    """Deterministic paragraph array with injected INTRA-document
+    repeats: every 4th doc repeats its first paragraph in third
+    position, every 6th doc repeats its second paragraph in fourth
+    position (doc_id % 12 == 0 carries both). Empty slices (short
+    docs) are dropped before dedup — absence of text is not a
+    repeated paragraph."""
+    w = PARA_WIDTH
+    p1 = F.expr(f"substring(text, 1, {w})")
+    p2 = F.expr(f"substring(text, {w + 1}, {w})")
+    p3 = F.when(F.col("doc_id") % 4 == 0, p1).otherwise(
+        F.expr(f"substring(text, {2 * w + 1}, {w})")
+    )
+    p4 = F.when(F.col("doc_id") % 6 == 0, p2).otherwise(
+        F.expr(f"substring(text, {3 * w + 1}, {w})")
+    )
+    return F.filter(F.array(p1, p2, p3, p4), lambda x: x != "")
+
+
+def paragraph_dedup_report(docs: DataFrame) -> DataFrame:
+    """WITHIN-document repeated-paragraph removal (the Gopher /
+    RefinedWeb in-document repetition rule — distinct from
+    ``line_dedup_report``, which removes lines hot across the
+    CORPUS): inside each document, only the FIRST occurrence of each
+    distinct paragraph survives; order is otherwise preserved.
+    Returns (doc_id, n_paras_in, n_paras_kept, kept_text).
+
+    Scale shape (100 TB): this is the rare dedup that needs NO
+    shuffle at all — the duplicate relation lives entirely inside
+    one row, so first-occurrence filtering is a pure codegen'd
+    projection (indexed array lambda: keep element i iff its first
+    position in the array is i). Zero exchanges, zero UDFs; plan
+    pinned by tests/test_plans.py. Contrast: the explode → window
+    row_number formulation of the same semantics costs a full
+    exchange on doc_id for nothing."""
+    paras = _fixture_paras()
+    docs = docs.select("doc_id", paras.alias("paras"))
+    kept = F.filter(
+        "paras",
+        lambda x, i: F.array_position(F.col("paras"), x) == i + 1,
+    )
+    return docs.select(
+        "doc_id",
+        F.size("paras").cast("long").alias("n_paras_in"),
+        F.size(kept).cast("long").alias("n_paras_kept"),
+        F.array_join(kept, "\n\n").alias("kept_text"),
+    )
+
+
+def duck_paragraph_dedup_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`paragraph_dedup_report` (list_position
+    is 1-based and the DuckDB lambda index is 1-based, so first
+    occurrence is ``list_position(l, x) = i`` where Spark writes
+    ``array_position = i + 1``)."""
+    w = PARA_WIDTH
+    return f"""
+WITH paras AS (
+  SELECT doc_id,
+         list_filter([
+           substring(text, 1, {w}),
+           substring(text, {w + 1}, {w}),
+           CASE WHEN doc_id % 4 = 0 THEN substring(text, 1, {w})
+                ELSE substring(text, {2 * w + 1}, {w}) END,
+           CASE WHEN doc_id % 6 = 0 THEN substring(text, {w + 1}, {w})
+                ELSE substring(text, {3 * w + 1}, {w}) END
+         ], x -> x <> '') AS l
+  FROM {source}
+)
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_paras_in,
+       CAST(len(list_filter(l, (x, i) -> list_position(l, x) = i))
+            AS BIGINT) AS n_paras_kept,
+       array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i),
+                       chr(10) || chr(10)) AS kept_text
+FROM paras
+"""

@@ -3023,6 +3023,26 @@ def _bm25_sql() -> str:
 _BM25_SQL = _bm25_sql()
 
 
+def _paragraph_dedup(spark, sf_dir):
+    """WITHIN-document repeated-paragraph removal (Gopher/RefinedWeb
+    in-document repetition rule): only the first occurrence of each
+    distinct paragraph survives inside a document. The duplicate
+    relation lives inside one row, so the whole operator is a pure
+    codegen'd projection — zero exchanges, zero UDFs (plan-pinned)."""
+    from .dedup import paragraph_dedup_report
+
+    return paragraph_dedup_report(_t(spark, sf_dir, "documents"))
+
+
+def _paragraph_dedup_sql() -> str:
+    from .dedup import duck_paragraph_dedup_sql
+
+    return duck_paragraph_dedup_sql()
+
+
+_PARAGRAPH_DEDUP_SQL = _paragraph_dedup_sql()
+
+
 def _line_dedup(spark, sf_dir):
     """Corpus-level repeated-line removal (RefinedWeb/CCNet): lines
     occurring in ≥10 documents are boilerplate and dropped
@@ -4541,6 +4561,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_incremental_dedup": QueryDef(
         _incremental_dedup, _INCREMENTAL_DEDUP_SQL, True
+    ),
+    "text_paragraph_dedup": QueryDef(
+        _paragraph_dedup, _PARAGRAPH_DEDUP_SQL, True
     ),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),

@@ -182,10 +182,17 @@ _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 _WS_RE = re.compile(r"\s+")
 # invisible formatting codepoints with no text content: soft hyphen
 # (a hyphenation HINT — &shy;-riddled words must tokenize whole),
-# zero-width space, word joiner, in-body BOM/ZWNBSP. ZWJ/ZWNJ are
+# zero-width space, word joiner, in-body BOM/ZWNBSP, and the bidi
+# control set (UAX #9 §2) — implicit marks LRM/RLM/ALM, explicit
+# embeds/overrides LRE..RLO + PDF, isolates LRI..PDI: rendering-
+# direction hints, never text content, and a dedup/fingerprint
+# evasion channel when left in. ZWJ/ZWNJ are
 # NOT stripped — they are orthographically meaningful (Indic, Farsi,
 # emoji sequences).
-_INVISIBLE_RE = re.compile("[\u00ad\u200b\u2060\ufeff]")
+_INVISIBLE_RE = re.compile(
+    "[\u00ad\u200b\u2060\ufeff\u200e\u200f\u061c"
+    "\u202a-\u202e\u2066-\u2069]"
+)
 # never matches — used to disable html.parser's cdata end-tag scan
 # once the tokenizer enters the WHATWG PLAINTEXT state
 _NEVER_RE = re.compile(r"(?!)")

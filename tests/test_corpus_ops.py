@@ -708,3 +708,77 @@ class TestDomainMix:
         for r in a:
             # realized draw can never exceed the group population
             assert r[6] <= r[1] and r[7] <= r[2]
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_semantics(self, spark):
+        """Within one document only the first occurrence of each
+        distinct paragraph survives; order is otherwise preserved,
+        and distinct documents never interfere."""
+        import pandas as pd
+        from pdf_extractor_spark.functions.dedup import (
+            PARA_WIDTH, paragraph_dedup_report,
+        )
+
+        w = PARA_WIDTH
+        a, b, c, d = ("alpha " * 12)[:w], ("beta " * 14)[:w], \
+            ("gamma " * 12)[:w], ("delta " * 12)[:w]
+        # doc 1: %4!=0, %6!=0 → paras [a,b,c,d], all distinct → 4 kept
+        # doc 4: %4==0 → third para repeats the first → 3 kept
+        # doc 6: %6==0 → fourth para repeats the second → 3 kept
+        # doc 12: both → 2 kept
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 4, 6, 12],
+            "text": [a + b + c + d] * 4,
+        }))
+        out = {
+            r["doc_id"]: r
+            for r in paragraph_dedup_report(docs).collect()
+        }
+        assert out[1]["n_paras_kept"] == 4
+        assert out[4]["n_paras_kept"] == 3
+        assert out[6]["n_paras_kept"] == 3
+        assert out[12]["n_paras_kept"] == 2
+        assert out[12]["kept_text"] == a + "\n\n" + b
+        # order preserved where no dedup applies
+        assert out[1]["kept_text"] == "\n\n".join([a, b, c, d])
+        # the repeat keeps its FIRST position, not the later one
+        assert out[4]["kept_text"] == "\n\n".join([a, b, d])
+
+    def test_short_docs_drop_empty_slices(self, spark):
+        import pandas as pd
+        from pdf_extractor_spark.functions.dedup import (
+            paragraph_dedup_report,
+        )
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [2], "text": ["tiny"],
+        }))
+        row = paragraph_dedup_report(docs).collect()[0]
+        assert row["n_paras_in"] == 1 and row["n_paras_kept"] == 1
+        assert row["kept_text"] == "tiny"
+
+    def test_oracle_twin_bit_equal(self, spark):
+        import duckdb
+        from pdf_extractor_spark.functions.dedup import (
+            duck_paragraph_dedup_sql, paragraph_dedup_report,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        sdf = (
+            paragraph_dedup_report(docs)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        odf = (
+            con.execute(duck_paragraph_dedup_sql())
+            .fetchdf().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert sdf.equals(odf)
+        # non-vacuous: the injected repeats actually dedup
+        assert (sdf.n_paras_in != sdf.n_paras_kept).sum() > 0

@@ -190,3 +190,20 @@ class TestMultimodalPlan:
         assert "BatchEvalPython" not in plan
         keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
         assert len(keys) == 1 and "doc_id" in keys[0], plan
+
+
+class TestParagraphDedupPlan:
+    def test_pure_projection_zero_exchanges(self, spark):
+        """Intra-document dedup has no cross-row relation: the plan
+        must be scan → one codegen'd Project — NO exchange, NO UDF
+        stage (the explode → window formulation would cost a full
+        shuffle on doc_id for nothing)."""
+        plan = _plan(spark, "text_paragraph_dedup")
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        # column pruning reached the scan
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m and "doc_id" in m.group(1) and "text" in m.group(1)
+        assert "lang" not in m.group(1)
