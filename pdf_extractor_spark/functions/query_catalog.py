@@ -65,6 +65,7 @@ from .textstats import (
     ASCII_ALPHA_CLASS,
     CJK_CLASS,
     EN_STOPWORDS,
+    RTL_CLASS,
     TOKEN_REGEX,
     charclass_langid,
     fingerprints,
@@ -3023,6 +3024,27 @@ def _bm25_sql() -> str:
 _BM25_SQL = _bm25_sql()
 
 
+def _split_holdout(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the assignment unit is
+    the REGISTERED domain (eTLD+1, embedded PSL subset incl. private
+    registries), because near-dup pages cluster within a site — a
+    page-level random split leaks train content into eval. md5-bucket
+    of the domain → stable under corpus growth; scan-local native
+    expressions, zero exchanges (plan-pinned)."""
+    from .sampling import holdout_split_report
+
+    return holdout_split_report(_t(spark, sf_dir, "documents"))
+
+
+def _split_holdout_sql() -> str:
+    from .sampling import duck_holdout_split_sql
+
+    return duck_holdout_split_sql()
+
+
+_SPLIT_HOLDOUT_SQL = _split_holdout_sql()
+
+
 def _paragraph_dedup(spark, sf_dir):
     """WITHIN-document repeated-paragraph removal (Gopher/RefinedWeb
     in-document repetition rule): only the first occurrence of each
@@ -3180,8 +3202,10 @@ def _charclass_langid(spark, sf_dir):
 _CHARCLASS_LANGID_SQL = f"""
 SELECT doc_id,
        round(cjk_ratio, 4)   AS cjk_ratio,
+       round(rtl_ratio, 4)   AS rtl_ratio,
        round(alpha_ratio, 4) AS alpha_ratio,
        CASE WHEN cjk_ratio >= 0.3 THEN 'cjk'
+            WHEN rtl_ratio >= 0.3 THEN 'rtl'
             WHEN alpha_ratio >= 0.5 THEN 'latin'
             ELSE 'other' END AS script_pred
 FROM (
@@ -3190,6 +3214,10 @@ FROM (
               THEN CAST(length(regexp_replace(text,
                    '[^{CJK_CLASS}]', '', 'g')) AS DOUBLE) / length(text)
               ELSE 0.0 END AS cjk_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text,
+                   '[^{RTL_CLASS}]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS rtl_ratio,
          CASE WHEN length(text) > 0
               THEN CAST(length(regexp_replace(text,
                    '[^{ASCII_ALPHA_CLASS}]', '', 'g')) AS DOUBLE)
@@ -4564,6 +4592,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_paragraph_dedup": QueryDef(
         _paragraph_dedup, _PARAGRAPH_DEDUP_SQL, True
+    ),
+    "corpus_split_holdout": QueryDef(
+        _split_holdout, _SPLIT_HOLDOUT_SQL, True
     ),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),

@@ -268,3 +268,101 @@ SELECT r.lang,
 FROM rates r LEFT JOIN kept k ON r.lang = k.lang
 ORDER BY r.lang
 """
+
+
+# ------------------------------------------------ leakage-safe splits
+#
+# Train/validation/test assignment for a crawl corpus. The unit of
+# assignment is the REGISTERED domain (eTLD+1 against an embedded
+# public-suffix subset), not the page: near-duplicate pages live
+# overwhelmingly within a site (templates, mirrors, pagination), so a
+# page-level random split leaks train content into eval. Putting
+# every page of a domain in one split is the standard defense (the
+# same reason dedup keys on content, not url).
+#
+# Scale shape: registered-domain extraction and the md5 bucket are
+# scan-local native expressions — zero exchanges, zero UDFs, text
+# untouched. The embedded suffix subset mirrors how a production job
+# ships the PSL: a broadcast lookup, here inlined as expression
+# literals so the DuckDB twin is bit-identical.
+
+# multi-label suffixes under which the NEXT label is the registrable
+# name; includes PSL *private-section* entries (github.io-class
+# platform registries — each subdomain is an independent publisher,
+# exactly the leakage boundary wanted). example.com is listed as a
+# private registry because the fixture corpus synthesizes its hosts
+# as {source}.example.com.
+SPLIT_SUFFIXES = (
+    "example.com", "co.uk", "com.au", "co.jp",
+    "github.io", "blogspot.com",
+)
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90   # buckets [0, 90) → train
+SPLIT_VALID_LT = 95   # buckets [90, 95) → valid; [95, 100) → test
+
+
+def registered_domain(host_col: Column) -> Column:
+    """eTLD+1: the label before a known multi-label suffix, else the
+    last two labels."""
+    out = F.regexp_extract(host_col, r"([^.]+\.[^.]+)$", 1)
+    for suf in SPLIT_SUFFIXES:
+        pat = "([^.]+\\." + suf.replace(".", "\\.") + ")$"
+        out = F.when(
+            host_col.endswith("." + suf),
+            F.regexp_extract(host_col, pat, 1),
+        ).otherwise(out)
+    return out
+
+
+def duck_registered_domain(host_expr: str) -> str:
+    out = f"regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1)"
+    for suf in SPLIT_SUFFIXES:
+        esc = suf.replace(".", "\\.")
+        out = (
+            f"CASE WHEN suffix({host_expr}, '.{suf}') "
+            f"THEN regexp_extract({host_expr}, '([^.]+\\.{esc})$', 1) "
+            f"ELSE {out} END"
+        )
+    return out
+
+
+def holdout_split_report(docs: DataFrame) -> DataFrame:
+    """Per-document split assignment: (doc_id, registered_domain,
+    split). The bucket is md5 of the registered domain — every page
+    of a domain lands in the same split by construction, re-runs and
+    both engines agree bit-for-bit, and adding documents never moves
+    an existing domain between splits (stability under corpus
+    growth, which a modulo over a running row count would not give)."""
+    docs = docs.select("doc_id", synth_url().alias("url"))
+    dom = registered_domain(host_of())
+    bucket = hash_bucket("registered_domain", SPLIT_BUCKETS)
+    return (
+        docs.select("doc_id", dom.alias("registered_domain"))
+        .select(
+            "doc_id",
+            "registered_domain",
+            F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+            .when(bucket < SPLIT_VALID_LT, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+def duck_holdout_split_sql(source: str = "documents") -> str:
+    dom = duck_registered_domain(
+        f"regexp_extract({DUCK_SYNTH_URL}, '{HOST_REGEX}', 1)"
+    )
+    bucket = duck_hash_bucket("registered_domain", SPLIT_BUCKETS)
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, {dom} AS registered_domain
+  FROM {source}
+)
+SELECT doc_id,
+       registered_domain,
+       CASE WHEN {bucket} < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN {bucket} < {SPLIT_VALID_LT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM assigned
+"""

@@ -65,29 +65,41 @@ def stopword_langid(docs: DataFrame) -> DataFrame:
 # operators/charclass.py ranges, as regex character classes)
 CJK_CLASS = "぀-ゟ゠-ヿ一-鿿　-〿"
 ASCII_ALPHA_CLASS = "A-Za-z"
+# strong RTL scripts: Hebrew, Arabic (+supplement/Extended-A), Syriac,
+# Thaana, NKo, plus both presentation-form blocks (mirrors
+# operators/bidi.py's gate — the scripts whose PDFs arrive in visual
+# order and whose pages should route to RTL-aware post-processing)
+RTL_CLASS = "֐-߿ࢠ-ࣿיִ-﷿ﹰ-ﻼ"
 
 
 def charclass_langid(docs: DataFrame) -> DataFrame:
     """Script-level language ID by char-class ratios (the n-gram-
     heuristic family at n=1): CJK-script ratio ≥ 0.3 → 'cjk', else
-    ASCII-letter ratio ≥ 0.5 → 'latin', else 'other'. Pure native
-    string expressions — one scan, no shuffle, codegen'd."""
+    RTL-script ratio ≥ 0.3 → 'rtl', else ASCII-letter ratio ≥ 0.5 →
+    'latin', else 'other'. Pure native string expressions — one
+    scan, no shuffle, codegen'd."""
     n = F.length("text")
     cjk = F.length(
         F.regexp_replace("text", f"[^{CJK_CLASS}]", "")
+    )
+    rtl = F.length(
+        F.regexp_replace("text", f"[^{RTL_CLASS}]", "")
     )
     alpha = F.length(
         F.regexp_replace("text", f"[^{ASCII_ALPHA_CLASS}]", "")
     )
     cjk_ratio = F.when(n > 0, cjk.cast("double") / n).otherwise(F.lit(0.0))
+    rtl_ratio = F.when(n > 0, rtl.cast("double") / n).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n > 0, alpha.cast("double") / n).otherwise(
         F.lit(0.0)
     )
     return docs.select(
         "doc_id",
         F.round(cjk_ratio, 4).alias("cjk_ratio"),
+        F.round(rtl_ratio, 4).alias("rtl_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.when(cjk_ratio >= 0.3, F.lit("cjk"))
+        .when(rtl_ratio >= 0.3, F.lit("rtl"))
         .when(alpha_ratio >= 0.5, F.lit("latin"))
         .otherwise(F.lit("other"))
         .alias("script_pred"),

@@ -782,3 +782,60 @@ class TestParagraphDedup:
         assert sdf.equals(odf)
         # non-vacuous: the injected repeats actually dedup
         assert (sdf.n_paras_in != sdf.n_paras_kept).sum() > 0
+
+
+class TestSplitHoldout:
+    def test_domain_never_straddles_splits(self, spark):
+        from pdf_extractor_spark.functions.sampling import (
+            holdout_split_report,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        pdf = holdout_split_report(docs).toPandas()
+        assert (pdf.groupby("registered_domain").split.nunique() == 1).all()
+        assert set(pdf.split.unique()) <= {"train", "valid", "test"}
+        # non-vacuous: more than one split realized on the corpus
+        assert pdf.split.nunique() >= 2
+
+    def test_registered_domain_psl_subset(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pdf_extractor_spark.functions.sampling import (
+            registered_domain,
+        )
+
+        hosts = pd.DataFrame({"h": [
+            "a.b.example.com",      # private registry: b.example.com
+            "www.news.co.uk",       # multi-label public suffix
+            "deep.sub.github.io",   # private registry
+            "plain.org",            # generic fallback: last two labels
+            "x.y.plain.org",
+        ]})
+        df = spark.createDataFrame(hosts).select(
+            registered_domain(F.col("h")).alias("d")
+        )
+        assert [r["d"] for r in df.collect()] == [
+            "b.example.com", "news.co.uk", "sub.github.io",
+            "plain.org", "plain.org",
+        ]
+
+    def test_assignment_stable_under_growth(self, spark):
+        """Adding documents must not move an existing domain between
+        splits (the md5-of-domain property a row-count modulo lacks)."""
+        from pdf_extractor_spark.functions.sampling import (
+            holdout_split_report,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        full = holdout_split_report(docs).toPandas()
+        half = holdout_split_report(
+            docs.filter("doc_id % 2 = 0")
+        ).toPandas()
+        merged = half.merge(
+            full, on="doc_id", suffixes=("_half", "_full")
+        )
+        assert (merged.split_half == merged.split_full).all()

@@ -207,3 +207,13 @@ class TestParagraphDedupPlan:
         m = re.search(r"ReadSchema: ([^\n]*)", plan)
         assert m and "doc_id" in m.group(1) and "text" in m.group(1)
         assert "lang" not in m.group(1)
+
+
+class TestSplitHoldoutPlan:
+    def test_pure_projection_zero_exchanges(self, spark):
+        plan = _plan(spark, "corpus_split_holdout")
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        # only the url-synthesis inputs are read, never text
+        assert m and "text" not in m.group(1)
