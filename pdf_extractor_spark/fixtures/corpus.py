@@ -661,6 +661,15 @@ def _pdf_encrypted_aes() -> bytes:
     return build_pdf(_encrypted_pages(), compress=True, encrypt="aes-128")
 
 
+def _pdf_encrypted_aes256() -> bytes:
+    """AES-256 (/V 5 /R 6 /CFM /AESV3 — PDF 2.0) in the modern
+    xref-stream + ObjStm layout: the hardened-hash (Algorithm 2.B)
+    key derivation, /UE key unwrap and file-key-direct object
+    decryption, empty user password."""
+    return build_pdf(_encrypted_pages(), compress=True,
+                     xref_stream=True, encrypt="aes-256")
+
+
 def _pdf_tounicode() -> bytes:
     """Custom-encoded fonts: a simple font whose 1-byte codes decode
     through a /ToUnicode CMap (bfchar incl. multi-char ligature dst +
@@ -1502,6 +1511,7 @@ _PDF_CASES = {
     "pdf-rotated": _pdf_rotated,
     "pdf-encrypted-rc4": _pdf_encrypted_rc4,
     "pdf-encrypted-aes": _pdf_encrypted_aes,
+    "pdf-encrypted-aes256": _pdf_encrypted_aes256,
     "pdf-tounicode": _pdf_tounicode,
     "pdf-inherited-split": _pdf_inherited_split,
     "pdf-lzw": _pdf_lzw,
@@ -1572,6 +1582,7 @@ _CASE_LANG = {
     "pdf-mixed-spacing": "mixed", "pdf-join-lines": "mixed",
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
     "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
+    "pdf-encrypted-aes256": "mixed",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",

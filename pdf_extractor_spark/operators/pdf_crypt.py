@@ -119,16 +119,23 @@ _M9, _M11, _M13, _M14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
 
 
 def _key_expansion(key: bytes) -> list[list[int]]:
-    """128-bit key → 11 round keys (each 16 ints)."""
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """FIPS-197 §5.2 key schedule for 128/192/256-bit keys →
+    Nr+1 round keys (each 16 ints), Nr = Nk+6 (10/12/14). The
+    Nk>6 extra SubWord on the i%Nk==4 column is the one rule
+    AES-256 adds over AES-128."""
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _add_round_key(state: list[int], rk: list[int]) -> None:
@@ -141,12 +148,13 @@ _ROW_INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
 def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    nr = len(rks) - 1
     st = list(block)
     _add_round_key(st, rks[0])
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         st = [_SBOX[b] for b in st]                      # SubBytes
         st = [st[_ROW_SHIFT[i]] for i in range(16)]      # ShiftRows
-        if rnd != 10:                                    # MixColumns
+        if rnd != nr:                                    # MixColumns
             ns = [0] * 16
             for c in range(4):
                 a = st[4 * c : 4 * c + 4]
@@ -160,9 +168,10 @@ def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
 
 
 def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    nr = len(rks) - 1
     st = list(block)
-    _add_round_key(st, rks[10])
-    for rnd in range(9, -1, -1):
+    _add_round_key(st, rks[nr])
+    for rnd in range(nr - 1, -1, -1):
         st = [st[_ROW_INV_SHIFT[i]] for i in range(16)]  # InvShiftRows
         st = [_INV_SBOX[b] for b in st]                  # InvSubBytes
         _add_round_key(st, rks[rnd])
@@ -183,8 +192,9 @@ def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """AES-128-CBC per ISO 32000 §7.6.2: first 16 bytes of ``data``
-    are the IV; PKCS#5 padding stripped."""
+    """AES-CBC per ISO 32000 §7.6.2 (key length 16 or 32 — AESV2 /
+    AESV3 share the payload format): first 16 bytes of ``data`` are
+    the IV; PKCS#5 padding stripped."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload length")
     rks = _key_expansion(key)
@@ -203,7 +213,7 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-128-CBC with PKCS#5 padding (fixture writer; ``iv`` is
+    """AES-CBC with PKCS#5 padding (fixture writer; ``iv`` is
     caller-fixed for determinism)."""
     rks = _key_expansion(key)
     pad = 16 - len(data) % 16
@@ -219,19 +229,60 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw AES-CBC, no padding, IV not emitted — the primitive the
+    V5 key-wrap (/UE, /OE) and the Algorithm 2.B hash loop use.
+    ``data`` must be a multiple of 16."""
+    rks = _key_expansion(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
+        prev = _encrypt_block(block, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`aes_cbc_encrypt_nopad` (the /UE, /OE unwrap
+    direction — ISO 32000-2 Algorithm 2.A steps e/f use a zero IV)."""
+    rks = _key_expansion(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        block = data[off : off + 16]
+        plain = _decrypt_block(block, rks)
+        out += bytes(p ^ v for p, v in zip(plain, prev))
+        prev = block
+    return bytes(out)
+
+
+def aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """One-block ECB (the /Perms field is a single AES-256-ECB
+    block — ISO 32000-2 Algorithm 10)."""
+    return _encrypt_block(block, _key_expansion(key))
+
+
+def aes_ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
+    return _decrypt_block(block, _key_expansion(key))
+
+
 # ------------------------------------------- standard security handler
 
 @dataclass(frozen=True)
 class StdSecurity:
-    v: int                 # /V 1, 2 or 4
-    r: int                 # /R 2, 3 or 4
-    length: int            # key length in BITS (40..128)
+    v: int                 # /V 1, 2, 4 or 5
+    r: int                 # /R 2, 3, 4 (legacy) or 5, 6 (AES-256)
+    length: int            # key length in BITS (40..256)
     p: int                 # /P permissions (signed 32-bit)
-    o: bytes               # /O 32 bytes
-    u: bytes               # /U 32 bytes
+    o: bytes               # /O 32 bytes (V≤4) or 48 bytes (V5)
+    u: bytes               # /U 32 bytes (V≤4) or 48 bytes (V5)
     id0: bytes             # first file identifier string
-    aes: bool              # /CFM /AESV2 (else RC4)
+    aes: bool              # /CFM /AESV2 or /AESV3 (else RC4)
     encrypt_metadata: bool = True
+    ue: bytes = b""        # /UE 32 bytes (V5: wrapped file key)
+    oe: bytes = b""        # /OE 32 bytes (V5)
+    perms: bytes = b""     # /Perms 16 bytes (V5)
 
 
 _STR_RE = rb"(?:<([0-9A-Fa-f\s]*)>|\(((?:[^()\\]|\\.)*)\))"
@@ -279,8 +330,10 @@ def _dict_str(body: bytes, key: bytes) -> bytes | None:
 
 def parse_encrypt_dict(enc_body: bytes, id0: bytes) -> StdSecurity | None:
     """Parse a ``/Filter /Standard`` encryption dictionary; None when
-    the handler or algorithm is outside the supported set (V5/AES-256,
-    crypt filters other than Identity/V2/AESV2, custom handlers)."""
+    the handler or algorithm is outside the supported set (crypt
+    filters other than Identity/V2/AESV2/AESV3, custom handlers).
+    V5 (AES-256, PDF 2.0 / Adobe ext. level 3) additionally carries
+    48-byte /O and /U plus the wrapped-key fields /UE /OE /Perms."""
     if b"/Standard" not in enc_body:
         return None
     vm = re.search(rb"/V\s+(\d+)", enc_body)
@@ -291,11 +344,13 @@ def parse_encrypt_dict(enc_body: bytes, id0: bytes) -> StdSecurity | None:
     if not (vm and rm and pm and o and u):
         return None
     v, r = int(vm.group(1)), int(rm.group(1))
-    if v not in (1, 2, 4) or r not in (2, 3, 4):
+    if v not in (1, 2, 4, 5) or r not in (2, 3, 4, 5, 6):
         return None
     lm = re.search(rb"/Length\s+(\d+)", enc_body)
     length = int(lm.group(1)) if lm else 40
     aes = False
+    em = re.search(rb"/EncryptMetadata\s+(true|false)", enc_body)
+    encrypt_metadata = em is None or em.group(1) == b"true"
     if v == 4:
         cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
         if not cfm or cfm.group(1) not in (b"V2", b"AESV2"):
@@ -303,8 +358,23 @@ def parse_encrypt_dict(enc_body: bytes, id0: bytes) -> StdSecurity | None:
         aes = cfm.group(1) == b"AESV2"
         if aes:
             length = 128
-    em = re.search(rb"/EncryptMetadata\s+(true|false)", enc_body)
-    encrypt_metadata = em is None or em.group(1) == b"true"
+    if v == 5:
+        if r not in (5, 6):
+            return None
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+        if not cfm or cfm.group(1) != b"AESV3":
+            return None
+        ue = _dict_str(enc_body, b"UE")
+        oe = _dict_str(enc_body, b"OE")
+        if ue is None or oe is None or len(ue) < 32 or len(oe) < 32:
+            return None
+        perms = _dict_str(enc_body, b"Perms") or b""
+        return StdSecurity(
+            v=5, r=r, length=256, p=int(pm.group(1)),
+            o=o[:48].ljust(48, b"\x00"), u=u[:48].ljust(48, b"\x00"),
+            id0=id0, aes=True, encrypt_metadata=encrypt_metadata,
+            ue=ue[:32], oe=oe[:32], perms=perms[:16],
+        )
     return StdSecurity(
         v=v, r=r, length=length, p=int(pm.group(1)),
         o=o[:32].ljust(32, b"\x00"), u=u[:32].ljust(32, b"\x00"),
@@ -375,6 +445,111 @@ def verify_user_password(sec: StdSecurity, key: bytes) -> bool:
     return expect[:16] == sec.u[:16]
 
 
+# --------------------------------------- V5 / AES-256 (ISO 32000-2)
+#
+# Public algorithms: 2.A (retrieve file key), 2.B (the R6 hardened
+# password hash), 8/9 (writer side /U,/UE /O,/OE), 10 (/Perms).
+# Passwords are UTF-8, truncated to 127 bytes; the empty user
+# password — the owner-restricted-but-readable web case this
+# extractor supports — needs no SASLprep.
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """ISO 32000-2 Algorithm 2.B. R5 (the withdrawn Adobe ext. 3
+    scheme) is a single SHA-256; R6 iterates an AES-128-CBC /
+    SHA-{256,384,512} loop at least 64 rounds, stopping when the last
+    byte of the final encryption ≤ round-64 (data-dependent work
+    factor — the anti-brute-force hardening)."""
+    password = password[:127]
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def verify_user_password_v5(sec: StdSecurity, user_pw: bytes = b"") -> bool:
+    """Algorithm 11: hash(pw, validation salt = U[32:40]) == U[:32]."""
+    return (
+        hash_2b(user_pw, sec.u[32:40], b"", sec.r) == sec.u[:32]
+    )
+
+
+def retrieve_file_key_v5(
+    sec: StdSecurity, user_pw: bytes = b""
+) -> bytes | None:
+    """Algorithm 2.A user-password leg: validate against /U, then
+    unwrap /UE with the intermediate key from the key salt
+    (U[40:48]); zero-IV AES-256-CBC, no padding. None when the
+    password does not validate."""
+    if not verify_user_password_v5(sec, user_pw):
+        return None
+    ik = hash_2b(user_pw, sec.u[40:48], b"", sec.r)
+    return aes_cbc_decrypt_nopad(ik, b"\x00" * 16, sec.ue)
+
+
+def check_perms_v5(sec: StdSecurity, file_key: bytes) -> bool:
+    """Algorithm 13 sanity check: /Perms decrypts (AES-256-ECB) to a
+    block whose bytes 9-11 read 'adb', whose first 4 bytes echo /P
+    little-endian, and whose byte 8 echoes /EncryptMetadata. Vacuously
+    true when the writer omitted /Perms."""
+    if len(sec.perms) != 16:
+        return True
+    blk = aes_ecb_decrypt_block(file_key, sec.perms)
+    return (
+        blk[9:12] == b"adb"
+        and blk[:4] == struct.pack("<I", sec.p & 0xFFFFFFFF)
+        and blk[8:9] == (b"T" if sec.encrypt_metadata else b"F")
+    )
+
+
+def compute_u_entry_v5(
+    user_pw: bytes, file_key: bytes, vsalt: bytes, ksalt: bytes, r: int
+) -> tuple[bytes, bytes]:
+    """Algorithm 8 (writer twin): returns (/U 48 bytes, /UE 32
+    bytes). Salts are caller-fixed — the spec says random; fixtures
+    need determinism."""
+    u = hash_2b(user_pw, vsalt, b"", r) + vsalt + ksalt
+    ik = hash_2b(user_pw, ksalt, b"", r)
+    ue = aes_cbc_encrypt_nopad(ik, b"\x00" * 16, file_key)
+    return u, ue
+
+
+def compute_o_entry_v5(
+    owner_pw: bytes, file_key: bytes, vsalt: bytes, ksalt: bytes,
+    u48: bytes, r: int,
+) -> tuple[bytes, bytes]:
+    """Algorithm 9 (writer twin): the owner hash binds the full
+    48-byte /U as extra hash data."""
+    o = hash_2b(owner_pw, vsalt, u48, r) + vsalt + ksalt
+    ik = hash_2b(owner_pw, ksalt, u48, r)
+    oe = aes_cbc_encrypt_nopad(ik, b"\x00" * 16, file_key)
+    return o, oe
+
+
+def compute_perms_v5(
+    p: int, encrypt_metadata: bool, file_key: bytes
+) -> bytes:
+    """Algorithm 10 (writer twin). Bytes 12-15 are 'random' per the
+    spec and ignored by readers; fixtures pin them to 'pdfx'."""
+    blk = (
+        struct.pack("<I", p & 0xFFFFFFFF)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + b"pdfx"
+    )
+    return aes_ecb_encrypt_block(file_key, blk)
+
+
 def object_key(file_key: bytes, oid: int, gen: int, aes: bool) -> bytes:
     """Algorithm 1 per-object key: md5(key + oid₃LE + gen₂LE
     [+ 'sAlT' for AES]), truncated to min(len+5, 16)."""
@@ -390,6 +565,10 @@ def object_key(file_key: bytes, oid: int, gen: int, aes: bool) -> bytes:
 def decrypt_object_bytes(
     sec: StdSecurity, file_key: bytes, oid: int, gen: int, raw: bytes
 ) -> bytes:
+    if sec.v == 5:
+        # AESV3: the 256-bit file key is used directly — no
+        # per-object md5 derivation (ISO 32000-2 §7.6.3.3 note)
+        return aes_cbc_decrypt(file_key, raw)
     k = object_key(file_key, oid, gen, sec.aes)
     if sec.aes:
         return aes_cbc_decrypt(k, raw)
@@ -397,12 +576,15 @@ def decrypt_object_bytes(
 
 
 def encrypt_object_bytes(
-    sec_aes: bool, file_key: bytes, oid: int, gen: int, raw: bytes,
+    sec_aes: bool | str, file_key: bytes, oid: int, gen: int, raw: bytes,
     iv: bytes = b"\x00" * 16,
 ) -> bytes:
     """Fixture-writer twin of :func:`decrypt_object_bytes` (IV fixed by
     the caller — determinism over semantic security, these are test
-    fixtures)."""
+    fixtures). ``sec_aes``: False = RC4, True = AESV2, "v5" = AESV3
+    (file key direct, AES-256)."""
+    if sec_aes == "v5":
+        return aes_cbc_encrypt(file_key, iv, raw)
     k = object_key(file_key, oid, gen, sec_aes)
     if sec_aes:
         return aes_cbc_encrypt(k, iv, raw)

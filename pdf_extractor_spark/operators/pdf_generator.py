@@ -291,7 +291,41 @@ _ENCRYPT_MODES = {
     "rc4-40": (1, 2, 40, False),
     "rc4-128": (2, 3, 128, False),
     "aes-128": (4, 4, 128, True),
+    "aes-256": (5, 6, 256, "v5"),     # PDF 2.0 AESV3, hardened hash
+    "aes-256-r5": (5, 5, 256, "v5"),  # withdrawn ext.-3 single-SHA256
 }
+
+# deterministic V5 salts and file key (spec says random; fixtures
+# pin them — the reader re-derives everything from /U//UE anyway)
+_V5_FILE_KEY = bytes(range(32))
+_V5_SALTS = {  # (user vsalt, user ksalt, owner vsalt, owner ksalt)
+    "u_v": b"uvsalt01", "u_k": b"uksalt02",
+    "o_v": b"ovsalt03", "o_k": b"oksalt04",
+}
+
+
+def _encrypt_setup_v5(r: int, p_unsigned: bool):
+    """AES-256 (AESV3) twin of :func:`_encrypt_setup`: Algorithm 8/9/10
+    writer entries around a pinned 256-bit file key."""
+    from . import pdf_crypt
+
+    u, ue = pdf_crypt.compute_u_entry_v5(
+        b"", _V5_FILE_KEY, _V5_SALTS["u_v"], _V5_SALTS["u_k"], r
+    )
+    o, oe = pdf_crypt.compute_o_entry_v5(
+        b"", _V5_FILE_KEY, _V5_SALTS["o_v"], _V5_SALTS["o_k"], u, r
+    )
+    perms = pdf_crypt.compute_perms_v5(_FIXTURE_P, True, _V5_FILE_KEY)
+    p_text = _FIXTURE_P & 0xFFFFFFFF if p_unsigned else _FIXTURE_P
+    enc_dict = (
+        f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
+        f"/P {p_text} /O <{o.hex().upper()}> /U <{u.hex().upper()}> "
+        f"/OE <{oe.hex().upper()}> /UE <{ue.hex().upper()}> "
+        f"/Perms <{perms.hex().upper()}> "
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+        "/Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+    ).encode("latin-1")
+    return _V5_FILE_KEY, "v5", enc_dict
 
 
 def _encrypt_setup(mode: str, p_unsigned: bool = False):
@@ -304,6 +338,8 @@ def _encrypt_setup(mode: str, p_unsigned: bool = False):
     from . import pdf_crypt
 
     v, r, bits, aes = _ENCRYPT_MODES[mode]
+    if aes == "v5":
+        return _encrypt_setup_v5(r, p_unsigned)
     o = pdf_crypt.compute_o_entry(b"", b"", r, bits)
     sec = pdf_crypt.StdSecurity(
         v=v, r=r, length=bits, p=_FIXTURE_P, o=o, u=b"\x00" * 32,

@@ -2042,10 +2042,11 @@ def _build_decryptor(data: bytes, bodies: dict[int, bytes], doc: "PdfDoc"):
     error/info row:
 
     - unencrypted → None, no row;
-    - standard security handler, RC4-40/128 or AES-128, EMPTY user
-      password verifying against /U → working decryptor + info row
-      (the overwhelming web case: owner-restricted but readable);
-    - anything else (real user password, V5/AES-256, custom handler)
+    - standard security handler, RC4-40/128, AES-128 or AES-256
+      (V5/R5/R6), EMPTY user password verifying against /U → working
+      decryptor + info row (the overwhelming web case:
+      owner-restricted but readable);
+    - anything else (real user password, custom handler)
       → None + the explicit ``encryption`` error row round 2 emitted.
     """
     enc_id = _find_encrypt_ref(data, bodies)
@@ -2058,7 +2059,11 @@ def _build_decryptor(data: bytes, bodies: dict[int, bytes], doc: "PdfDoc"):
         sec = pdf_crypt.parse_encrypt_dict(
             bodies[enc_id], _find_file_id(data, bodies)
         )
-    if sec is not None:
+    if sec is not None and sec.v == 5:
+        key = pdf_crypt.retrieve_file_key_v5(sec, b"")
+        if key is not None and not pdf_crypt.check_perms_v5(sec, key):
+            key = None
+    elif sec is not None:
         key = pdf_crypt.compute_file_key(sec, b"")
         if not pdf_crypt.verify_user_password(sec, key):
             key = None
@@ -2072,8 +2077,8 @@ def _build_decryptor(data: bytes, bodies: dict[int, bytes], doc: "PdfDoc"):
         {"type": "encryption", "severity": "info", "page": 0,
          "message": (
              "standard security handler "
-             f"({'AESV2' if sec.aes else 'RC4'}-{sec.length}); "
-             "decrypted with empty user password"
+             f"({('AESV3' if sec.v == 5 else 'AESV2') if sec.aes else 'RC4'}"
+             f"-{sec.length}); decrypted with empty user password"
          )}
     )
     file_key = key
