@@ -304,7 +304,7 @@ _V5_SALTS = {  # (user vsalt, user ksalt, owner vsalt, owner ksalt)
 }
 
 
-def _encrypt_setup_v5(r: int, p_unsigned: bool):
+def _encrypt_setup_v5(r: int, p_unsigned: bool, encrypt_metadata: bool):
     """AES-256 (AESV3) twin of :func:`_encrypt_setup`: Algorithm 8/9/10
     writer entries around a pinned 256-bit file key."""
     from . import pdf_crypt
@@ -315,11 +315,14 @@ def _encrypt_setup_v5(r: int, p_unsigned: bool):
     o, oe = pdf_crypt.compute_o_entry_v5(
         b"", _V5_FILE_KEY, _V5_SALTS["o_v"], _V5_SALTS["o_k"], u, r
     )
-    perms = pdf_crypt.compute_perms_v5(_FIXTURE_P, True, _V5_FILE_KEY)
+    perms = pdf_crypt.compute_perms_v5(
+        _FIXTURE_P, encrypt_metadata, _V5_FILE_KEY
+    )
     p_text = _FIXTURE_P & 0xFFFFFFFF if p_unsigned else _FIXTURE_P
+    em = "" if encrypt_metadata else " /EncryptMetadata false"
     enc_dict = (
         f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
-        f"/P {p_text} /O <{o.hex().upper()}> /U <{u.hex().upper()}> "
+        f"/P {p_text}{em} /O <{o.hex().upper()}> /U <{u.hex().upper()}> "
         f"/OE <{oe.hex().upper()}> /UE <{ue.hex().upper()}> "
         f"/Perms <{perms.hex().upper()}> "
         "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
@@ -328,22 +331,30 @@ def _encrypt_setup_v5(r: int, p_unsigned: bool):
     return _V5_FILE_KEY, "v5", enc_dict
 
 
-def _encrypt_setup(mode: str, p_unsigned: bool = False):
+def _encrypt_setup(
+    mode: str, p_unsigned: bool = False, encrypt_metadata: bool = True
+):
     """Standard-security parameters for an EMPTY user/owner password
     fixture: returns (file_key, aes, encrypt-dict bytes).
 
     ``p_unsigned`` writes /P in the unsigned-decimal form some real
     writers emit (e.g. 4294967252 for -44) — same 32-bit flag word,
-    different spelling; the derived key must be identical."""
+    different spelling; the derived key must be identical.
+    ``encrypt_metadata=False`` declares the XMP packet stored in the
+    clear (/EncryptMetadata false — affects R4/R6 key derivation)."""
     from . import pdf_crypt
 
     v, r, bits, aes = _ENCRYPT_MODES[mode]
+    if not encrypt_metadata and v < 4:
+        # /EncryptMetadata is a V4+ crypt-filter-dict key; V1/V2
+        # documents have no serialized form for it (§7.6.4.2)
+        raise ValueError("EncryptMetadata=false needs V4+ encryption")
     if aes == "v5":
-        return _encrypt_setup_v5(r, p_unsigned)
+        return _encrypt_setup_v5(r, p_unsigned, encrypt_metadata)
     o = pdf_crypt.compute_o_entry(b"", b"", r, bits)
     sec = pdf_crypt.StdSecurity(
         v=v, r=r, length=bits, p=_FIXTURE_P, o=o, u=b"\x00" * 32,
-        id0=_FIXTURE_ID, aes=aes,
+        id0=_FIXTURE_ID, aes=aes, encrypt_metadata=encrypt_metadata,
     )
     key = pdf_crypt.compute_file_key(sec, b"")
     u = pdf_crypt.compute_u_entry(key, r, _FIXTURE_ID)
@@ -353,10 +364,13 @@ def _encrypt_setup(mode: str, p_unsigned: bool = False):
         if aes
         else ""
     )
+    # /EncryptMetadata is a V4+ crypt-filter-dict key (§7.6.4.2);
+    # for V<4 the flag has no serialized form and no key effect
+    em = "" if encrypt_metadata or v < 4 else " /EncryptMetadata false"
     p_text = _FIXTURE_P & 0xFFFFFFFF if p_unsigned else _FIXTURE_P
     enc_dict = (
         f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
-        f"/P {p_text} /O <{o.hex().upper()}> "
+        f"/P {p_text}{em} /O <{o.hex().upper()}> "
         f"/U <{u.hex().upper()}>{cf} >>"
     ).encode("latin-1")
     return key, aes, enc_dict
@@ -465,6 +479,8 @@ def build_pdf(
     attachments: list[tuple[str, bytes]] | None = None,
     attachments_kids_tree: bool = False,
     xmp: dict[str, str] | None = None,
+    encrypt_metadata: bool = True,
+    xmp_crypt_identity: bool = False,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -561,16 +577,20 @@ def build_pdf(
             )
         return _build_pdf_xref_stream(pages, compress, encrypt)
     if encrypt is not None and (info or outline or form_fields
-                                or attachments or xmp):
+                                or attachments):
         # strings in encrypted documents are themselves encrypted
-        # (ISO 32000 §7.6.2); the fixture writer keeps metadata
-        # fixtures and crypto fixtures orthogonal, same as links
+        # (ISO 32000 §7.6.2); the fixture writer keeps string-bearing
+        # metadata fixtures and crypto fixtures orthogonal, same as
+        # links. XMP is a STREAM and composes with encryption (three
+        # modes: encrypted packet, /EncryptMetadata false,
+        # /Crypt /Identity).
         raise ValueError("info/outline/form on encrypted fixtures "
                          "not supported")
     enc_key, enc_aes, enc_dict = (None, False, b"")
     if encrypt is not None:
         enc_key, enc_aes, enc_dict = _encrypt_setup(
-            encrypt, p_unsigned=encrypt_p_unsigned
+            encrypt, p_unsigned=encrypt_p_unsigned,
+            encrypt_metadata=encrypt_metadata,
         )
     # object numbering: 1=catalog, 2=pages, 3=/F1, 4=/F2,
     # [5=/F3 6=its CMap] [7=/F4 8=its CMap],
@@ -889,8 +909,26 @@ def build_pdf(
         ).encode("utf-8")
         meta_id = next_id
         next_id += 1
+        filt = ""
+        if enc_key is not None and xmp_crypt_identity:
+            # explicit per-stream opt-out: stored in the clear,
+            # tagged /Crypt /Identity (§7.4.10)
+            filt = (
+                " /Filter /Crypt /DecodeParms "
+                "<< /Type /CryptFilterDecodeParms /Name /Identity >>"
+            )
+        elif enc_key is not None and encrypt_metadata:
+            import hashlib
+
+            from . import pdf_crypt
+
+            iv = hashlib.md5(f"fixture-iv:{meta_id}".encode()).digest()
+            packet = pdf_crypt.encrypt_object_bytes(
+                enc_aes, enc_key, meta_id, 0, packet, iv=iv
+            )
+        # else: /EncryptMetadata false — packet stays plaintext
         objs[meta_id] = (
-            f"<< /Type /Metadata /Subtype /XML "
+            f"<< /Type /Metadata /Subtype /XML{filt} "
             f"/Length {len(packet)} >>\nstream\n".encode("latin-1")
             + packet + b"\nendstream"
         )

@@ -325,8 +325,25 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 # records as a corruption error (U3)
 _SUPPORTED_FILTERS = {
     b"FlateDecode", b"ASCIIHexDecode", b"ASCII85Decode",
-    b"LZWDecode", b"RunLengthDecode",
+    b"LZWDecode", b"RunLengthDecode", b"Crypt",
 }
+
+_CRYPT_NAME_RE = re.compile(rb"/Name\s*/([A-Za-z0-9]+)")
+
+
+def _crypt_filter_identity(head: bytes) -> bool:
+    """True when the stream carries an explicit ``/Crypt`` filter
+    naming the ``/Identity`` crypt filter (ISO 32000 §7.4.10) — the
+    way real writers keep individual streams (typically the XMP
+    packet) readable inside an otherwise-encrypted document. /Name
+    defaults to /Identity when absent."""
+    if not any(n == b"Crypt" for n, _ in _parse_filter_chain(head)):
+        return False
+    pm = _PARMS_VALUE_RE.search(head)
+    if not pm:
+        return True
+    nm = _CRYPT_NAME_RE.search(pm.group(1))
+    return nm is None or nm.group(1) == b"Identity"
 
 _FILTER_VALUE_RE = re.compile(
     rb"/Filter\s*(/[A-Za-z0-9]+|\[[^\]]*\])"
@@ -535,11 +552,20 @@ def _stream_bytes(
         # length-less stream must reach the decryptor intact
         if transform is None and out.endswith(b"\n"):
             out = out[:-1]
+    if transform is not None and _crypt_filter_identity(head):
+        # explicit /Crypt /Identity: this stream is stored in the
+        # clear inside an encrypted document — decrypting it would
+        # produce garbage (§7.4.10)
+        transform = None
     if transform is not None:
         out = transform(out)
     for name, parms in _parse_filter_chain(head):
         if name not in _SUPPORTED_FILTERS:
             raise ValueError(f"unsupported stream filter {name!r}")
+        if name == b"Crypt":
+            # decryption (or its Identity skip) already happened via
+            # ``transform`` above — the chain entry itself is a no-op
+            continue
         if name == b"FlateDecode":
             import zlib
 
@@ -1823,21 +1849,32 @@ def _xml_unescape(raw: bytes) -> str:
     return s
 
 
-def _doc_xmp(catalog: bytes, bodies: dict[int, bytes]) -> dict[str, str]:
+def _doc_xmp(
+    catalog: bytes, bodies: dict[int, bytes], dec=None,
+    encrypt_metadata: bool = True,
+) -> dict[str, str]:
     """XMP metadata (ISO 32000 §14.3.2, XMP Part 1): the catalog's
     /Metadata stream decoded and mined for the Dublin-Core title
     (rdf:Alt), creator (rdf:Seq) and xmp:CreateDate in either its
     attribute or element serialization.  XMP is the MODERN metadata
     channel — real writers keep it alongside a legacy /Info dict,
-    and the two routinely disagree (the consumer's audit surface)."""
+    and the two routinely disagree (the consumer's audit surface).
+
+    Encrypted documents: the packet decrypts with ``dec`` like any
+    stream, EXCEPT when the document declares ``/EncryptMetadata
+    false`` (the metadata stream is then stored in the clear — §7.6.2)
+    or the stream carries an explicit ``/Crypt /Identity`` filter
+    (handled inside :func:`_stream_bytes`)."""
     meta = _dict_ref(catalog, b"Metadata")
     if meta is None:
         return {}
     body = bodies.get(meta)
     if body is None:
         return {}
+    transform = dec(meta) if dec is not None and encrypt_metadata \
+        else None
     try:
-        packet = _stream_bytes(body)
+        packet = _stream_bytes(body, transform)
     except Exception:
         return {}
     out: dict[str, str] = {}
@@ -2091,6 +2128,9 @@ def _build_decryptor(data: bytes, bodies: dict[int, bytes], doc: "PdfDoc"):
             sec, file_key, oid, 0, raw
         )
 
+    # /EncryptMetadata false stores the XMP packet in the clear —
+    # the metadata reader consults this flag (§7.6.2)
+    dec.encrypt_metadata = sec.encrypt_metadata
     return dec
 
 
@@ -2197,7 +2237,10 @@ def parse_pdf(data: bytes) -> PdfDoc:
         except Exception:
             doc.attachments = []
         try:
-            doc.xmp = _doc_xmp(bodies[root_id], bodies)
+            doc.xmp = _doc_xmp(
+                bodies[root_id], bodies, dec,
+                getattr(dec, "encrypt_metadata", True),
+            )
         except Exception:
             doc.xmp = {}
         try:

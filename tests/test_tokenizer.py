@@ -491,6 +491,43 @@ class TestDecryption:
         bad = dataclasses.replace(sec, perms=bytes(16))
         assert not pdf_crypt.check_perms_v5(bad, key)
 
+    def test_encrypted_xmp_all_three_storage_modes(self):
+        """The XMP packet inside an encrypted document has three
+        real-world storage forms: encrypted like any stream,
+        plaintext under /EncryptMetadata false (V4+ only — affects
+        R4 key derivation via the ffffffff salt), and plaintext
+        tagged with an explicit /Crypt /Identity filter (§7.4.10).
+        All three must surface the identical parsed XMP dict."""
+        import pytest
+
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["body", "text", "stays", "readable"])
+        xmp = {"title": "Crypt & Meta <Test>", "creator": "Author",
+               "create_date": "2026-01-02T03:04:05Z"}
+        plain = parse_pdf(build_pdf([p], xmp=xmp))
+        assert plain.xmp["title"] == "Crypt & Meta <Test>"
+        words = list(plain.pages[0].words["text"])
+        for mode in ("rc4-128", "aes-128", "aes-256"):
+            variants = [
+                build_pdf([p], compress=True, encrypt=mode, xmp=xmp),
+                build_pdf([p], compress=True, encrypt=mode, xmp=xmp,
+                          xmp_crypt_identity=True),
+            ]
+            if mode != "rc4-128":
+                variants.append(
+                    build_pdf([p], compress=True, encrypt=mode,
+                              xmp=xmp, encrypt_metadata=False)
+                )
+            for data in variants:
+                doc = parse_pdf(data)
+                assert doc.xmp == plain.xmp, mode
+                assert list(doc.pages[0].words["text"]) == words
+                assert {e["severity"] for e in doc.errors} == {"info"}
+        # V1/V2 has no serialized /EncryptMetadata — writer refuses
+        with pytest.raises(ValueError):
+            build_pdf([p], encrypt="rc4-128", xmp=xmp,
+                      encrypt_metadata=False)
+
     def test_v5_hash_2b_frozen_and_nopad_inverse(self):
         """Regression-pin the R6 hardened hash (so a refactor cannot
         silently change key derivation and break every V5 fixture)
