@@ -927,18 +927,24 @@ def semantic_dedup(
     cents = spark.createDataFrame(
         crows, "cell_id int, cxq array<bigint>"
     )
-    assigned = _assign_cells(xqv, cents)
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("xq").alias("a_xq"),
-        "cell_id",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("xq").alias("b_xq"),
-        "cell_id",
-    )
     idot = (
         "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0L, "
         "(acc, v) -> acc + v)"
+    )
+    # self-norms hoisted to one pass per VECTOR (the DuckDB twin's
+    # `norms` CTE) — computing nx²/ny² per PAIR costs
+    # O(pairs · dim) twice over, the dominant term of the quadratic
+    # stage; carrying two bigints through the join is free next to it
+    assigned = _assign_cells(xqv, cents).withColumn(
+        "n2", F.expr(idot.format(x="xq", y="xq"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("xq").alias("a_xq"),
+        F.col("n2").alias("nx2"), "cell_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("xq").alias("b_xq"),
+        F.col("n2").alias("ny2"), "cell_id",
     )
     pairs = (
         a.join(b, "cell_id")
@@ -946,8 +952,8 @@ def semantic_dedup(
         .select(
             "b_id",
             F.expr(idot.format(x="a_xq", y="b_xq")).alias("dot"),
-            F.expr(idot.format(x="a_xq", y="a_xq")).alias("nx2"),
-            F.expr(idot.format(x="b_xq", y="b_xq")).alias("ny2"),
+            "nx2",
+            "ny2",
         )
     )
     dups = (
