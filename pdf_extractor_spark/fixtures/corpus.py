@@ -661,6 +661,20 @@ def _pdf_encrypted_aes() -> bytes:
     return build_pdf(_encrypted_pages(), compress=True, encrypt="aes-128")
 
 
+def _pdf_ocr_layer() -> bytes:
+    """Scanned-page shape: the only text is an INVISIBLE OCR layer
+    (text rendering mode 3, §9.3.6) laid over where the page image
+    would sit, plus one visible caption. The extractor keeps the OCR
+    text (it is the only text the page has — pdfminer-family
+    behavior) and flags the page ``invisible_text`` so quality
+    scoring can discount it."""
+    p = PageSpec()
+    p.put(72, 100, 12, "The quick brown fox jumps over", render_mode=3)
+    p.put(72, 118, 12, "the lazy dog in scanned form.", render_mode=3)
+    p.put(72, 160, 10, "Figure 1: digitized page", render_mode=0)
+    return build_pdf([p], compress=True)
+
+
 def _pdf_encrypted_aes256() -> bytes:
     """AES-256 (/V 5 /R 6 /CFM /AESV3 — PDF 2.0) in the modern
     xref-stream + ObjStm layout: the hardened-hash (Algorithm 2.B)
@@ -1512,6 +1526,7 @@ _PDF_CASES = {
     "pdf-encrypted-rc4": _pdf_encrypted_rc4,
     "pdf-encrypted-aes": _pdf_encrypted_aes,
     "pdf-encrypted-aes256": _pdf_encrypted_aes256,
+    "pdf-ocr-layer": _pdf_ocr_layer,
     "pdf-tounicode": _pdf_tounicode,
     "pdf-inherited-split": _pdf_inherited_split,
     "pdf-lzw": _pdf_lzw,
@@ -1583,6 +1598,7 @@ _CASE_LANG = {
     "pdf-empty-page": "en", "pdf-scanned": "en", "pdf-rotated": "en",
     "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
     "pdf-encrypted-aes256": "mixed",
+    "pdf-ocr-layer": "en",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",

@@ -57,6 +57,12 @@ class TextOp:
     # /Span <</ActualText (…)>> BDC … EMC — the shown string is what
     # a renderer paints, actual_text is what the text really is
     actual_text: str | None = None
+    # text rendering mode (§9.3.6): 3 = invisible — the OCR-text-
+    # layer convention of scanned PDFs. Tr is TEXT STATE, which
+    # persists across BT/ET (§9.3.1), so once any op on a page sets
+    # a mode the writer emits an explicit "<n> Tr" in every block
+    # (defaulting unset ops to 0) — no mode leaks between blocks.
+    render_mode: int | None = None
     # optional-content layer NAME (§8.11): wraps the block in
     # /OC /<resource> BDC … EMC; the layer's default visibility comes
     # from build_pdf(ocg_layers={name: visible})
@@ -102,15 +108,18 @@ class PageSpec:
             artifact: str | None = None,
             mc_tag: str | None = None,
             actual_text: str | None = None,
-            oc: str | None = None) -> None:
+            oc: str | None = None,
+            render_mode: int | None = None) -> None:
         """Place ``text`` with its TOP edge at ``y_top`` from the page
         top (reader coordinates) — converts to PDF baseline y.
         ``artifact``/``mc_tag``/``actual_text``/``oc`` wrap the block
-        in marked content (see ``TextOp``)."""
+        in marked content; ``render_mode=3`` shows it invisibly
+        (see ``TextOp``)."""
         baseline = self.height - y_top - 0.8 * size
         self.ops.append(TextOp(x=x, y=baseline, size=size, text=text,
                                artifact=artifact, mc_tag=mc_tag,
-                               actual_text=actual_text, oc=oc))
+                               actual_text=actual_text, oc=oc,
+                               render_mode=render_mode))
 
     def put_words(
         self,
@@ -197,6 +206,7 @@ def _content_stream(
     page: PageSpec, oc_res: dict[str, str] | None = None
 ) -> bytes:
     parts: list[str] = []
+    any_tr = any(op.render_mode is not None for op in page.ops)
     if page.inline_image:
         parts.append(
             "BI /W 4 /H 4 /CS /G /BPC 8 ID "
@@ -219,8 +229,10 @@ def _content_stream(
         else:
             hexs = op.text.encode("utf-16-be").hex().upper()
             font, shown = "/F2", f"<{hexs}>"
+        tr = f" {op.render_mode or 0} Tr" if any_tr else ""
         block = (
-            f"BT {font} {op.size:g} Tf {op.x:g} {op.y:g} Td {shown} Tj ET"
+            f"BT {font} {op.size:g} Tf{tr} "
+            f"{op.x:g} {op.y:g} Td {shown} Tj ET"
         )
         if op.artifact is not None:
             if op.artifact:

@@ -1191,7 +1191,7 @@ class _WordSink:
     budget is the scaling ceiling at wide configs, BASELINE.md)."""
 
     __slots__ = ("texts", "x0s", "x1s", "tops", "bottoms", "sizes",
-                 "verts")
+                 "verts", "invisible_shows")
 
     def __init__(self) -> None:
         self.texts: list[str] = []
@@ -1204,6 +1204,12 @@ class _WordSink:
         # in the rotated virtual frame) — only consulted when a page
         # mixes modes
         self.verts: list[bool] = []
+        # show operations executed under text rendering mode 3
+        # (invisible — §9.3.6): the OCR text layer of scanned PDFs.
+        # The text IS extracted (pdfminer-family behavior: that layer
+        # is the only text a scanned page has) but the page is
+        # flagged so quality scoring can treat OCR text differently.
+        self.invisible_shows: int = 0
 
     def frame(self, page_no: int) -> Words:
         import numpy as np
@@ -1325,6 +1331,7 @@ def _parse_content(
     xobjects: dict | None = None,
     width: float = 612.0,
     hidden_ocs: frozenset[str] | None = None,
+    flags: dict | None = None,
 ) -> pd.DataFrame:
     has_cmaps = fonts is not None and any(
         c is not None for c, _w, _v in fonts.values()
@@ -1333,6 +1340,7 @@ def _parse_content(
         v for _c, _w, v in fonts.values()
     )
     if not has_cmaps and not has_vert and not xobjects and \
+            b"Tr" not in stream and \
             stream.lstrip()[:5].startswith(b"BT"):
         # the fast path ignores Tf font selection, so it is only valid
         # when no font on the page carries a ToUnicode map or a
@@ -1343,6 +1351,8 @@ def _parse_content(
     rows = _WordSink()
     _scan_stream(stream, height, fonts, xobjects, rows, 0,
                  page_width=width, hidden_ocs=hidden_ocs)
+    if flags is not None and rows.invisible_shows:
+        flags["invisible_shows"] = rows.invisible_shows
     if not rows.texts:
         return empty_word_frame()
     return rows.frame(page_no)
@@ -1391,6 +1401,7 @@ def _scan_stream(
     leading = 0.0          # TL / TD-set text leading (for T*, ', ")
     tc = tw = 0.0          # Tc char / Tw word spacing (§9.3.2-3)
     tz = 1.0               # Tz horizontal scale (§9.3.4)
+    tr_mode = 0            # Tr text rendering mode (§9.3.6; 3 = none)
     x = y = 0.0
     lx = ly = 0.0          # line-start (Td is relative to line matrix)
     # marked content (§14.6): /Artifact spans (§14.8.2.2) mark
@@ -1488,6 +1499,12 @@ def _scan_stream(
         elif tok == b"Tz" and stack:
             tz = float(stack[-1]) / 100.0
             stack.clear()
+        elif tok == b"Tr" and stack:
+            try:
+                tr_mode = int(float(stack[-1]))
+            except ValueError:
+                tr_mode = 0
+            stack.clear()
         elif tok == b"q":
             gstack.append((ctm_tx, ctm_ty))
             stack.clear()
@@ -1509,6 +1526,8 @@ def _scan_stream(
             stack.clear()
         elif tok == b"Tj" and stack:
             s = stack[-1]
+            if tr_mode == 3:
+                rows.invisible_shows += 1
             if at_level >= 0 and at_pos is None:
                 at_pos = (x + ctm_tx, y + ctm_ty, size)
             if cur_vert:
@@ -1527,6 +1546,8 @@ def _scan_stream(
             # SET the word/char spacing state (§9.4.3)
             s = stack[-1]
             if s[:1] in (b"(", b"<"):
+                if tr_mode == 3:
+                    rows.invisible_shows += 1
                 if tok == b'"' and len(stack) >= 3:
                     tw, tc = float(stack[-3]), float(stack[-2])
                 ly -= leading
@@ -1545,6 +1566,8 @@ def _scan_stream(
                     ) - ctm_tx
             stack.clear()
         elif tok == b"TJ":
+            if tr_mode == 3 and in_array:
+                rows.invisible_shows += 1
             if at_level >= 0 and at_pos is None and in_array:
                 at_pos = (x + ctm_tx, y + ctm_ty, size)
             for item in in_array:
@@ -2339,10 +2362,21 @@ def parse_pdf(data: bytes) -> PdfDoc:
                         {"type": "malformed", "severity": "warning",
                          "page": idx, "message": note}
                     )
+                page_flags: dict = {}
                 words = _parse_content(
                     stream, height, idx, fonts, xobjs, width,
-                    hidden_ocs or None,
+                    hidden_ocs or None, flags=page_flags,
                 )
+                if page_flags.get("invisible_shows"):
+                    doc.errors.append(
+                        {"type": "invisible_text", "severity": "warning",
+                         "page": idx,
+                         "message": (
+                             "text rendered invisible (Tr 3) — "
+                             f"{page_flags['invisible_shows']} show ops; "
+                             "likely OCR text layer of a scanned page"
+                         )}
+                    )
                 if any(v for _c, _w, v in fonts.values()):
                     doc.errors.append(
                         {"type": "vertical", "severity": "warning",

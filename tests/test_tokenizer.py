@@ -491,6 +491,31 @@ class TestDecryption:
         bad = dataclasses.replace(sec, perms=bytes(16))
         assert not pdf_crypt.check_perms_v5(bad, key)
 
+    def test_invisible_text_extracted_and_flagged(self):
+        """Tr 3 (invisible — the OCR layer of scanned PDFs, §9.3.6):
+        text must still extract (pdfminer-family behavior; it is the
+        only text such pages have) with an ``invisible_text`` warning
+        naming the page; Tr is text state, so the writer's explicit
+        per-block reset keeps the following visible block visible."""
+        p = PageSpec()
+        p.put(72, 100, 12, "ocr words recovered", render_mode=3)
+        p.put(72, 130, 12, "visible caption", render_mode=0)
+        doc = parse_pdf(build_pdf([p], compress=True))
+        words = list(doc.pages[0].words["text"])
+        assert "ocr" in words and "caption" in words
+        inv = [e for e in doc.errors if e["type"] == "invisible_text"]
+        assert len(inv) == 1 and inv[0]["page"] == 1
+        assert "Tr 3" in inv[0]["message"]
+        # stroke/fill/clip modes 0-2 and 4-7 are NOT flagged
+        p2 = PageSpec()
+        p2.put(72, 100, 12, "stroked text", render_mode=1)
+        p2.put(72, 130, 12, "clip-added text", render_mode=7)
+        d2 = parse_pdf(build_pdf([p2]))
+        assert not [e for e in d2.errors
+                    if e["type"] == "invisible_text"]
+        assert list(d2.pages[0].words["text"]) == \
+            ["stroked", "text", "clip-added", "text"]
+
     def test_encrypted_xmp_all_three_storage_modes(self):
         """The XMP packet inside an encrypted document has three
         real-world storage forms: encrypted like any stream,
