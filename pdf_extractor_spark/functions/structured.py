@@ -106,9 +106,28 @@ def wrap_html_structured(text: str, doc_id: int) -> bytes:
             + json.dumps(body, ensure_ascii=True)
             + "</script>"
         )
+    body_parts = [f"<p>{_html.escape(text)}</p>"]
+    if doc_id % 2 == 1:
+        # odd docs carry MICRODATA instead of JSON-LD — real pages
+        # typically use one channel or the other; the harvest must
+        # recover both. Covers every value rule: @type from
+        # itemscope/itemtype, text content (h1/span), meta→content,
+        # a→href.
+        body_parts.append(
+            '<div itemscope itemtype="https://schema.org/Article">'
+            f'<h1 itemprop="headline">Doc — {doc_id}</h1>'
+            f'<meta itemprop="wordCount" content="{doc_id % 1000}">'
+            f'<a itemprop="url" href="/d/{doc_id}">permalink</a>'
+            f'<span itemprop="author">Author {doc_id % 50}</span>'
+            "</div>"
+        )
+    if doc_id % 9 == 2:  # template-wrapped microdata: inert
+        body_parts.append(
+            '<template><span itemprop="trap">never</span></template>'
+        )
     return (
         f"<html><head>{''.join(head)}</head><body>"
-        f"<p>{_html.escape(text)}</p></body></html>"
+        f"{''.join(body_parts)}</body></html>"
     ).encode("utf-8")
 
 
@@ -158,12 +177,14 @@ def _structured_iter(
         rows = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             payload = wrap_html_structured(text, int(doc_id))
-            metas, islands = harvest_structured(payload)
+            metas, islands, micro = harvest_structured(payload)
             for key, value in metas:
                 rows.append((int(doc_id), "meta", key, value))
             for raw in islands:
                 for key, value in ldjson_rows(raw):
                     rows.append((int(doc_id), "jsonld", key, value))
+            for key, value in micro:
+                rows.append((int(doc_id), "microdata", key, value))
         yield pd.DataFrame(
             rows, columns=["doc_id", "src", "key", "value"]
         )
@@ -208,4 +229,21 @@ FROM {source} WHERE doc_id % 2 = 0
 UNION ALL
 SELECT doc_id, 'jsonld', 'author.name', 'Author ' || (doc_id % 50)
 FROM {source} WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'microdata', '@type', 'https://schema.org/Article'
+FROM {source} WHERE doc_id % 2 = 1
+UNION ALL
+SELECT doc_id, 'microdata', 'headline',
+       'Doc ' || chr(8212) || ' ' || doc_id
+FROM {source} WHERE doc_id % 2 = 1
+UNION ALL
+SELECT doc_id, 'microdata', 'wordCount',
+       CAST(doc_id % 1000 AS VARCHAR)
+FROM {source} WHERE doc_id % 2 = 1
+UNION ALL
+SELECT doc_id, 'microdata', 'url', '/d/' || doc_id
+FROM {source} WHERE doc_id % 2 = 1
+UNION ALL
+SELECT doc_id, 'microdata', 'author', 'Author ' || (doc_id % 50)
+FROM {source} WHERE doc_id % 2 = 1
 """

@@ -341,6 +341,16 @@ class _BlockParser(HTMLParser):
         # bodies, in document order
         self.meta_props: list[tuple[str, str]] = []
         self.ldjson: list[str] = []
+        # microdata (WHATWG §5.2, the third structured-data channel
+        # besides Open Graph and JSON-LD): flat (key, value) rows in
+        # document order — "@type" rows from itemscope/itemtype
+        # declarations, property rows from itemprop elements with the
+        # per-element value rules (meta→content, img→src, a→href,
+        # time→datetime, else text content)
+        self.microdata: list[tuple[str, str]] = []
+        # open TEXT-valued itemprop: (tag, prop, buf) — flat model:
+        # one at a time, the overwhelmingly dominant real-page shape
+        self._md_open: tuple[str, str, list[str]] | None = None
         # image candidates: (tag, src-or-data-src, srcset, alt) from
         # <img> and <picture><source> — the (image URL, alt text)
         # harvest surface
@@ -442,6 +452,47 @@ class _BlockParser(HTMLParser):
         if prev_vis is not None:
             self._visible = prev_vis
 
+    # WHATWG microdata value rules (§5.2.4): which attribute carries
+    # an itemprop's value, per element; absent → text content
+    _MD_ATTR_VALUE = {
+        "meta": "content", "audio": "src", "embed": "src",
+        "iframe": "src", "img": "src", "source": "src",
+        "track": "src", "video": "src", "a": "href", "area": "href",
+        "link": "href", "object": "data", "data": "value",
+        "meter": "value", "time": "datetime",
+    }
+
+    def _handle_microdata(self, tag: str, md: dict) -> None:
+        if "itemscope" in md and md.get("itemtype"):
+            self._md_flush()
+            self.microdata.append(("@type", md["itemtype"].strip()))
+        prop = md.get("itemprop")
+        if not prop:
+            return
+        attr = self._MD_ATTR_VALUE.get(tag)
+        if attr is not None and md.get(attr) is not None:
+            self._md_flush()
+            self.microdata.append((prop, md[attr]))
+            return
+        if attr is not None and tag != "time":
+            # attribute-valued element missing its value attribute:
+            # the property's value is the empty string (§5.2.4)
+            self._md_flush()
+            self.microdata.append((prop, ""))
+            return
+        # text-valued property (incl. <time> without datetime): flat
+        # model — one open at a time, the dominant real-page shape
+        self._md_flush()
+        self._md_open = (tag, prop, [])
+
+    def _md_flush(self) -> None:
+        if self._md_open is not None:
+            _tag, prop, buf = self._md_open
+            self.microdata.append(
+                (prop, _WS_RE.sub(" ", "".join(buf)).strip())
+            )
+            self._md_open = None
+
     def handle_starttag(self, tag, attrs):
         # head directives are harvested even though <head> is a skip
         # subtree for TEXT — but a directive inside <template> is
@@ -505,6 +556,18 @@ class _BlockParser(HTMLParser):
                     self.meta_props.append((prop, a["content"]))
                 elif name == "description" or name.startswith("twitter:"):
                     self.meta_props.append((name, a["content"]))
+        # microdata (WHATWG §5.2) rides the same pass: any element
+        # may carry itemscope/itemprop; <template> contents are inert,
+        # but HIDDEN elements are harvested — pages hide machine-
+        # readable properties intentionally and validly
+        if not self._skip_counts.get("template") and any(
+            k in ("itemscope", "itemprop", "itemtype")
+            for k, _v in attrs
+        ):
+            md: dict[str, str | None] = {}
+            for k, v in attrs:
+                md.setdefault(k, v)
+            self._handle_microdata(tag, md)
         if tag == "script" and not self._skip_counts.get("template"):
             # JSON-LD island: essence match on the `type` attribute
             # (parameters stripped, case-insensitive) per WHATWG
@@ -602,6 +665,8 @@ class _BlockParser(HTMLParser):
                 self.directives.append(("license_a", self._a_href))
 
     def handle_endtag(self, tag):
+        if self._md_open is not None and tag == self._md_open[0]:
+            self._md_flush()
         # implied-end clearing may hang off a NON-skip container's end
         # tag too (</ruby> closes an open rt/rp), so it runs first
         for t in _SKIP_CLEARED_BY_END.get(tag, ()):
@@ -645,6 +710,10 @@ class _BlockParser(HTMLParser):
             # this never reaches the block buffer)
             self._ldjson_buf.append(data)
             return
+        if self._md_open is not None:
+            # text-valued itemprop: collect AND let the data flow on
+            # to the block buffer — itemprop spans are normal content
+            self._md_open[2].append(data)
         if self._skip_depth:
             return
         if self._disp_hidden or not self._visible:
@@ -678,6 +747,7 @@ class _BlockParser(HTMLParser):
             self.handle_data(leftover)
             self.handle_endtag(cdata)
         self._emit_anchor()  # unterminated <a> at EOF still counts
+        self._md_flush()     # unterminated itemprop at EOF too
 
 
 _TAG_START_RE = re.compile(r"<[A-Za-z/]")
@@ -863,14 +933,17 @@ def harvest_license(
 
 def harvest_structured(
     html_bytes: bytes, transport_charset: str | None = None
-) -> tuple[list[tuple[str, str]], list[str]]:
+) -> tuple[list[tuple[str, str]], list[str], list[tuple[str, str]]]:
     """Structured-data surfaces through the same decode + quote-
-    repair + parse pipeline as extraction: ``(meta_props, ldjson)``
-    where ``meta_props`` is ordered ``(key, content)`` pairs from
-    ``<meta property=…>`` (RDFa/Open Graph) plus ``name=description``
-    / ``name=twitter:*``, and ``ldjson`` is the RAW bodies of
+    repair + parse pipeline as extraction:
+    ``(meta_props, ldjson, microdata)`` where ``meta_props`` is
+    ordered ``(key, content)`` pairs from ``<meta property=…>``
+    (RDFa/Open Graph) plus ``name=description`` / ``name=twitter:*``,
+    ``ldjson`` is the RAW bodies of
     ``<script type="application/ld+json">`` islands (JSON semantics
-    live with the consumer, :mod:`..functions.structured`).
+    live with the consumer, :mod:`..functions.structured`), and
+    ``microdata`` is flat WHATWG-microdata ``(key, value)`` rows
+    (itemscope/itemprop — the third channel).
     ``<template>`` contents are inert per WHATWG and never emitted;
     an unterminated script at EOF (truncated crawl) is dropped, not
     guessed at."""
@@ -878,7 +951,7 @@ def harvest_structured(
     parser = _BlockParser()
     parser.feed(repair_unterminated_quotes(text))
     parser.close()
-    return parser.meta_props, parser.ldjson
+    return parser.meta_props, parser.ldjson, parser.microdata
 
 
 def classify_blocks(blocks: list[Block], cfg: ExtractConfig) -> list[bool]:

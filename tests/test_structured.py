@@ -17,7 +17,7 @@ SF = "/root/testdata/sf0.001"
 
 class TestHarvest:
     def test_og_metas_and_ldjson_island(self):
-        metas, islands = harvest_structured(wrap_html_structured("t", 4))
+        metas, islands, _md = harvest_structured(wrap_html_structured("t", 4))
         m = dict(metas)
         assert m["og:title"] == "Doc 4 of site4"
         assert m["og:type"] == "article"
@@ -26,23 +26,23 @@ class TestHarvest:
     def test_template_meta_is_inert(self):
         # doc_id 9: template trap (9%6==3); og:title must be the real
         # one, never 'trap'
-        metas, _ = harvest_structured(wrap_html_structured("t", 9))
+        metas, _, _md = harvest_structured(wrap_html_structured("t", 9))
         titles = [v for k, v in metas if k == "og:title"]
         assert titles == ["Doc 9 of site9"]
 
     def test_wrong_essence_not_harvested(self):
         # doc_id 5: application/json present (5%5==0), no ld+json
-        _, islands = harvest_structured(wrap_html_structured("t", 5))
+        _, islands, _md = harvest_structured(wrap_html_structured("t", 5))
         assert islands == []
 
     def test_parameterized_type_attribute_matches(self):
         # doc_id 2: type='APPLICATION/LD+JSON; charset=utf-8'
-        _, islands = harvest_structured(wrap_html_structured("t", 2))
+        _, islands, _md = harvest_structured(wrap_html_structured("t", 2))
         assert len(islands) == 1
 
     def test_malformed_island_costs_its_rows_only(self):
         # doc_id 14: malformed (14%7==0) AND valid (14%2==0) islands
-        _, islands = harvest_structured(wrap_html_structured("t", 14))
+        _, islands, _md = harvest_structured(wrap_html_structured("t", 14))
         assert len(islands) == 2
         rows = [r for raw in islands for r in ldjson_rows(raw)]
         assert ("headline", "Doc — 14") in rows
@@ -50,7 +50,7 @@ class TestHarvest:
     def test_unterminated_island_dropped(self):
         page = (b"<html><head><script type='application/ld+json'>"
                 b'{"@type": "Article"')
-        _, islands = harvest_structured(page)
+        _, islands, _md = harvest_structured(page)
         assert islands == []
 
     def test_meta_name_allowlist(self):
@@ -59,10 +59,61 @@ class TestHarvest:
                 b"<meta name='TWITTER:card' content='summary'>"
                 b"<meta name='viewport' content='width=device-width'>"
                 b"</head><body>x</body></html>")
-        metas, _ = harvest_structured(page)
+        metas, _, _md = harvest_structured(page)
         assert ("description", "d") in metas
         assert ("twitter:card", "summary") in metas
         assert all(k != "viewport" for k, _ in metas)
+
+
+class TestMicrodata:
+    def test_all_value_rules(self):
+        # doc_id 7 (odd): the microdata article block
+        _, _, md = harvest_structured(wrap_html_structured("t", 7))
+        assert ("@type", "https://schema.org/Article") in md
+        assert ("headline", "Doc — 7") in md        # text content
+        assert ("wordCount", "7") in md             # meta → content
+        assert ("url", "/d/7") in md                # a → href
+        assert ("author", "Author 7") in md         # span text
+
+    def test_even_docs_have_no_microdata(self):
+        _, _, md = harvest_structured(wrap_html_structured("t", 4))
+        assert md == []
+
+    def test_template_microdata_inert(self):
+        # doc_id 11: odd (has real microdata) and 11 % 9 == 2 (trap)
+        _, _, md = harvest_structured(wrap_html_structured("t", 11))
+        assert all(k != "trap" for k, _v in md)
+        assert ("headline", "Doc — 11") in md
+
+    def test_value_attribute_rules_and_hidden(self):
+        page = (
+            b"<html><body>"
+            b"<div itemscope itemtype='https://schema.org/Event'>"
+            b"<time itemprop='startDate' datetime='2026-03-01'>"
+            b"March 1st</time>"
+            b"<img itemprop='image' src='/poster.jpg'>"
+            b"<link itemprop='sameAs' href='https://x.example/e'>"
+            b"<span itemprop='location' style='display:none'>"
+            b"Hidden Hall</span>"
+            b"<time itemprop='doorTime'>6 pm</time>"
+            b"</div></body></html>"
+        )
+        _, _, md = harvest_structured(page)
+        d = dict(md)
+        assert d["@type"] == "https://schema.org/Event"
+        assert d["startDate"] == "2026-03-01"   # datetime attr wins
+        assert d["image"] == "/poster.jpg"
+        assert d["sameAs"] == "https://x.example/e"
+        # microdata in CSS-hidden elements is valid and harvested
+        assert d["location"] == "Hidden Hall"
+        assert d["doorTime"] == "6 pm"          # time w/o datetime
+
+    def test_unterminated_itemprop_flushes_at_eof(self):
+        page = (b"<html><body><div itemscope "
+                b"itemtype='https://schema.org/Thing'>"
+                b"<span itemprop='name'>cut off here")
+        _, _, md = harvest_structured(page)
+        assert ("name", "cut off here") in md
 
 
 class TestLdjsonRows:
