@@ -140,7 +140,14 @@ def wrap_pdf_layout(text: str, doc_id: int) -> bytes:
     - 3: a default-OFF optional-content layer carrying junk — never
       drawn, never extracted (§8.11; classic container only — the
       xref-stream writer doesn't emit /OCProperties — other
-      containers fall back to the artifact variant)."""
+      containers fall back to the artifact variant).
+
+    A third rotation (``doc_id % 5 == 0``) ENCRYPTS the document
+    (standard security, empty user password — the owner-restricted
+    web case), cycling RC4-128 / AES-128 / AES-256(R6): decryption
+    must be invisible in the extracted text on both the classic and
+    xref-stream containers (the hybrid writer takes no encryption —
+    those docs stay plaintext)."""
     from ..operators.pdf_generator import build_pdf_hybrid
 
     words = text.split(" ")
@@ -148,6 +155,9 @@ def wrap_pdf_layout(text: str, doc_id: int) -> bytes:
     compress = doc_id % 2 == 0
     variant = doc_id % 3
     mc = doc_id % 4
+    encrypt = None
+    if doc_id % 5 == 0 and variant != 2:
+        encrypt = ("rc4-128", "aes-128", "aes-256")[(doc_id // 5) % 3]
     ocg_layers = None
     if mc == 3 and variant != 0:
         mc = 1
@@ -166,11 +176,12 @@ def wrap_pdf_layout(text: str, doc_id: int) -> bytes:
                  oc="AltContent")
         ocg_layers = {"AltContent": False}
     if variant == 1:
-        return build_pdf([page], compress=compress, xref_stream=True)
+        return build_pdf([page], compress=compress, xref_stream=True,
+                         encrypt=encrypt)
     if variant == 2:
         return build_pdf_hybrid([page], compress=compress)
     return build_pdf([page], compress=compress,
-                     ocg_layers=ocg_layers)
+                     ocg_layers=ocg_layers, encrypt=encrypt)
 
 
 def _roundtrip_iter(wrapper):
