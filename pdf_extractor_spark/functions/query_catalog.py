@@ -3273,6 +3273,30 @@ ORDER BY doc_id
 _UNIGRAM_SQL = _unigram_sql()
 
 
+def _readability(spark, sf_dir):
+    """Flesch reading-ease / Flesch-Kincaid grade over the web-ified
+    documents (readability is a standard quality dimension next to
+    Gopher/C4): pure narrow map, integer milli-unit arithmetic with
+    floor division shared bit-for-bit with the oracle."""
+    from .textstats import readability_scores, webify
+
+    return readability_scores(
+        _t(spark, sf_dir, "documents"), text_col=webify()
+    ).orderBy("doc_id")
+
+
+def _readability_sql() -> str:
+    from .textstats import duck_readability_sql, duck_webify
+
+    return duck_readability_sql(
+        source=f"(SELECT doc_id, {duck_webify('text')} AS text "
+               "FROM documents)"
+    )
+
+
+_READABILITY_SQL = _readability_sql()
+
+
 def _gopher_rules(spark, sf_dir):
     """Gopher web-corpus quality battery (Rae et al. 2021 A1.1) over
     the deterministically web-ified documents table: word/line rules
@@ -4596,6 +4620,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_split_holdout": QueryDef(
         _split_holdout, _SPLIT_HOLDOUT_SQL, True
     ),
+    "text_readability": QueryDef(_readability, _READABILITY_SQL),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),
     "corpus_host_pagerank": QueryDef(

@@ -261,6 +261,107 @@ def duck_webify(col: str = "text") -> str:
     )
 
 
+# ------------------------------------------------------- readability
+#
+# Flesch reading ease + Flesch-Kincaid grade as corpus-quality
+# features (readability is a standard quality dimension next to the
+# Gopher/C4 batteries: training mixes often oversample mid-difficulty
+# prose). Syllables use the classic vowel-group heuristic (runs of
+# [aeiouy] in lowercased text — the approximation every readability
+# library ships); sentences count terminal-punctuation runs. All
+# arithmetic integer milli-units with floor division in ONE fixed
+# association, so both engines agree bit-for-bit — no doubles, no
+# rounding modes.
+
+_VOWEL_GROUP = "[aeiouy]+"
+_SENT_END = "[.!?]+"
+
+
+def readability_scores(
+    docs: DataFrame, text_col: Column | None = None
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, fre_milli,
+    fkg_milli, band): FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W),
+    FKG = 0.39·(W/S) + 11.8·(Syl/W) − 15.59, both in integer
+    milli-units with W/S/Syl floored at 1 (degenerate docs score as
+    one-sentence one-word text instead of dividing by zero). One
+    narrow map — no shuffle, no UDF."""
+    t = text_col if text_col is not None else F.col("text")
+    lowered = docs.select("doc_id", F.lower(t).alias("lt"))
+    counted = lowered.select(
+        "doc_id",
+        F.greatest(F.size(F.split("lt", " ")), F.lit(1))
+        .cast("long").alias("w_"),
+        F.greatest(
+            F.size(F.expr(
+                f"regexp_extract_all(lt, '{_SENT_END}', 0)"
+            )),
+            F.lit(1),
+        ).cast("long").alias("s_"),
+        F.greatest(
+            F.size(F.expr(
+                f"regexp_extract_all(lt, '{_VOWEL_GROUP}', 0)"
+            )),
+            F.lit(1),
+        ).cast("long").alias("syl_"),
+    )
+    # integer floor division: `div` (Spark) == `//` (DuckDB); all
+    # operands positive, ONE fixed association — bit-identical twins
+    fre = F.expr(
+        "206835 - (1015 * w_) div s_ - (84600 * syl_) div w_"
+    )
+    fkg = F.expr(
+        "(390 * w_) div s_ + (11800 * syl_) div w_ - 15590"
+    )
+    return counted.select(
+        "doc_id",
+        F.col("w_").alias("n_words"),
+        F.col("s_").alias("n_sentences"),
+        F.col("syl_").alias("n_syllables"),
+        fre.cast("long").alias("fre_milli"),
+        fkg.cast("long").alias("fkg_milli"),
+        F.when(fre >= 90000, F.lit("very_easy"))
+        .when(fre >= 60000, F.lit("standard"))
+        .when(fre >= 30000, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+        .alias("band"),
+    )
+
+
+def duck_readability_sql(
+    source: str = "documents", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`readability_scores` — same milli-unit
+    integer arithmetic, same floor divisions, same band cuts."""
+    return f"""
+WITH counted AS (
+  SELECT doc_id,
+         greatest(len(string_split({text_expr}, ' ')), 1)::BIGINT AS w_,
+         greatest(len(regexp_extract_all(lower({text_expr}),
+                  '{_SENT_END}')), 1)::BIGINT AS s_,
+         greatest(len(regexp_extract_all(lower({text_expr}),
+                  '{_VOWEL_GROUP}')), 1)::BIGINT AS syl_
+  FROM {source}
+)
+SELECT doc_id,
+       w_ AS n_words,
+       s_ AS n_sentences,
+       syl_ AS n_syllables,
+       (206835 - (1015 * w_) // s_ - (84600 * syl_) // w_)::BIGINT
+         AS fre_milli,
+       ((390 * w_) // s_ + (11800 * syl_) // w_ - 15590)::BIGINT
+         AS fkg_milli,
+       CASE WHEN 206835 - (1015 * w_) // s_ - (84600 * syl_) // w_
+                 >= 90000 THEN 'very_easy'
+            WHEN 206835 - (1015 * w_) // s_ - (84600 * syl_) // w_
+                 >= 60000 THEN 'standard'
+            WHEN 206835 - (1015 * w_) // s_ - (84600 * syl_) // w_
+                 >= 30000 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM counted
+"""
+
+
 def gopher_rules(docs: DataFrame, text_col: Column | None = None) -> DataFrame:
     """Gopher repetition/quality rule battery per document. Returns the
     rule inputs plus the combined ``gopher_pass`` flag.

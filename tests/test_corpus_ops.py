@@ -839,3 +839,40 @@ class TestSplitHoldout:
             full, on="doc_id", suffixes=("_half", "_full")
         )
         assert (merged.split_half == merged.split_full).all()
+
+
+class TestReadability:
+    def test_known_text_exact_values(self, spark):
+        import pandas as pd
+        from pdf_extractor_spark.functions.textstats import (
+            readability_scores,
+        )
+
+        # "the cat sat. it ran fast!" → W=6 words, S=2 sentences,
+        # syllable groups: e,a,a,i,a,a → 6
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1],
+                          "text": ["the cat sat. it ran fast!"]})
+        )
+        row = readability_scores(docs).first()
+        assert row.n_words == 6 and row.n_sentences == 2
+        assert row.n_syllables == 6
+        # fre = 206835 - (1015*6)//2 - (84600*6)//6 = 119205
+        assert row.fre_milli == 206835 - 3045 - 84600
+        # fkg = (390*6)//2 + (11800*6)//6 - 15590 = -3420
+        assert row.fkg_milli == 1170 + 11800 - 15590
+        assert row.band == "very_easy"
+
+    def test_degenerate_doc_floors_at_one(self, spark):
+        import pandas as pd
+        from pdf_extractor_spark.functions.textstats import (
+            readability_scores,
+        )
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["", "zzz"]})
+        )
+        rows = {r.doc_id: r for r in readability_scores(docs).collect()}
+        # no sentences, no vowels: every denominator floors at 1
+        assert rows[2].n_sentences == 1 and rows[2].n_syllables == 1
+        assert rows[1].n_words == 1  # split("") -> one empty token

@@ -209,6 +209,17 @@ class TestParagraphDedupPlan:
         assert "lang" not in m.group(1)
 
 
+class TestReadabilityPlan:
+    def test_narrow_map_zero_exchanges(self, spark):
+        plan = _plan(spark, "text_readability")
+        # orderBy adds one final sort exchange; nothing else shuffles
+        assert plan.count("Exchange") <= 1, plan
+        assert "Python" not in plan
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m and "doc_id" in m.group(1) and "text" in m.group(1)
+        assert "lang" not in m.group(1)
+
+
 class TestSplitHoldoutPlan:
     def test_pure_projection_zero_exchanges(self, spark):
         plan = _plan(spark, "corpus_split_holdout")
