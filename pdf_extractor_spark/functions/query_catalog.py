@@ -3273,6 +3273,25 @@ ORDER BY doc_id
 _UNIGRAM_SQL = _unigram_sql()
 
 
+def _shard_manifest(spark, sf_dir):
+    """Fixed-token-budget output-shard manifest via the two-level
+    distributed prefix sum (per-bucket totals + windowed offsets +
+    parallel within-bucket cumsum) — the scalable form of the
+    single-window assignment the oracle runs."""
+    from .sharding import shard_manifest
+
+    return shard_manifest(_t(spark, sf_dir, "documents"))
+
+
+def _shard_manifest_sql() -> str:
+    from .sharding import duck_shard_manifest_sql
+
+    return duck_shard_manifest_sql()
+
+
+_SHARD_MANIFEST_SQL = _shard_manifest_sql()
+
+
 def _readability(spark, sf_dir):
     """Flesch reading-ease / Flesch-Kincaid grade over the web-ified
     documents (readability is a standard quality dimension next to
@@ -4621,6 +4640,9 @@ CATALOG: dict[str, QueryDef] = {
         _split_holdout, _SPLIT_HOLDOUT_SQL, True
     ),
     "text_readability": QueryDef(_readability, _READABILITY_SQL),
+    "corpus_shard_manifest": QueryDef(
+        _shard_manifest, _SHARD_MANIFEST_SQL
+    ),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),
     "corpus_host_pagerank": QueryDef(

@@ -876,3 +876,43 @@ class TestReadability:
         # no sentences, no vowels: every denominator floors at 1
         assert rows[2].n_sentences == 1 and rows[2].n_syllables == 1
         assert rows[1].n_words == 1  # split("") -> one empty token
+
+
+class TestShardManifest:
+    def test_greedy_layout_invariants(self, spark):
+        from pdf_extractor_spark.functions.sharding import (
+            SHARD_TOKENS,
+            shard_manifest,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        pdf = shard_manifest(docs).toPandas()
+        # shard ids contiguous from 0; multiple shards realized
+        assert list(pdf.shard_id) == list(range(len(pdf)))
+        assert len(pdf) >= 2
+        # doc-id ranges are disjoint and ordered (stable order key)
+        assert (pdf.doc_lo.shift(-1)[:-1] > pdf.doc_hi[:-1]).all()
+        # every shard except the last crosses its budget boundary
+        cum = pdf.n_tokens.cumsum()
+        assert (
+            cum[:-1] >= (pdf.shard_id[:-1] + 1) * SHARD_TOKENS
+        ).all()
+        # conservation: every document's tokens land in some shard
+        assert int(pdf.n_docs.sum()) == docs.count()
+
+    def test_two_level_sum_matches_single_window(self, spark):
+        """The distributed form must telescope to the naive prefix
+        sum — pin it with a tiny bucket span that forces many
+        buckets."""
+        from pdf_extractor_spark.functions.sharding import (
+            shard_manifest,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        a = shard_manifest(docs, bucket_span=7).toPandas()
+        b = shard_manifest(docs, bucket_span=10_000_000).toPandas()
+        assert a.equals(b)

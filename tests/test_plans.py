@@ -220,6 +220,27 @@ class TestReadabilityPlan:
         assert "lang" not in m.group(1)
 
 
+class TestShardManifestPlan:
+    def test_doc_window_partitioned_offsets_broadcast(self, spark):
+        plan = _plan(spark, "corpus_shard_manifest")
+        # the per-document cumulative sum must run PARTITIONED BY
+        # bucket (parallel), never as one global window over the
+        # corpus; the tiny bucket-offset table joins via broadcast
+        import re as _re
+
+        doc_wins = [
+            ln for ln in plan.splitlines()
+            if "Window [" in ln and "doc_id" in ln
+        ]
+        # partition spec is the second bracket group: "], [bkt..."
+        assert doc_wins and all(
+            _re.search(r"\], \[bkt#\d+L\]", ln) for ln in doc_wins
+        ), plan
+        assert "BroadcastHashJoin" in plan, plan
+        m = _re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m and "text" in m.group(1) and "lang" not in m.group(1)
+
+
 class TestSplitHoldoutPlan:
     def test_pure_projection_zero_exchanges(self, spark):
         plan = _plan(spark, "corpus_split_holdout")
