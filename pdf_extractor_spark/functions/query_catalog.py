@@ -3273,6 +3273,25 @@ ORDER BY doc_id
 _UNIGRAM_SQL = _unigram_sql()
 
 
+def _nfc_audit(spark, sf_dir):
+    """NFC-normalization audit (Arrow-batched unicodedata vs the
+    oracle's native nfc_normalize): per-doc code-point counts around
+    canonical composition + the already-normalized flag, over a
+    deterministically denormalized view of every third document."""
+    from .normalize import nfc_audit
+
+    return nfc_audit(_t(spark, sf_dir, "documents"))
+
+
+def _nfc_audit_sql() -> str:
+    from .normalize import duck_nfc_audit_sql
+
+    return duck_nfc_audit_sql()
+
+
+_NFC_AUDIT_SQL = _nfc_audit_sql()
+
+
 def _shard_manifest(spark, sf_dir):
     """Fixed-token-budget output-shard manifest via the two-level
     distributed prefix sum (per-bucket totals + windowed offsets +
@@ -4643,6 +4662,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_shard_manifest": QueryDef(
         _shard_manifest, _SHARD_MANIFEST_SQL
     ),
+    "text_nfc_audit": QueryDef(_nfc_audit, _NFC_AUDIT_SQL),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),
     "corpus_host_pagerank": QueryDef(

@@ -916,3 +916,27 @@ class TestShardManifest:
         a = shard_manifest(docs, bucket_span=7).toPandas()
         b = shard_manifest(docs, bucket_span=10_000_000).toPandas()
         assert a.equals(b)
+
+
+class TestNfcAudit:
+    def test_nfc_semantics_pinned(self, spark):
+        """NFC composes canonical sequences but must NOT fold
+        compatibility characters (that's NFKC) — the classic
+        normalization bug this audit exists to catch."""
+        import pandas as pd
+        from pdf_extractor_spark.functions.normalize import nfc_audit
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            # doc 1 gets the denormalization (1 % 3 == 1): its 'e's
+            # decompose then compose back — n_after < n_before
+            "doc_id": [1, 3, 6],
+            "text": ["tree level", "café", "ﬁne print"],
+        }))
+        rows = {r.doc_id: r for r in nfc_audit(docs).collect()}
+        assert rows[1].n_before > rows[1].n_after
+        assert not rows[1].is_nfc
+        # already-composed text passes through
+        assert rows[3].is_nfc and rows[3].n_before == rows[3].n_after
+        # the fi LIGATURE is compatibility, not canonical: NFC keeps
+        # it — is_nfc stays true and nothing shrinks
+        assert rows[6].is_nfc and rows[6].n_before == rows[6].n_after

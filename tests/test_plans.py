@@ -220,6 +220,15 @@ class TestReadabilityPlan:
         assert "lang" not in m.group(1)
 
 
+class TestNfcAuditPlan:
+    def test_one_arrow_stage_zero_exchanges(self, spark):
+        plan = _plan(spark, "text_nfc_audit")
+        assert "Exchange" not in plan, plan
+        # exactly one Arrow-batched python stage, never per-row
+        assert plan.count("ArrowEvalPython") == 1, plan
+        assert "BatchEvalPython" not in plan
+
+
 class TestShardManifestPlan:
     def test_doc_window_partitioned_offsets_broadcast(self, spark):
         plan = _plan(spark, "corpus_shard_manifest")
