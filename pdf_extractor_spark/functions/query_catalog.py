@@ -3273,6 +3273,47 @@ ORDER BY doc_id
 _UNIGRAM_SQL = _unigram_sql()
 
 
+VOCAB_TOP_K = 100
+
+
+def _vocab_topk(spark, sf_dir):
+    """Corpus-derived vocabulary: token document-frequency and total
+    count, top-K by (count desc, token asc — deterministic
+    tie-break). The precursor every tokenizer-training run computes.
+    Plan shape at 100 TB: explode is a narrow map; the count
+    aggregate is map-side combinable (partial_count before the
+    exchange); the top-K is a single ORDER BY + LIMIT over the
+    already-collapsed per-token rows, not over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+_VOCAB_TOPK_SQL = f"""
+SELECT token,
+       count(*) AS n_total,
+       count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_total DESC, token ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 def _nfc_audit(spark, sf_dir):
     """NFC-normalization audit (Arrow-batched unicodedata vs the
     oracle's native nfc_normalize): per-doc code-point counts around
@@ -4658,11 +4699,14 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_split_holdout": QueryDef(
         _split_holdout, _SPLIT_HOLDOUT_SQL, True
     ),
-    "text_readability": QueryDef(_readability, _READABILITY_SQL),
-    "corpus_shard_manifest": QueryDef(
-        _shard_manifest, _SHARD_MANIFEST_SQL
+    "text_readability": QueryDef(
+        _readability, _READABILITY_SQL, True
     ),
-    "text_nfc_audit": QueryDef(_nfc_audit, _NFC_AUDIT_SQL),
+    "corpus_shard_manifest": QueryDef(
+        _shard_manifest, _SHARD_MANIFEST_SQL, True
+    ),
+    "text_nfc_audit": QueryDef(_nfc_audit, _NFC_AUDIT_SQL, True),
+    "corpus_vocab_topk": QueryDef(_vocab_topk, _VOCAB_TOPK_SQL),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),
     "corpus_host_pagerank": QueryDef(

@@ -220,6 +220,18 @@ class TestReadabilityPlan:
         assert "lang" not in m.group(1)
 
 
+class TestVocabTopkPlan:
+    def test_partial_agg_and_topk_operator(self, spark):
+        plan = _plan(spark, "corpus_vocab_topk")
+        # map-side combine before the token exchange
+        assert "partial_count" in plan, plan
+        # orderBy+limit must compile to the streaming top-K operator,
+        # never a global sort of all tokens
+        assert "TakeOrderedAndProject" in plan, plan
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m and "lang" not in m.group(1)
+
+
 class TestNfcAuditPlan:
     def test_one_arrow_stage_zero_exchanges(self, spark):
         plan = _plan(spark, "text_nfc_audit")
