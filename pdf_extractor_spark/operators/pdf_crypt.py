@@ -20,6 +20,7 @@ The module is kernel-layer: no Spark imports (SURVEY.md §7.0).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import struct
@@ -191,21 +192,63 @@ def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     return bytes(st)
 
 
+# Compiled-AES fast path: `cryptography` ships in this environment;
+# the from-scratch FIPS-197 implementation above stays the REFERENCE
+# (pinned by the published Appendix B/C vectors and by an equality
+# test against this path) and the fallback when the wheel is absent.
+# The R6 hardened hash runs ~8k CBC block operations per DOCUMENT —
+# pure Python pays ~1.2 s/doc there; the compiled path is ~1000×.
+try:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _Cipher,
+        algorithms as _algorithms,
+        modes as _modes,
+    )
+
+    def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+        enc = _Cipher(
+            _algorithms.AES(key), _modes.CBC(iv)
+        ).encryptor()
+        return enc.update(data) + enc.finalize()
+
+    def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+        dec = _Cipher(
+            _algorithms.AES(key), _modes.CBC(iv)
+        ).decryptor()
+        return dec.update(data) + dec.finalize()
+
+except ImportError:  # pragma: no cover - environment without wheel
+    def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+        rks = _key_expansion(key)
+        out = bytearray()
+        prev = iv
+        for off in range(0, len(data), 16):
+            block = bytes(
+                a ^ b for a, b in zip(data[off : off + 16], prev)
+            )
+            prev = _encrypt_block(block, rks)
+            out += prev
+        return bytes(out)
+
+    def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+        rks = _key_expansion(key)
+        out = bytearray()
+        prev = iv
+        for off in range(0, len(data), 16):
+            block = data[off : off + 16]
+            plain = _decrypt_block(block, rks)
+            out += bytes(p ^ v for p, v in zip(plain, prev))
+            prev = block
+        return bytes(out)
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """AES-CBC per ISO 32000 §7.6.2 (key length 16 or 32 — AESV2 /
     AESV3 share the payload format): first 16 bytes of ``data`` are
     the IV; PKCS#5 padding stripped."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload length")
-    rks = _key_expansion(key)
-    iv = data[:16]
-    out = bytearray()
-    prev = iv
-    for off in range(16, len(data), 16):
-        block = data[off : off + 16]
-        plain = _decrypt_block(block, rks)
-        out += bytes(p ^ v for p, v in zip(plain, prev))
-        prev = block
+    out = _cbc_decrypt_raw(key, data[:16], data[16:])
     pad = out[-1]
     if not 1 <= pad <= 16:
         raise ValueError("bad PKCS#5 padding")
@@ -215,56 +258,32 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """AES-CBC with PKCS#5 padding (fixture writer; ``iv`` is
     caller-fixed for determinism)."""
-    rks = _key_expansion(key)
     pad = 16 - len(data) % 16
-    data = data + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for off in range(0, len(data), 16):
-        block = bytes(
-            a ^ b for a, b in zip(data[off : off + 16], prev)
-        )
-        prev = _encrypt_block(block, rks)
-        out += prev
-    return bytes(out)
+    return iv + _cbc_encrypt_raw(key, iv, data + bytes([pad]) * pad)
 
 
 def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Raw AES-CBC, no padding, IV not emitted — the primitive the
     V5 key-wrap (/UE, /OE) and the Algorithm 2.B hash loop use.
     ``data`` must be a multiple of 16."""
-    rks = _key_expansion(key)
-    out = bytearray()
-    prev = iv
-    for off in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
-        prev = _encrypt_block(block, rks)
-        out += prev
-    return bytes(out)
+    return _cbc_encrypt_raw(key, iv, data)
 
 
 def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Inverse of :func:`aes_cbc_encrypt_nopad` (the /UE, /OE unwrap
     direction — ISO 32000-2 Algorithm 2.A steps e/f use a zero IV)."""
-    rks = _key_expansion(key)
-    out = bytearray()
-    prev = iv
-    for off in range(0, len(data), 16):
-        block = data[off : off + 16]
-        plain = _decrypt_block(block, rks)
-        out += bytes(p ^ v for p, v in zip(plain, prev))
-        prev = block
-    return bytes(out)
+    return _cbc_decrypt_raw(key, iv, data)
 
 
 def aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
     """One-block ECB (the /Perms field is a single AES-256-ECB
-    block — ISO 32000-2 Algorithm 10)."""
-    return _encrypt_block(block, _key_expansion(key))
+    block — ISO 32000-2 Algorithm 10). One block with a zero IV is
+    ECB by definition (nothing to chain)."""
+    return _cbc_encrypt_raw(key, b"\x00" * 16, block)
 
 
 def aes_ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
-    return _decrypt_block(block, _key_expansion(key))
+    return _cbc_decrypt_raw(key, b"\x00" * 16, block)
 
 
 # ------------------------------------------- standard security handler
@@ -483,13 +502,20 @@ def verify_user_password_v5(sec: StdSecurity, user_pw: bytes = b"") -> bool:
     )
 
 
+@functools.lru_cache(maxsize=1024)
 def retrieve_file_key_v5(
     sec: StdSecurity, user_pw: bytes = b""
 ) -> bytes | None:
     """Algorithm 2.A user-password leg: validate against /U, then
     unwrap /UE with the intermediate key from the key salt
     (U[40:48]); zero-IV AES-256-CBC, no padding. None when the
-    password does not validate."""
+    password does not validate.
+
+    Memoized: the R6 hash is deliberately expensive (its whole point
+    is to slow brute force), and a batch routinely re-derives the
+    same key — multi-doc fixtures sharing one writer setup, or
+    re-parses of the same file; StdSecurity is a frozen (hashable)
+    dataclass, so (sec, pw) is a sound cache key."""
     if not verify_user_password_v5(sec, user_pw):
         return None
     ik = hash_2b(user_pw, sec.u[40:48], b"", sec.r)

@@ -553,6 +553,30 @@ class TestDecryption:
             build_pdf([p], encrypt="rc4-128", xmp=xmp,
                       encrypt_metadata=False)
 
+    def test_fast_cbc_path_equals_reference_blocks(self):
+        """The compiled-AES fast path (cryptography wheel, used for
+        the ~8k-block R6 hash loop) must agree byte-for-byte with the
+        from-scratch FIPS-197 reference on multi-block CBC at both
+        key sizes — whichever implementation _cbc_encrypt_raw bound
+        to at import."""
+        from pdf_extractor_spark.operators import pdf_crypt as pc
+
+        for klen in (16, 32):
+            key = bytes(range(klen))
+            iv = bytes(range(16, 32))
+            data = bytes((i * 7) % 256 for i in range(160))
+            fast = pc._cbc_encrypt_raw(key, iv, data)
+            rks = pc._key_expansion(key)
+            out, prev = bytearray(), iv
+            for off in range(0, len(data), 16):
+                blk = bytes(
+                    a ^ b for a, b in zip(data[off:off + 16], prev)
+                )
+                prev = pc._encrypt_block(blk, rks)
+                out += prev
+            assert fast == bytes(out), klen
+            assert pc._cbc_decrypt_raw(key, iv, fast) == data
+
     def test_v5_hash_2b_frozen_and_nopad_inverse(self):
         """Regression-pin the R6 hardened hash (so a refactor cannot
         silently change key derivation and break every V5 fixture)
