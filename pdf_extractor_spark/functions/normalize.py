@@ -92,6 +92,76 @@ def nfc_audit(docs: DataFrame) -> DataFrame:
     )
 
 
+# -------------------------------------------------- width folding
+#
+# Full-width → half-width folding (the JA/ZH-corpus normalization
+# step: CJK sources render ASCII as full-width forms U+FF01-U+FF5E
+# and spaces as U+3000, which defeats tokenizers, URL matching and
+# dedup keyed on ASCII). This is the width-compatibility subset of
+# NFKC applied surgically — full NFKC also folds ligatures and
+# superscripts, which corpora usually do NOT want. Implemented as
+# ``translate`` (a per-character map, native in both engines — one
+# narrow codegen'd map, no UDF). The fixture corpus carries no
+# full-width text, so every fourth document is deterministically
+# WIDENED first (the bijective inverse map) — the upstream-source
+# role, same pattern as the NFC denormalizer above.
+
+WIDTH_MUT_MOD = 4
+
+_ASCII_RANGE = "".join(chr(c) for c in range(0x21, 0x7F))
+_FULLWIDTH_RANGE = "".join(chr(c + 0xFEE0) for c in range(0x21, 0x7F))
+_IDEO_SPACE = "　"
+
+
+def widened_text() -> "F.Column":
+    return F.when(
+        F.col("doc_id") % WIDTH_MUT_MOD == 2,
+        F.translate(
+            "text", _ASCII_RANGE + " ", _FULLWIDTH_RANGE + _IDEO_SPACE
+        ),
+    ).otherwise(F.col("text"))
+
+
+def width_fold(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_fullwidth, folded): count of full-width code points
+    in the (widened) input and the folded text — which must equal the
+    original corpus text exactly (the widen/fold maps are inverse
+    bijections; the hash gate checks the folded strings
+    themselves)."""
+    wt = docs.select("doc_id", widened_text().alias("wt"))
+    fw = _FULLWIDTH_RANGE + _IDEO_SPACE
+    return wt.select(
+        "doc_id",
+        (
+            F.length("wt") - F.length(F.translate("wt", fw, ""))
+        ).cast("long").alias("n_fullwidth"),
+        F.translate("wt", fw, _ASCII_RANGE + " ").alias("folded"),
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def duck_width_fold_sql(source: str = "documents") -> str:
+    a = _sql_quote(_ASCII_RANGE + " ")
+    f = _sql_quote(_FULLWIDTH_RANGE + _IDEO_SPACE)
+    return f"""
+WITH wt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {WIDTH_MUT_MOD} = 2
+              THEN translate(text, {a}, {f})
+              ELSE text END AS wt
+  FROM {source}
+)
+SELECT doc_id,
+       (length(wt) - length(translate(wt, {f}, '')))::BIGINT
+         AS n_fullwidth,
+       translate(wt, {f}, {a}) AS folded
+FROM wt
+"""
+
+
 def duck_nfc_audit_sql(source: str = "documents") -> str:
     return f"""
 WITH denorm AS (

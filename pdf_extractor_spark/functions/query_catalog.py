@@ -3333,6 +3333,26 @@ def _nfc_audit_sql() -> str:
 _NFC_AUDIT_SQL = _nfc_audit_sql()
 
 
+def _width_fold(spark, sf_dir):
+    """Full-width → half-width folding (the width-compatibility
+    subset of NFKC, applied surgically): native translate maps, one
+    narrow codegen'd pass, over a view where every fourth document
+    arrives full-width. The folded text must equal the original
+    corpus text exactly — the maps are inverse bijections."""
+    from .normalize import width_fold
+
+    return width_fold(_t(spark, sf_dir, "documents"))
+
+
+def _width_fold_sql() -> str:
+    from .normalize import duck_width_fold_sql
+
+    return duck_width_fold_sql()
+
+
+_WIDTH_FOLD_SQL = _width_fold_sql()
+
+
 def _shard_manifest(spark, sf_dir):
     """Fixed-token-budget output-shard manifest via the two-level
     distributed prefix sum (per-bucket totals + windowed offsets +
@@ -4706,6 +4726,7 @@ CATALOG: dict[str, QueryDef] = {
         _shard_manifest, _SHARD_MANIFEST_SQL, True
     ),
     "text_nfc_audit": QueryDef(_nfc_audit, _NFC_AUDIT_SQL, True),
+    "text_width_fold": QueryDef(_width_fold, _WIDTH_FOLD_SQL),
     "corpus_vocab_topk": QueryDef(_vocab_topk, _VOCAB_TOPK_SQL),
     "text_bigram_cost": QueryDef(_bigram_cost, _BIGRAM_COST_SQL, True),
     "corpus_domain_mix": QueryDef(_domain_mix, _DOMAIN_MIX_SQL, True),

@@ -940,3 +940,36 @@ class TestNfcAudit:
         # the fi LIGATURE is compatibility, not canonical: NFC keeps
         # it — is_nfc stays true and nothing shrinks
         assert rows[6].is_nfc and rows[6].n_before == rows[6].n_after
+
+
+class TestWidthFold:
+    def test_fold_recovers_original_and_counts(self, spark):
+        import pandas as pd
+        from pdf_extractor_spark.functions.normalize import width_fold
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            # doc 2 gets widened (2 % 4 == 2)
+            "doc_id": [2, 3],
+            "text": ["Hello, W0rld! (50% off)", "already narrow"],
+        }))
+        rows = {r.doc_id: r for r in width_fold(docs).collect()}
+        # widen→fold is the identity on the original text
+        assert rows[2].folded == "Hello, W0rld! (50% off)"
+        # every non-space char plus the spaces were full-width
+        assert rows[2].n_fullwidth == len("Hello, W0rld! (50% off)")
+        assert rows[3].n_fullwidth == 0
+        assert rows[3].folded == "already narrow"
+
+    def test_surgical_not_nfkc(self, spark):
+        """Width folding must not touch what full NFKC would fold —
+        ligatures and superscripts survive."""
+        import pandas as pd
+        from pdf_extractor_spark.functions.normalize import width_fold
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "text": ["ﬁne x² ７７"],
+        }))
+        r = width_fold(docs).first()
+        # the pre-existing full-width digits fold even on an
+        # un-widened doc; ligature and superscript stay
+        assert r.folded == "ﬁne x² 77"
