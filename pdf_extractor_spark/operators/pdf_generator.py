@@ -186,6 +186,15 @@ def _pdf_literal(raw: bytes) -> str:
     return "(" + "".join(out) + ")"
 
 
+def _text_string_bytes(value: str) -> bytes:
+    """Raw *text string* bytes (§7.9.2.2): PDFDocEncoding≈Latin-1
+    when ASCII, else BOM'd UTF-16BE — the plaintext a string
+    encryptor consumes."""
+    if _is_ascii(value):
+        return value.encode("ascii")
+    return b"\xfe\xff" + value.encode("utf-16-be")
+
+
 def _pdf_text_string(value: str) -> str:
     """String → PDF *text string* syntax (ISO 32000 §7.9.2.2): ASCII
     values as literal strings, anything wider as a UTF-16BE hex
@@ -193,8 +202,7 @@ def _pdf_text_string(value: str) -> str:
     values and outline titles."""
     if _is_ascii(value):
         return _pdf_literal(value.encode("ascii"))
-    raw = b"\xfe\xff" + value.encode("utf-16-be")
-    return "<" + raw.hex().upper() + ">"
+    return "<" + _text_string_bytes(value).hex().upper() + ">"
 
 
 # 16 bytes of 4×4 gray samples that LOOK like text-show tokens —
@@ -588,22 +596,35 @@ def build_pdf(
                 "classic layout only"
             )
         return _build_pdf_xref_stream(pages, compress, encrypt)
-    if encrypt is not None and (info or outline or form_fields
-                                or attachments):
-        # strings in encrypted documents are themselves encrypted
-        # (ISO 32000 §7.6.2); the fixture writer keeps string-bearing
-        # metadata fixtures and crypto fixtures orthogonal, same as
-        # links. XMP is a STREAM and composes with encryption (three
-        # modes: encrypted packet, /EncryptMetadata false,
-        # /Crypt /Identity).
-        raise ValueError("info/outline/form on encrypted fixtures "
-                         "not supported")
     enc_key, enc_aes, enc_dict = (None, False, b"")
     if encrypt is not None:
         enc_key, enc_aes, enc_dict = _encrypt_setup(
             encrypt, p_unsigned=encrypt_p_unsigned,
             encrypt_metadata=encrypt_metadata,
         )
+
+    def _ts(oid: int, value: str) -> str:
+        """Text string owned by object ``oid``: plaintext syntax when
+        the document is unencrypted, else the value's raw bytes
+        encrypted with oid's object key and emitted as a hex string —
+        strings in encrypted documents are encrypted exactly like
+        streams (ISO 32000 §7.6.2). IV derived from (oid, plaintext)
+        for byte-stable fixtures."""
+        if enc_key is None:
+            return _pdf_text_string(value)
+        return "<" + _enc_str(oid, _text_string_bytes(value)) + ">"
+
+    def _enc_str(oid: int, raw: bytes) -> str:
+        import hashlib
+
+        from . import pdf_crypt
+
+        iv = hashlib.md5(
+            f"fixture-siv:{oid}:".encode() + raw
+        ).digest()
+        return pdf_crypt.encrypt_object_bytes(
+            enc_aes, enc_key, oid, 0, raw, iv=iv
+        ).hex().upper()
     # object numbering: 1=catalog, 2=pages, 3=/F1, 4=/F2,
     # [5=/F3 6=its CMap] [7=/F4 8=its CMap],
     # then per page: page object, content object.
@@ -718,12 +739,6 @@ def build_pdf(
         rotate = f" /Rotate {p.rotate}" if p.rotate else ""
         annots_ref = ""
         if p.links or p.annots:
-            if enc_key is not None:
-                # strings in encrypted documents are themselves
-                # encrypted (ISO 32000 §7.6.2); the fixture writer
-                # keeps link fixtures and crypto fixtures orthogonal
-                raise ValueError("links on encrypted fixtures "
-                                 "not supported")
             annot_ids = []
             for rect, uri, form in p.links:
                 rect_s = " ".join(f"{v:g}" for v in rect)
@@ -742,14 +757,26 @@ def build_pdf(
                         f" /A << /S /GoTo /D [2 0 R /Fit] >> >>"
                     ).encode("latin-1")
                     continue
-                if form == "hex":
+                # the URI string is owned by the object it appears
+                # in: the action object (indirect form) or the annot
+                act_id = None
+                str_oid = aid
+                if form == "indirect":
+                    act_id = next_id
+                    next_id += 1
+                    str_oid = act_id
+                if enc_key is not None:
+                    ustr = (
+                        "<"
+                        + _enc_str(str_oid, uri.encode("utf-8"))
+                        + ">"
+                    )
+                elif form == "hex":
                     ustr = "<" + uri.encode("utf-8").hex().upper() + ">"
                 else:
                     ustr = _pdf_literal(uri.encode("utf-8"))
                 action = f"<< /S /URI /URI {ustr} >>"
                 if form == "indirect":
-                    act_id = next_id
-                    next_id += 1
                     objs[act_id] = action.encode("latin-1")
                     objs[aid] = (
                         f"<< /Type /Annot /Subtype /Link /Rect [{rect_s}]"
@@ -766,9 +793,9 @@ def build_pdf(
                 annot_ids.append(aid)
                 extra = ""
                 if contents is not None:
-                    extra += f" /Contents {_pdf_text_string(contents)}"
+                    extra += f" /Contents {_ts(aid, contents)}"
                 if author is not None:
-                    extra += f" /T {_pdf_text_string(author)}"
+                    extra += f" /T {_ts(aid, author)}"
                 objs[aid] = (
                     f"<< /Type /Annot /Subtype /{subtype} "
                     f"/Rect [72 72 200 90]{extra} >>"
@@ -792,7 +819,7 @@ def build_pdf(
         info_id = next_id
         next_id += 1
         items = " ".join(
-            f"/{k} {_pdf_text_string(v)}" for k, v in info.items()
+            f"/{k} {_ts(info_id, v)}" for k, v in info.items()
         )
         objs[info_id] = f"<< {items} >>".encode("latin-1")
         info_ref = f" /Info {info_id} 0 R"
@@ -825,7 +852,7 @@ def build_pdf(
             k = sibs.index(i)
             pid = root_oid if parent[i] is None else item_ids[parent[i]]
             parts = [
-                f"/Title {_pdf_text_string(title)}",
+                f"/Title {_ts(item_ids[i], title)}",
                 f"/Parent {pid} 0 R",
             ]
             if k > 0:
@@ -861,7 +888,7 @@ def build_pdf(
                 ]
                 kids = " ".join(f"{k} 0 R" for k in kid_ids)
                 body = (
-                    f"<< /T {_pdf_text_string(name)} "
+                    f"<< /T {_ts(fid, name)} "
                     f"/Kids [{kids}] >>"
                 )
                 for k in kid_ids:
@@ -873,13 +900,13 @@ def build_pdf(
             elif isinstance(value, bool):
                 state = "/Yes" if value else "/Off"
                 body = (
-                    f"<< /FT /Btn /T {_pdf_text_string(name)} "
+                    f"<< /FT /Btn /T {_ts(fid, name)} "
                     f"/V {state} >>"
                 )
             else:
                 body = (
-                    f"<< /FT /Tx /T {_pdf_text_string(name)} "
-                    f"/V {_pdf_text_string(value)} >>"
+                    f"<< /FT /Tx /T {_ts(fid, name)} "
+                    f"/V {_ts(fid, value)} >>"
                 )
             objs[fid] = body.encode("latin-1")
             return fid
@@ -955,27 +982,37 @@ def build_pdf(
             fs_id = next_id + 1
             next_id += 2
             if i % 2 == 1:
-                z = _zlib.compress(payload, 9)
-                objs[stream_id] = (
-                    f"<< /Type /EmbeddedFile /Filter /FlateDecode "
-                    f"/Length {len(z)} >>\nstream\n".encode("latin-1")
-                    + z + b"\nendstream"
-                )
+                sdata = _zlib.compress(payload, 9)
+                sfilt = " /Filter /FlateDecode"
             else:
-                objs[stream_id] = (
-                    f"<< /Type /EmbeddedFile /Length {len(payload)} "
-                    f">>\nstream\n".encode("latin-1")
-                    + payload + b"\nendstream"
+                sdata, sfilt = payload, ""
+            if enc_key is not None:
+                # encryption wraps the ENCODED stream bytes (§7.6.2)
+                import hashlib
+
+                from . import pdf_crypt
+
+                iv = hashlib.md5(
+                    f"fixture-iv:{stream_id}".encode()
+                ).digest()
+                sdata = pdf_crypt.encrypt_object_bytes(
+                    enc_aes, enc_key, stream_id, 0, sdata, iv=iv
                 )
+            objs[stream_id] = (
+                f"<< /Type /EmbeddedFile{sfilt} "
+                f"/Length {len(sdata)} >>\nstream\n".encode("latin-1")
+                + sdata + b"\nendstream"
+            )
             objs[fs_id] = (
-                f"<< /Type /Filespec /F {_pdf_text_string(fname)} "
+                f"<< /Type /Filespec /F {_ts(fs_id, fname)} "
                 f"/EF << /F {stream_id} 0 R >> >>"
             ).encode("latin-1")
             pair_parts.append((fname, fs_id))
         pair_parts.sort()  # name trees are lexicographically ordered
-        def _names_array(pairs) -> str:
+        def _names_array(pairs, node_oid: int) -> str:
+            # name-tree keys are strings OWNED by the node object
             return " ".join(
-                f"{_pdf_text_string(n)} {fs} 0 R" for n, fs in pairs
+                f"{_ts(node_oid, n)} {fs} 0 R" for n, fs in pairs
             )
         tree_id = next_id
         next_id += 1
@@ -988,9 +1025,9 @@ def build_pdf(
                 next_id += 1
                 kid_ids.append(kid)
                 objs[kid] = (
-                    f"<< /Limits [{_pdf_text_string(half[0][0])} "
-                    f"{_pdf_text_string(half[-1][0])}] "
-                    f"/Names [{_names_array(half)}] >>"
+                    f"<< /Limits [{_ts(kid, half[0][0])} "
+                    f"{_ts(kid, half[-1][0])}] "
+                    f"/Names [{_names_array(half, kid)}] >>"
                 ).encode("latin-1")
             kid_refs = " ".join(f"{k} 0 R" for k in kid_ids)
             objs[tree_id] = (
@@ -998,7 +1035,7 @@ def build_pdf(
             ).encode("latin-1")
         else:
             objs[tree_id] = (
-                f"<< /Names [{_names_array(pair_parts)}] >>"
+                f"<< /Names [{_names_array(pair_parts, tree_id)}] >>"
             ).encode("latin-1")
         names_id = next_id
         next_id += 1

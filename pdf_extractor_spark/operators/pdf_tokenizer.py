@@ -1686,7 +1686,7 @@ _ANNOT_T_RE = re.compile(
 
 
 def _page_annotations(
-    page_no: int, body: bytes, bodies: dict[int, bytes],
+    page_no: int, body: bytes, bodies: dict[int, bytes], dec=None,
 ) -> list[tuple[int, str, str, str]]:
     """Markup-annotation text (ISO 32000 §12.5.6): the ``/Contents``
     of every page annotation EXCEPT ``/Link`` (navigation — its
@@ -1712,14 +1712,17 @@ def _page_annotations(
         if mc is None:
             continue  # geometry-only markup (bare highlight/square)
         mt = _ANNOT_T_RE.search(ab)
+        t = dec(aid) if dec is not None else None
         out.append((
-            page_no, subtype, _text_string(mc.group(1)),
-            _text_string(mt.group(1)) if mt else "",
+            page_no, subtype, _text_string(mc.group(1), t),
+            _text_string(mt.group(1), t) if mt else "",
         ))
     return out
 
 
-def _page_links(body: bytes, bodies: dict[int, bytes]) -> list[str]:
+def _page_links(
+    body: bytes, bodies: dict[int, bytes], dec=None
+) -> list[str]:
     """URI targets of the page's ``/Link`` annotations (ISO 32000
     §12.5.6.5 link annotations, §12.6.4.7 URI actions): ``/Annots``
     refs resolved, the ``/A`` action inline OR an indirect object,
@@ -1731,16 +1734,21 @@ def _page_links(body: bytes, bodies: dict[int, bytes]) -> list[str]:
         ab = bodies.get(aid)
         if ab is None or b"/Link" not in ab:
             continue
-        src = ab
+        src, src_oid = ab, aid
         if b"/URI" not in src:
             act = _dict_ref(ab, b"A")
             src = bodies.get(act, b"") if act is not None else b""
+            src_oid = act
         m = _URI_STR_RE.search(src)
         if m is None:
             continue
-        out.append(
-            _string_token_bytes(m.group(1)).decode("utf-8", "replace")
-        )
+        raw = _string_token_bytes(m.group(1))
+        if dec is not None and src_oid is not None:
+            try:
+                raw = dec(src_oid)(raw)
+            except Exception:
+                continue
+        out.append(raw.decode("utf-8", "replace"))
     return out
 
 
@@ -1760,18 +1768,32 @@ _OUTLINE_MAX_ITEMS = 4096
 _OUTLINE_MAX_DEPTH = 32
 
 
-def _text_string(tok: bytes) -> str:
+def _text_string(tok: bytes, transform=None) -> str:
     """PDF *text string* (ISO 32000 §7.9.2.2): UTF-16BE when the
     decoded bytes open with the FE FF BOM, else PDFDocEncoding —
     which agrees with Latin-1 over the printable range real /Info
-    writers use."""
+    writers use.
+
+    ``transform`` is the owning OBJECT's decryptor: strings in
+    encrypted documents are encrypted exactly like streams (§7.6.2),
+    so every metadata harvest passes ``dec(oid)`` here — without it
+    an owner-locked PDF's outline titles and annotation text come
+    out as ciphertext garbage. Undecryptable bytes yield "" rather
+    than failing the harvest."""
     raw = _string_token_bytes(tok)
+    if transform is not None:
+        try:
+            raw = transform(raw)
+        except Exception:
+            return ""
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace")
     return raw.decode("latin-1")
 
 
-def _doc_info(data: bytes, bodies: dict[int, bytes]) -> dict[str, str]:
+def _doc_info(
+    data: bytes, bodies: dict[int, bytes], dec=None
+) -> dict[str, str]:
     """Decoded entries of the document-information dictionary (ISO
     32000 §14.3.3): the trailer's ``/Info`` ref (classic layout, last
     trailer wins) or an xref-stream object's dict; {} when absent."""
@@ -1792,14 +1814,16 @@ def _doc_info(data: bytes, bodies: dict[int, bytes]) -> dict[str, str]:
     body = bodies.get(oid) if oid is not None else None
     if body is None:
         return {}
+    t = dec(oid) if dec is not None else None
     return {
-        m.group(1).decode("ascii"): _text_string(m.group(2))
+        m.group(1).decode("ascii"): _text_string(m.group(2), t)
         for m in _INFO_KEY_RE.finditer(body)
     }
 
 
 def _doc_outline(
-    catalog: bytes, bodies: dict[int, bytes], errors: list[dict]
+    catalog: bytes, bodies: dict[int, bytes], errors: list[dict],
+    dec=None,
 ) -> list[tuple[int, str]]:
     """Document outline (ISO 32000 §12.3.3) flattened depth-first to
     (depth, title) rows: follow /First into children and /Next along
@@ -1840,7 +1864,10 @@ def _doc_outline(
             if b is None:  # item beyond a crawl truncation
                 return
             m = _TITLE_RE.search(b)
-            out.append((depth, _text_string(m.group(1)) if m else ""))
+            t = dec(oid) if dec is not None else None
+            out.append(
+                (depth, _text_string(m.group(1), t) if m else "")
+            )
             first = _dict_ref(b, b"First")
             if first is not None:
                 walk(first, depth + 1)
@@ -1921,7 +1948,7 @@ _NAMETREE_MAX_DEPTH = 16
 
 
 def _doc_attachments(
-    catalog: bytes, bodies: dict[int, bytes]
+    catalog: bytes, bodies: dict[int, bytes], dec=None
 ) -> list[tuple[str, bytes]]:
     """Embedded files (ISO 32000 §7.11) via the catalog's
     ``/Names /EmbeddedFiles`` NAME TREE (§7.9.6): leaf nodes carry
@@ -1960,8 +1987,9 @@ def _doc_attachments(
         # the /Names pairs, so scope the pair scan to the array
         lb = b.find(b"/Names")
         arr = b[lb:] if lb >= 0 else b
+        node_t = dec(oid) if dec is not None else None
         for m in _NAME_PAIR_RE.finditer(arr):
-            fname = _text_string(m.group(1))
+            fname = _text_string(m.group(1), node_t)
             fs = bodies.get(int(m.group(2)))
             if fs is None:
                 continue
@@ -1978,7 +2006,9 @@ def _doc_attachments(
             if sb is None:
                 continue
             try:
-                out.append((fname, _stream_bytes(sb)))
+                out.append((fname, _stream_bytes(
+                    sb, dec(stream_id) if dec is not None else None
+                )))
             except Exception:
                 continue  # undecodable attachment never costs others
 
@@ -1998,7 +2028,7 @@ _FORM_MAX_DEPTH = 16
 
 
 def _doc_form_fields(
-    catalog: bytes, bodies: dict[int, bytes]
+    catalog: bytes, bodies: dict[int, bytes], dec=None
 ) -> list[tuple[str, str]]:
     """Interactive-form field values (AcroForm, ISO 32000 §12.7):
     the catalog's /AcroForm → /Fields tree flattened to (fully
@@ -2025,8 +2055,9 @@ def _doc_form_fields(
         b = bodies.get(oid)
         if b is None:  # field beyond a crawl truncation
             return
+        t = dec(oid) if dec is not None else None
         tm = _T_RE.search(b)
-        name = _text_string(tm.group(1)) if tm else ""
+        name = _text_string(tm.group(1), t) if tm else ""
         full = f"{prefix}.{name}" if prefix else name
         kids = _dict_refarray(b, b"Kids")
         if kids:
@@ -2035,7 +2066,7 @@ def _doc_form_fields(
             return
         vm = _V_STR_RE.search(b)
         if vm is not None:
-            out.append((full, _text_string(vm.group(1))))
+            out.append((full, _text_string(vm.group(1), t)))
             return
         nm = _V_NAME_RE.search(b)
         if nm is not None:
@@ -2238,24 +2269,24 @@ def parse_pdf(data: bytes) -> PdfDoc:
         # metadata harvest rides the same resolved-object pass as the
         # text; malformed metadata never costs the text
         try:
-            doc.info = _doc_info(data, bodies)
+            doc.info = _doc_info(data, bodies, dec)
         except Exception:
             doc.info = {}
         try:
             doc.outline = _doc_outline(
-                bodies[root_id], bodies, doc.errors
+                bodies[root_id], bodies, doc.errors, dec
             )
         except Exception:
             doc.outline = []
         try:
             doc.form_fields = _doc_form_fields(
-                bodies[root_id], bodies
+                bodies[root_id], bodies, dec
             )
         except Exception:
             doc.form_fields = []
         try:
             doc.attachments = _doc_attachments(
-                bodies[root_id], bodies
+                bodies[root_id], bodies, dec
             )
         except Exception:
             doc.attachments = []
@@ -2395,12 +2426,12 @@ def parse_pdf(data: bytes) -> PdfDoc:
                      "message": f"page rotated {rotation}"}
                 )
             try:
-                links = _page_links(body, bodies)
+                links = _page_links(body, bodies, dec)
             except Exception:
                 links = []  # malformed annots never cost the text
             try:
                 doc.annotations.extend(
-                    _page_annotations(idx, body, bodies)
+                    _page_annotations(idx, body, bodies, dec)
                 )
             except Exception:
                 pass  # malformed annots never cost the text

@@ -553,6 +553,39 @@ class TestDecryption:
             build_pdf([p], encrypt="rc4-128", xmp=xmp,
                       encrypt_metadata=False)
 
+    def test_encrypted_strings_all_metadata_surfaces(self):
+        """Strings in encrypted documents are encrypted exactly like
+        streams (§7.6.2): /Info values, outline titles, annotation
+        contents/author, link URIs (inline AND indirect-action),
+        AcroForm names/values, filespec + name-tree strings, and
+        embedded-file stream payloads must all decrypt to the
+        unencrypted twin across every supported handler."""
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["body", "words"])
+        p.put_link("https://example.com/a", form="inline")
+        p.put_link("https://example.com/b", form="indirect")
+        p.put_annot("Text", "Sticky — contents", "Reviewer Ünïcode")
+        kw = dict(
+            info={"Title": "Encrypted Título", "Author": "A. W."},
+            outline=[(0, "Chapter — One"), (1, "Sect 1.1")],
+            form_fields=[("name", "José"), ("agree", True)],
+            attachments=[("data.txt", b"payload-one"),
+                         ("z.bin", b"\x00\x01" * 40)],
+        )
+        plain = parse_pdf(build_pdf([p], **kw))
+        base = (plain.info, plain.outline, plain.form_fields,
+                plain.attachments, plain.pages[0].links,
+                plain.annotations)
+        assert plain.info["Title"] == "Encrypted Título"
+        for mode in ("rc4-128", "aes-128", "aes-256"):
+            d = parse_pdf(
+                build_pdf([p], compress=True, encrypt=mode, **kw)
+            )
+            got = (d.info, d.outline, d.form_fields, d.attachments,
+                   d.pages[0].links, d.annotations)
+            assert got == base, mode
+            assert {e["severity"] for e in d.errors} == {"info"}
+
     def test_fast_cbc_path_equals_reference_blocks(self):
         """The compiled-AES fast path (cryptography wheel, used for
         the ~8k-block R6 hash loop) must agree byte-for-byte with the
