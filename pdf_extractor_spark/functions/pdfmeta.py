@@ -58,9 +58,17 @@ def wrap_pdf_meta(text: str, doc_id: int) -> bytes:
             outline.append((0, f"S{j}"))
             for k in range(1, n_children + 1):
                 outline.append((1, f"S{j}.{k}"))
+    # every fifth doc is ENCRYPTED (standard security, empty user
+    # password): /Info values and outline titles are then stored as
+    # per-object ciphertext and the harvest must decrypt them —
+    # invisible in this query's output by construction
+    encrypt = None
+    if doc_id % 5 == 0:
+        encrypt = ("rc4-128", "aes-128", "aes-256")[(doc_id // 5) % 3]
     return build_pdf(
         [page], info=info, outline=outline or None,
         outline_cycle=(doc_id % 11 == 5),
+        encrypt=encrypt,
     )
 
 
