@@ -418,3 +418,47 @@ def test_mutation_fuzz_crawl_readers_never_raise():
                 assert isinstance(rows, list)
                 for r in rows:
                     assert isinstance(r["doc_id"], int)
+
+
+def test_v5_encryption_dict_corruption_degrades_typed():
+    """Targeted V5 fuzz: corruption INSIDE the AES-256 encryption
+    dictionary (truncated /UE, tampered /U validation hash, unknown
+    /R, garbage /Perms) must surface the typed 'encryption' error
+    row with no extracted garbage — never an exception. Generic
+    mutation fuzz rarely lands inside these specific fields."""
+    import re as _re
+
+    from pdf_extractor_spark.operators.pdf_generator import (
+        PageSpec,
+        build_pdf,
+    )
+    from pdf_extractor_spark.operators.pdf_tokenizer import parse_pdf
+
+    p = PageSpec()
+    p.put_words(72, 100, 12, ["secret", "body", "words"])
+    data = build_pdf([p], compress=True, encrypt="aes-256")
+
+    def mutate(pattern: bytes, repl) -> bytes:
+        out = _re.sub(pattern, repl, data, count=1)
+        assert out != data, pattern
+        return out
+
+    cases = [
+        # /UE truncated to one block (file key can't unwrap)
+        mutate(rb"/UE\s*<([0-9A-Fa-f]{32})[0-9A-Fa-f]+>",
+               rb"/UE <\1>"),
+        # /U validation hash tampered (password check must fail)
+        mutate(rb"/U\s*<[0-9A-Fa-f]{8}",
+               b"/U <DEADBEEF"),
+        # unknown revision
+        mutate(rb"/R 6", b"/R 9"),
+        # /Perms garbage (integrity check must reject the key)
+        mutate(rb"/Perms\s*<[0-9A-Fa-f]+>",
+               b"/Perms <" + b"00" * 16 + b">"),
+    ]
+    for i, buf in enumerate(cases):
+        doc = parse_pdf(buf)
+        kinds = {e["type"] for e in doc.errors}
+        assert "encryption" in kinds, (i, doc.errors)
+        words = [w for pg in doc.pages for w in pg.words["text"]]
+        assert "secret" not in words, (i, "ciphertext leaked")
