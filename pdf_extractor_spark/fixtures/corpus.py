@@ -661,6 +661,21 @@ def _pdf_encrypted_aes() -> bytes:
     return build_pdf(_encrypted_pages(), compress=True, encrypt="aes-128")
 
 
+def _pdf_custom_widths() -> bytes:
+    """Simple font with DECLARED metrics (/FirstChar + /Widths,
+    §9.6.2.1): a narrow 250-unit space and 900-unit glyphs — word-box
+    geometry and gap-based line assembly must follow the table, not
+    the built-in width model (real crawls' fonts rarely match any
+    fixed model). Mixed with a model-width line as control."""
+    first = 0x20
+    ws = [400.0] + [900.0] * (0x7F - 0x21)
+    p = PageSpec()
+    p.put_codes(72, 100, 12, b"metric driven words here", font="F8")
+    p.put_codes(72, 118, 12, b"second line of wide glyphs", font="F8")
+    p.put(72, 160, 12, "model width control line")
+    return build_pdf([p], compress=True, widths_font=(first, ws))
+
+
 def _pdf_ocr_layer() -> bytes:
     """Scanned-page shape: the only text is an INVISIBLE OCR layer
     (text rendering mode 3, §9.3.6) laid over where the page image
@@ -1527,6 +1542,7 @@ _PDF_CASES = {
     "pdf-encrypted-aes": _pdf_encrypted_aes,
     "pdf-encrypted-aes256": _pdf_encrypted_aes256,
     "pdf-ocr-layer": _pdf_ocr_layer,
+    "pdf-custom-widths": _pdf_custom_widths,
     "pdf-tounicode": _pdf_tounicode,
     "pdf-inherited-split": _pdf_inherited_split,
     "pdf-lzw": _pdf_lzw,
@@ -1599,6 +1615,7 @@ _CASE_LANG = {
     "pdf-encrypted-rc4": "mixed", "pdf-encrypted-aes": "mixed",
     "pdf-encrypted-aes256": "mixed",
     "pdf-ocr-layer": "en",
+    "pdf-custom-widths": "en",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",

@@ -501,6 +501,7 @@ def build_pdf(
     xmp: dict[str, str] | None = None,
     encrypt_metadata: bool = True,
     xmp_crypt_identity: bool = False,
+    widths_font: tuple[int, list[float]] | None = None,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -646,6 +647,9 @@ def build_pdf(
     if type3_glyphs:
         font_refs["F7"] = n_fixed + 1
         n_fixed += 2  # Type3 font + shared glyph-procedure stream
+    if widths_font:
+        font_refs["F8"] = n_fixed + 1
+        n_fixed += 1  # simple font with /FirstChar + /Widths metrics
     ocg_ids: dict[str, int] = {}
     oc_res: dict[str, str] = {}
     if ocg_layers:
@@ -1145,6 +1149,19 @@ def build_pdf(
         objs[fid] = (
             f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
             f"/Encoding /{predefined_cmap} >>"
+        ).encode("latin-1")
+    if "F8" in font_refs:
+        # simple font carrying REAL declared metrics (§9.6.2.1):
+        # /FirstChar + /Widths in glyph-space 1/1000 units — the
+        # tokenizer must use these, not its width model, for word-box
+        # geometry
+        first, ws = widths_font
+        arr = " ".join(f"{w:g}" for w in ws)
+        objs[font_refs["F8"]] = (
+            f"<< /Type /Font /Subtype /TrueType "
+            f"/BaseFont /FixtureMetrics /Encoding /WinAnsiEncoding "
+            f"/FirstChar {first} /LastChar {first + len(ws) - 1} "
+            f"/Widths [{arr}] >>"
         ).encode("latin-1")
     if "F7" in font_refs:
         # Type3 font (ISO 32000 §9.6.5): glyphs are content-stream

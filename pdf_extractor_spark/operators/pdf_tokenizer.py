@@ -920,12 +920,51 @@ _PREDEFINED_CMAPS: dict[bytes, str] = {
 _ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z0-9\-]+)")
 
 
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_WIDTHS_ARR_RE = re.compile(rb"/Widths\s*\[([-0-9.\s]*)\]")
+_WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+\d+\s+R")
+
+
+def _font_metrics(
+    fbody: bytes, bodies: dict[int, bytes]
+) -> tuple[int, tuple[float, ...]] | None:
+    """A simple font's /FirstChar + /Widths table (ISO 32000 §9.6.2.1,
+    glyph-space 1/1000 units; the array may be direct or an indirect
+    object). None when the font declares no widths — the deterministic
+    width model stays the fallback."""
+    fc = _FIRSTCHAR_RE.search(fbody)
+    wm = _WIDTHS_ARR_RE.search(fbody)
+    arr = wm.group(1) if wm else None
+    if arr is None:
+        wr = _WIDTHS_REF_RE.search(fbody)
+        if wr is not None:
+            ab = bodies.get(int(wr.group(1)), b"")
+            am = re.search(rb"\[([-0-9.\s]*)\]", ab)
+            if am:
+                arr = am.group(1)
+    if fc is None or arr is None:
+        return None
+    try:
+        ws = tuple(float(t) for t in arr.split())
+    except ValueError:
+        return None
+    if not ws:
+        return None
+    return int(fc.group(1)), ws
+
+
 def _page_fonts(
     body: bytes, bodies: dict[int, bytes], dec
-) -> dict[str, tuple[dict[int, str] | None, int, bool]]:
+) -> dict[str, tuple]:
     """Resolve a page's ``/Resources /Font`` dict into
-    ``{name: (decode_info | None, code_width, vertical)}`` — code
-    width 2 for ``/Type0`` (CID) fonts, 1 for simple fonts.
+    ``{name: (decode_info | None, code_width, vertical, metrics)}`` —
+    code width 2 for ``/Type0`` (CID) fonts, 1 for simple fonts;
+    ``metrics`` is the (/FirstChar, /Widths) table of a simple font
+    or None (see :func:`_font_metrics`). Widths index by CHARACTER
+    CODE; the advance path applies them through the latin-1 ord of
+    the decoded char, which coincides with the code for the WinAnsi
+    range real latin-script fonts cover — codes outside the table
+    keep the deterministic width model.
     ``decode_info`` is an embedded-ToUnicode code→str dict, a
     predefined-CMap CODEC NAME (str — see ``_PREDEFINED_CMAPS``), or
     None (WinAnsi≈latin-1 / UTF-16BE default paths, byte-identical to
@@ -933,7 +972,7 @@ def _page_fonts(
     whose /Encoding names a ``-V`` CMap (Identity-V or the predefined
     vertical families) — tategaki writing mode (ISO 32000 §9.7.5,
     WMode 1), the dominant layout of Japanese books/magazines."""
-    fonts: dict[str, tuple[dict[int, str] | None, int, bool]] = {}
+    fonts: dict[str, tuple] = {}
     res = _resources_of(body, bodies)
     fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.DOTALL)
     if not fm:
@@ -976,7 +1015,8 @@ def _page_fonts(
             diffs = _parse_differences(enc_body)
             if diffs:
                 cmap = diffs
-        fonts[name] = (cmap, width, vert)
+        metrics = _font_metrics(fbody, bodies) if width == 1 else None
+        fonts[name] = (cmap, width, vert, metrics)
     return fonts
 
 
@@ -1095,10 +1135,30 @@ def _advance_units(piece: str) -> float:
     return sum(1.0 if is_wide_char(c) else 0.5 for c in piece)
 
 
+@lru_cache(maxsize=1 << 16)
+def _advance_units_metrics(
+    piece: str, first: int, ws: tuple[float, ...]
+) -> float:
+    """Σ advance in em units under a font's /Widths table (ISO 32000
+    §9.6.2.1, glyph-space 1/1000): real fonts' declared metrics drive
+    word-box geometry and therefore gap-based segmentation. Codes
+    outside the table keep the width-model fallback."""
+    total = 0.0
+    last = first + len(ws)
+    for c in piece:
+        i = ord(c)
+        if first <= i < last:
+            total += ws[i - first] / 1000.0
+        else:
+            total += 1.0 if is_wide_char(c) else 0.5
+    return total
+
+
 def _emit_words(
     text: str, x: float, y: float, size: float, height: float,
     sink: "_WordSink",
     tc: float = 0.0, tw: float = 0.0, tz: float = 1.0,
+    metrics: tuple[int, tuple[float, ...]] | None = None,
 ) -> float:
     """Split shown text on spaces; append columns to the sink; return
     advanced x. ``tc``/``tw``/``tz`` are the Tc char-spacing, Tw
@@ -1111,7 +1171,12 @@ def _emit_words(
     top = round(height - y - _ASCENT * size, 3)
     bottom = round(height - y + _DESCENT * size, 3)
     cx = x
-    space_adv = (0.5 * size + tc + tw) * tz
+    space_units = 0.5
+    if metrics is not None:
+        first, ws = metrics
+        if first <= 0x20 < first + len(ws):
+            space_units = ws[0x20 - first] / 1000.0
+    space_adv = (space_units * size + tc + tw) * tz
     t_app = sink.texts.append
     x0_app = sink.x0s.append
     x1_app = sink.x1s.append
@@ -1123,7 +1188,11 @@ def _emit_words(
         if piece == "":
             cx += space_adv  # bare space advance
             continue
-        w = (_advance_units(piece) * size + tc * len(piece)) * tz
+        units = (
+            _advance_units(piece) if metrics is None
+            else _advance_units_metrics(piece, *metrics)
+        )
+        w = (units * size + tc * len(piece)) * tz
         t_app(piece)
         x0_app(round(cx, 3))
         x1_app(round(cx + w, 3))
@@ -1327,24 +1396,28 @@ _XOBJ_MAX_DEPTH = 4  # form-XObject recursion cap (cycle guard)
 
 def _parse_content(
     stream: bytes, height: float, page_no: int,
-    fonts: dict[str, tuple[dict[int, str] | None, int, bool]] | None = None,
+    fonts: dict[str, tuple] | None = None,
     xobjects: dict | None = None,
     width: float = 612.0,
     hidden_ocs: frozenset[str] | None = None,
     flags: dict | None = None,
 ) -> pd.DataFrame:
     has_cmaps = fonts is not None and any(
-        c is not None for c, _w, _v in fonts.values()
+        c is not None for c, _w, _v, _m in fonts.values()
     )
     has_vert = fonts is not None and any(
-        v for _c, _w, v in fonts.values()
+        v for _c, _w, v, _m in fonts.values()
     )
-    if not has_cmaps and not has_vert and not xobjects and \
+    has_metrics = fonts is not None and any(
+        m is not None for _c, _w, _v, m in fonts.values()
+    )
+    if not has_cmaps and not has_vert and not has_metrics and \
+            not xobjects and \
             b"Tr" not in stream and \
             stream.lstrip()[:5].startswith(b"BT"):
         # the fast path ignores Tf font selection, so it is only valid
-        # when no font on the page carries a ToUnicode map or a
-        # vertical writing mode
+        # when no font on the page carries a ToUnicode map, a custom
+        # /Widths table, or a vertical writing mode
         fast = _parse_simple_blocks(stream, height, page_no)
         if fast is not None:
             return fast
@@ -1360,7 +1433,7 @@ def _parse_content(
 
 def _scan_stream(
     stream: bytes, height: float,
-    fonts: dict[str, tuple[dict[int, str] | None, int, bool]] | None,
+    fonts: dict[str, tuple] | None,
     xobjects: dict | None,
     rows: "_WordSink", depth: int,
     ctm_tx: float = 0.0, ctm_ty: float = 0.0,
@@ -1379,11 +1452,13 @@ def _scan_stream(
     # writes vertically (Identity-V carries no CMap but must still
     # flip the advance axis)
     track_fonts = fonts is not None and any(
-        c is not None or v for c, _w, v in fonts.values()
+        c is not None or v or m is not None
+        for c, _w, v, m in fonts.values()
     )
     cur_cmap: dict[int, str] | None = None
     cur_width = 1
     cur_vert = False
+    cur_metrics: tuple[int, tuple[float, ...]] | None = None
 
     def decode_tok(s: bytes) -> str:
         if isinstance(cur_cmap, str):
@@ -1476,8 +1551,11 @@ def _scan_stream(
         elif tok == b"Tf" and len(stack) >= 2:
             size = float(stack[-1])
             if track_fonts and stack[-2][:1] == b"/":
-                cur_cmap, cur_width, cur_vert = (fonts or {}).get(
-                    stack[-2][1:].decode("latin-1"), (None, 1, False)
+                cur_cmap, cur_width, cur_vert, cur_metrics = (
+                    fonts or {}
+                ).get(
+                    stack[-2][1:].decode("latin-1"),
+                    (None, 1, False, None),
                 )
             stack.clear()
         elif tok in (b"Td", b"TD") and len(stack) >= 2:
@@ -1538,7 +1616,7 @@ def _scan_stream(
             else:
                 x = _emit_words(
                     decode_tok(s), x + ctm_tx, y + ctm_ty, size,
-                    height, rows, tc, tw, tz,
+                    height, rows, tc, tw, tz, cur_metrics,
                 ) - ctm_tx
             stack.clear()
         elif tok in (b"'", b'"') and stack:
@@ -1562,7 +1640,7 @@ def _scan_stream(
                 else:
                     x = _emit_words(
                         decode_tok(s), x + ctm_tx, y + ctm_ty, size,
-                        height, rows, tc, tw, tz,
+                        height, rows, tc, tw, tz, cur_metrics,
                     ) - ctm_tx
             stack.clear()
         elif tok == b"TJ":
@@ -1581,6 +1659,7 @@ def _scan_stream(
                         x = _emit_words(
                             decode_tok(item), x + ctm_tx, y + ctm_ty,
                             size, height, rows, tc, tw, tz,
+                            cur_metrics,
                         ) - ctm_tx
                 elif cur_vert:
                     # vertical kerning: positive values shorten the
@@ -2408,7 +2487,7 @@ def parse_pdf(data: bytes) -> PdfDoc:
                              "likely OCR text layer of a scanned page"
                          )}
                     )
-                if any(v for _c, _w, v in fonts.values()):
+                if any(v for _c, _w, v, _m in fonts.values()):
                     doc.errors.append(
                         {"type": "vertical", "severity": "warning",
                          "page": idx,

@@ -553,6 +553,36 @@ class TestDecryption:
             build_pdf([p], encrypt="rc4-128", xmp=xmp,
                       encrypt_metadata=False)
 
+    def test_widths_table_drives_word_geometry(self):
+        """A simple font's declared /FirstChar + /Widths metrics
+        (§9.6.2.1) must drive word-box geometry — 900-unit glyphs and
+        a 250-unit space — while fonts without a table keep the
+        deterministic width model; both survive compression and
+        encryption unchanged."""
+        first = 0x20
+        ws = [250.0] + [900.0] * (0x7F - 0x21)
+        p = PageSpec()
+        p.put_codes(72, 100, 12, b"ab cd", font="F8")
+        p.put(72, 130, 12, "ab cd")
+        doc = parse_pdf(build_pdf([p], widths_font=(first, ws)))
+        rows = list(zip(doc.pages[0].words["text"],
+                        doc.pages[0].words["x0"],
+                        doc.pages[0].words["x1"]))
+        (f8_ab, m_ab) = [r for r in rows if r[0] == "ab"]
+        assert abs((f8_ab[2] - f8_ab[1]) - 2 * 0.9 * 12) < 1e-6
+        assert abs((m_ab[2] - m_ab[1]) - 2 * 0.5 * 12) < 1e-6
+        f8_cd = [r for r in rows if r[0] == "cd"][0]
+        # cd starts after ab (21.6) + the 250/1000 em space (3.0)
+        assert abs(f8_cd[1] - (72 + 21.6 + 3.0)) < 1e-6
+        assert not doc.errors
+        enc = parse_pdf(build_pdf([p], compress=True,
+                                  encrypt="aes-256",
+                                  widths_font=(first, ws)))
+        rows2 = list(zip(enc.pages[0].words["text"],
+                         enc.pages[0].words["x0"],
+                         enc.pages[0].words["x1"]))
+        assert rows2 == rows
+
     def test_encrypted_strings_all_metadata_surfaces(self):
         """Strings in encrypted documents are encrypted exactly like
         streams (§7.6.2): /Info values, outline titles, annotation
