@@ -274,7 +274,9 @@ def duck_webify(col: str = "text") -> str:
 # rounding modes.
 
 _VOWEL_GROUP = "[aeiouy]+"
-_SENT_END = "[.!?]+"
+# terminal punctuation incl. the CJK full stops/marks (。．！？) —
+# a readability op over a web corpus sees mixed-script documents
+_SENT_END = "[.!?。．！？]+"
 
 
 def readability_scores(
