@@ -676,6 +676,21 @@ def _pdf_custom_widths() -> bytes:
     return build_pdf([p], compress=True, widths_font=(first, ws))
 
 
+def _pdf_cid_widths() -> bytes:
+    """Type0/Identity-H font whose descendant declares /DW + /W
+    proportional metrics (§9.7.4.3): hiragana at 500 units against
+    the 1000 default — the dominant real-JP-writer shape (kana are
+    proportional in modern fonts). Advances, and therefore line
+    assembly, must follow the declared widths."""
+    cid_w = (1000.0, [(0x3041, 0x3093, 500.0)])
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put(72, 170, 12, _BODY_JA[0])
+    p.put(72, 190, 12, _BODY_JA[1])
+    p.put(72, 210, 12, "かなの行はプロポーショナル幅で流れます")
+    return build_pdf([p], compress=True, cid_widths=cid_w)
+
+
 def _pdf_ocr_layer() -> bytes:
     """Scanned-page shape: the only text is an INVISIBLE OCR layer
     (text rendering mode 3, §9.3.6) laid over where the page image
@@ -1543,6 +1558,7 @@ _PDF_CASES = {
     "pdf-encrypted-aes256": _pdf_encrypted_aes256,
     "pdf-ocr-layer": _pdf_ocr_layer,
     "pdf-custom-widths": _pdf_custom_widths,
+    "pdf-cid-widths": _pdf_cid_widths,
     "pdf-tounicode": _pdf_tounicode,
     "pdf-inherited-split": _pdf_inherited_split,
     "pdf-lzw": _pdf_lzw,
@@ -1616,6 +1632,7 @@ _CASE_LANG = {
     "pdf-encrypted-aes256": "mixed",
     "pdf-ocr-layer": "en",
     "pdf-custom-widths": "en",
+    "pdf-cid-widths": "ja",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",

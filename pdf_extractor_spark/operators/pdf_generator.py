@@ -502,6 +502,7 @@ def build_pdf(
     encrypt_metadata: bool = True,
     xmp_crypt_identity: bool = False,
     widths_font: tuple[int, list[float]] | None = None,
+    cid_widths: tuple[float, list[tuple]] | None = None,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -650,6 +651,10 @@ def build_pdf(
     if widths_font:
         font_refs["F8"] = n_fixed + 1
         n_fixed += 1  # simple font with /FirstChar + /Widths metrics
+    cid_desc_id = None
+    if cid_widths:
+        cid_desc_id = n_fixed + 1
+        n_fixed += 1  # F2's descendant CIDFont carrying /DW + /W
     ocg_ids: dict[str, int] = {}
     oc_res: dict[str, str] = {}
     if ocg_layers:
@@ -1086,10 +1091,33 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )
-    objs[4] = (
-        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
-        b"/Encoding /Identity-H >>"
-    )
+    if cid_desc_id is not None:
+        dw, groups = cid_widths
+        parts = []
+        for g in groups:
+            if len(g) == 2:  # (c, [w...]) consecutive form
+                c, warr = g
+                parts.append(
+                    f"{c} [{' '.join(f'{w:g}' for w in warr)}]"
+                )
+            else:            # (lo, hi, w) range form
+                lo, hi, w = g
+                parts.append(f"{lo} {hi} {w:g}")
+        objs[4] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
+            f"/Encoding /Identity-H "
+            f"/DescendantFonts [{cid_desc_id} 0 R] >>"
+        ).encode("latin-1")
+        objs[cid_desc_id] = (
+            f"<< /Type /Font /Subtype /CIDFontType2 "
+            f"/BaseFont /FixtureCJK /DW {dw:g} "
+            f"/W [{' '.join(parts)}] >>"
+        ).encode("latin-1")
+    else:
+        objs[4] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
+            b"/Encoding /Identity-H >>"
+        )
     def _maybe_encrypt(oid: int, stream: bytes) -> bytes:
         # every stream in an encrypted document is encrypted — the
         # ToUnicode CMaps included (ISO 32000 §7.6.1)

@@ -927,7 +927,7 @@ _WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+\d+\s+R")
 
 def _font_metrics(
     fbody: bytes, bodies: dict[int, bytes]
-) -> tuple[int, tuple[float, ...]] | None:
+) -> tuple | None:
     """A simple font's /FirstChar + /Widths table (ISO 32000 §9.6.2.1,
     glyph-space 1/1000 units; the array may be direct or an indirect
     object). None when the font declares no widths — the deterministic
@@ -950,7 +950,85 @@ def _font_metrics(
         return None
     if not ws:
         return None
-    return int(fc.group(1)), ws
+    return ("w", int(fc.group(1)), ws)
+
+
+_DESCFONT_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
+_DW_RE = re.compile(rb"/DW\s+([0-9.]+)")
+
+
+def _parse_w_array(body: bytes) -> tuple:
+    """A CIDFont's /W array (ISO 32000 §9.7.4.3): alternating
+    ``c [w…]`` (consecutive CIDs from c) and ``cfirst clast w``
+    (range) groups → ((lo, hi, widths-tuple | w), …). Bracket-matched
+    by hand — the array nests, which a regex cannot scope."""
+    i = body.find(b"/W")
+    while i != -1 and body[i + 2 : i + 3].isalnum():
+        i = body.find(b"/W", i + 2)  # skip /Widths, /WMode, /W2…
+    if i == -1:
+        return ()
+    j = body.find(b"[", i)
+    if j == -1:
+        return ()
+    depth, k = 0, j
+    while k < len(body):
+        ch = body[k : k + 1]
+        if ch == b"[":
+            depth += 1
+        elif ch == b"]":
+            depth -= 1
+            if depth == 0:
+                break
+        k += 1
+    toks = re.findall(rb"\[([^\]]*)\]|(-?[0-9.]+)", body[j + 1 : k])
+    items: list = []
+    for arr, num in toks:
+        if num:
+            items.append(float(num))
+        else:
+            items.append([float(t) for t in arr.split()])
+    ranges: list[tuple] = []
+    idx = 0
+    while idx < len(items):
+        if idx + 1 < len(items) and isinstance(items[idx + 1], list):
+            c = int(items[idx])
+            ws = items[idx + 1]
+            if ws:
+                ranges.append((c, c + len(ws) - 1, tuple(ws)))
+            idx += 2
+        elif idx + 2 < len(items) and \
+                not isinstance(items[idx + 1], list) and \
+                not isinstance(items[idx + 2], list):
+            ranges.append(
+                (int(items[idx]), int(items[idx + 1]),
+                 float(items[idx + 2]))
+            )
+            idx += 3
+        else:
+            break  # malformed tail: keep what parsed
+    return tuple(ranges)
+
+
+def _cid_metrics(
+    fbody: bytes, bodies: dict[int, bytes]
+) -> tuple | None:
+    """Type0 horizontal metrics from the descendant CIDFont: /DW
+    default width (1000 when absent — exactly the 1.0-em model, so
+    declaring it changes nothing) + the /W exception array. Returned
+    tagged ("cid", dw, ranges); None without a /W (the model already
+    IS the /DW default)."""
+    dm = _DESCFONT_RE.search(fbody)
+    if dm is None:
+        return None
+    desc = bodies.get(int(dm.group(1)))
+    if desc is None:
+        return None
+    ranges = _parse_w_array(desc)
+    if not ranges:
+        return None
+    dwm = _DW_RE.search(desc)
+    dw = float(dwm.group(1)) if dwm else 1000.0
+    return ("cid", dw, ranges)
 
 
 def _page_fonts(
@@ -1015,7 +1093,16 @@ def _page_fonts(
             diffs = _parse_differences(enc_body)
             if diffs:
                 cmap = diffs
-        metrics = _font_metrics(fbody, bodies) if width == 1 else None
+        if width == 1:
+            metrics = _font_metrics(fbody, bodies)
+        elif cmap is None and not vert:
+            # Identity-H without ToUnicode: decoded UTF-16 units ARE
+            # the CIDs, so the descendant's /DW + /W can drive
+            # advances; any other decode path detaches chars from
+            # CIDs and keeps the model
+            metrics = _cid_metrics(fbody, bodies)
+        else:
+            metrics = None
         fonts[name] = (cmap, width, vert, metrics)
     return fonts
 
@@ -1136,6 +1223,27 @@ def _advance_units(piece: str) -> float:
 
 
 @lru_cache(maxsize=1 << 16)
+def _cid_units(piece: str, dw: float, ranges: tuple) -> float:
+    """Σ advance in em units under a CIDFont's /DW + /W exceptions
+    (§9.7.4.3; Identity-H so CID == UTF-16 unit == ord for BMP
+    chars). Astral chars keep the wide-model fallback — their
+    surrogate pairs are not single CIDs."""
+    total = 0.0
+    for c in piece:
+        cid = ord(c)
+        if cid > 0xFFFF:
+            total += 1.0
+            continue
+        w = dw
+        for lo, hi, ws in ranges:
+            if lo <= cid <= hi:
+                w = ws[cid - lo] if isinstance(ws, tuple) else ws
+                break
+        total += w / 1000.0
+    return total
+
+
+@lru_cache(maxsize=1 << 16)
 def _advance_units_metrics(
     piece: str, first: int, ws: tuple[float, ...]
 ) -> float:
@@ -1158,7 +1266,7 @@ def _emit_words(
     text: str, x: float, y: float, size: float, height: float,
     sink: "_WordSink",
     tc: float = 0.0, tw: float = 0.0, tz: float = 1.0,
-    metrics: tuple[int, tuple[float, ...]] | None = None,
+    metrics: tuple | None = None,
 ) -> float:
     """Split shown text on spaces; append columns to the sink; return
     advanced x. ``tc``/``tw``/``tz`` are the Tc char-spacing, Tw
@@ -1172,10 +1280,12 @@ def _emit_words(
     bottom = round(height - y + _DESCENT * size, 3)
     cx = x
     space_units = 0.5
-    if metrics is not None:
-        first, ws = metrics
+    if metrics is not None and metrics[0] == "w":
+        _tag, first, ws = metrics
         if first <= 0x20 < first + len(ws):
             space_units = ws[0x20 - first] / 1000.0
+    elif metrics is not None:  # ("cid", dw, ranges)
+        space_units = _cid_units(" ", metrics[1], metrics[2])
     space_adv = (space_units * size + tc + tw) * tz
     t_app = sink.texts.append
     x0_app = sink.x0s.append
@@ -1188,10 +1298,14 @@ def _emit_words(
         if piece == "":
             cx += space_adv  # bare space advance
             continue
-        units = (
-            _advance_units(piece) if metrics is None
-            else _advance_units_metrics(piece, *metrics)
-        )
+        if metrics is None:
+            units = _advance_units(piece)
+        elif metrics[0] == "w":
+            units = _advance_units_metrics(
+                piece, metrics[1], metrics[2]
+            )
+        else:
+            units = _cid_units(piece, metrics[1], metrics[2])
         w = (units * size + tc * len(piece)) * tz
         t_app(piece)
         x0_app(round(cx, 3))

@@ -583,6 +583,32 @@ class TestDecryption:
                          enc.pages[0].words["x1"]))
         assert rows2 == rows
 
+    def test_cid_w_array_drives_advances(self):
+        """A Type0 font's descendant /DW + /W exceptions (§9.7.4.3)
+        drive CID advances under Identity-H: proportional kana at
+        500 units against the 1000 default, both /W spellings
+        (range and consecutive-list), surviving encryption."""
+        cid_w = (1000.0, [(0x3041, 0x3093, 500.0),
+                          (0x4E00, [800.0, 900.0])])
+        p = PageSpec()
+        p.put(72, 100, 12, "かな文字")
+        doc = parse_pdf(build_pdf([p], cid_widths=cid_w))
+        w = doc.pages[0].words
+        assert list(w["text"]) == ["かな文字"]
+        # か(0.5)+な(0.5)+文(1.0)+字(1.0) em at 12pt
+        assert abs((w["x1"][0] - w["x0"][0]) - 36.0) < 1e-6
+        p2 = PageSpec()
+        p2.put(72, 100, 12, "一丁")  # consecutive form: 800, 900
+        d2 = parse_pdf(build_pdf([p2], cid_widths=cid_w))
+        w2 = d2.pages[0].words
+        assert abs((w2["x1"][0] - w2["x0"][0]) - (0.8 + 0.9) * 12) \
+            < 1e-6
+        d3 = parse_pdf(build_pdf([p], compress=True,
+                                 encrypt="aes-256", cid_widths=cid_w))
+        w3 = d3.pages[0].words
+        assert list(w3["text"]) == ["かな文字"]
+        assert abs((w3["x1"][0] - w3["x0"][0]) - 36.0) < 1e-6
+
     def test_encrypted_strings_all_metadata_surfaces(self):
         """Strings in encrypted documents are encrypted exactly like
         streams (§7.6.2): /Info values, outline titles, annotation
