@@ -691,6 +691,21 @@ def _pdf_cid_widths() -> bytes:
     return build_pdf([p], compress=True, cid_widths=cid_w)
 
 
+def _pdf_mac_roman() -> bytes:
+    """Legacy Mac writer: a simple font with name-form /Encoding
+    /MacRomanEncoding — high bytes are MacRoman (0x8E é, 0xA5 •),
+    NOT WinAnsi. Mixed with a WinAnsi line as control."""
+    p = PageSpec()
+    _lines(p, [ln.split() for ln in _BODY_EN])
+    p.put_codes(
+        72, 170, 12,
+        "r\x8esum\x8e caf\x8e \xa5menu".encode("latin-1"),
+        font="F9",
+    )
+    p.put(72, 200, 12, "winansi control naïve line")
+    return build_pdf([p], compress=True, mac_roman_font=True)
+
+
 def _pdf_ocr_layer() -> bytes:
     """Scanned-page shape: the only text is an INVISIBLE OCR layer
     (text rendering mode 3, §9.3.6) laid over where the page image
@@ -1559,6 +1574,7 @@ _PDF_CASES = {
     "pdf-ocr-layer": _pdf_ocr_layer,
     "pdf-custom-widths": _pdf_custom_widths,
     "pdf-cid-widths": _pdf_cid_widths,
+    "pdf-mac-roman": _pdf_mac_roman,
     "pdf-tounicode": _pdf_tounicode,
     "pdf-inherited-split": _pdf_inherited_split,
     "pdf-lzw": _pdf_lzw,
@@ -1633,6 +1649,7 @@ _CASE_LANG = {
     "pdf-ocr-layer": "en",
     "pdf-custom-widths": "en",
     "pdf-cid-widths": "ja",
+    "pdf-mac-roman": "en",
     "pdf-tounicode": "mixed", "pdf-inherited-split": "mixed",
     "pdf-lzw": "mixed", "pdf-differences": "en",
     "pdf-truncated": "en", "pdf-encrypted-modern": "mixed",

@@ -503,6 +503,7 @@ def build_pdf(
     xmp_crypt_identity: bool = False,
     widths_font: tuple[int, list[float]] | None = None,
     cid_widths: tuple[float, list[tuple]] | None = None,
+    mac_roman_font: bool = False,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -651,6 +652,9 @@ def build_pdf(
     if widths_font:
         font_refs["F8"] = n_fixed + 1
         n_fixed += 1  # simple font with /FirstChar + /Widths metrics
+    if mac_roman_font:
+        font_refs["F9"] = n_fixed + 1
+        n_fixed += 1  # simple font with /Encoding /MacRomanEncoding
     cid_desc_id = None
     if cid_widths:
         cid_desc_id = n_fixed + 1
@@ -1178,6 +1182,13 @@ def build_pdf(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
             f"/Encoding /{predefined_cmap} >>"
         ).encode("latin-1")
+    if "F9" in font_refs:
+        # legacy Mac writer shape: the name-form /Encoding routes the
+        # high byte range through MacRoman, NOT WinAnsi
+        objs[font_refs["F9"]] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+            b"/Encoding /MacRomanEncoding >>"
+        )
     if "F8" in font_refs:
         # simple font carrying REAL declared metrics (§9.6.2.1):
         # /FirstChar + /Widths in glyph-space 1/1000 units — the

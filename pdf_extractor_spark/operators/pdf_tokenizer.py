@@ -1093,6 +1093,14 @@ def _page_fonts(
             diffs = _parse_differences(enc_body)
             if diffs:
                 cmap = diffs
+            elif em is None:
+                # name-form /Encoding: MacRomanEncoding routes the
+                # high range through the mac_roman codec (legacy Mac
+                # writers; 0xA5 is '•' there, '¥' in WinAnsi≈latin-1).
+                # WinAnsi/Standard keep the default latin-1 path.
+                nm = _ENC_NAME_RE.search(fbody)
+                if nm and nm.group(1) == b"MacRomanEncoding":
+                    cmap = "mac_roman"
         if width == 1:
             metrics = _font_metrics(fbody, bodies)
         elif cmap is None and not vert:

@@ -583,6 +583,28 @@ class TestDecryption:
                          enc.pages[0].words["x1"]))
         assert rows2 == rows
 
+    def test_mac_roman_encoding_decodes_high_range(self):
+        """Name-form /Encoding /MacRomanEncoding (legacy Mac
+        writers): high bytes decode through MacRoman — 0x8E is é
+        there, not the WinAnsi/latin-1 Ž — while WinAnsi fonts keep
+        the default path. Survives encryption."""
+        p = PageSpec()
+        codes = "caf\x8e r\x8esum\x8e \xa5point".encode("latin-1")
+        p.put_codes(72, 100, 12, codes, font="F9")
+        p.put(72, 130, 12, "plain ascii line")
+        doc = parse_pdf(build_pdf([p], mac_roman_font=True))
+        words = list(doc.pages[0].words["text"])
+        assert "café" in words and "résumé" in words
+        assert "•point" in words          # 0xA5 → bullet, not ¥
+        p2 = PageSpec()
+        p2.put_codes(72, 100, 12, codes, font="F1")
+        w2 = list(parse_pdf(build_pdf([p2])).pages[0].words["text"])
+        assert "café" not in w2           # latin-1 control differs
+        d3 = parse_pdf(build_pdf([p], compress=True,
+                                 encrypt="rc4-128",
+                                 mac_roman_font=True))
+        assert list(d3.pages[0].words["text"]) == words
+
     def test_cid_w_array_drives_advances(self):
         """A Type0 font's descendant /DW + /W exceptions (§9.7.4.3)
         drive CID advances under Identity-H: proportional kana at
