@@ -1989,6 +1989,10 @@ def _text_string(tok: bytes, transform=None) -> str:
             return ""
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace")
+    if raw[:3] == b"\xef\xbb\xbf":
+        # PDF 2.0 (ISO 32000-2 §7.9.2.2) adds BOM'd UTF-8 as a third
+        # text-string form next to UTF-16BE and PDFDocEncoding
+        return raw[3:].decode("utf-8", "replace")
     return raw.decode("latin-1")
 
 

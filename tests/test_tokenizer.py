@@ -583,6 +583,23 @@ class TestDecryption:
                          enc.pages[0].words["x1"]))
         assert rows2 == rows
 
+    def test_utf8_bom_text_string(self):
+        """PDF 2.0 (ISO 32000-2 §7.9.2.2) adds BOM'd UTF-8 as a third
+        text-string form; /Info values in that spelling must decode
+        (spliced into a classic file — the stale offsets also
+        exercise the object-scan salvage)."""
+        p = PageSpec()
+        p.put_words(72, 100, 12, ["body"])
+        data = build_pdf([p], info={"Title": "placeholder"})
+        bom = b"\xef\xbb\xbf" + "Unicode 日本 Title".encode("utf-8")
+        esc = b"".join(
+            b"\\%03o" % c if c < 32 or c > 126 or c in b"()\\"
+            else bytes([c]) for c in bom
+        )
+        data = data.replace(b"(placeholder)", b"(" + esc + b")")
+        doc = parse_pdf(data)
+        assert doc.info.get("Title") == "Unicode 日本 Title"
+
     def test_mac_roman_encoding_decodes_high_range(self):
         """Name-form /Encoding /MacRomanEncoding (legacy Mac
         writers): high bytes decode through MacRoman — 0x8E is é
