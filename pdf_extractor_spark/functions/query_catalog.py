@@ -4598,6 +4598,51 @@ ORDER BY branch, grade, status
 """
 
 
+# ================================================== distributed sketches
+
+
+def _hll_distinct(spark, sf_dir):
+    """Per-language distinct-token cardinality, exact vs HyperLogLog
+    (m=256, md5-keyed registers, integer-exact register math). The
+    100 TB primitive for COUNT(DISTINCT): the exchange carries at
+    most m rows per group instead of every distinct value, sketches
+    merge by register max across days of a rolling crawl, and both
+    engines compute bit-identical registers so the oracle verifies
+    the whole estimator, not a tolerance band."""
+    from .sketches import hll_distinct_report
+
+    return hll_distinct_report(_t(spark, sf_dir, "documents"))
+
+
+def _hll_distinct_sql() -> str:
+    from .sketches import duck_hll_distinct_sql
+
+    return duck_hll_distinct_sql()
+
+
+_HLL_DISTINCT_SQL = _hll_distinct_sql()
+
+
+def _cms_heavy_hitters(spark, sf_dir):
+    """Exact top-10 corpus tokens joined with their Count-Min
+    estimates (d=4 x w=1024, md5-keyed rows). CMS never
+    underestimates; the sketch state is d*w counters regardless of
+    corpus size — the heavy-hitter primitive whose exact form would
+    shuffle every distinct token."""
+    from .sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+def _cms_heavy_hitters_sql() -> str:
+    from .sketches import duck_cms_heavy_hitters_sql
+
+    return duck_cms_heavy_hitters_sql()
+
+
+_CMS_HH_SQL = _cms_heavy_hitters_sql()
+
+
 # ================================================================ catalog
 
 CATALOG: dict[str, QueryDef] = {
@@ -4981,4 +5026,11 @@ CATALOG: dict[str, QueryDef] = {
     "a2_trimmed_mean": QueryDef(_a2_trimmed_mean, _A2_TRIMMED_SQL),
     "a3_inventory_bands": QueryDef(_a3_inventory_bands, _A3_INVENTORY_SQL),
     "j1_range_containment": QueryDef(_j1_range_containment, _J1_RANGE_SQL),
+    # -------- new this session (round 4, eighth): sketches ----------------
+    "corpus_distinct_hll": QueryDef(
+        _hll_distinct, _HLL_DISTINCT_SQL, True
+    ),
+    "corpus_heavy_hitters_cms": QueryDef(
+        _cms_heavy_hitters, _CMS_HH_SQL, True
+    ),
 }
