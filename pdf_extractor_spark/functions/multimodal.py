@@ -486,3 +486,126 @@ SELECT doc_id,
        ELSE 60 + (doc_id % 30) * 5 END AS height
 FROM {source}
 """
+
+
+# ===================================================== video (y4m) leg
+
+_VID_BASE_MOD = 200  # luma base cycle; max pixel 199 + 31 < 256
+
+
+def fixture_video(doc_id: int) -> bytes:
+    """Deterministic real YUV4MPEG2 stream for one document:
+
+        width      = 16 * (1 + doc_id % 2)            (16 / 32)
+        height     = 12 + 4 * (doc_id % 3)            (12 / 16 / 20)
+        fps        = (24 + doc_id % 7) : 1
+        colorspace = C420jpeg (even doc_id) / C444 (odd)
+        n_frames   = 3 + doc_id % 4
+        luma[f][y][x] = base_f + x,  base_f = (doc_id*31 + f*7) % 200
+
+    Every row of frame f is the same x-ramp, so the frame's luma sum
+    is the closed form H*(W*base_f + W*(W-1)/2) the SQL oracle
+    computes — but only a stride- and plane-size-correct decoder
+    recovers it, because the 4:2:0 vs 4:4:4 chroma skip shifts every
+    subsequent frame offset."""
+    from ..operators.y4m_codec import y4m_encode
+
+    w = 16 * (1 + doc_id % 2)
+    h = 12 + 4 * (doc_id % 3)
+    fps = (24 + doc_id % 7, 1)
+    cs = "420jpeg" if doc_id % 2 == 0 else "444"
+    n_frames = 3 + doc_id % 4
+    x = np.arange(w, dtype=np.int64)[None, :]
+    frames = [
+        np.broadcast_to(
+            ((doc_id * 31 + f * 7) % _VID_BASE_MOD + x) % 256, (h, w)
+        ).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+    return y4m_encode(frames, fps=fps, colorspace=cs)
+
+
+VIDEO_STATS_SCHEMA = (
+    "doc_id long, width int, height int, fps_num int, fps_den int, "
+    "colorspace string, n_frames int, n_sampled int, luma_sum long"
+)
+
+
+def video_frame_stats(
+    docs: DataFrame, every: int = 2, num_partitions: int = 8
+) -> DataFrame:
+    """Distributed video decode + frame sampling (the video leg of
+    the multimodal battery): parse the container, keep every
+    ``every``-th frame — the standard decimation ahead of per-frame
+    feature extraction — and report the MEASURED luma sum over the
+    sampled frames from the decoded planes. Same layout rule as every
+    decode leg (`_partitioned_payloads`): ids shuffle, media bytes
+    are born on the partition that decodes them and never cross an
+    exchange. At 100 TB frame sampling is the step that divides all
+    downstream per-frame cost by ``every`` — it belongs INSIDE the
+    decode task, before anything is materialized."""
+    from ..operators.y4m_codec import y4m_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "fps_num": [],
+                "fps_den": [], "colorspace": [], "n_frames": [],
+                "n_sampled": [], "luma_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, meta = y4m_decode(bytes(payload))
+                sampled = frames[::every]
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["fps_num"].append(meta["fps_num"])
+                rows["fps_den"].append(meta["fps_den"])
+                rows["colorspace"].append(meta["colorspace"])
+                rows["n_frames"].append(len(frames))
+                rows["n_sampled"].append(len(sampled))
+                rows["luma_sum"].append(
+                    int(
+                        sum(
+                            fr.astype(np.int64).sum() for fr in sampled
+                        )
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_video
+    ).mapInPandas(body, VIDEO_STATS_SCHEMA)
+
+
+def duck_video_stats_sql(source: str = "documents", every: int = 2) -> str:
+    """Closed-form twin of :func:`video_frame_stats` over the fixture
+    parameters: luma_sum = Σ over sampled f of H*(W*base_f +
+    W*(W-1)/2)."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 2)  AS w,
+         12 + 4 * (doc_id % 3)  AS h,
+         24 + doc_id % 7        AS fps_num,
+         CASE WHEN doc_id % 2 = 0 THEN '420jpeg' ELSE '444' END AS cs,
+         3 + doc_id % 4         AS n_frames
+  FROM {source}
+), sampled AS (
+  SELECT doc_id, w, h, fps_num, cs, n_frames,
+         unnest(range(0, n_frames, {every})) AS f
+  FROM p
+)
+SELECT doc_id,
+       CAST(w AS INT)                    AS width,
+       CAST(h AS INT)                    AS height,
+       CAST(fps_num AS INT)              AS fps_num,
+       CAST(1 AS INT)                    AS fps_den,
+       cs                                AS colorspace,
+       CAST(n_frames AS INT)             AS n_frames,
+       CAST(count(*) AS INT)             AS n_sampled,
+       CAST(sum(h * (w * ((doc_id * 31 + f * 7) % {_VID_BASE_MOD})
+                     + w * (w - 1) // 2)) AS BIGINT) AS luma_sum
+FROM sampled
+GROUP BY doc_id, w, h, fps_num, cs, n_frames
+"""

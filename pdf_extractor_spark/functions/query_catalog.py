@@ -4643,6 +4643,30 @@ def _cms_heavy_hitters_sql() -> str:
 _CMS_HH_SQL = _cms_heavy_hitters_sql()
 
 
+# ================================================== video (y4m) leg
+
+
+def _multimodal_video(spark, sf_dir):
+    """YUV4MPEG2 decode + every-2nd-frame sampling (video leg): the
+    from-scratch container parser walks real planar frames (4:2:0 and
+    4:4:4 chroma strides) and reports measured luma sums over the
+    sampled frames vs a closed-form oracle. Frame decimation happens
+    INSIDE the decode task — the step that divides all per-frame
+    downstream cost."""
+    from .multimodal import video_frame_stats
+
+    return video_frame_stats(_t(spark, sf_dir, "documents"))
+
+
+def _multimodal_video_sql() -> str:
+    from .multimodal import duck_video_stats_sql
+
+    return duck_video_stats_sql()
+
+
+_MULTIMODAL_VIDEO_SQL = _multimodal_video_sql()
+
+
 # ================================================================ catalog
 
 CATALOG: dict[str, QueryDef] = {
@@ -5032,5 +5056,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_heavy_hitters_cms": QueryDef(
         _cms_heavy_hitters, _CMS_HH_SQL, True
+    ),
+    "multimodal_video_frames": QueryDef(
+        _multimodal_video, _MULTIMODAL_VIDEO_SQL, True
     ),
 }
