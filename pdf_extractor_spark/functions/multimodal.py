@@ -609,3 +609,139 @@ SELECT doc_id,
 FROM sampled
 GROUP BY doc_id, w, h, fps_num, cs, n_frames
 """
+
+
+# ===================================================== Exif harvest leg
+
+def fixture_exif_jpeg(doc_id: int) -> bytes:
+    """Structurally-valid JPEG whose APP1 carries REAL Exif/TIFF
+    bytes with schedule-determined fields:
+
+        byte order  = II (even doc_id) / MM (odd)
+        orientation = 1 + doc_id % 8
+        make        = 'Maker' + str(doc_id % 10)
+        datetime    = '2026:08:<1+d%28> <d%24>:00:00'
+        x_res       = (72 + doc_id % 4) / (1 + doc_id % 2)
+
+    Every 11th doc (d%11==10) omits the Exif segment entirely; every
+    13th (d%13==12, unless exif-less) plants an out-of-bounds value
+    offset — the truncated-crawl shape that must fail loudly, not
+    return garbage. ALL docs carry a COM segment containing the
+    bytes 'Exif\\x00\\x00' — a byte-pattern scanner finds that trap,
+    the marker-length walk never sees it."""
+    from ..operators.exif_tiff import build_exif_app1, build_exif_tiff
+    from ..operators.jpeg_markers import _seg
+
+    out = [b"\xff\xd8"]
+    out.append(_seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"))
+    no_exif = doc_id % 11 == 10
+    corrupt = (not no_exif) and doc_id % 13 == 12
+    if not no_exif:
+        tiff = build_exif_tiff(
+            byte_order="II" if doc_id % 2 == 0 else "MM",
+            orientation=1 + doc_id % 8,
+            make=f"Maker{doc_id % 10}",
+            datetime=f"2026:08:{1 + doc_id % 28:02d} {doc_id % 24:02d}:00:00",
+            x_res=(72 + doc_id % 4, 1 + doc_id % 2),
+            corrupt_offset=corrupt,
+        )
+        out.append(_seg(0xE1, build_exif_app1(tiff)))
+    out.append(_seg(0xFE, b"comment trap: Exif\x00\x00 not a segment"))
+    out.append(_seg(0xDB, b"\x00" + bytes(64)))
+    out.append(_seg(0xC0, b"\x08\x00\x40\x00\x40\x01\x01\x11\x00"))
+    out.append(_seg(0xDA, b"\x01\x01\x00\x00\x3f\x00"))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+EXIF_SCHEMA = (
+    "doc_id long, has_exif boolean, ok boolean, byte_order string, "
+    "orientation int, make string, taken_at string, "
+    "x_res_num long, x_res_den long"
+)
+
+
+def exif_harvest(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Per-image Exif harvest: orientation (the field a perceptual-
+    hash stage must apply BEFORE hashing, or rotated duplicates split
+    into distinct hashes), capture timestamp, camera make, and the
+    resolution rational — parsed from real TIFF IFDs in either byte
+    order. Structural damage → ok=false with sentinel fields ('' /
+    -1; the cross-engine value compare treats NaN != NaN, so NULLs
+    never appear in numeric output columns) (crash-proof per
+    document); images without Exif → has_exif=false."""
+    from ..operators.exif_tiff import (
+        ExifError,
+        exif_from_jpeg,
+        parse_exif_tiff,
+    )
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "has_exif": [], "ok": [],
+                "byte_order": [], "orientation": [], "make": [],
+                "taken_at": [], "x_res_num": [], "x_res_den": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                tiff = exif_from_jpeg(bytes(payload))
+                vals: dict = {}
+                ok = True
+                if tiff is not None:
+                    try:
+                        vals = parse_exif_tiff(tiff)
+                    except ExifError:
+                        ok = False
+                        vals = {}
+                # sentinels, not NULLs: the cross-engine value compare
+                # (and the driver's value hash) treats NaN != NaN
+                rows["doc_id"].append(int(doc_id))
+                rows["has_exif"].append(tiff is not None)
+                rows["ok"].append(ok)
+                rows["byte_order"].append(vals.get("byte_order") or "")
+                rows["orientation"].append(vals.get("orientation") or -1)
+                rows["make"].append(vals.get("make") or "")
+                rows["taken_at"].append(vals.get("datetime") or "")
+                rows["x_res_num"].append(vals.get("x_res_num") or -1)
+                rows["x_res_den"].append(vals.get("x_res_den") or -1)
+            yield pd.DataFrame(rows).astype(
+                {
+                    "orientation": "int32",
+                    "x_res_num": "int64",
+                    "x_res_den": "int64",
+                }
+            )
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_exif_jpeg
+    ).mapInPandas(body, EXIF_SCHEMA)
+
+
+def duck_exif_harvest_sql(source: str = "documents") -> str:
+    """Closed-form twin of the Exif fixture schedule."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 11 = 10                                   AS no_exif,
+         doc_id % 11 <> 10 AND doc_id % 13 = 12             AS corrupt
+  FROM {source}
+)
+SELECT doc_id,
+  NOT no_exif                                               AS has_exif,
+  NOT corrupt                                               AS ok,
+  CASE WHEN no_exif OR corrupt THEN ''
+       WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END          AS byte_order,
+  CASE WHEN no_exif OR corrupt THEN -1
+       ELSE CAST(1 + doc_id % 8 AS INT) END                 AS orientation,
+  CASE WHEN no_exif OR corrupt THEN ''
+       ELSE 'Maker' || CAST(doc_id % 10 AS VARCHAR) END     AS make,
+  CASE WHEN no_exif OR corrupt THEN ''
+       ELSE '2026:08:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+            || ':00:00' END                                 AS taken_at,
+  CASE WHEN no_exif OR corrupt THEN -1
+       ELSE CAST(72 + doc_id % 4 AS BIGINT) END             AS x_res_num,
+  CASE WHEN no_exif OR corrupt THEN -1
+       ELSE CAST(1 + doc_id % 2 AS BIGINT) END              AS x_res_den
+FROM p
+"""

@@ -4667,6 +4667,29 @@ def _multimodal_video_sql() -> str:
 _MULTIMODAL_VIDEO_SQL = _multimodal_video_sql()
 
 
+def _multimodal_exif(spark, sf_dir):
+    """Exif/TIFF IFD harvest (image-metadata leg): orientation —
+    the field a perceptual-hash stage must apply before hashing —
+    capture timestamp, camera make and the resolution rational,
+    parsed from real APP1 TIFF bytes in BOTH byte orders via a
+    marker-length walk (a COM segment carrying the literal bytes
+    'Exif\\0\\0' is planted in every fixture; a byte scanner reads
+    the trap, the walk never sees it). Corrupt value offsets fail
+    loudly per document, exif-less images report has_exif=false."""
+    from .multimodal import exif_harvest
+
+    return exif_harvest(_t(spark, sf_dir, "documents"))
+
+
+def _multimodal_exif_sql() -> str:
+    from .multimodal import duck_exif_harvest_sql
+
+    return duck_exif_harvest_sql()
+
+
+_MULTIMODAL_EXIF_SQL = _multimodal_exif_sql()
+
+
 # ================================================================ catalog
 
 CATALOG: dict[str, QueryDef] = {
@@ -5059,5 +5082,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "multimodal_video_frames": QueryDef(
         _multimodal_video, _MULTIMODAL_VIDEO_SQL, True
+    ),
+    "multimodal_exif": QueryDef(
+        _multimodal_exif, _MULTIMODAL_EXIF_SQL, True
     ),
 }
