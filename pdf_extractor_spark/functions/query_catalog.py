@@ -4690,6 +4690,32 @@ def _multimodal_exif_sql() -> str:
 _MULTIMODAL_EXIF_SQL = _multimodal_exif_sql()
 
 
+# ================================================== write-layout keys
+
+
+def _zorder_shards(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (host-hash, sequence):
+    the write-layout primitive behind ZORDER BY. The report shows
+    every equal Z-range shard covers a BOUNDED span in BOTH
+    dimensions (~1/4 of hosts AND ~1/4 of the sequence range at 16
+    shards) — the property that lets host-scoped and time-scoped
+    scans each prune most files, which a single-column sort cannot
+    give. Magic-mask bit spread, pure shifts/AND/OR in whole-stage
+    codegen; one narrow map + one aggregate."""
+    from .zorder import zorder_shard_report
+
+    return zorder_shard_report(_t(spark, sf_dir, "documents"))
+
+
+def _zorder_shards_sql() -> str:
+    from .zorder import duck_zorder_shard_sql
+
+    return duck_zorder_shard_sql()
+
+
+_ZORDER_SHARDS_SQL = _zorder_shards_sql()
+
+
 # ================================================================ catalog
 
 CATALOG: dict[str, QueryDef] = {
@@ -5085,5 +5111,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "multimodal_exif": QueryDef(
         _multimodal_exif, _MULTIMODAL_EXIF_SQL, True
+    ),
+    "corpus_zorder_shards": QueryDef(
+        _zorder_shards, _ZORDER_SHARDS_SQL, True
     ),
 }
