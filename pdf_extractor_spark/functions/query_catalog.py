@@ -4147,6 +4147,26 @@ _FILTER_RECIPE_SQL = _duck_recipe_sql(
 )
 
 
+def _recipe_whatif(spark, sf_dir):
+    """Recipe ablation matrix: every RECIPE_VARIANTS subset of the
+    four filter legs evaluated in ONE corpus pass — per-leg flags
+    computed once, each ablation a conditional aggregate over the
+    same flag frame (K recipes for the price of one scan; the naive
+    loop re-scans per candidate). Surviving docs/tokens per variant
+    is the number recipe tuning actually reads."""
+    from .recipe import recipe_whatif
+
+    return recipe_whatif(
+        _t(spark, sf_dir, "documents"),
+        canon_text=F.expr(_RECIPE_CANON_CASE),
+    )
+
+
+from .recipe import duck_whatif_sql as _duck_whatif_sql  # noqa: E402
+
+_RECIPE_WHATIF_SQL = _duck_whatif_sql(_FILTER_RECIPE_SQL)
+
+
 def _multimodal_audio(spark, sf_dir):
     """WAV/PCM decode (audio leg): measured sample sums from the
     from-scratch RIFF parser vs a closed-form integer oracle."""
@@ -5114,5 +5134,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_zorder_shards": QueryDef(
         _zorder_shards, _ZORDER_SHARDS_SQL, True
+    ),
+    "corpus_recipe_whatif": QueryDef(
+        _recipe_whatif, _RECIPE_WHATIF_SQL, True
     ),
 }

@@ -124,3 +124,104 @@ JOIN (
   FROM ({fingerprint_sql})
 ) f USING (doc_id)
 """
+
+
+# -------------------------------------------------- what-if ablations
+#
+# Recipe tuning is an ablation exercise: "what does each filter COST
+# in surviving tokens?" The naive loop re-scans the corpus once per
+# candidate recipe; the correct shape computes the per-leg flags ONCE
+# and evaluates every ablation as a conditional aggregate over the
+# same flag frame — K recipes for the price of one scan. The variant
+# table is a broadcast literal; the per-doc keep decision per variant
+# is a boolean expression; the report is one hash aggregate keyed on
+# the (tiny) recipe name.
+
+RECIPE_VARIANTS: tuple[tuple[str, bool, bool, bool, bool], ...] = (
+    # (name, use_gopher, use_c4, use_model, use_canonical)
+    ("full", True, True, True, True),
+    ("no_gopher", False, True, True, True),
+    ("no_c4", True, False, True, True),
+    ("no_model", True, True, False, True),
+    ("no_dedup", True, True, True, False),
+    ("dedup_only", False, False, False, True),
+    ("none", False, False, False, False),
+)
+
+
+def recipe_whatif(
+    docs: DataFrame, canon_text: Column | None = None
+) -> DataFrame:
+    """Evaluate every RECIPE_VARIANTS ablation in ONE pass:
+    ``(recipe, n_docs, n_kept, kept_tokens, kept_bp)`` — surviving
+    documents, surviving whitespace tokens, and the kept fraction in
+    basis points. A disabled leg keeps everything (NOT use OR flag)."""
+    flags = pretraining_filter(docs, canon_text=canon_text)
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    per_doc = flags.join(toks, "doc_id")
+    spark = docs.sparkSession
+    variants = spark.createDataFrame(
+        list(RECIPE_VARIANTS),
+        "recipe string, use_gopher boolean, use_c4 boolean, "
+        "use_model boolean, use_canon boolean",
+    )
+    keep = (
+        (~F.col("use_gopher") | F.col("gopher_pass"))
+        & (~F.col("use_c4") | F.col("c4_keep"))
+        & (~F.col("use_model") | F.col("model_keep"))
+        & (~F.col("use_canon") | F.col("is_canonical"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(variants))
+        .withColumn("kept", keep.cast("long"))
+        .groupBy("recipe")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_toks")).alias("kept_tokens"),
+            F.expr(
+                "cast(sum(kept) * 10000 div count(*) as bigint)"
+            ).alias("kept_bp"),
+        )
+        .orderBy("recipe")
+    )
+
+
+def duck_whatif_sql(recipe_sql: str, source: str = "documents") -> str:
+    """DuckDB twin: composed from the recipe oracle so ablations can
+    never drift from the flag semantics."""
+    values = ", ".join(
+        f"('{n}', {g}, {c}, {m}, {k})"
+        for n, g, c, m, k in RECIPE_VARIANTS
+    )
+    return f"""
+WITH flags AS ({recipe_sql}),
+toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM {source}
+),
+variants(recipe, use_gopher, use_c4, use_model, use_canon) AS (
+  VALUES {values}
+),
+scored AS (
+  SELECT v.recipe,
+         CASE WHEN (NOT v.use_gopher OR f.gopher_pass)
+               AND (NOT v.use_c4 OR f.c4_keep)
+               AND (NOT v.use_model OR f.model_keep)
+               AND (NOT v.use_canon OR f.is_canonical)
+              THEN 1 ELSE 0 END AS kept,
+         t.n_toks
+  FROM flags f
+  JOIN toks t USING (doc_id)
+  CROSS JOIN variants v
+)
+SELECT recipe,
+       CAST(count(*) AS BIGINT)            AS n_docs,
+       CAST(sum(kept) AS BIGINT)           AS n_kept,
+       CAST(sum(kept * n_toks) AS BIGINT)  AS kept_tokens,
+       CAST(sum(kept) * 10000 // count(*) AS BIGINT) AS kept_bp
+FROM scored
+GROUP BY recipe
+ORDER BY recipe
+"""
