@@ -745,3 +745,102 @@ SELECT doc_id,
        ELSE CAST(1 + doc_id % 2 AS BIGINT) END              AS x_res_den
 FROM p
 """
+
+
+# ===================================================== GIF decode leg
+
+def fixture_gif(doc_id: int) -> bytes:
+    """Deterministic real GIF89a (animated, grayscale palette) for
+    one document:
+
+        width      = 20 + 4 * (doc_id % 3)    (20 / 24 / 28)
+        height     = 10 + 2 * (doc_id % 2)    (10 / 12)
+        n_frames   = 1 + doc_id % 3
+        interlaced = (doc_id % 4 == 1)        (4-pass row order)
+        luma[f][y][x] = base_f + x, base_f = (doc_id*17 + f*11) % 200
+
+    Encoded with real LZW (literal-root codes + CLEAR discipline) and
+    a NETSCAPE looping extension, so the decoder must run the full
+    sub-block + variable-width bit machine, skip 89a extensions by
+    length, and undo the interlace row shuffle to recover the
+    closed-form row ramps."""
+    from ..operators.gif_codec import gif_encode
+
+    w = 20 + 4 * (doc_id % 3)
+    h = 10 + 2 * (doc_id % 2)
+    n_frames = 1 + doc_id % 3
+    x = np.arange(w, dtype=np.int64)[None, :]
+    frames = [
+        np.broadcast_to(
+            ((doc_id * 17 + f * 11) % 200 + x) % 256, (h, w)
+        ).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+    return gif_encode(frames, interlaced=doc_id % 4 == 1)
+
+
+GIF_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, "
+    "interlaced boolean, luma_sum long"
+)
+
+
+def gif_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Distributed GIF decode: full LZW + interlace + animation
+    frames, measured luma sums vs the closed-form oracle. Same
+    layout rule as every decode leg (media bytes never cross an
+    exchange)."""
+    from ..operators.gif_codec import gif_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "interlaced": [], "luma_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, meta = gif_decode(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["n_frames"].append(meta["n_frames"])
+                rows["interlaced"].append(meta["interlaced"])
+                rows["luma_sum"].append(
+                    int(
+                        sum(
+                            fr.astype(np.int64).sum() for fr in frames
+                        )
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_gif
+    ).mapInPandas(body, GIF_DECODE_SCHEMA)
+
+
+def duck_gif_decode_sql(source: str = "documents") -> str:
+    """Closed-form twin of the GIF fixture schedule."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         20 + 4 * (doc_id % 3) AS w,
+         10 + 2 * (doc_id % 2) AS h,
+         1 + doc_id % 3        AS n_frames,
+         doc_id % 4 = 1        AS interlaced
+  FROM {source}
+), per_frame AS (
+  SELECT doc_id, w, h, n_frames, interlaced,
+         unnest(range(0, n_frames)) AS f
+  FROM p
+)
+SELECT doc_id,
+       CAST(w AS INT)        AS width,
+       CAST(h AS INT)        AS height,
+       CAST(n_frames AS INT) AS n_frames,
+       interlaced,
+       CAST(sum(h * (w * ((doc_id * 17 + f * 11) % 200)
+                     + w * (w - 1) // 2)) AS BIGINT) AS luma_sum
+FROM per_frame
+GROUP BY doc_id, w, h, n_frames, interlaced
+"""

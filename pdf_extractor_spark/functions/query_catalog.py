@@ -4736,6 +4736,27 @@ def _zorder_shards_sql() -> str:
 _ZORDER_SHARDS_SQL = _zorder_shards_sql()
 
 
+def _multimodal_gif(spark, sf_dir):
+    """GIF decode (animated palette images): the full LZW machine —
+    LSB-first bit packing, sub-block reassembly, growing code widths,
+    CLEAR resets, KwKwK — plus 4-pass interlace undo and 89a
+    extension skipping, with measured luma sums vs a closed-form
+    oracle. A different codec family from PNG's filter/deflate and
+    from the PDF LZW filter (MSB-first, different width rules)."""
+    from .multimodal import gif_decode_meta
+
+    return gif_decode_meta(_t(spark, sf_dir, "documents"))
+
+
+def _multimodal_gif_sql() -> str:
+    from .multimodal import duck_gif_decode_sql
+
+    return duck_gif_decode_sql()
+
+
+_MULTIMODAL_GIF_SQL = _multimodal_gif_sql()
+
+
 # ================================================================ catalog
 
 CATALOG: dict[str, QueryDef] = {
@@ -5137,5 +5158,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_recipe_whatif": QueryDef(
         _recipe_whatif, _RECIPE_WHATIF_SQL, True
+    ),
+    "multimodal_gif_decode": QueryDef(
+        _multimodal_gif, _MULTIMODAL_GIF_SQL, True
     ),
 }
