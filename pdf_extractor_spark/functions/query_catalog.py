@@ -4736,6 +4736,50 @@ def _zorder_shards_sql() -> str:
 _ZORDER_SHARDS_SQL = _zorder_shards_sql()
 
 
+# three sources become full mirrors of one 16-page site; every other
+# host keeps its real (distinct) text, so the expected output is
+# exactly the C(3,2)=3 mirror pairs — non-vacuous at every SF. The
+# page id is an md5 hex digit, NOT doc_id % k: the generator strides
+# doc_ids by source (doc_id % 20 == source index), so any modular id
+# is source-correlated and the planted "mirrors" would share zero
+# pages (found the hard way — {s, s+4} mod 8 per host, disjoint)
+_MIRROR_CASE = (
+    "CASE WHEN source IN ('src0', 'src1', 'src2') "
+    "THEN 'mirror page body ' "
+    "|| substring(md5(CAST(doc_id AS STRING)), 1, 1) "
+    "ELSE text END"
+)
+_MIRROR_CASE_DUCK = (
+    "CASE WHEN source IN ('src0', 'src1', 'src2') "
+    "THEN 'mirror page body ' "
+    "|| substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+    "ELSE text END"
+)
+
+
+def _mirror_hosts(spark, sf_dir):
+    """Mirror-host detection: host pairs whose distinct content-
+    fingerprint sets overlap >= 30 % Jaccard (functions/mirrors.py).
+    Joins on 16-byte fingerprints (text never shuffles), de-dups
+    (host, fp) first, and frequency-caps boilerplate fingerprints to
+    bound the self-join fan-out. Three sources are planted as full
+    mirrors of one 8-page site so the query cannot pass vacuously."""
+    from .mirrors import mirror_host_pairs
+
+    return mirror_host_pairs(
+        _t(spark, sf_dir, "documents"), text_col=F.expr(_MIRROR_CASE)
+    )
+
+
+def _mirror_hosts_sql() -> str:
+    from .mirrors import duck_mirror_sql
+
+    return duck_mirror_sql(text_expr=_MIRROR_CASE_DUCK)
+
+
+_MIRROR_HOSTS_SQL = _mirror_hosts_sql()
+
+
 def _multimodal_gif(spark, sf_dir):
     """GIF decode (animated palette images): the full LZW machine —
     LSB-first bit packing, sub-block reassembly, growing code widths,
@@ -5161,5 +5205,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "multimodal_gif_decode": QueryDef(
         _multimodal_gif, _MULTIMODAL_GIF_SQL, True
+    ),
+    "corpus_mirror_hosts": QueryDef(
+        _mirror_hosts, _MIRROR_HOSTS_SQL, True
     ),
 }
