@@ -232,3 +232,91 @@ def duck_pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
 SELECT host, rank AS rank_fp FROM r{iters} ORDER BY host"""
     )
     return "".join(parts)
+
+
+# ------------------------------------------------- link-spam signals
+#
+# The complement of PageRank's quality prior: per-host SPAM signals
+# from the same edge list. Two classics from the link-spam literature
+# (nepotistic linking / link farms): (a) RECIPROCITY — farms trade
+# links, so a high fraction of outlink weight whose reverse edge
+# exists is suspicious; (b) TARGET CONCENTRATION — a host whose
+# outlinks overwhelmingly point at one target is a feeder page, not
+# an editorial site. Both are emitted as integer basis points, left
+# unthresholded: they are PRIORS a sampling recipe combines, not a
+# verdict (the spam literature's lesson — single signals misfire on
+# legitimate hub sites).
+#
+# Scale shape: everything runs on the host-graph edge list (the one
+# corpus-wide shuffle already paid by synth_outlink_edges); the
+# reciprocity join is edges-to-edges on (dst, src) int pairs, and the
+# concentration max is one more partial aggregate. Corpus text is
+# never touched.
+
+
+def link_spam_report(docs: DataFrame) -> DataFrame:
+    """(host, out_w, out_deg, reciprocal_bp, top_frac_bp) per host
+    with outlinks: total outlink weight, distinct targets, fraction
+    of weight on reciprocated edges, and the heaviest target's share
+    — all integer-exact basis points."""
+    edges = synth_outlink_edges(docs).localCheckpoint(eager=False)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).distinct()
+    recip = (
+        edges.join(rev, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.sum("w").alias("recip_w"))
+    )
+    per_host = edges.groupBy("src").agg(
+        F.sum("w").alias("out_w"),
+        F.count("*").alias("out_deg"),
+        F.max("w").alias("top_w"),
+    )
+    return (
+        per_host.join(recip, "src", "left")
+        .na.fill({"recip_w": 0})
+        .select(
+            F.col("src").alias("host"),
+            "out_w",
+            "out_deg",
+            F.expr("recip_w * 10000 div out_w").alias("reciprocal_bp"),
+            F.expr("top_w * 10000 div out_w").alias("top_frac_bp"),
+        )
+        .orderBy("host")
+    )
+
+
+def duck_link_spam_sql(source: str = "documents") -> str:
+    h = N_HOSTS
+    link_sel = "\n  UNION ALL ".join(
+        f"SELECT doc_id % {h} AS src, "
+        f"((doc_id % {h}) + 1 + ((doc_id * {_LINK_PRIMES[j]} + {j})"
+        f" % {h - 1})) % {h} AS dst FROM {source}"
+        for j in range(3)
+    )
+    return f"""
+WITH links AS (
+  {link_sel}
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM links GROUP BY src, dst
+), rev AS (
+  SELECT DISTINCT dst AS src, src AS dst FROM edges
+), recip AS (
+  SELECT e.src, SUM(e.w) AS recip_w
+  FROM edges e JOIN rev r ON e.src = r.src AND e.dst = r.dst
+  GROUP BY e.src
+), per_host AS (
+  SELECT src, SUM(w) AS out_w, count(*) AS out_deg, MAX(w) AS top_w
+  FROM edges GROUP BY src
+)
+SELECT CAST(p.src AS INT)                       AS host,
+       CAST(p.out_w AS BIGINT)                  AS out_w,
+       CAST(p.out_deg AS BIGINT)                AS out_deg,
+       CAST(COALESCE(r.recip_w, 0) * 10000 // p.out_w AS BIGINT)
+                                                AS reciprocal_bp,
+       CAST(p.top_w * 10000 // p.out_w AS BIGINT) AS top_frac_bp
+FROM per_host p LEFT JOIN recip r ON p.src = r.src
+ORDER BY host
+"""

@@ -4757,6 +4757,48 @@ _MIRROR_CASE_DUCK = (
 )
 
 
+def _link_spam(spark, sf_dir):
+    """Per-host link-spam signals over the host graph: reciprocity
+    (link-trading fraction of outlink weight) and target
+    concentration (heaviest target's share), integer basis points —
+    the complement of the PageRank prior, computed from the SAME
+    edge list with one extra int-pair join and aggregate. Emitted as
+    priors, unthresholded (single signals misfire on legitimate
+    hubs)."""
+    from .linkgraph import link_spam_report
+
+    return link_spam_report(_t(spark, sf_dir, "documents"))
+
+
+def _link_spam_sql() -> str:
+    from .linkgraph import duck_link_spam_sql
+
+    return duck_link_spam_sql()
+
+
+_LINK_SPAM_SQL = _link_spam_sql()
+
+
+def _char_entropy(spark, sf_dir):
+    """Shannon character entropy per document (nats) — the classic
+    cheap spam / keyboard-mash / binary-leak signal: prose sits in a
+    narrow band, repeated-token spam falls below it, encoded bytes
+    rise above. One grouped pass over (doc_id, char, count) triples;
+    the exchange is bounded by alphabet size per doc."""
+    from .textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def _char_entropy_sql() -> str:
+    from .textstats import duck_char_entropy_sql
+
+    return duck_char_entropy_sql()
+
+
+_CHAR_ENTROPY_SQL = _char_entropy_sql()
+
+
 def _mirror_hosts(spark, sf_dir):
     """Mirror-host detection: host pairs whose distinct content-
     fingerprint sets overlap >= 30 % Jaccard (functions/mirrors.py).
@@ -5208,5 +5250,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_mirror_hosts": QueryDef(
         _mirror_hosts, _MIRROR_HOSTS_SQL, True
+    ),
+    "corpus_link_spam": QueryDef(_link_spam, _LINK_SPAM_SQL, True),
+    "text_char_entropy": QueryDef(
+        _char_entropy, _CHAR_ENTROPY_SQL, True
     ),
 }

@@ -650,3 +650,59 @@ SELECT d.doc_id,
          >= {BIGRAM_KEEP_AT_LEAST} AS keep
 FROM {source} d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
+
+
+# ---------------------------------------------- character entropy
+#
+# Shannon entropy of the character distribution — the classic cheap
+# spam/keyboard-mash/binary-leak signal: natural prose sits in a
+# narrow entropy band (~2.7-3.3 nats for English), repeated-token
+# spam falls below it, random/encoded bytes rise above it. Computed
+# as ln(n) - sum(c*ln c)/n over per-character counts so one grouped
+# pass suffices. Scale shape: explode to (doc_id, char) rows ->
+# partial-aggregable count -> per-doc combine; the exchange carries
+# (doc_id, char, count) triples, bounded by alphabet size per doc,
+# never raw text.
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, entropy) — entropy in nats rounded to 4
+    decimals (both engines derive it from identical IEEE ops on
+    identical integer counts)."""
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.round(
+                F.expr(
+                    "ln(cast(sum(c) as double)) - "
+                    "sum(c * ln(cast(c as double))) / sum(c)"
+                ),
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def duck_char_entropy_sql(source: str = "documents") -> str:
+    return f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM {source}
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
