@@ -4757,6 +4757,28 @@ _MIRROR_CASE_DUCK = (
 )
 
 
+def _int8_recall(spark, sf_dir):
+    """int8 embedding quantization with MEASURED cost: per-vector
+    symmetric quantization (4x storage/bandwidth vs float32 — the
+    knob that keeps a 10^9-vector index in executor memory), scored
+    as exact-vs-int8 top-10 overlap per query plus mean |cos| error
+    over the true neighbors. Same honesty contract as the ANN recall
+    harness: the user reads the measured recall, not a claim. One
+    broadcast fan-out join + two windows; no corpus self-join."""
+    from .similarity import int8_recall_report
+
+    return int8_recall_report(_t(spark, sf_dir, "embeddings"))
+
+
+def _int8_recall_sql() -> str:
+    from .similarity import duck_int8_recall_sql
+
+    return duck_int8_recall_sql()
+
+
+_INT8_RECALL_SQL = _int8_recall_sql()
+
+
 def _link_spam(spark, sf_dir):
     """Per-host link-spam signals over the host graph: reciprocity
     (link-trading fraction of outlink weight) and target
@@ -5255,4 +5277,5 @@ CATALOG: dict[str, QueryDef] = {
     "text_char_entropy": QueryDef(
         _char_entropy, _CHAR_ENTROPY_SQL, True
     ),
+    "ann_int8_recall": QueryDef(_int8_recall, _INT8_RECALL_SQL, True),
 }

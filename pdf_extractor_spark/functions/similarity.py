@@ -1017,3 +1017,170 @@ SELECT a1.vec_id, a1.cell_id,
        dups.vec_id IS NULL AS kept
 FROM a1 LEFT JOIN dups USING (vec_id)
 ORDER BY vec_id"""
+
+
+# ----------------------------------------- int8 embedding quantization
+#
+# The standard ANN storage optimization: per-vector symmetric int8
+# quantization (q = round(127 * x / max|x|)) cuts embedding storage
+# and memory bandwidth 4x against float32 — at 10^9+ vectors that is
+# the difference between an index that fits executor memory and one
+# that thrashes. The price is a small cosine error; this operator
+# MEASURES it instead of assuming it: exact-top-k vs int8-top-k
+# overlap per query, plus the mean |cos_fp - cos_int8| over the true
+# neighbors. Same honesty contract as ann_recall_stats — a user reads
+# the measured recall next to the optimization, not a claim.
+#
+# Scale shape: quantization is a narrow per-row map; the Q query
+# vectors arrive as a broadcast literal frame; scoring is one
+# fan-out join (corpus x Q) ranked by two windows partitioned on the
+# query id — no corpus self-join, no driver loop.
+
+INT8_QUERY_IDS = (0, 7, 13, 21, 42)
+_ABSMAX = "array_max(transform({c}, x -> abs(cast(x as double))))"
+_Q8 = (
+    "transform({c}, x -> cast(round(cast(x as double) * 127.0 / {m})"
+    " as bigint))"
+)
+
+
+def int8_recall_report(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = INT8_QUERY_IDS,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, n_overlap, recall_bp, mean_abs_err) per query:
+    overlap of the exact and int8 top-``k`` neighbor sets, and the
+    mean absolute cosine error over the TRUE top-k."""
+    from pyspark.sql.window import Window
+
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    qs = embeddings.where(F.expr(f"vec_id in ({ids})")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    corpus = embeddings.select("vec_id", "embedding")
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("c_max", F.expr(_ABSMAX.format(c="embedding")))
+        .withColumn("q_max", F.expr(_ABSMAX.format(c="q_emb")))
+        .where((F.col("c_max") > 0) & (F.col("q_max") > 0))
+        .withColumn("c8", F.expr(_Q8.format(c="embedding", m="c_max")))
+        .withColumn("q8", F.expr(_Q8.format(c="q_emb", m="q_max")))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                f"{_DOT.format(a='embedding', b='q_emb')} / "
+                f"({_norm('embedding')} * {_norm('q_emb')})"
+            ).alias("cos_fp"),
+            F.expr(
+                f"{_DOT.format(a='c8', b='q8')} / "
+                f"({_norm('c8')} * {_norm('q8')})"
+            ).alias("cos_i8"),
+        )
+    )
+    w_fp = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_fp"), F.asc("vec_id")
+    )
+    w_i8 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_i8"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn(
+        "rk_fp", F.row_number().over(w_fp)
+    ).withColumn("rk_i8", F.row_number().over(w_i8))
+    return (
+        ranked.where((F.col("rk_fp") <= k) | (F.col("rk_i8") <= k))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                ((F.col("rk_fp") <= k) & (F.col("rk_i8") <= k)).cast(
+                    "long"
+                )
+            ).alias("n_overlap"),
+            F.expr(
+                f"cast(sum(cast(rk_fp <= {k} and rk_i8 <= {k} as int))"
+                f" * 10000 div {k} as bigint)"
+            ).alias("recall_bp"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("rk_fp") <= k,
+                        F.abs(F.col("cos_fp") - F.col("cos_i8")),
+                    )
+                ),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def duck_int8_recall_sql(
+    source: str = "embeddings",
+    query_ids: tuple[int, ...] = INT8_QUERY_IDS,
+    k: int = 10,
+) -> str:
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    absmax = (
+        "list_max(list_transform({c}, x -> abs(CAST(x AS DOUBLE))))"
+    )
+    q8 = (
+        "list_transform({c}, x -> CAST(round(CAST(x AS DOUBLE) * 127.0"
+        " / {m}) AS BIGINT))"
+    )
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+    def norm(c):
+        return f"sqrt({dot.format(a=c, b=c)})"
+
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM {source} WHERE vec_id IN ({ids})
+), pre AS (
+  SELECT q.query_id, c.vec_id,
+         c.embedding,
+         q.q_emb,
+         {absmax.format(c="c.embedding")} AS c_max,
+         {absmax.format(c="q.q_emb")}     AS q_max
+  FROM {source} c CROSS JOIN qs q
+  WHERE c.vec_id <> q.query_id
+), quant AS (
+  SELECT query_id, vec_id, embedding, q_emb,
+         {q8.format(c="embedding", m="c_max")} AS c8,
+         {q8.format(c="q_emb", m="q_max")}     AS q8
+  FROM pre WHERE c_max > 0 AND q_max > 0
+), scored AS (
+  SELECT query_id, vec_id,
+         {dot.format(a="embedding", b="q_emb")}
+           / ({norm("embedding")} * {norm("q_emb")}) AS cos_fp,
+         {dot.format(a="c8", b="q8")}
+           / ({norm("c8")} * {norm("q8")})           AS cos_i8
+  FROM quant
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_fp DESC, vec_id) AS rk_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_i8 DESC, vec_id) AS rk_i8
+  FROM scored
+)
+SELECT query_id,
+       CAST(sum(CASE WHEN rk_fp <= {k} AND rk_i8 <= {k}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(sum(CASE WHEN rk_fp <= {k} AND rk_i8 <= {k}
+                     THEN 1 ELSE 0 END) * 10000 // {k} AS BIGINT)
+         AS recall_bp,
+       round(avg(CASE WHEN rk_fp <= {k}
+                      THEN abs(cos_fp - cos_i8) END), 6)
+         AS mean_abs_err
+FROM ranked
+WHERE rk_fp <= {k} OR rk_i8 <= {k}
+GROUP BY query_id
+ORDER BY query_id
+"""
