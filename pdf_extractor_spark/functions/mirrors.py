@@ -55,6 +55,11 @@ def mirror_host_pairs(
         .withColumnRenamed("doc_id", "host")
         .distinct()
     )
+    # lazy localCheckpoint: fps feeds the boilerplate-cap aggregate,
+    # the capped join AND the size aggregate — without it each
+    # consumer re-scans and re-hashes the corpus text. The frame is
+    # (host, 16-byte fp), tiny relative to the text it summarizes.
+    fps = fps.localCheckpoint(eager=False)
     # boilerplate cap: a fingerprint on too many hosts is dropped
     capped = fps.join(
         fps.groupBy("fingerprint")

@@ -1055,19 +1055,32 @@ def int8_recall_report(
     from pyspark.sql.window import Window
 
     ids = ", ".join(str(int(q)) for q in query_ids)
-    qs = embeddings.where(F.expr(f"vec_id in ({ids})")).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+    # quantize each side ONCE, before the fan-out join — inside the
+    # join the quantization would re-run per (vector, query) pair
+    qs = (
+        embeddings.where(F.expr(f"vec_id in ({ids})"))
+        .withColumn("q_max", F.expr(_ABSMAX.format(c="embedding")))
+        .where(F.col("q_max") > 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.expr(_Q8.format(c="embedding", m="q_max")).alias("q8"),
+        )
     )
-    corpus = embeddings.select("vec_id", "embedding")
+    corpus = (
+        embeddings.withColumn(
+            "c_max", F.expr(_ABSMAX.format(c="embedding"))
+        )
+        .where(F.col("c_max") > 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_Q8.format(c="embedding", m="c_max")).alias("c8"),
+        )
+    )
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("c_max", F.expr(_ABSMAX.format(c="embedding")))
-        .withColumn("q_max", F.expr(_ABSMAX.format(c="q_emb")))
-        .where((F.col("c_max") > 0) & (F.col("q_max") > 0))
-        .withColumn("c8", F.expr(_Q8.format(c="embedding", m="c_max")))
-        .withColumn("q8", F.expr(_Q8.format(c="q_emb", m="q_max")))
         .select(
             "query_id",
             "vec_id",

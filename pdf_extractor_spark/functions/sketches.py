@@ -206,15 +206,18 @@ def cms_heavy_hitters(docs: DataFrame, k: int = CMS_TOPK) -> DataFrame:
         F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     toks = toks.localCheckpoint(eager=False)  # feeds sketch + exact legs
-    rows = None
-    for i in range(CMS_D):
+    # all d bucket coordinates in ONE pass over the tokens (a
+    # unionAll of d selects would re-read the token frame d times)
+    def _buckets(i: int) -> str:
         b = _spark_hex2long(
             f"substring(md5(concat('{i}|', tok)), 1, 12)"
         )
-        r = toks.select(
-            F.lit(i).alias("row"), (F.expr(b) % CMS_W).alias("bucket")
-        )
-        rows = r if rows is None else rows.unionAll(r)
+        return f"struct({i} as row, ({b}) % {CMS_W} as bucket)"
+
+    coords = ", ".join(_buckets(i) for i in range(CMS_D))
+    rows = toks.select(
+        F.explode(F.expr(f"array({coords})")).alias("rb")
+    ).select("rb.row", "rb.bucket")
     table = rows.groupBy("row", "bucket").agg(F.count("*").alias("c"))
     top = (
         toks.groupBy("tok")
