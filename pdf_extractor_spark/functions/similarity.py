@@ -1057,6 +1057,11 @@ def int8_recall_report(
     ids = ", ".join(str(int(q)) for q in query_ids)
     # quantize each side ONCE, before the fan-out join — inside the
     # join the quantization would re-run per (vector, query) pair
+    # quantize AND take norms once per side, before the fan-out join:
+    # higher-order-function aggregates are interpreted per element
+    # (the round-2 minhash lesson), so the per-pair work must be the
+    # two dot products and nothing else — norms computed inside the
+    # join multiplied the HOF evals 3x (measured 17.8 s -> see bench)
     qs = (
         embeddings.where(F.expr(f"vec_id in ({ids})"))
         .withColumn("q_max", F.expr(_ABSMAX.format(c="embedding")))
@@ -1066,6 +1071,8 @@ def int8_recall_report(
             F.col("embedding").alias("q_emb"),
             F.expr(_Q8.format(c="embedding", m="q_max")).alias("q8"),
         )
+        .withColumn("qn_fp", F.expr(_norm("q_emb")))
+        .withColumn("qn_i8", F.expr(_norm("q8")))
     )
     corpus = (
         embeddings.withColumn(
@@ -1077,6 +1084,8 @@ def int8_recall_report(
             "embedding",
             F.expr(_Q8.format(c="embedding", m="c_max")).alias("c8"),
         )
+        .withColumn("cn_fp", F.expr(_norm("embedding")))
+        .withColumn("cn_i8", F.expr(_norm("c8")))
     )
     scored = (
         corpus.crossJoin(F.broadcast(qs))
@@ -1086,11 +1095,10 @@ def int8_recall_report(
             "vec_id",
             F.expr(
                 f"{_DOT.format(a='embedding', b='q_emb')} / "
-                f"({_norm('embedding')} * {_norm('q_emb')})"
+                f"(cn_fp * qn_fp)"
             ).alias("cos_fp"),
             F.expr(
-                f"{_DOT.format(a='c8', b='q8')} / "
-                f"({_norm('c8')} * {_norm('q8')})"
+                f"{_DOT.format(a='c8', b='q8')} / (cn_i8 * qn_i8)"
             ).alias("cos_i8"),
         )
     )
