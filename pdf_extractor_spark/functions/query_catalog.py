@@ -4757,6 +4757,27 @@ _MIRROR_CASE_DUCK = (
 )
 
 
+def _analyze_stats(spark, sf_dir):
+    """ANALYZE TABLE in one scan: per-column min/max/null-count/NDV
+    with the HLL sketch next to the exact NDV (auditable at test
+    scale; at 10^12 rows the sketch is the only affordable NDV). K
+    columns unpivot through ONE narrow stack() — a per-column loop
+    would scan the table K times. These are the statistics a
+    cost-based optimizer prices joins with."""
+    from .sketches import analyze_column_stats
+
+    return analyze_column_stats(_t(spark, sf_dir, "documents"))
+
+
+def _analyze_stats_sql() -> str:
+    from .sketches import duck_analyze_sql
+
+    return duck_analyze_sql()
+
+
+_ANALYZE_SQL = _analyze_stats_sql()
+
+
 def _int8_recall(spark, sf_dir):
     """int8 embedding quantization with MEASURED cost: per-vector
     symmetric quantization (4x storage/bandwidth vs float32 — the
@@ -5278,4 +5299,7 @@ CATALOG: dict[str, QueryDef] = {
         _char_entropy, _CHAR_ENTROPY_SQL, True
     ),
     "ann_int8_recall": QueryDef(_int8_recall, _INT8_RECALL_SQL, True),
+    "corpus_analyze_stats": QueryDef(
+        _analyze_stats, _ANALYZE_SQL, True
+    ),
 }

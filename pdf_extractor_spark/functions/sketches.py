@@ -282,3 +282,170 @@ FROM probes p JOIN tbl t ON p.row = t.row AND p.bucket = t.bucket
 GROUP BY p.tok, p.n_exact
 ORDER BY p.n_exact DESC, p.tok
 """
+
+
+# -------------------------------------------- ANALYZE column stats
+#
+# The ANALYZE TABLE primitive: per-column min / max / null count /
+# distinct estimate in ONE scan. These are the statistics a
+# cost-based optimizer prices joins with and a layout manager sizes
+# shards by; at 10^12 rows the only affordable NDV is a sketch, so
+# the distinct column reuses the HLL register machinery (same md5
+# hash family, engine-bit-identical). The one-scan shape matters as
+# much as the sketch: K columns are unpivoted into (column, value)
+# rows by ONE narrow stack() — a per-column loop would scan the
+# table K times.
+
+ANALYZE_COLUMNS = ("doc_id", "lang", "source")
+
+
+def analyze_column_stats(
+    docs: DataFrame, columns: tuple[str, ...] = ANALYZE_COLUMNS
+) -> DataFrame:
+    """(column, n_rows, n_null, min_val, max_val, ndv_exact,
+    ndv_hll) per analyzed column — values carried as strings (the
+    cross-type ANALYZE convention), the HLL estimate next to the
+    exact NDV so the sketch is auditable at test scale."""
+    k = len(columns)
+    stacked = docs.select(
+        F.expr(
+            "stack({}, {}) as (col, val)".format(
+                k,
+                ", ".join(
+                    f"'{c}', cast({c} as string)" for c in columns
+                ),
+            )
+        )
+    )
+    h = "md5(val)"
+    bucket = _spark_hex2long(f"substring({h}, 1, 2)")
+    w = _spark_hex2long(f"substring({h}, 3, 12)")
+    rho = f"case when {w} = 0 then 49 else 49 - length(bin({w})) end"
+    regs = (
+        stacked.where(F.col("val").isNotNull())
+        .select(
+            "col",
+            "val",
+            F.expr(bucket).alias("bucket"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("col", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    hll = (
+        regs.groupBy("col")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, 50 - m_j)")).alias("s_present"),
+            F.count("*").alias("n_present"),
+        )
+        .select(
+            "col",
+            F.expr(
+                f"s_present + ({HLL_M} - n_present) * {1 << 50}L"
+            ).alias("s_total"),
+            (F.lit(HLL_M) - F.col("n_present")).alias("n_zero"),
+        )
+        .select(
+            "col",
+            F.expr(
+                f"cast({HLL_ALPHA!r} as double) * {HLL_M} * {HLL_M} "
+                f"* {HLL_POW2_50!r} / cast(s_total as double)"
+            ).alias("e_raw"),
+            "n_zero",
+        )
+        .select(
+            "col",
+            F.round(
+                F.when(
+                    (F.col("e_raw") <= 2.5 * HLL_M)
+                    & (F.col("n_zero") > 0),
+                    F.expr(
+                        f"{HLL_M} * ln({HLL_M} / "
+                        "cast(n_zero as double))"
+                    ),
+                )
+                .otherwise(F.col("e_raw")),
+                2,
+            ).alias("ndv_hll"),
+        )
+    )
+    base = stacked.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).alias("n_null"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.countDistinct("val").alias("ndv_exact"),
+    )
+    return (
+        base.join(hll, "col")
+        .select(
+            F.col("col").alias("column"),
+            "n_rows",
+            "n_null",
+            "min_val",
+            "max_val",
+            "ndv_exact",
+            "ndv_hll",
+        )
+        .orderBy("column")
+    )
+
+
+def duck_analyze_sql(
+    source: str = "documents",
+    columns: tuple[str, ...] = ANALYZE_COLUMNS,
+) -> str:
+    stack = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val "
+        f"FROM {source}"
+        for c in columns
+    )
+    h = "md5(val)"
+    bucket = _duck_hex2long(f"substr({h}, 1, 2)")
+    w = _duck_hex2long(f"substr({h}, 3, 12)")
+    rho = f"CASE WHEN {w} = 0 THEN 49 ELSE 49 - length(bin({w})) END"
+    return f"""
+WITH stacked AS (
+  {stack}
+), regs AS (
+  SELECT col, {bucket} AS bucket, max({rho}) AS m_j
+  FROM stacked WHERE val IS NOT NULL GROUP BY col, {bucket}
+), per_col AS (
+  SELECT col,
+         sum((CAST(1 AS BIGINT) << (50 - m_j))) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY col
+), est AS (
+  SELECT col,
+         CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+           * {HLL_POW2_50!r}
+           / CAST(s_present + ({HLL_M} - n_present)
+                  * (CAST(1 AS BIGINT) << 50) AS DOUBLE) AS e_raw,
+         {HLL_M} - n_present AS n_zero
+  FROM per_col
+), hll AS (
+  SELECT col,
+         round(CASE WHEN e_raw <= {2.5 * HLL_M} AND n_zero > 0
+                    THEN {HLL_M} * ln({HLL_M}
+                         / CAST(n_zero AS DOUBLE))
+                    ELSE e_raw END, 2) AS ndv_hll
+  FROM est
+), base AS (
+  SELECT col,
+         count(*) AS n_rows,
+         sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+         min(val) AS min_val,
+         max(val) AS max_val,
+         count(DISTINCT val) AS ndv_exact
+  FROM stacked GROUP BY col
+)
+SELECT b.col AS "column",
+       CAST(b.n_rows AS BIGINT)    AS n_rows,
+       CAST(b.n_null AS BIGINT)    AS n_null,
+       b.min_val,
+       b.max_val,
+       CAST(b.ndv_exact AS BIGINT) AS ndv_exact,
+       h.ndv_hll
+FROM base b JOIN hll h ON b.col = h.col
+ORDER BY "column"
+"""

@@ -144,3 +144,46 @@ class TestPlanShape:
         assert "HashAggregate" in plan
         # two-phase aggregate: partial_max / merge_max on the register
         assert "partial_max" in plan or "partial" in plan.lower()
+
+
+class TestAnalyze:
+    def test_one_scan_stats(self, spark):
+        from pdf_extractor_spark.functions.sketches import (
+            analyze_column_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "en" if i % 2 else None, f"s{i % 7}")
+             for i in range(200)],
+            "doc_id long, lang string, source string",
+        )
+        rows = {r.column: r for r in analyze_column_stats(docs).collect()}
+        assert set(rows) == {"doc_id", "lang", "source"}
+        assert rows["doc_id"].ndv_exact == 200
+        assert rows["lang"].n_null == 100
+        assert rows["lang"].ndv_exact == 1
+        assert rows["source"].ndv_exact == 7
+        assert rows["source"].min_val == "s0"
+        assert rows["source"].max_val == "s6"
+        # sketch estimate within 20 % of exact for every column
+        for r in rows.values():
+            assert abs(r.ndv_hll - r.ndv_exact) / r.ndv_exact < 0.2
+
+    def test_single_scan_plan(self, spark):
+        from pdf_extractor_spark.functions.sketches import (
+            analyze_column_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "en", "s") for i in range(50)],
+            "doc_id long, lang string, source string",
+        )
+        plan = (
+            analyze_column_stats(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the unpivot must not multiply scans: exactly one scan of
+        # the input per physical occurrence of the local relation
+        assert plan.count("LocalTableScan") <= 2  # stats + hll legs
