@@ -844,3 +844,96 @@ SELECT doc_id,
 FROM per_frame
 GROUP BY doc_id, w, h, n_frames, interlaced
 """
+
+
+# ===================================================== TIFF decode leg
+
+def fixture_tiff(doc_id: int) -> bytes:
+    """Deterministic baseline TIFF per document:
+
+        width      = 24 + 8 * (doc_id % 3)    (24 / 32 / 40)
+        height     = 15 + doc_id % 4          (15-18: last strip short)
+        byte order = II (even) / MM (odd)
+        compression= PackBits (doc_id % 3 == 1) else none
+        rows/strip = 4
+        pixel[y][x] = base + y,  base = (doc_id * 13) % 200
+
+    Constant-valued rows make PackBits strips real repeat runs and
+    give the luma sum the closed form W*(H*base + H*(H-1)/2); the
+    short last strip and the offset/count ARRAYS (stored out-of-line
+    once n_strips > 1) are the structural traps."""
+    from ..operators.tiff_codec import COMP_PACKBITS, tiff_encode
+
+    w = 24 + 8 * (doc_id % 3)
+    h = 15 + doc_id % 4
+    base = (doc_id * 13) % 200
+    y = np.arange(h, dtype=np.int64)[:, None]
+    img = np.broadcast_to((base + y) % 256, (h, w)).astype(np.uint8)
+    return tiff_encode(
+        img,
+        byte_order="II" if doc_id % 2 == 0 else "MM",
+        compression=COMP_PACKBITS if doc_id % 3 == 1 else 1,
+        rows_per_strip=4,
+    )
+
+
+TIFF_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, byte_order string, "
+    "compression int, n_strips int, luma_sum long"
+)
+
+
+def tiff_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Distributed TIFF decode: strip reassembly (short last strip,
+    out-of-line offset arrays, both byte orders, PackBits), measured
+    luma sums vs a closed-form oracle. Strips are TIFF's parallel-
+    decode unit — at scale one task decodes a strip RANGE without
+    touching the rest of the file, the same random-access property
+    the layout here exercises."""
+    from ..operators.tiff_codec import tiff_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "byte_order": [], "compression": [], "n_strips": [],
+                "luma_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img, meta = tiff_decode(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["byte_order"].append(meta["byte_order"])
+                rows["compression"].append(meta["compression"])
+                rows["n_strips"].append(meta["n_strips"])
+                rows["luma_sum"].append(
+                    int(img.astype(np.int64).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_tiff
+    ).mapInPandas(body, TIFF_DECODE_SCHEMA)
+
+
+def duck_tiff_decode_sql(source: str = "documents") -> str:
+    """Closed-form twin of the TIFF fixture schedule."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         24 + 8 * (doc_id % 3)  AS w,
+         15 + doc_id % 4        AS h,
+         (doc_id * 13) % 200    AS base
+  FROM {source}
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 32773 ELSE 1 END AS INT)
+         AS compression,
+       CAST((h + 3) // 4 AS INT) AS n_strips,
+       CAST(w * (h * base + h * (h - 1) // 2) AS BIGINT) AS luma_sum
+FROM p
+"""

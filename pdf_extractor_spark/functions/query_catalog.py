@@ -4757,6 +4757,27 @@ _MIRROR_CASE_DUCK = (
 )
 
 
+def _multimodal_tiff(spark, sf_dir):
+    """Baseline-TIFF decode (4th full image codec): strip
+    reassembly with a short last strip, out-of-line StripOffsets/
+    ByteCounts arrays, both byte orders, real PackBits RLE; measured
+    luma sums vs a closed-form oracle. Strips are TIFF's parallel-
+    decode unit — the random-access property a distributed decoder
+    exploits."""
+    from .multimodal import tiff_decode_meta
+
+    return tiff_decode_meta(_t(spark, sf_dir, "documents"))
+
+
+def _multimodal_tiff_sql() -> str:
+    from .multimodal import duck_tiff_decode_sql
+
+    return duck_tiff_decode_sql()
+
+
+_MULTIMODAL_TIFF_SQL = _multimodal_tiff_sql()
+
+
 def _analyze_stats(spark, sf_dir):
     """ANALYZE TABLE in one scan: per-column min/max/null-count/NDV
     with the HLL sketch next to the exact NDV (auditable at test
@@ -5301,5 +5322,8 @@ CATALOG: dict[str, QueryDef] = {
     "ann_int8_recall": QueryDef(_int8_recall, _INT8_RECALL_SQL, True),
     "corpus_analyze_stats": QueryDef(
         _analyze_stats, _ANALYZE_SQL, True
+    ),
+    "multimodal_tiff_decode": QueryDef(
+        _multimodal_tiff, _MULTIMODAL_TIFF_SQL, True
     ),
 }
