@@ -4757,6 +4757,28 @@ _MIRROR_CASE_DUCK = (
 )
 
 
+def _stream_sessions(spark, sf_dir):
+    """The applyInPandasWithState crawl sessionizer, driver-gated:
+    gap sessionization has an exact gaps-and-islands relational
+    form, so the REAL streaming job (two time-ordered availableNow
+    waves over a checkpointed state store — restart continuity is
+    inside this gate) is verified against a SQL oracle, which most
+    streaming operators cannot be. Only closed sessions emit; the
+    oracle mirrors that by dropping each host's final island."""
+    from ..streaming.sessions import host_sessions_catalog
+
+    return host_sessions_catalog(spark, sf_dir)
+
+
+def _stream_sessions_sql() -> str:
+    from ..streaming.sessions import duck_host_sessions_sql
+
+    return duck_host_sessions_sql()
+
+
+_STREAM_SESSIONS_SQL = _stream_sessions_sql()
+
+
 def _multimodal_tiff(spark, sf_dir):
     """Baseline-TIFF decode (4th full image codec): strip
     reassembly with a short last strip, out-of-line StripOffsets/
@@ -5325,5 +5347,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "multimodal_tiff_decode": QueryDef(
         _multimodal_tiff, _MULTIMODAL_TIFF_SQL, True
+    ),
+    "streaming_host_sessions": QueryDef(
+        _stream_sessions, _STREAM_SESSIONS_SQL, True
     ),
 }
