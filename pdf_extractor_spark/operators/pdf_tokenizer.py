@@ -2515,13 +2515,31 @@ def parse_pdf(data: bytes) -> PdfDoc:
         # one MediaBox/Resources on the root node only.
         page_ids: list[tuple[int, list[float] | None, int | None,
                              bytes | None]] = []
+        # cycle guard + depth cap: a /Kids array naming an ancestor
+        # (or itself) would otherwise recurse to the Python limit and
+        # the RecursionError-to-backstop path destroys the WHOLE
+        # document — every legitimate sibling page lost to one bad
+        # reference. Revisited nodes are skipped with a warning and
+        # the rest of the tree still extracts.
+        tree_seen: set[int] = set()
+        _TREE_MAX_DEPTH = 64  # real trees are ~balanced: depth ≤ ~10
 
         def walk(
             oid: int,
             mb: list[float] | None,
             rot: int | None,
             res_owner: bytes | None,
+            depth: int = 0,
         ) -> None:
+            if oid in tree_seen or depth > _TREE_MAX_DEPTH:
+                doc.errors.append(
+                    {"type": "malformed", "severity": "warning",
+                     "page": 0,
+                     "message": f"page tree cycle or over-deep chain "
+                                f"at object {oid} (skipped)"}
+                )
+                return
+            tree_seen.add(oid)
             b = bodies.get(oid)
             if b is None:  # kid object beyond a crawl truncation
                 doc.errors.append(
@@ -2538,7 +2556,7 @@ def parse_pdf(data: bytes) -> PdfDoc:
                 res_owner = b
             if b"/Kids" in b:
                 for kid in _dict_refarray(b, b"Kids"):
-                    walk(kid, mb, rot, res_owner)
+                    walk(kid, mb, rot, res_owner, depth + 1)
             elif b"/Page" in b:
                 page_ids.append((oid, mb, rot, res_owner))
 

@@ -95,3 +95,37 @@ class TestBombs:
     def test_empty_and_header_only(self):
         _assert_bounded(b"")
         _assert_bounded(b"%PDF-1.7\n")
+
+
+class TestPageTreeCycles:
+    def test_kids_cycle_keeps_sibling_pages(self):
+        # the Pages node lists itself as a kid next to a real page:
+        # the cycle must be skipped with a warning while the sibling
+        # page still extracts (a RecursionError-to-backstop path
+        # would destroy the whole document)
+        body = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R 2 0 R] /Count 2 "
+            b">> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R "
+            b"/MediaBox [0 0 612 792] /Contents 4 0 R >> endobj\n"
+            b"4 0 obj << /Length 46 >> stream\n"
+            b"BT /F1 12 Tf 72 720 Td (tree cycle ok) Tj ET\n"
+            b"endstream endobj\n"
+        )
+        xref_pos = len(body)
+        xref = b"xref\n0 5\n0000000000 65535 f \n" + b"".join(
+            b"%010d 00000 n \n" % body.index(b"%d 0 obj" % i)
+            for i in range(1, 5)
+        )
+        tr = (
+            b"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % xref_pos
+        )
+        doc = _assert_bounded(body + xref + tr)
+        assert len(doc.pages) == 1
+        assert "cycle" in " ".join(doc.pages[0].words.text)
+        assert any(
+            "cycle" in e["message"] for e in doc.errors
+        )
