@@ -937,3 +937,88 @@ SELECT doc_id,
        CAST(w * (h * base + h * (h - 1) // 2) AS BIGINT) AS luma_sum
 FROM p
 """
+
+
+# ====================================================== BMP decode leg
+
+def fixture_bmp(doc_id: int) -> bytes:
+    """Deterministic BMP per document:
+
+        width    = 13 + doc_id % 8   (odd widths: the stride trap)
+        height   = 6 + doc_id % 5
+        bits     = 8 (even doc_id, grayscale palette) / 24 (odd, BGR)
+        top_down = (doc_id % 3 == 1)  (negative-height variant)
+        pixel[y][x] = base + x,  base = (doc_id * 7) % 200
+
+    The 24-bit rows are gray (B=G=R=v) so the BT.601 integer luma is
+    exactly v and BOTH depths share the closed form
+    H*(W*base + W*(W-1)/2); a wrong stride, row order, or channel
+    order breaks the sum."""
+    from ..operators.bmp_codec import bmp_encode
+
+    w = 13 + doc_id % 8
+    h = 6 + doc_id % 5
+    base = (doc_id * 7) % 200
+    x = np.arange(w, dtype=np.int64)[None, :]
+    gray = np.broadcast_to((base + x) % 256, (h, w)).astype(np.uint8)
+    if doc_id % 2 == 0:
+        img, bits = gray, 8
+    else:
+        img, bits = np.repeat(gray[:, :, None], 3, axis=2), 24
+    return bmp_encode(img, bits=bits, top_down=doc_id % 3 == 1)
+
+
+BMP_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, bits int, "
+    "top_down boolean, luma_sum long"
+)
+
+
+def bmp_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Distributed BMP decode: bottom-up vs top-down row order,
+    4-byte row strides on odd widths, palette and true-color depths;
+    measured luma sums vs a closed-form oracle."""
+    from ..operators.bmp_codec import bmp_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "bits": [],
+                "top_down": [], "luma_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img, meta = bmp_decode(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["bits"].append(meta["bits"])
+                rows["top_down"].append(meta["top_down"])
+                rows["luma_sum"].append(
+                    int(img.astype(np.int64).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_bmp
+    ).mapInPandas(body, BMP_DECODE_SCHEMA)
+
+
+def duck_bmp_decode_sql(source: str = "documents") -> str:
+    """Closed-form twin of the BMP fixture schedule."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         13 + doc_id % 8   AS w,
+         6 + doc_id % 5    AS h,
+         (doc_id * 7) % 200 AS base
+  FROM {source}
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT)
+         AS bits,
+       doc_id % 3 = 1 AS top_down,
+       CAST(h * (w * base + w * (w - 1) // 2) AS BIGINT) AS luma_sum
+FROM p
+"""

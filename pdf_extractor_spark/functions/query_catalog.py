@@ -4757,6 +4757,26 @@ _MIRROR_CASE_DUCK = (
 )
 
 
+def _multimodal_bmp(spark, sf_dir):
+    """BMP decode (5th image codec): bottom-up AND negative-height
+    top-down row orders, 4-byte row strides on odd widths (the
+    diagonal-shear trap), 8-bit grayscale palette and 24-bit BGR
+    with BT.601 integer luma; measured sums vs a closed-form oracle
+    shared by both depths (gray 24-bit luma is exactly v)."""
+    from .multimodal import bmp_decode_meta
+
+    return bmp_decode_meta(_t(spark, sf_dir, "documents"))
+
+
+def _multimodal_bmp_sql() -> str:
+    from .multimodal import duck_bmp_decode_sql
+
+    return duck_bmp_decode_sql()
+
+
+_MULTIMODAL_BMP_SQL = _multimodal_bmp_sql()
+
+
 def _stream_sessions(spark, sf_dir):
     """The applyInPandasWithState crawl sessionizer, driver-gated:
     gap sessionization has an exact gaps-and-islands relational
@@ -5350,5 +5370,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "streaming_host_sessions": QueryDef(
         _stream_sessions, _STREAM_SESSIONS_SQL, True
+    ),
+    "multimodal_bmp_decode": QueryDef(
+        _multimodal_bmp, _MULTIMODAL_BMP_SQL, True
     ),
 }
