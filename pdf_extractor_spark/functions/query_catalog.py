@@ -4757,6 +4757,30 @@ _MIRROR_CASE_DUCK = (
 )
 
 
+def _table_pruning(spark, sf_dir):
+    """The from-scratch snapshot/manifest table format
+    (sources/icetable.py), driver-gated: five range-clustered
+    appends, then a range scan whose PLANNED FILE COUNT, predicate
+    row count, time-travel row count (snapshot 1) and snapshot-log
+    length are all recomputed relationally by the oracle. A pruning
+    bug (wrong file set) or an isolation bug (snapshot 1 seeing
+    later data) both hash-mismatch. Readers never list directories:
+    the manifest defines the table; commit is one atomic pointer
+    flip."""
+    from ..sources.icetable import table_pruning_catalog
+
+    return table_pruning_catalog(spark, sf_dir)
+
+
+def _table_pruning_sql() -> str:
+    from ..sources.icetable import duck_table_pruning_sql
+
+    return duck_table_pruning_sql()
+
+
+_TABLE_PRUNING_SQL = _table_pruning_sql()
+
+
 def _multimodal_bmp(spark, sf_dir):
     """BMP decode (5th image codec): bottom-up AND negative-height
     top-down row orders, 4-byte row strides on odd widths (the
@@ -5373,5 +5397,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "multimodal_bmp_decode": QueryDef(
         _multimodal_bmp, _MULTIMODAL_BMP_SQL, True
+    ),
+    "corpus_table_pruning": QueryDef(
+        _table_pruning, _TABLE_PRUNING_SQL, True
     ),
 }

@@ -1,0 +1,142 @@
+"""Tests for the from-scratch snapshot/manifest table format
+(sources/icetable.py): stats pruning, time travel, atomic commits,
+copy-on-write MERGE."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pdf_extractor_spark.sources import icetable as it
+
+STATS = ["doc_id", "host"]
+
+
+def _df(spark, lo, hi, host="a.com"):
+    return spark.createDataFrame(
+        [(i, host, f"text {i}") for i in range(lo, hi)],
+        "doc_id long, host string, text string",
+    ).coalesce(1)
+
+
+class TestIceTable:
+    def test_create_append_read(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        it.append(_df(spark, 100, 150), path, STATS)
+        got = it.read_table(spark, path)
+        assert got.count() == 150
+        assert got.select("doc_id").distinct().count() == 150
+
+    def test_stats_pruning_skips_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        for lo in range(100, 500, 100):
+            it.append(_df(spark, lo, lo + 100), path, STATS)
+        all_files = it.plan_files(path)
+        assert len(all_files) == 5
+        # a point lookup must plan exactly one file...
+        pruned = it.plan_files(path, ("doc_id", "=", 250))
+        assert len(pruned) == 1
+        # ...and the pruned read equals the full filtered read
+        fast = it.read_table(
+            spark, path, ("doc_id", "between", (150, 349))
+        )
+        # [150, 349] overlaps the 100s, 200s and 300s files
+        assert len(it.plan_files(
+            path, ("doc_id", "between", (150, 349)))) == 3
+        full = it.read_table(spark, path).where(
+            "doc_id between 150 and 349"
+        )
+        assert (
+            fast.where("doc_id between 150 and 349").count()
+            == full.count()
+            == 200
+        )
+
+    def test_empty_plan_returns_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 10), path, STATS)
+        got = it.read_table(spark, path, ("doc_id", ">", 10_000))
+        assert got.count() == 0
+        assert got.columns == ["doc_id", "host", "text"]
+
+    def test_time_travel(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        s1 = it.create_table(_df(spark, 0, 10), path, STATS)
+        s2 = it.append(_df(spark, 10, 30), path, STATS)
+        assert it.read_table(spark, path, snap_id=s1).count() == 10
+        assert it.read_table(spark, path, snap_id=s2).count() == 30
+        log = it.snapshot_log(path)
+        assert [s["operation"] for s in log] == ["create", "append"]
+        assert [s["n_rows"] for s in log] == [10, 30]
+
+    def test_merge_rewrites_only_overlapping_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        it.append(_df(spark, 100, 200), path, STATS)
+        before = {e["path"] for e in it.plan_files(path)}
+        # upsert keys 150-159: only the second file overlaps
+        upd = spark.createDataFrame(
+            [(i, "a.com", f"UPDATED {i}") for i in range(150, 160)],
+            "doc_id long, host string, text string",
+        ).coalesce(1)
+        it.merge_upsert(spark, upd, path, "doc_id", STATS)
+        after = {e["path"] for e in it.plan_files(path)}
+        # the 0-99 file carried over by reference
+        carried = before & after
+        assert len(carried) == 1
+        got = it.read_table(spark, path)
+        assert got.count() == 200  # no dup, no loss
+        updated = got.where("doc_id = 155").collect()[0]
+        assert updated.text == "UPDATED 155"
+
+    def test_crash_between_snapshot_and_pointer_is_invisible(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        s1 = it.create_table(_df(spark, 0, 10), path, STATS)
+        # simulate a crash: snapshot file exists, VERSION not flipped
+        import json
+
+        fake = {
+            "snapshot_id": s1 + 1,
+            "parent": s1,
+            "operation": "append",
+            "committed_at": 0,
+            "manifest": [],
+        }
+        with open(it._snap_path(path, s1 + 1), "w") as fh:
+            json.dump(fake, fh)
+        assert it.current_snapshot_id(path) == s1
+        assert it.read_table(spark, path).count() == 10
+
+    def test_commit_conflict_detected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 10), path, STATS)
+        manifest = it.read_snapshot(path)["manifest"]
+        # a competing writer advances the table
+        it.append(_df(spark, 10, 20), path, STATS)
+        with pytest.raises(it.CommitConflict):
+            it._commit(path, manifest, parent=1, operation="append")
+
+    def test_reader_never_lists_the_directory(self, spark, tmp_path):
+        # an orphan parquet dropped into data/ (a failed writer's
+        # debris) must be invisible: the manifest defines the table
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 10), path, STATS)
+        orphan = _df(spark, 1000, 1010)
+        orphan.write.parquet(str(tmp_path / "orphan"))
+        import shutil
+
+        src = next(
+            f
+            for f in os.listdir(str(tmp_path / "orphan"))
+            if f.endswith(".parquet")
+        )
+        shutil.copy(
+            str(tmp_path / "orphan" / src),
+            os.path.join(it._data_dir(path), "orphan.parquet"),
+        )
+        assert it.read_table(spark, path).count() == 10
