@@ -394,3 +394,44 @@ SELECT CAST({N_CHUNKS} AS INT) AS n_files_total,
        CAST({N_CHUNKS} AS INT) AS n_snapshots
 FROM params
 """
+
+
+# ------------------------------------- extraction job on the table
+#
+# The north rule's resume loop on the REAL table format: extraction
+# output lives in a snapshot table, a re-run anti-joins against the
+# CURRENT snapshot's urls (never a directory listing), recrawls
+# upsert by url through the copy-on-write MERGE, and every batch is
+# one atomic commit — a job killed mid-write leaves the table on the
+# previous snapshot with no half-batch visible, which is the
+# property "append parquet + hope" cannot give.
+
+TABLE_STAT_COLS = ["url", "warc_ts"]
+
+
+def extract_to_table(
+    spark: SparkSession,
+    pages: DataFrame,
+    table_path: str,
+    num_partitions: int = 8,
+    upsert: bool = False,
+) -> int | None:
+    """Resume-aware extraction into a snapshot table. Returns the new
+    snapshot id, or None when nothing new needed extracting."""
+    from ..plans.pipeline import extract_pages
+
+    exists = os.path.exists(_version_file(table_path))
+    todo = pages
+    if exists and not upsert:
+        done = read_table(spark, table_path).select("url")
+        todo = pages.join(done, "url", "left_anti")
+    if todo.limit(1).count() == 0:
+        return None
+    extracted = extract_pages(todo, num_partitions=num_partitions)
+    if not exists:
+        return create_table(extracted, table_path, TABLE_STAT_COLS)
+    if upsert:
+        return merge_upsert(
+            spark, extracted, table_path, "url", TABLE_STAT_COLS
+        )
+    return append(extracted, table_path, TABLE_STAT_COLS)

@@ -140,3 +140,56 @@ class TestIceTable:
             os.path.join(it._data_dir(path), "orphan.parquet"),
         )
         assert it.read_table(spark, path).count() == 10
+
+
+class TestExtractToTable:
+    def test_resume_and_upsert_on_the_table(self, spark, tmp_path):
+        from pdf_extractor_spark.fixtures.corpus import (
+            build_pages_frame,
+        )
+        from pdf_extractor_spark.sources.icetable import (
+            extract_to_table,
+        )
+        from pdf_extractor_spark.sources.pages import (
+            pages_from_pandas,
+        )
+
+        path = str(tmp_path / "extracted")
+        frame = build_pages_frame()
+        w1, w2 = frame.iloc[:10], frame.iloc[10:20]
+
+        s1 = extract_to_table(
+            spark, pages_from_pandas(spark, w1), path, 2
+        )
+        assert s1 == 1
+        assert it.read_table(spark, path).count() == 10
+
+        # second wave: only the new urls extract, one new snapshot
+        both = pages_from_pandas(
+            spark,
+            __import__("pandas").concat([w1, w2], ignore_index=True),
+        )
+        s2 = extract_to_table(spark, both, path, 2)
+        assert s2 == 2
+        got = it.read_table(spark, path)
+        assert got.count() == 20
+        assert got.select("url").distinct().count() == 20
+
+        # third run with nothing new: NO new snapshot (true no-op)
+        assert extract_to_table(spark, both, path, 2) is None
+        assert it.current_snapshot_id(path) == 2
+
+        # recrawl upsert: same urls re-extracted, still 20 rows, new
+        # snapshot; time travel to s2 still shows the old commit
+        s4 = extract_to_table(
+            spark,
+            pages_from_pandas(spark, w1),
+            path,
+            2,
+            upsert=True,
+        )
+        assert s4 == 3
+        assert it.read_table(spark, path).count() == 20
+        assert it.read_table(spark, path, snap_id=2).count() == 20
+        ops = [s["operation"] for s in it.snapshot_log(path)]
+        assert ops == ["create", "append", "merge"]
