@@ -435,3 +435,87 @@ def extract_to_table(
             spark, extracted, table_path, "url", TABLE_STAT_COLS
         )
     return append(extracted, table_path, TABLE_STAT_COLS)
+
+
+# ---------------------------------------- maintenance: compact + vacuum
+#
+# The two background jobs every snapshot table needs at scale:
+#
+# - **Compaction**: streaming/resume appends accrete small files;
+#   scan cost is per-file (open, footer, seek), so a 10^12-row table
+#   fed by per-batch commits degrades until someone rewrites the
+#   small files into full ones. Compaction is DATA-NEUTRAL: the new
+#   snapshot holds the same rows re-binned; every prior snapshot
+#   still reads its own files.
+# - **Snapshot expiry (vacuum)**: time travel holds data files live
+#   forever; expiry picks a horizon, drops snapshots behind it, and
+#   deletes every data file unreachable from the kept set. The
+#   reachability walk is over manifests, never the directory — the
+#   same never-list discipline as the readers. Expiry is the ONLY
+#   operation that deletes data.
+
+COMPACT_MIN_ROWS = 100_000
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    stat_cols: list[str],
+    min_rows: int = COMPACT_MIN_ROWS,
+    target_partitions: int = 1,
+) -> int | None:
+    """Rewrite every data file smaller than ``min_rows`` into
+    ``target_partitions`` consolidated files. Returns the new
+    snapshot id, or None when nothing qualified."""
+    parent = current_snapshot_id(path)
+    manifest = read_snapshot(path)["manifest"]
+    small = [e for e in manifest if e["n_rows"] < min_rows]
+    if len(small) < 2:
+        return None  # nothing to gain
+    big = [e for e in manifest if e["n_rows"] >= min_rows]
+    merged = spark.read.parquet(
+        *[e["path"] for e in small]
+    ).coalesce(target_partitions)
+    entries = _write_data_files(merged, path, stat_cols)
+    return _commit(path, big + entries, parent, "compact")
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots and delete
+    data files unreachable from the kept set. Returns counts:
+    {snapshots_removed, files_removed}."""
+    current = current_snapshot_id(path)
+    chain = []
+    sid: int | None = current
+    while sid is not None:
+        snap = read_snapshot(path, sid)
+        chain.append(snap)
+        sid = snap["parent"]
+    kept, dropped = chain[:keep_last], chain[keep_last:]
+    live = {
+        e["path"] for snap in kept for e in snap["manifest"]
+    }
+    dead_files = {
+        e["path"]
+        for snap in dropped
+        for e in snap["manifest"]
+        if e["path"] not in live
+    }
+    for f in dead_files:
+        if os.path.exists(f):
+            os.remove(f)
+    for snap in dropped:
+        os.remove(_snap_path(path, snap["snapshot_id"]))
+    # sever the parent pointer at the new horizon so the log walk
+    # terminates instead of chasing a deleted snapshot
+    if dropped and kept:
+        oldest = kept[-1]
+        oldest["parent"] = None
+        with open(
+            _snap_path(path, oldest["snapshot_id"]), "w"
+        ) as fh:
+            json.dump(oldest, fh)
+    return {
+        "snapshots_removed": len(dropped),
+        "files_removed": len(dead_files),
+    }

@@ -193,3 +193,50 @@ class TestExtractToTable:
         assert it.read_table(spark, path, snap_id=2).count() == 20
         ops = [s["operation"] for s in it.snapshot_log(path)]
         assert ops == ["create", "append", "merge"]
+
+
+class TestMaintenance:
+    def test_compact_is_data_neutral(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 50), path, STATS)
+        for lo in range(50, 250, 50):
+            it.append(_df(spark, lo, lo + 50), path, STATS)
+        pre = it.read_table(spark, path)
+        pre_ids = sorted(r.doc_id for r in pre.select("doc_id").collect())
+        s_before = it.current_snapshot_id(path)
+        sid = it.compact(spark, path, STATS, min_rows=100)
+        assert sid == s_before + 1
+        assert len(it.plan_files(path)) == 1  # 5 small -> 1 file
+        post_ids = sorted(
+            r.doc_id
+            for r in it.read_table(spark, path).select("doc_id").collect()
+        )
+        assert post_ids == pre_ids
+        # the pre-compaction snapshot still reads its own files
+        assert it.read_table(spark, path, snap_id=s_before).count() == 250
+
+    def test_compact_noop_when_nothing_small(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 50), path, STATS)
+        assert it.compact(spark, path, STATS, min_rows=10) is None
+
+    def test_expire_deletes_unreachable_files_only(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        it.append(_df(spark, 100, 200), path, STATS)
+        # merge rewrites the second file: its old version becomes
+        # unreachable once the pre-merge snapshots expire
+        upd = spark.createDataFrame(
+            [(150, "a.com", "X")],
+            "doc_id long, host string, text string",
+        ).coalesce(1)
+        it.merge_upsert(spark, upd, path, "doc_id", STATS)
+        n_data = len(os.listdir(it._data_dir(path)))
+        stats = it.expire_snapshots(path, keep_last=1)
+        assert stats["snapshots_removed"] == 2
+        assert stats["files_removed"] >= 1
+        assert len(os.listdir(it._data_dir(path))) < n_data
+        # current snapshot intact, full row count preserved
+        assert it.read_table(spark, path).count() == 200
+        # history beyond the horizon is gone and the log terminates
+        assert len(it.snapshot_log(path)) == 1
