@@ -519,3 +519,40 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
         "snapshots_removed": len(dropped),
         "files_removed": len(dead_files),
     }
+
+
+# ------------------------------------------------- schema evolution
+#
+# Additive schema evolution, the table-format feature that makes
+# "re-extract the whole corpus to add one column" unnecessary: new
+# files carry the new column, OLD FILES ARE NOT REWRITTEN, and
+# readers surface the union schema with nulls for pre-evolution
+# rows. Parquet is self-describing per file, so the union is
+# computed at read time (mergeSchema); the manifest needs no schema
+# registry for the additive case. Dropping or retyping columns is
+# NOT supported — those need a registry with field ids (the full
+# Iceberg design); the omission is documented scope, not oversight.
+
+
+def read_table_merged(
+    spark: SparkSession,
+    path: str,
+    predicate: tuple[str, str, object] | None = None,
+    snap_id: int | None = None,
+) -> DataFrame:
+    """:func:`read_table` with union-schema semantics across
+    evolution boundaries: files written before a column existed
+    contribute nulls for it."""
+    files = plan_files(path, predicate, snap_id)
+    manifest = read_snapshot(path, snap_id)["manifest"]
+    if not manifest:
+        raise ValueError("empty table has no schema source")
+    if not files:
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[e["path"] for e in manifest])
+            .limit(0)
+        )
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[e["path"] for e in files]
+    )

@@ -240,3 +240,24 @@ class TestMaintenance:
         assert it.read_table(spark, path).count() == 200
         # history beyond the horizon is gone and the log terminates
         assert len(it.snapshot_log(path)) == 1
+
+
+class TestSchemaEvolution:
+    def test_added_column_nulls_for_old_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        s1 = it.create_table(_df(spark, 0, 10), path, STATS)
+        wide = spark.createDataFrame(
+            [(i, "b.com", f"text {i}", "en") for i in range(10, 20)],
+            "doc_id long, host string, text string, lang string",
+        ).coalesce(1)
+        it.append(wide, path, STATS)
+        got = it.read_table_merged(spark, path)
+        assert set(got.columns) == {"doc_id", "host", "text", "lang"}
+        assert got.count() == 20
+        # pre-evolution rows: lang is null; post: populated
+        assert got.where("lang is null").count() == 10
+        assert got.where("lang = 'en'").count() == 10
+        # old files were NOT rewritten
+        assert it.read_table(spark, path, snap_id=s1).columns == [
+            "doc_id", "host", "text",
+        ]
