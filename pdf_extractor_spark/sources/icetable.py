@@ -556,3 +556,37 @@ def read_table_merged(
     return spark.read.option("mergeSchema", "true").parquet(
         *[e["path"] for e in files]
     )
+
+
+def count_rows(
+    path: str,
+    predicate: tuple[str, str, object] | None = None,
+    snap_id: int | None = None,
+) -> tuple[int, bool]:
+    """Metadata-only COUNT(*): ``(count, exact)``. With no predicate
+    the manifest's row counts answer without reading ANY data — the
+    classic table-format fast path. With a predicate the count is
+    exact only when every file is either fully inside or fully
+    outside the range (clustered layouts often satisfy this);
+    otherwise the planned files' total is an UPPER BOUND and
+    ``exact=False`` tells the caller to fall back to a real scan."""
+    manifest = read_snapshot(path, snap_id)["manifest"]
+    if predicate is None:
+        return sum(e["n_rows"] for e in manifest), True
+    col, op, value = predicate
+    if op != "between":
+        planned = plan_files(path, predicate, snap_id)
+        return sum(e["n_rows"] for e in planned), False
+    lo, hi = value
+    total = 0
+    exact = True
+    for e in plan_files(path, predicate, snap_id):
+        st = e["stats"].get(col)
+        if st is None:
+            exact = False
+        elif lo <= st["min"] and st["max"] <= hi:
+            pass  # fully inside: every row counts
+        else:
+            exact = False  # straddles the boundary
+        total += e["n_rows"]
+    return total, exact

@@ -261,3 +261,21 @@ class TestSchemaEvolution:
         assert it.read_table(spark, path, snap_id=s1).columns == [
             "doc_id", "host", "text",
         ]
+
+
+class TestMetadataCount:
+    def test_count_without_reading_data(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        it.append(_df(spark, 100, 250), path, STATS)
+        assert it.count_rows(path) == (250, True)
+        # fully-covered range: exact from metadata alone
+        n, exact = it.count_rows(path, ("doc_id", "between", (0, 99)))
+        assert (n, exact) == (100, True)
+        # straddling range: upper bound, flagged inexact
+        n, exact = it.count_rows(path, ("doc_id", "between", (50, 149)))
+        assert n == 250 and exact is False
+        # data files deleted out from under it: metadata still answers
+        for e in it.plan_files(path):
+            os.remove(e["path"])
+        assert it.count_rows(path) == (250, True)
