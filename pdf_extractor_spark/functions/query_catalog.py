@@ -4757,6 +4757,29 @@ _MIRROR_CASE_DUCK = (
 )
 
 
+def _idn_fold(spark, sf_dir):
+    """IDN host folding: from-scratch RFC 3492 Punycode + ACE fold
+    (functions/idn.py) over a deterministic multi-script host pool.
+    The oracle's expected values come from CPython's stdlib idna
+    codec — an INDEPENDENT implementation of the same RFCs — so the
+    gate compares two implementations value-for-value rather than a
+    same-code twin. Host folding is what makes unicode and wire
+    forms of one host share dedup keys, politeness windows and the
+    leakage split."""
+    from .idn import idn_fold_report
+
+    return idn_fold_report(_t(spark, sf_dir, "documents"))
+
+
+def _idn_fold_sql() -> str:
+    from .idn import duck_idn_fold_sql
+
+    return duck_idn_fold_sql()
+
+
+_IDN_FOLD_SQL = _idn_fold_sql()
+
+
 def _table_pruning(spark, sf_dir):
     """The from-scratch snapshot/manifest table format
     (sources/icetable.py), driver-gated: five range-clustered
@@ -5401,4 +5424,5 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_table_pruning": QueryDef(
         _table_pruning, _TABLE_PRUNING_SQL, True
     ),
+    "corpus_idn_hosts": QueryDef(_idn_fold, _IDN_FOLD_SQL, True),
 }
