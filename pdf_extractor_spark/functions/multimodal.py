@@ -1022,3 +1022,162 @@ SELECT doc_id,
        CAST(h * (w * base + w * (w - 1) // 2) AS BIGINT) AS luma_sum
 FROM p
 """
+
+
+# ============================================= full JPEG decode leg
+
+def fixture_jpeg_full(doc_id: int) -> bytes:
+    """Deterministic REAL baseline JPEG per document (not the
+    header-only sniff fixture — full entropy-coded scan):
+
+        width     = 24 + 8 * (doc_id % 4)   (24-48: partial MCUs)
+        height    = 20 + 6 * (doc_id % 3)   (20/26/32)
+        quality   = 50 + 5 * (doc_id % 8)   (50-85)
+        grayscale = doc_id % 5 == 4
+        4:2:0     = color and doc_id % 2 == 0   (else 4:4:4)
+        restart   = every 2 MCUs when doc_id % 3 == 0
+
+    Pixels are CONSTANT per 16x16 (MCU-aligned) cell:
+
+        Y (bx,by) = (doc_id *  7 + 13*bx + 29*by) % 256
+        Cb(bx,by) = (doc_id * 11 + 17*bx +  5*by) % 256
+        Cr(bx,by) = (doc_id *  3 + 23*bx +  7*by) % 256
+
+    so every 8x8 block is DC-only and the lossy roundtrip has the
+    closed form  dec(v) = clamp(rnd(rnd(8(v-128)/Q00)*Q00/8)+128)
+    with rnd = floor(x+0.5), exactly computable in SQL — yet the
+    decoder still runs the full machine: Huffman DC prediction,
+    EOB/stuffing, restart resync, chroma subsampling, partial-MCU
+    crop. AC-coefficient paths are pinned separately by the naive-
+    DCT reference tests (tests/test_jpeg_codec.py)."""
+    from ..operators.jpeg_codec import jpeg_encode
+
+    w = 24 + 8 * (doc_id % 4)
+    h = 20 + 6 * (doc_id % 3)
+    gray = doc_id % 5 == 4
+    bx = np.arange((w + 15) // 16, dtype=np.int64)
+    by = np.arange((h + 15) // 16, dtype=np.int64)
+
+    def cells(a: int, b: int, c: int) -> np.ndarray:
+        cell = (doc_id * a + b * bx[None, :] + c * by[:, None]) % 256
+        return np.repeat(
+            np.repeat(cell, 16, axis=0), 16, axis=1
+        )[:h, :w].astype(np.uint8)
+
+    planes = [cells(7, 13, 29)]
+    if not gray:
+        planes.append(cells(11, 17, 5))
+        planes.append(cells(3, 23, 7))
+    return jpeg_encode(
+        planes,
+        quality=50 + 5 * (doc_id % 8),
+        subsample=(not gray) and doc_id % 2 == 0,
+        restart_interval=2 if doc_id % 3 == 0 else 0,
+    )
+
+
+JPEG_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_components int, "
+    "subsampled boolean, y_sum long, cb_sum long, cr_sum long"
+)
+
+
+def jpeg_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Distributed baseline-JPEG decode (5th full image codec):
+    Huffman entropy decode + dequant + IDCT per payload, plane sums
+    measured from the decoded arrays. Same layout rule as every
+    decode leg (media bytes never cross an exchange)."""
+    from ..operators.jpeg_codec import jpeg_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "n_components": [], "subsampled": [],
+                "y_sum": [], "cb_sum": [], "cr_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                planes, meta = jpeg_decode(bytes(payload))
+                sums = [
+                    int(p.astype(np.int64).sum()) for p in planes
+                ]
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["n_components"].append(meta["n_components"])
+                rows["subsampled"].append(meta["subsampled"])
+                rows["y_sum"].append(sums[0])
+                rows["cb_sum"].append(sums[1] if len(sums) == 3 else 0)
+                rows["cr_sum"].append(sums[2] if len(sums) == 3 else 0)
+            yield pd.DataFrame(rows).astype({
+                "width": "int32", "height": "int32",
+                "n_components": "int32",
+            })
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_jpeg_full
+    ).mapInPandas(body, JPEG_DECODE_SCHEMA)
+
+
+def duck_jpeg_decode_sql(source: str = "documents") -> str:
+    """Closed-form twin of the JPEG fixture schedule: the DC-only
+    quantization roundtrip per 16x16 cell, cell pixel counts from
+    the crop geometry, chroma counted in the subsampled plane."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         24 + 8 * (doc_id % 4)  AS w,
+         20 + 6 * (doc_id % 3)  AS h,
+         50 + 5 * (doc_id % 8)  AS qf,
+         doc_id % 5 = 4         AS gray,
+         doc_id % 5 <> 4 AND doc_id % 2 = 0 AS sub
+  FROM {source}
+), q AS (
+  SELECT *,
+         greatest(1, least(255, (16 * (200 - 2 * qf) + 50) // 100))
+           AS qy00,
+         greatest(1, least(255, (17 * (200 - 2 * qf) + 50) // 100))
+           AS qc00,
+         CASE WHEN sub THEN (w + 1) // 2 ELSE w END AS cw,
+         CASE WHEN sub THEN (h + 1) // 2 ELSE h END AS ch,
+         CASE WHEN sub THEN 8 ELSE 16 END           AS cstep
+  FROM p
+), cell AS (
+  SELECT q.*, gx.bx, gy.by,
+         least(16, w - 16 * gx.bx)               AS nx,
+         least(16, h - 16 * gy.by)               AS ny,
+         least(cstep, cw - cstep * gx.bx)        AS nxc,
+         least(cstep, ch - cstep * gy.by)        AS nyc
+  FROM q,
+       LATERAL (SELECT unnest(range(0, (w + 15) // 16)) AS bx) gx,
+       LATERAL (SELECT unnest(range(0, (h + 15) // 16)) AS by) gy
+), dec AS (
+  SELECT doc_id, gray, sub, w, h, nx, ny, nxc, nyc,
+    least(greatest(floor(
+        floor(8.0 * ((doc_id * 7 + 13 * bx + 29 * by) % 256 - 128)
+              / qy00 + 0.5) * qy00 / 8.0 + 0.5) + 128, 0), 255)
+      AS ydec,
+    least(greatest(floor(
+        floor(8.0 * ((doc_id * 11 + 17 * bx + 5 * by) % 256 - 128)
+              / qc00 + 0.5) * qc00 / 8.0 + 0.5) + 128, 0), 255)
+      AS cbdec,
+    least(greatest(floor(
+        floor(8.0 * ((doc_id * 3 + 23 * bx + 7 * by) % 256 - 128)
+              / qc00 + 0.5) * qc00 / 8.0 + 0.5) + 128, 0), 255)
+      AS crdec
+  FROM cell
+)
+SELECT doc_id,
+       CAST(w AS INT)                         AS width,
+       CAST(h AS INT)                         AS height,
+       CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT)
+                                              AS n_components,
+       sub                                    AS subsampled,
+       CAST(sum(nx * ny * ydec) AS BIGINT)    AS y_sum,
+       CAST(CASE WHEN gray THEN 0
+            ELSE sum(nxc * nyc * cbdec) END AS BIGINT) AS cb_sum,
+       CAST(CASE WHEN gray THEN 0
+            ELSE sum(nxc * nyc * crdec) END AS BIGINT) AS cr_sum
+FROM dec
+GROUP BY doc_id, w, h, gray, sub
+"""

@@ -4867,6 +4867,29 @@ def _multimodal_tiff_sql() -> str:
 _MULTIMODAL_TIFF_SQL = _multimodal_tiff_sql()
 
 
+def _multimodal_jpeg(spark, sf_dir):
+    """Baseline-JPEG decode (5th full image codec, operators/
+    jpeg_codec.py): real Huffman entropy decode + dequant + IDCT,
+    grayscale/4:4:4/4:2:0, partial-MCU crop, restart-marker resync
+    — completing jpeg_markers.py's header sniff with pixel
+    recovery. Fixtures are constant per MCU-aligned 16x16 cell so
+    the lossy DC quantization roundtrip has an exact closed-form
+    SQL twin; AC paths are pinned by the naive-DCT reference tests
+    (tests/test_jpeg_codec.py)."""
+    from .multimodal import jpeg_decode_meta
+
+    return jpeg_decode_meta(_t(spark, sf_dir, "documents"))
+
+
+def _multimodal_jpeg_sql() -> str:
+    from .multimodal import duck_jpeg_decode_sql
+
+    return duck_jpeg_decode_sql()
+
+
+_MULTIMODAL_JPEG_SQL = _multimodal_jpeg_sql()
+
+
 def _analyze_stats(spark, sf_dir):
     """ANALYZE TABLE in one scan: per-column min/max/null-count/NDV
     with the HLL sketch next to the exact NDV (auditable at test
@@ -5091,6 +5114,14 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "multimodal_decode": QueryDef(
         _multimodal_decode, _MULTIMODAL_DECODE_SQL, True
+    ),
+    # new this session: the full JPEG codec gate. Window make-room:
+    # corpus_url_param_rules moves past the edge (both never driver-
+    # checked; a whole new decode capability outranks a URL-rewrite
+    # rule whose kernel is unit-test-pinned with a local both-SF
+    # crosscheck).
+    "multimodal_jpeg_decode": QueryDef(
+        _multimodal_jpeg, _MULTIMODAL_JPEG_SQL, True
     ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL

@@ -1,0 +1,717 @@
+"""From-scratch baseline-JPEG codec (ITU-T T.81, public spec): real
+Huffman entropy coding, 8x8 DCT, 4:2:0 / 4:4:4 sampling, restart
+markers — the fifth full image decode next to PNG, GIF, TIFF and BMP,
+completing the marker-walk sniffer in ``jpeg_markers.py`` with actual
+pixel recovery (reference scope: pdf-extractor treats images as
+opaque attachments; this engine decodes them for multimodal columns).
+
+Scope is baseline sequential DCT (SOF0), 8-bit precision, grayscale
+or YCbCr, interleaved scan — what the overwhelming majority of web
+JPEGs are. Progressive (SOF2), arithmetic coding and hierarchical
+modes raise :class:`JpegError` explicitly rather than mis-decoding.
+
+Determinism contract (shared with the DuckDB oracle in
+``functions/multimodal.py``): every lossy rounding step uses
+round-half-up implemented as ``floor(x + 0.5 + 1e-9)``. Exactly
+representable rationals reach the rounder through float matrix
+multiplies carrying ~1e-13 of noise; the 1e-9 bias is far above that
+noise and far below the 1/255 minimum spacing of the quantization
+grid, so the codec lands on the same side of every .5 boundary as
+exact SQL arithmetic does. Without the bias, a DC level sitting
+exactly on a boundary (possible whenever 16*(v-128) is a multiple of
+the quant step) would round by float luck.
+
+Huffman tables follow the T.81 Annex K standard-table *shape*
+(BITS length-count + HUFFVAL symbol list, canonical code
+assignment per Annex C); the tables are written into DHT segments,
+so encode/decode agree by construction and any reader consuming the
+DHT works too. The all-ones code of the longest length is never
+assigned (Annex C's reserved-pattern rule) — checked by a test.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    """Malformed, truncated or unsupported-mode JPEG payload."""
+
+
+# ------------------------------------------------------------ tables
+
+# T.81 Annex K.1 example quantization tables (the de-facto standard
+# every encoder scales).
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+
+def scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg convention): 1-100 →
+    scaled table clamped to [1, 255]."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _zigzag() -> np.ndarray:
+    """Flat-index order of the T.81 zigzag scan (anti-diagonals,
+    alternating direction)."""
+    order = []
+    for s in range(15):
+        ys = range(max(0, s - 7), min(s, 7) + 1)
+        for y in (ys if s % 2 else reversed(list(ys))):
+            order.append(y * 8 + (s - y))
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Orthonormal 8x8 DCT basis: FDCT = C @ B @ C.T, IDCT = C.T @ S @ C.
+_C = np.array([
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0) * 0.5
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+_EPS = 1e-9
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """The codec-wide deterministic rounder (see module docstring)."""
+    return np.floor(x + (0.5 + _EPS)).astype(np.int64)
+
+
+# Standard-shape Huffman tables: one flat 8-bit length for every
+# symbol the baseline scan can emit (12 DC categories; 162 AC
+# run/size symbols incl. EOB and ZRL + 2 spares = 176 codes, Kraft
+# sum 176/256 < 1, max assigned code 175 so the all-ones pattern is
+# never used). A flat table is a *valid* canonical table per Annex C
+# and removes any chance of a misremembered Annex K value corrupting
+# the symbol mapping; compression is a few percent worse — this
+# codec optimizes for provable determinism, not byte parity with
+# libjpeg output.
+def _std_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    bits = [0] * 17  # 1-indexed code lengths
+    bits[8] = len(symbols)
+    return bits, list(symbols)
+
+
+DC_SYMBOLS = list(range(12))
+AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+HUFF_DC = _std_table(DC_SYMBOLS)
+HUFF_AC = _std_table(AC_SYMBOLS)
+
+
+def _canonical_codes(
+    bits: list[int], values: list[int]
+) -> dict[int, tuple[int, int]]:
+    """Annex C code assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# ------------------------------------------------------- bit streams
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (§B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_byte(self) -> None:
+        """Pad to a byte boundary with 1-bits (§F.1.2.3)."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def marker(self, m: int) -> None:
+        self.pad_byte()
+        self.buf += bytes([0xFF, m])
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data: un-stuffs 0xFF00,
+    stops at markers, resynchronizes across RSTn."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.at_marker = 0  # marker byte seen where data expected
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise JpegError("entropy data truncated")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise JpegError("entropy data truncated at 0xFF")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker: record it, feed 1-bit padding so a
+                # decoder overrunning the scan fails loudly later
+                self.at_marker = nxt
+                raise JpegError(
+                    f"marker 0x{nxt:02x} inside entropy segment"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, expect: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        self.acc = 0
+        # a 1-bit pad that fills the byte to 0xFF gets stuffed by the
+        # writer; the stuffed pair is entropy data we never pulled —
+        # step over it before expecting the marker
+        while (
+            self.pos + 2 <= len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if self.pos + 2 > len(self.data):
+            raise JpegError("truncated at restart marker")
+        if self.data[self.pos] != 0xFF or (
+            self.data[self.pos + 1] != 0xD0 + expect
+        ):
+            raise JpegError(
+                f"expected RST{expect} at offset {self.pos}"
+            )
+        self.pos += 2
+
+
+class _HuffDecoder:
+    """Annex F.2.2 canonical decode via per-length min/max code."""
+
+    def __init__(self, bits: list[int], values: list[int]) -> None:
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length]
+                k += bits[length]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.values = values
+
+    def decode(self, reader: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.bit()
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.values[
+                    self.valptr[length] + code - self.mincode[length]
+                ]
+        raise JpegError("invalid Huffman code")
+
+
+def _category(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC level (§F.1.2.1.1):
+    negatives are stored as value + 2^size - 1."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _extend(raw: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if raw >> (size - 1):
+        return raw
+    return raw - (1 << size) + 1
+
+
+# ----------------------------------------------------------- encoder
+
+def _pad_plane(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = -h % mult
+    pw = -w % mult
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(n_blocks_y, n_blocks_x, 8, 8) view-copy of an 8-padded
+    plane, raster block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    )
+
+
+def _fdct_quant(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """All blocks of a plane → quantized coefficient blocks
+    (nby, nbx, 8, 8) int64. Vectorized: one einsum per plane."""
+    b = _blocks(plane).astype(np.float64) - 128.0
+    coef = np.einsum("ux,ryxc,vc->ryuv", _C, b, _C, optimize=True)
+    return _round_half_up(coef / quant)
+
+
+def _encode_block(
+    writer: _BitWriter,
+    qblock: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    zz = qblock.reshape(64)[ZIGZAG]
+    dc = int(zz[0])
+    size, raw = _category(dc - pred)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    writer.write(raw, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, raw = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(raw, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(
+        ">H", len(payload) + 2
+    ) + payload
+
+
+def jpeg_encode(
+    planes: list[np.ndarray],
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a grayscale ([Y]) or full-resolution YCbCr
+    ([Y, Cb, Cr]) image. ``subsample`` selects 4:2:0 (chroma
+    averaged 2x2 with the codec rounder, Y sampling factor 2x2);
+    ``restart_interval`` > 0 writes DRI and RSTn every that many
+    MCUs with DC-predictor resets."""
+    if len(planes) not in (1, 3):
+        raise JpegError("1 or 3 planes required")
+    h, w = planes[0].shape
+    if h < 1 or w < 1 or h > 65535 or w > 65535:
+        raise JpegError("bad dimensions")
+    color = len(planes) == 3
+    if color and any(p.shape != (h, w) for p in planes[1:]):
+        raise JpegError("plane shapes differ")
+    subsample = bool(subsample and color)
+
+    qy = scale_quant(QUANT_LUMA, quality)
+    qc = scale_quant(QUANT_CHROMA, quality)
+
+    mcu = 16 if subsample else 8
+    ypad = _pad_plane(np.asarray(planes[0], dtype=np.float64), mcu)
+    comp_blocks = [_fdct_quant(ypad, qy)]
+    if color:
+        for p in planes[1:]:
+            cp = np.asarray(p, dtype=np.float64)
+            if subsample:
+                cp = _pad_plane(cp, 2)
+                cp = _round_half_up(
+                    (cp[0::2, 0::2] + cp[0::2, 1::2]
+                     + cp[1::2, 0::2] + cp[1::2, 1::2]) / 4.0
+                ).astype(np.float64)[: (h + 1) // 2, : (w + 1) // 2]
+            comp_blocks.append(_fdct_quant(_pad_plane(cp, 8), qc))
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(_seg(
+        0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    ))
+    zz_y = qy.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out.append(_seg(0xDB, b"\x00" + zz_y))
+    if color:
+        zz_c = qc.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        out.append(_seg(0xDB, b"\x01" + zz_c))
+
+    y_sampling = 0x22 if subsample else 0x11
+    comps = bytes([1, y_sampling, 0])
+    if color:
+        comps += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out.append(_seg(0xC0, b"\x08" + struct.pack(">HH", h, w)
+                    + bytes([3 if color else 1]) + comps))
+
+    def dht(tclass: int, tid: int, table) -> bytes:
+        bits, values = table
+        return _seg(0xC4, bytes([(tclass << 4) | tid])
+                    + bytes(bits[1:17]) + bytes(values))
+
+    out.append(dht(0, 0, HUFF_DC))
+    out.append(dht(1, 0, HUFF_AC))
+    if color:
+        out.append(dht(0, 1, HUFF_DC))
+        out.append(dht(1, 1, HUFF_AC))
+    if restart_interval:
+        out.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+
+    scan = bytes([3 if color else 1])
+    scan += bytes([1, 0x00])
+    if color:
+        scan += bytes([2, 0x11, 3, 0x11])
+    out.append(_seg(0xDA, scan + b"\x00\x3f\x00"))
+
+    dc_codes = _canonical_codes(*HUFF_DC)
+    ac_codes = _canonical_codes(*HUFF_AC)
+
+    writer = _BitWriter()
+    preds = [0] * len(comp_blocks)
+    mcus_x = (w + mcu - 1) // mcu
+    mcus_y = (h + mcu - 1) // mcu
+    n_mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and (
+                n_mcu % restart_interval == 0
+            ):
+                writer.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(comp_blocks)
+            if subsample:
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        preds[0] = _encode_block(
+                            writer,
+                            comp_blocks[0][2 * my + dy, 2 * mx + dx],
+                            preds[0], dc_codes, ac_codes,
+                        )
+                for ci in (1, 2):
+                    preds[ci] = _encode_block(
+                        writer, comp_blocks[ci][my, mx],
+                        preds[ci], dc_codes, ac_codes,
+                    )
+            else:
+                for ci in range(len(comp_blocks)):
+                    preds[ci] = _encode_block(
+                        writer, comp_blocks[ci][my, mx],
+                        preds[ci], dc_codes, ac_codes,
+                    )
+            n_mcu += 1
+    writer.pad_byte()
+    out.append(bytes(writer.buf))
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+# ----------------------------------------------------------- decoder
+
+_STANDALONE = frozenset(
+    [0xD8, 0xD9, 0x01] + list(range(0xD0, 0xD8))
+)
+
+
+def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
+    """Full baseline decode → (planes, meta). Planes come back at
+    their NATURAL sampling size (chroma stays subsampled; use
+    :func:`jpeg_to_rgb` to upsample+convert), cropped to the frame
+    dimensions. meta: width, height, n_components, subsampled,
+    restart_interval."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    scan_pos = -1
+    scan_comps: list[tuple[int, int, int]] = []
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise JpegError(f"marker desync at {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in _STANDALONE:
+            if marker == 0xD9:
+                raise JpegError("EOI before SOS")
+            i += 2
+            continue
+        if i + 4 > n:
+            raise JpegError("truncated segment header")
+        seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
+        if seglen < 2 or i + 2 + seglen > n:
+            raise JpegError("truncated segment")
+        body = payload[i + 4:i + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                prec = body[p] >> 4
+                tid = body[p] & 0x0F
+                if prec != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                if p + 65 > len(body):
+                    raise JpegError("short DQT")
+                tbl = np.frombuffer(
+                    body[p + 1:p + 65], dtype=np.uint8
+                ).astype(np.int64)[UNZIGZAG].reshape(8, 8)
+                quant[tid] = tbl
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tclass = body[p] >> 4
+                tid = body[p] & 0x0F
+                if p + 17 > len(body):
+                    raise JpegError("short DHT")
+                bits = [0] + list(body[p + 1:p + 17])
+                count = sum(bits)
+                values = list(body[p + 17:p + 17 + count])
+                if len(values) < count:
+                    raise JpegError("short DHT values")
+                dec = _HuffDecoder(bits, values)
+                (huff_ac if tclass else huff_dc)[tid] = dec
+                p += 17 + count
+        elif marker in (0xC0, 0xC1):
+            prec = body[0]
+            if prec != 8:
+                raise JpegError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise JpegError(f"{ncomp}-component frames unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                tq = body[8 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                f"non-baseline frame 0x{marker:02x} unsupported"
+            )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tables = body[2 + 2 * c]
+                scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            scan_pos = i + 2 + seglen
+            break
+        # APPn / COM / others: skip by length
+        i += 2 + seglen
+    if frame is None or scan_pos < 0:
+        raise JpegError("missing SOF or SOS")
+
+    w, h, comps = frame
+    if len(scan_comps) != len(comps):
+        raise JpegError("scan/frame component mismatch")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if (hmax, vmax) not in ((1, 1), (2, 2)):
+        raise JpegError("only 1x1 and 2x2 max sampling supported")
+    subsampled = hmax == 2
+    for cid, hs, vs, _tq in comps:
+        if (hs, vs) not in ((1, 1), (hmax, vmax)):
+            raise JpegError("mixed sampling layout unsupported")
+
+    mcu_w = 8 * hmax
+    mcu_h = 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    comp_info = []
+    for cid, hs, vs, tq in comps:
+        sc = next(
+            (s for s in scan_comps if s[0] == cid), None
+        )
+        if sc is None:
+            raise JpegError(f"component {cid} missing from scan")
+        if tq not in quant:
+            raise JpegError(f"quant table {tq} undefined")
+        if sc[1] not in huff_dc or sc[2] not in huff_ac:
+            raise JpegError("huffman table undefined")
+        nbx = mcus_x * hs
+        nby = mcus_y * vs
+        comp_info.append({
+            "hs": hs, "vs": vs, "quant": quant[tq],
+            "dc": huff_dc[sc[1]], "ac": huff_ac[sc[2]],
+            "coef": np.zeros((nby, nbx, 64), dtype=np.int64),
+        })
+
+    reader = _BitReader(payload, scan_pos)
+    preds = [0] * len(comp_info)
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and (
+                n_mcu % restart_interval == 0
+            ):
+                reader.restart(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(comp_info)
+            for ci, info in enumerate(comp_info):
+                for dy in range(info["vs"]):
+                    for dx in range(info["hs"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = info["dc"].decode(reader)
+                        if size > 11:
+                            raise JpegError("bad DC category")
+                        diff = _extend(reader.bits(size), size)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = info["ac"].decode(reader)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run = sym >> 4
+                            size = sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise JpegError("AC index overrun")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        by = info["vs"] * my + dy
+                        bx = info["hs"] * mx + dx
+                        info["coef"][by, bx] = zz
+            n_mcu += 1
+
+    planes = []
+    for info in comp_info:
+        nby, nbx, _ = info["coef"].shape
+        blocks = info["coef"][:, :, UNZIGZAG].reshape(nby, nbx, 8, 8)
+        deq = blocks * info["quant"]
+        pix = np.einsum(
+            "ux,ryuv,vc->ryxc", _C, deq.astype(np.float64), _C,
+            optimize=True,
+        )
+        full = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        img = np.clip(_round_half_up(full) + 128, 0, 255)
+        cw = (w * info["hs"] + hmax - 1) // hmax
+        ch = (h * info["vs"] + vmax - 1) // vmax
+        planes.append(img[:ch, :cw].astype(np.uint8))
+
+    meta = {
+        "width": w,
+        "height": h,
+        "n_components": len(comp_info),
+        "subsampled": subsampled,
+        "restart_interval": restart_interval,
+    }
+    return planes, meta
+
+
+def jpeg_to_rgb(planes: list[np.ndarray], meta: dict) -> np.ndarray:
+    """(H, W, 3) uint8 via nearest-neighbor chroma upsample + JFIF
+    full-range BT.601 (grayscale replicates Y)."""
+    h, w = meta["height"], meta["width"]
+    y = planes[0].astype(np.float64)
+    if meta["n_components"] == 1:
+        g = np.clip(_round_half_up(y), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    cb = planes[1].astype(np.float64)
+    cr = planes[2].astype(np.float64)
+    if meta["subsampled"]:
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w]
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w]
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [
+            np.clip(_round_half_up(ch), 0, 255).astype(np.uint8)
+            for ch in (r, g, b)
+        ],
+        axis=-1,
+    )
