@@ -1036,6 +1036,7 @@ def fixture_jpeg_full(doc_id: int) -> bytes:
         grayscale = doc_id % 5 == 4
         4:2:0     = color and doc_id % 2 == 0   (else 4:4:4)
         restart   = every 2 MCUs when doc_id % 3 == 0
+        progressive (SOF2, 10-scan script) when doc_id % 4 == 1
 
     Pixels are CONSTANT per 16x16 (MCU-aligned) cell:
 
@@ -1048,9 +1049,16 @@ def fixture_jpeg_full(doc_id: int) -> bytes:
     with rnd = floor(x+0.5), exactly computable in SQL — yet the
     decoder still runs the full machine: Huffman DC prediction,
     EOB/stuffing, restart resync, chroma subsampling, partial-MCU
-    crop. AC-coefficient paths are pinned separately by the naive-
-    DCT reference tests (tests/test_jpeg_codec.py)."""
-    from ..operators.jpeg_codec import jpeg_encode
+    crop — and for the progressive quarter of the corpus the whole
+    spectral-selection + successive-approximation scan machinery,
+    whose final coefficients are identical by construction (pinned
+    against baseline in tests/test_jpeg_codec.py). AC-coefficient
+    paths are pinned separately by the naive-DCT reference tests
+    (tests/test_jpeg_codec.py)."""
+    from ..operators.jpeg_codec import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
 
     w = 24 + 8 * (doc_id % 4)
     h = 20 + 6 * (doc_id % 3)
@@ -1068,7 +1076,8 @@ def fixture_jpeg_full(doc_id: int) -> bytes:
     if not gray:
         planes.append(cells(11, 17, 5))
         planes.append(cells(3, 23, 7))
-    return jpeg_encode(
+    enc = jpeg_encode_progressive if doc_id % 4 == 1 else jpeg_encode
+    return enc(
         planes,
         quality=50 + 5 * (doc_id % 8),
         subsample=(not gray) and doc_id % 2 == 0,
@@ -1078,7 +1087,8 @@ def fixture_jpeg_full(doc_id: int) -> bytes:
 
 JPEG_DECODE_SCHEMA = (
     "doc_id long, width int, height int, n_components int, "
-    "subsampled boolean, y_sum long, cb_sum long, cr_sum long"
+    "subsampled boolean, progressive boolean, "
+    "y_sum long, cb_sum long, cr_sum long"
 )
 
 
@@ -1094,6 +1104,7 @@ def jpeg_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
             rows: dict[str, list] = {
                 "doc_id": [], "width": [], "height": [],
                 "n_components": [], "subsampled": [],
+                "progressive": [],
                 "y_sum": [], "cb_sum": [], "cr_sum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -1106,6 +1117,7 @@ def jpeg_decode_meta(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
                 rows["height"].append(meta["height"])
                 rows["n_components"].append(meta["n_components"])
                 rows["subsampled"].append(meta["subsampled"])
+                rows["progressive"].append(meta["progressive"])
                 rows["y_sum"].append(sums[0])
                 rows["cb_sum"].append(sums[1] if len(sums) == 3 else 0)
                 rows["cr_sum"].append(sums[2] if len(sums) == 3 else 0)
@@ -1130,7 +1142,8 @@ WITH p AS (
          20 + 6 * (doc_id % 3)  AS h,
          50 + 5 * (doc_id % 8)  AS qf,
          doc_id % 5 = 4         AS gray,
-         doc_id % 5 <> 4 AND doc_id % 2 = 0 AS sub
+         doc_id % 5 <> 4 AND doc_id % 2 = 0 AS sub,
+         doc_id % 4 = 1         AS prog
   FROM {source}
 ), q AS (
   SELECT *,
@@ -1152,7 +1165,7 @@ WITH p AS (
        LATERAL (SELECT unnest(range(0, (w + 15) // 16)) AS bx) gx,
        LATERAL (SELECT unnest(range(0, (h + 15) // 16)) AS by) gy
 ), dec AS (
-  SELECT doc_id, gray, sub, w, h, nx, ny, nxc, nyc,
+  SELECT doc_id, gray, sub, prog, w, h, nx, ny, nxc, nyc,
     least(greatest(floor(
         floor(8.0 * ((doc_id * 7 + 13 * bx + 29 * by) % 256 - 128)
               / qy00 + 0.5) * qy00 / 8.0 + 0.5) + 128, 0), 255)
@@ -1173,11 +1186,12 @@ SELECT doc_id,
        CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT)
                                               AS n_components,
        sub                                    AS subsampled,
+       prog                                   AS progressive,
        CAST(sum(nx * ny * ydec) AS BIGINT)    AS y_sum,
        CAST(CASE WHEN gray THEN 0
             ELSE sum(nxc * nyc * cbdec) END AS BIGINT) AS cb_sum,
        CAST(CASE WHEN gray THEN 0
             ELSE sum(nxc * nyc * crdec) END AS BIGINT) AS cr_sum
 FROM dec
-GROUP BY doc_id, w, h, gray, sub
+GROUP BY doc_id, w, h, gray, sub, prog
 """

@@ -125,7 +125,11 @@ def _std_table(symbols: list[int]) -> tuple[list[int], list[int]]:
 
 
 DC_SYMBOLS = list(range(12))
+# (run<<4)|0 for run 1..14 are the EOBn codes progressive AC scans
+# use for end-of-band runs (§G.1.2.2); baseline never emits them.
 AC_SYMBOLS = [0x00, 0xF0] + [
+    run << 4 for run in range(1, 15)
+] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ]
 
@@ -482,6 +486,289 @@ def jpeg_encode(
     return b"".join(out)
 
 
+# ------------------------------------------------ progressive encoder
+#
+# Spectral selection + successive approximation (T.81 Annex G). The
+# refinement bit-plumbing mirrors the spec's G.1.2.3 discipline: at
+# every nonzero coefficient the pending zero-run drains through ZRL
+# codes FIRST (each carrying the correction bits buffered so far),
+# so the decoder's walk — which reads a correction bit the moment it
+# passes an already-significant coefficient — meets every bit at the
+# same offset the encoder wrote it.
+
+_MAX_EOBRUN = 0x7FFF
+
+
+def _emit_eobrun(writer: _BitWriter, ac_codes, state: dict) -> None:
+    if state["eobrun"] > 0:
+        nbits = state["eobrun"].bit_length() - 1
+        code, ln = ac_codes[nbits << 4]
+        writer.write(code, ln)
+        if nbits:
+            writer.write(state["eobrun"] & ((1 << nbits) - 1), nbits)
+        state["eobrun"] = 0
+    for bit in state["bits"]:
+        writer.write(bit, 1)
+    state["bits"] = []
+
+
+def _enc_ac_first(
+    writer, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_codes, state: dict,
+) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _emit_eobrun(writer, ac_codes, state)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        size, raw = _category(t if v > 0 else -t)
+        code, ln = ac_codes[(r << 4) | size]
+        writer.write(code, ln)
+        writer.write(raw, size)
+        r = 0
+    if r:
+        state["eobrun"] += 1
+        if state["eobrun"] == _MAX_EOBRUN:
+            _emit_eobrun(writer, ac_codes, state)
+
+
+def _enc_ac_refine(
+    writer, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_codes, state: dict,
+) -> None:
+    tvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for idx, t in enumerate(tvals):
+        if t == 1:
+            eob = idx
+    r = 0
+    br: list[int] = []
+    for idx, t in enumerate(tvals):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and idx <= eob:
+            _emit_eobrun(writer, ac_codes, state)
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(writer, ac_codes, state)
+        code, ln = ac_codes[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(zz[ss + idx]) > 0 else 0, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        r = 0
+    if r or br:
+        state["eobrun"] += 1
+        state["bits"].extend(br)
+        if state["eobrun"] == _MAX_EOBRUN or len(state["bits"]) > 960:
+            _emit_eobrun(writer, ac_codes, state)
+
+
+_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def jpeg_encode_progressive(
+    planes: list[np.ndarray],
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Progressive (SOF2) encode with the default libjpeg-shaped
+    scan script (DC first at Al=1, spectral AC bands, then one
+    successive-approximation refinement level): same quantized
+    coefficients as :func:`jpeg_encode`, delivered over multiple
+    scans — decoded pixels are bit-identical to the baseline
+    encoding of the same input (pinned by tests).
+
+    ``scans`` overrides the script: tuples of
+    (component_indices, Ss, Se, Ah, Al)."""
+    if len(planes) not in (1, 3):
+        raise JpegError("1 or 3 planes required")
+    h, w = planes[0].shape
+    if h < 1 or w < 1 or h > 65535 or w > 65535:
+        raise JpegError("bad dimensions")
+    color = len(planes) == 3
+    if color and any(p.shape != (h, w) for p in planes[1:]):
+        raise JpegError("plane shapes differ")
+    subsample = bool(subsample and color)
+
+    qy = scale_quant(QUANT_LUMA, quality)
+    qc = scale_quant(QUANT_CHROMA, quality)
+    mcu = 16 if subsample else 8
+    ypad = _pad_plane(np.asarray(planes[0], dtype=np.float64), mcu)
+    comp_blocks = [_fdct_quant(ypad, qy)]
+    if color:
+        for p in planes[1:]:
+            cp = np.asarray(p, dtype=np.float64)
+            if subsample:
+                cp = _pad_plane(cp, 2)
+                cp = _round_half_up(
+                    (cp[0::2, 0::2] + cp[0::2, 1::2]
+                     + cp[1::2, 0::2] + cp[1::2, 1::2]) / 4.0
+                ).astype(np.float64)[: (h + 1) // 2, : (w + 1) // 2]
+            comp_blocks.append(_fdct_quant(_pad_plane(cp, 8), qc))
+    # zigzag views per component: (nby, nbx, 64)
+    comp_zz = [
+        cb.reshape(cb.shape[0], cb.shape[1], 64)[:, :, ZIGZAG]
+        for cb in comp_blocks
+    ]
+    samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = 2 if subsample else 1
+    mcus_x = (w + mcu - 1) // mcu
+    mcus_y = (h + mcu - 1) // mcu
+
+    out = [b"\xff\xd8"]
+    out.append(_seg(
+        0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    ))
+    out.append(_seg(
+        0xDB, b"\x00" + qy.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    ))
+    if color:
+        out.append(_seg(
+            0xDB,
+            b"\x01" + qc.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        ))
+    comps = bytes([1, (samps[0][0] << 4) | samps[0][1], 0])
+    if color:
+        comps += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out.append(_seg(0xC2, b"\x08" + struct.pack(">HH", h, w)
+                    + bytes([3 if color else 1]) + comps))
+
+    def dht(tclass: int, tid: int, table) -> bytes:
+        bits, values = table
+        return _seg(0xC4, bytes([(tclass << 4) | tid])
+                    + bytes(bits[1:17]) + bytes(values))
+
+    out.append(dht(0, 0, HUFF_DC))
+    out.append(dht(1, 0, HUFF_AC))
+    if color:
+        out.append(dht(0, 1, HUFF_DC))
+        out.append(dht(1, 1, HUFF_AC))
+    if restart_interval:
+        out.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+
+    dc_codes = _canonical_codes(*HUFF_DC)
+    ac_codes = _canonical_codes(*HUFF_AC)
+    if scans is None:
+        scans = _SCRIPT_COLOR if color else _SCRIPT_GRAY
+
+    for comp_ids, ss, se, ah, al in scans:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.append(_seg(0xDA, sos))
+
+        writer = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        preds = {ci: 0 for ci in comp_ids}
+        rst = 0
+        n_unit = 0
+
+        def maybe_restart():
+            nonlocal rst, preds, n_unit
+            if restart_interval and n_unit and (
+                n_unit % restart_interval == 0
+            ):
+                _emit_eobrun(writer, ac_codes, state)
+                writer.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = {ci: 0 for ci in comp_ids}
+
+        if ss == 0:  # DC scan (interleaved over the MCU grid)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for ci in comp_ids:
+                        hs, vs = samps[ci]
+                        for dy in range(vs):
+                            for dx in range(hs):
+                                dc = int(
+                                    comp_zz[ci][vs * my + dy,
+                                                hs * mx + dx, 0]
+                                )
+                                if ah == 0:
+                                    v = dc >> al
+                                    size, raw = _category(
+                                        v - preds[ci]
+                                    )
+                                    code, ln = dc_codes[size]
+                                    writer.write(code, ln)
+                                    writer.write(raw, size)
+                                    preds[ci] = v
+                                else:
+                                    writer.write((dc >> al) & 1, 1)
+                    n_unit += 1
+        else:  # AC scan: single component, natural block grid
+            if len(comp_ids) != 1:
+                raise JpegError("interleaved AC scan is illegal")
+            ci = comp_ids[0]
+            hs, vs = samps[ci]
+            if ci == 0:
+                nbx_nat = (w + 7) // 8
+                nby_nat = (h + 7) // 8
+            else:
+                nbx_nat = ((w * hs + hmax - 1) // hmax + 7) // 8
+                nby_nat = ((h * vs + hmax - 1) // hmax + 7) // 8
+            for by in range(nby_nat):
+                for bx in range(nbx_nat):
+                    maybe_restart()
+                    if ah == 0:
+                        _enc_ac_first(
+                            writer, comp_zz[ci][by, bx], ss, se,
+                            al, ac_codes, state,
+                        )
+                    else:
+                        _enc_ac_refine(
+                            writer, comp_zz[ci][by, bx], ss, se,
+                            al, ac_codes, state,
+                        )
+                    n_unit += 1
+        _emit_eobrun(writer, ac_codes, state)
+        writer.pad_byte()
+        out.append(bytes(writer.buf))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 # ----------------------------------------------------------- decoder
 
 _STANDALONE = frozenset(
@@ -489,11 +776,223 @@ _STANDALONE = frozenset(
 )
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next marker at/after ``pos`` (skips entropy
+    remnants, stuffed 0xFF00 pairs and 0xFF fill bytes)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise JpegError("no marker after scan data")
+
+
+def _refine_sweep(
+    reader: _BitReader, zz: np.ndarray, k: int, se: int, p1: int
+) -> None:
+    """Correction bits for every already-nonzero coefficient in
+    zz[k..se] (§G.2.2 EOB-run path)."""
+    while k <= se:
+        c = int(zz[k])
+        if c:
+            if reader.bit() and not (c & p1):
+                zz[k] = c + (p1 if c > 0 else -p1)
+        k += 1
+
+
+def _dec_ac_first(
+    reader, ac, zz: np.ndarray, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = ac.decode(reader)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise JpegError("AC band overrun")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+        else:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun - 1
+    return 0
+
+
+def _dec_ac_refine(
+    reader, ac, zz: np.ndarray, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = ac.decode(reader)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise JpegError("refinement size != 1")
+                val = p1 if reader.bit() else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.bits(r)
+                break  # fall into the correction sweep below
+            # advance r zero-history positions, reading correction
+            # bits at already-nonzero ones along the way
+            while k <= se:
+                c = int(zz[k])
+                if c:
+                    if reader.bit() and not (c & p1):
+                        zz[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val:
+                if k > se:
+                    raise JpegError("refine overrun")
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        _refine_sweep(reader, zz, k, se, p1)
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_one_scan(
+    payload: bytes, pos: int, comp_info: list[dict], scan, geom,
+    quant, huff_dc, huff_ac, progressive: bool,
+    restart_interval: int, ss: int, se: int, ah: int, al: int,
+) -> int:
+    """Entropy-decode one scan into the component coefficient
+    arrays; returns the byte position after the scan's data.
+    Sequential scans are the (ss,se,ah,al) = (0,63,0,0) case of the
+    same unit walk; progressive scans dispatch on the band and
+    approximation parameters (§G.2)."""
+    hmax, vmax, mcus_x, mcus_y = geom
+    if ss > se or se > 63:
+        raise JpegError("bad spectral band")
+    if progressive and ss > 0 and len(scan) > 1:
+        raise JpegError("interleaved AC scan is illegal")
+    if progressive and ss == 0 and se != 0:
+        raise JpegError("progressive DC scan with Se != 0")
+    tabs = {}
+    for ci, td, ta in scan:
+        needs_dc = not progressive or (ss == 0 and ah == 0)
+        needs_ac = not progressive or ss > 0
+        dc = huff_dc.get(td)
+        ac = huff_ac.get(ta)
+        if needs_dc and dc is None:
+            raise JpegError("huffman DC table undefined")
+        if needs_ac and ac is None:
+            raise JpegError("huffman AC table undefined")
+        tabs[ci] = (dc, ac)
+
+    if len(scan) > 1:
+        def units():
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for ci, _td, _ta in scan:
+                        info = comp_info[ci]
+                        for dy in range(info["vs"]):
+                            for dx in range(info["hs"]):
+                                blocks.append((
+                                    ci,
+                                    info["vs"] * my + dy,
+                                    info["hs"] * mx + dx,
+                                ))
+                    yield blocks
+    else:
+        ci0 = scan[0][0]
+        info0 = comp_info[ci0]
+
+        def units():
+            for by in range(info0["nby_nat"]):
+                for bx in range(info0["nbx_nat"]):
+                    yield [(ci0, by, bx)]
+
+    reader = _BitReader(payload, pos)
+    preds = {ci: 0 for ci, _td, _ta in scan}
+    eobrun = 0
+    rst = 0
+    n_unit = 0
+    for blocks in units():
+        if restart_interval and n_unit and (
+            n_unit % restart_interval == 0
+        ):
+            reader.restart(rst)
+            rst = (rst + 1) % 8
+            preds = {ci: 0 for ci, _td, _ta in scan}
+            eobrun = 0
+        for ci, by, bx in blocks:
+            zz = comp_info[ci]["coef"][by, bx]
+            dc_dec, ac_dec = tabs[ci]
+            if not progressive:
+                size = dc_dec.decode(reader)
+                if size > 11:
+                    raise JpegError("bad DC category")
+                preds[ci] += _extend(reader.bits(size), size)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = ac_dec.decode(reader)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise JpegError("AC index overrun")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+            elif ss == 0:
+                if ah == 0:
+                    size = dc_dec.decode(reader)
+                    if size > 11:
+                        raise JpegError("bad DC category")
+                    preds[ci] += _extend(reader.bits(size), size)
+                    zz[0] = preds[ci] << al
+                elif reader.bit():
+                    zz[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _dec_ac_first(
+                    reader, ac_dec, zz, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _dec_ac_refine(
+                    reader, ac_dec, zz, ss, se, al, eobrun
+                )
+        n_unit += 1
+    return reader.pos
+
+
 def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
-    """Full baseline decode → (planes, meta). Planes come back at
-    their NATURAL sampling size (chroma stays subsampled; use
-    :func:`jpeg_to_rgb` to upsample+convert), cropped to the frame
-    dimensions. meta: width, height, n_components, subsampled,
+    """Full decode, baseline (SOF0/SOF1) or progressive (SOF2) →
+    (planes, meta). Planes come back at their NATURAL sampling size
+    (chroma stays subsampled; use :func:`jpeg_to_rgb` to
+    upsample+convert), cropped to the frame dimensions. meta:
+    width, height, n_components, subsampled, progressive,
     restart_interval."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
@@ -501,11 +1000,13 @@ def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    comp_info: list[dict] | None = None
+    geom = None
+    n_scans = 0
     i = 2
     n = len(payload)
-    scan_pos = -1
-    scan_comps: list[tuple[int, int, int]] = []
     while i + 2 <= n:
         if payload[i] != 0xFF:
             raise JpegError(f"marker desync at {i}")
@@ -515,7 +1016,9 @@ def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
             continue
         if marker in _STANDALONE:
             if marker == 0xD9:
-                raise JpegError("EOI before SOS")
+                if n_scans == 0:
+                    raise JpegError("EOI before any scan")
+                break
             i += 2
             continue
         if i + 4 > n:
@@ -553,7 +1056,10 @@ def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
                 dec = _HuffDecoder(bits, values)
                 (huff_ac if tclass else huff_dc)[tid] = dec
                 p += 17 + count
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
+            if frame is not None:
+                raise JpegError("multiple SOF segments")
+            progressive = marker == 0xC2
             prec = body[0]
             if prec != 8:
                 raise JpegError("only 8-bit precision supported")
@@ -567,105 +1073,83 @@ def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
                 samp = body[7 + 3 * c]
                 tq = body[8 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if (hmax, vmax) not in ((1, 1), (2, 2)):
+                raise JpegError("only 1x1 and 2x2 max sampling supported")
+            for cid, hs, vs, _tq in comps:
+                if (hs, vs) not in ((1, 1), (hmax, vmax)):
+                    raise JpegError("mixed sampling layout unsupported")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            geom = (hmax, vmax, mcus_x, mcus_y)
+            comp_info = []
+            for cid, hs, vs, tq in comps:
+                comp_info.append({
+                    "cid": cid, "hs": hs, "vs": vs, "tq": tq,
+                    "coef": np.zeros(
+                        (mcus_y * vs, mcus_x * hs, 64), dtype=np.int64
+                    ),
+                    # natural (unpadded) block grid for
+                    # non-interleaved scans (§A.2.2)
+                    "nbx_nat": (
+                        ((w * hs + hmax - 1) // hmax + 7) // 8
+                    ),
+                    "nby_nat": (
+                        ((h * vs + vmax - 1) // vmax + 7) // 8
+                    ),
+                })
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
-                f"non-baseline frame 0x{marker:02x} unsupported"
+                f"unsupported frame type 0x{marker:02x}"
             )
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
+            if frame is None or comp_info is None:
+                raise JpegError("SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            scan = []
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 tables = body[2 + 2 * c]
-                scan_comps.append((cid, tables >> 4, tables & 0x0F))
-            scan_pos = i + 2 + seglen
-            break
+                ci = next(
+                    (j for j, info in enumerate(comp_info)
+                     if info["cid"] == cid), None
+                )
+                if ci is None:
+                    raise JpegError(f"scan component {cid} unknown")
+                scan.append((ci, tables >> 4, tables & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+                if len(scan) != len(comp_info):
+                    raise JpegError(
+                        "baseline scan must carry every component"
+                    )
+            pos = _decode_one_scan(
+                payload, i + 2 + seglen, comp_info, scan, geom,
+                quant, huff_dc, huff_ac, progressive,
+                restart_interval, ss, se, ah, al,
+            )
+            n_scans += 1
+            i = _next_marker(payload, pos)
+            continue
         # APPn / COM / others: skip by length
         i += 2 + seglen
-    if frame is None or scan_pos < 0:
+    if frame is None or n_scans == 0:
         raise JpegError("missing SOF or SOS")
 
     w, h, comps = frame
-    if len(scan_comps) != len(comps):
-        raise JpegError("scan/frame component mismatch")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if (hmax, vmax) not in ((1, 1), (2, 2)):
-        raise JpegError("only 1x1 and 2x2 max sampling supported")
+    hmax, vmax, mcus_x, mcus_y = geom
     subsampled = hmax == 2
-    for cid, hs, vs, _tq in comps:
-        if (hs, vs) not in ((1, 1), (hmax, vmax)):
-            raise JpegError("mixed sampling layout unsupported")
-
-    mcu_w = 8 * hmax
-    mcu_h = 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-
-    comp_info = []
-    for cid, hs, vs, tq in comps:
-        sc = next(
-            (s for s in scan_comps if s[0] == cid), None
-        )
-        if sc is None:
-            raise JpegError(f"component {cid} missing from scan")
-        if tq not in quant:
-            raise JpegError(f"quant table {tq} undefined")
-        if sc[1] not in huff_dc or sc[2] not in huff_ac:
-            raise JpegError("huffman table undefined")
-        nbx = mcus_x * hs
-        nby = mcus_y * vs
-        comp_info.append({
-            "hs": hs, "vs": vs, "quant": quant[tq],
-            "dc": huff_dc[sc[1]], "ac": huff_ac[sc[2]],
-            "coef": np.zeros((nby, nbx, 64), dtype=np.int64),
-        })
-
-    reader = _BitReader(payload, scan_pos)
-    preds = [0] * len(comp_info)
-    rst = 0
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and (
-                n_mcu % restart_interval == 0
-            ):
-                reader.restart(rst)
-                rst = (rst + 1) % 8
-                preds = [0] * len(comp_info)
-            for ci, info in enumerate(comp_info):
-                for dy in range(info["vs"]):
-                    for dx in range(info["hs"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = info["dc"].decode(reader)
-                        if size > 11:
-                            raise JpegError("bad DC category")
-                        diff = _extend(reader.bits(size), size)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = info["ac"].decode(reader)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run = sym >> 4
-                            size = sym & 0x0F
-                            k += run
-                            if k > 63:
-                                raise JpegError("AC index overrun")
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
-                        by = info["vs"] * my + dy
-                        bx = info["hs"] * mx + dx
-                        info["coef"][by, bx] = zz
-            n_mcu += 1
+    for info in comp_info:
+        if info["tq"] not in quant:
+            raise JpegError(f"quant table {info['tq']} undefined")
+        info["quant"] = quant[info["tq"]]
 
     planes = []
     for info in comp_info:
@@ -687,6 +1171,7 @@ def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
         "height": h,
         "n_components": len(comp_info),
         "subsampled": subsampled,
+        "progressive": progressive,
         "restart_interval": restart_interval,
     }
     return planes, meta

@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 
 from pdf_extractor_spark.operators.jpeg_codec import (
+    jpeg_encode_progressive,
     AC_SYMBOLS,
     DC_SYMBOLS,
     HUFF_AC,
@@ -194,16 +195,89 @@ def test_truncation_raises():
             jpeg_decode(data[:cut])
 
 
-def test_non_jpeg_and_progressive_rejected():
+def test_non_jpeg_and_frankenstein_rejected():
     with pytest.raises(JpegError):
         jpeg_decode(b"GIF89a" + bytes(64))
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    # flip SOF0 -> SOF2 on a BASELINE stream: the sequential scan
+    # header (Ss=0, Se=63) is illegal for a progressive DC scan —
+    # must refuse, not mis-decode
     img = np.full((8, 8), 50, dtype=np.uint8)
     data = bytearray(jpeg_encode([img], quality=75))
     idx = bytes(data).find(b"\xff\xc0")
     data[idx + 1] = 0xC2
-    with pytest.raises(JpegError, match="non-baseline"):
+    with pytest.raises(JpegError, match="DC scan"):
         jpeg_decode(bytes(data))
+
+
+# ------------------------------------------------------ progressive
+
+def test_progressive_equals_baseline_pixels():
+    """The headline progressive pin: same quantized coefficients
+    delivered over 10 scans (spectral selection + successive
+    approximation) must reconstruct bit-identical pixels to the
+    single-scan baseline encoding — for gray, 4:4:4 and 4:2:0,
+    partial MCUs, with and without restart markers."""
+    rng = np.random.RandomState(99)
+    cases = [
+        (1, False, 90, 0, (24, 32)),
+        (3, False, 75, 0, (21, 35)),
+        (3, True, 50, 0, (37, 26)),
+        (3, True, 85, 2, (48, 48)),
+        (1, False, 95, 3, (13, 61)),
+    ]
+    for ncomp, sub, qf, ri, (h, w) in cases:
+        planes = [
+            rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            for _ in range(ncomp)
+        ]
+        base, _ = jpeg_decode(
+            jpeg_encode(planes, quality=qf, subsample=sub,
+                        restart_interval=ri)
+        )
+        prog, meta = jpeg_decode(
+            jpeg_encode_progressive(planes, quality=qf,
+                                    subsample=sub,
+                                    restart_interval=ri)
+        )
+        assert meta["progressive"]
+        for a, b in zip(base, prog):
+            assert np.array_equal(a, b)
+
+
+def test_progressive_custom_scan_script():
+    """A pathological script (single-coefficient bands, deep
+    successive approximation) still reconstructs exactly."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    scans = [
+        ((0,), 0, 0, 0, 3),
+        ((0,), 0, 0, 3, 2),
+        ((0,), 0, 0, 2, 1),
+        ((0,), 0, 0, 1, 0),
+        ((0,), 1, 1, 0, 2),
+        ((0,), 2, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0,), 1, 63, 1, 0),
+    ]
+    base, _ = jpeg_decode(jpeg_encode([img], quality=90))
+    prog, _ = jpeg_decode(
+        jpeg_encode_progressive([img], quality=90, scans=scans)
+    )
+    assert np.array_equal(base[0], prog[0])
+
+
+def test_progressive_truncated_mid_scan_raises():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = jpeg_encode_progressive([img, img, img], quality=75)
+    with pytest.raises(JpegError):
+        jpeg_decode(data[: int(len(data) * 0.6)])
+
+
+def test_progressive_header_sniffer_sees_sof2():
+    img = np.full((20, 30), 120, dtype=np.uint8)
+    data = jpeg_encode_progressive([img], quality=75)
+    w, h, ncomp, progressive, ok = jpeg_dimensions(data)
+    assert (w, h, ncomp, progressive, ok) == (30, 20, 1, True, True)
 
 
 def test_huffman_tables_are_valid_canonical():
