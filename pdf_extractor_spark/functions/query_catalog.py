@@ -2756,6 +2756,27 @@ def _semantic_dedup_sql() -> str:
 _SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+def _pdf_images(spark, sf_dir):
+    """Embedded-image harvest (functions/pdfimages.py): the PDF
+    machinery resolves /DCTDecode image XObjects out of page
+    resources (decrypting them in the encrypted fifth of the
+    corpus) and the from-scratch JPEG codec entropy-decodes the
+    recovered streams — dimensions and luma sums are measured from
+    DECODED pixels against a closed-form oracle."""
+    from .pdfimages import pdf_images
+
+    return pdf_images(_t(spark, sf_dir, "documents"))
+
+
+def _pdf_images_sql() -> str:
+    from .pdfimages import duck_pdf_images_sql
+
+    return duck_pdf_images_sql()
+
+
+_PDF_IMAGES_SQL = _pdf_images_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5123,6 +5144,12 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_jpeg_decode": QueryDef(
         _multimodal_jpeg, _MULTIMODAL_JPEG_SQL, True
     ),
+    # new this session: embedded-JPEG harvest out of PDFs (tokenizer
+    # x jpeg_codec capstone). Window make-room: corpus_host_templates
+    # moves past the edge (never driver-checked both; the cross-
+    # subsystem capstone with an encrypted-decode leg outranks the
+    # template miner, which keeps its unit suite + local crosscheck).
+    "corpus_pdf_images": QueryDef(_pdf_images, _PDF_IMAGES_SQL, True),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),

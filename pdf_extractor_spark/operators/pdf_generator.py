@@ -504,6 +504,7 @@ def build_pdf(
     widths_font: tuple[int, list[float]] | None = None,
     cid_widths: tuple[float, list[tuple]] | None = None,
     mac_roman_font: bool = False,
+    images: list[tuple[str, int, int, bool, bytes, int]] | None = None,
 ) -> bytes:
     """Serialize pages into a complete PDF byte string.
 
@@ -593,7 +594,7 @@ def build_pdf(
                 cid_tounicode_chars or differences or type3_glyphs or \
                 ocg_layers or header_xobject or \
                 predefined_cmap or info or outline or form_fields or \
-                attachments or xmp:
+                attachments or xmp or images:
             raise ValueError(
                 "tounicode/differences/xobject supported on the "
                 "classic layout only"
@@ -670,11 +671,26 @@ def build_pdf(
     if header_xobject:
         xobj_id = n_fixed + 1
         n_fixed += 1
+    # image XObjects (§8.9.5): (name, width, height, gray, payload,
+    # n_draws) — payload is a ready JPEG byte stream stored with
+    # /Filter /DCTDecode (encrypted per-object like every stream
+    # when ``encrypt`` is set), drawn n_draws times on each page
+    img_ids: dict[str, int] = {}
+    for name, *_rest in images or []:
+        img_ids[name] = n_fixed + 1
+        n_fixed += 1
     font_dict = " ".join(
         f"/{name} {oid} 0 R" for name, oid in font_refs.items()
     )
+    xobj_entries = []
+    if xobj_id:
+        xobj_entries.append(f"/Xh {xobj_id} 0 R")
+    xobj_entries.extend(
+        f"/{name} {oid} 0 R" for name, oid in img_ids.items()
+    )
     xobj_dict = (
-        f" /XObject << /Xh {xobj_id} 0 R >>" if xobj_id else ""
+        " /XObject << " + " ".join(xobj_entries) + " >>"
+        if xobj_entries else ""
     )
     props_dict = (
         " /Properties << " + " ".join(
@@ -728,6 +744,16 @@ def build_pdf(
         stream = _content_stream(p, oc_res)
         if xobj_id is not None:
             stream = b"q /Xh Do Q\n" + stream
+        if images:
+            ops = []
+            for name, iw, ih, _gray, _payload, n_draws in images:
+                for d in range(n_draws):
+                    ops.append(
+                        f"q {iw * 2:g} 0 0 {ih * 2:g} "
+                        f"{40 + 30 * d:g} {60 + 15 * d:g} cm "
+                        f"/{name} Do Q".encode("latin-1")
+                    )
+            stream = b"\n".join(ops) + b"\n" + stream
         if content_parts > 1:
             # split at text-block boundaries into ~equal byte parts —
             # tokens never span parts, per §7.8.2
@@ -1235,6 +1261,26 @@ def build_pdf(
         objs[pid] = (
             f"<< /Length {len(proc)} >>\nstream\n".encode("latin-1")
             + proc + b"\nendstream"
+        )
+    for name, iw, ih, gray, payload, _nd in images or []:
+        oid = img_ids[name]
+        data = payload
+        if enc_key is not None:
+            import hashlib
+
+            from . import pdf_crypt
+
+            iv = hashlib.md5(f"fixture-iv:{oid}".encode()).digest()
+            data = pdf_crypt.encrypt_object_bytes(
+                enc_aes, enc_key, oid, 0, data, iv=iv
+            )
+        cs = "/DeviceGray" if gray else "/DeviceRGB"
+        objs[oid] = (
+            f"<< /Type /XObject /Subtype /Image /Width {iw} "
+            f"/Height {ih} /ColorSpace {cs} /BitsPerComponent 8 "
+            f"/Filter /DCTDecode /Length {len(data)} "
+            f">>\nstream\n".encode("latin-1")
+            + data + b"\nendstream"
         )
     if xobj_id is not None:
         form = PageSpec()

@@ -81,6 +81,14 @@ class PdfDoc:
     # author) — review comments / sticky notes / highlight remarks
     annotations: list[tuple[int, str, str, str]] = \
         field(default_factory=list)
+    # image XObjects (§8.9.5): (page, name, width, height,
+    # colorspace, bits-per-component, filter, n_draws, payload) —
+    # payload is the DECODED sample data for Flate images and the
+    # raw (decrypted) JPEG byte stream for /DCTDecode, ready for
+    # the jpeg_codec decoder. Draw counts come from a light
+    # ``/Name Do`` scan of the page content stream (top level;
+    # form-nested draws are out of scope by design).
+    images: list[tuple] = field(default_factory=list)
 
 
 def empty_word_frame() -> Words:
@@ -1203,6 +1211,88 @@ def _page_xobjects(
             xs, xfonts or None,
             _page_xobjects(xb, bodies, dec, depth + 1),
         )
+    return out
+
+
+def _raw_stream_slice(body: bytes, transform=None) -> bytes:
+    """The stream's stored bytes after per-object decryption but
+    BEFORE any /Filter decode — what a raster codec (DCTDecode)
+    consumes directly."""
+    i = body.find(b"stream")
+    if i < 0:
+        return b""
+    head = body[:i]
+    j = i + len(b"stream")
+    if body[j:j + 2] == b"\r\n":
+        j += 2
+    elif body[j:j + 1] == b"\n":
+        j += 1
+    m = _LENGTH_RE.search(head)
+    if m:
+        out = body[j:j + int(m.group(1))]
+    else:
+        k = body.rfind(b"endstream")
+        out = body[j:k if k >= 0 else len(body)]
+        if transform is None and out.endswith(b"\n"):
+            out = out[:-1]
+    if transform is not None and not _crypt_filter_identity(head):
+        out = transform(out)
+    return out
+
+
+def _page_images(
+    body: bytes, bodies: dict[int, bytes], dec
+) -> list[tuple]:
+    """Resolve ``/Resources /XObject`` entries with ``/Subtype
+    /Image`` (ISO 32000 §8.9.5) into
+    ``(name, width, height, colorspace, bpc, filter, payload)``.
+    DCTDecode payloads stay as raw JPEG bytes (decrypted when the
+    document is encrypted — §7.6.2 wraps the encoded stream);
+    Flate/LZW/RLE images decode to their sample bytes. The form-
+    XObject resolver (:func:`_page_xobjects`) deliberately skips
+    these — text and raster harvests are separate passes over the
+    same resource dictionaries."""
+    out: list[tuple] = []
+    res = _resources_of(body, bodies)
+    xm = re.search(rb"/XObject\s*<<(.*?)>>", res, re.DOTALL)
+    if not xm:
+        return out
+    for m in _FONT_ENTRY_RE.finditer(xm.group(1)):
+        name, xid = m.group(1).decode("latin-1"), int(m.group(2))
+        xb = bodies.get(xid)
+        if xb is None:
+            continue
+        head = xb.split(b"stream", 1)[0]
+        if b"/Image" not in head:
+            continue
+        w = _dict_int(xb, b"Width") or 0
+        h = _dict_int(xb, b"Height") or 0
+        bpc = _dict_int(xb, b"BitsPerComponent") or 8
+        if b"/DeviceRGB" in head:
+            cs = "DeviceRGB"
+        elif b"/DeviceGray" in head:
+            cs = "DeviceGray"
+        else:
+            cs = "other"
+        try:
+            filters = [f for f, _p in _parse_filter_chain(head)]
+        except Exception:
+            filters = []
+        transform = dec(xid) if dec else None
+        if b"DCTDecode" in filters:
+            filt = "DCTDecode"
+            payload = _raw_stream_slice(xb, transform)
+        elif filters:
+            try:
+                payload = _stream_bytes(xb, transform)
+                filt = filters[0].decode("latin-1")
+            except Exception:
+                payload = b""
+                filt = "unreadable"
+        else:
+            payload = _raw_stream_slice(xb, transform)
+            filt = "raw"
+        out.append((name, w, h, cs, bpc, filt, payload))
     return out
 
 
@@ -2592,6 +2682,10 @@ def parse_pdf(data: bytes) -> PdfDoc:
                 )
                 cached = res_cache.get(font_src)
                 if cached is None:
+                    try:
+                        page_imgs = _page_images(font_src, bodies, dec)
+                    except Exception:
+                        page_imgs = []  # raster damage never costs text
                     cached = (
                         _page_fonts(font_src, bodies, dec),
                         _page_xobjects(font_src, bodies, dec),
@@ -2600,9 +2694,10 @@ def parse_pdf(data: bytes) -> PdfDoc:
                             or font_src,
                             oc_off,
                         ),
+                        page_imgs,
                     )
                     res_cache[font_src] = cached
-                fonts, xobjs, hidden_ocs = cached
+                fonts, xobjs, hidden_ocs, page_imgs = cached
                 salvage: list[str] = []
                 stream = b"\n".join(
                     _stream_bytes(
@@ -2616,6 +2711,15 @@ def parse_pdf(data: bytes) -> PdfDoc:
                         {"type": "malformed", "severity": "warning",
                          "page": idx, "message": note}
                     )
+                for nm, iw, ih, cs_, bpc_, filt_, pay_ in page_imgs:
+                    n_draws = len(re.findall(
+                        rb"/" + re.escape(nm.encode("latin-1"))
+                        + rb"\s+Do(?![A-Za-z])", stream
+                    ))
+                    doc.images.append((
+                        idx, nm, iw, ih, cs_, bpc_, filt_,
+                        n_draws, pay_,
+                    ))
                 page_flags: dict = {}
                 words = _parse_content(
                     stream, height, idx, fonts, xobjs, width,
