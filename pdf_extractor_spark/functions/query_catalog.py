@@ -2777,6 +2777,27 @@ def _pdf_images_sql() -> str:
 _PDF_IMAGES_SQL = _pdf_images_sql()
 
 
+def _inline_images(spark, sf_dir):
+    """Inline data-URI image decode (functions/inlineimages.py):
+    the HTML twin of the PDF image harvest — harvest_images
+    surfaces <img src="data:image/jpeg;base64,..."> through the
+    real charset/quote-repair/lazy-load pipeline, base64 +
+    jpeg_codec decode to pixels; externals, lazy stubs and damaged
+    payloads fall out without costing the page."""
+    from .inlineimages import inline_images
+
+    return inline_images(_t(spark, sf_dir, "documents"))
+
+
+def _inline_images_sql() -> str:
+    from .inlineimages import duck_inline_images_sql
+
+    return duck_inline_images_sql()
+
+
+_INLINE_IMAGES_SQL = _inline_images_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5150,6 +5171,14 @@ CATALOG: dict[str, QueryDef] = {
     # subsystem capstone with an encrypted-decode leg outranks the
     # template miner, which keeps its unit suite + local crosscheck).
     "corpus_pdf_images": QueryDef(_pdf_images, _PDF_IMAGES_SQL, True),
+    # new this session: the HTML twin of the PDF image harvest.
+    # Window make-room: corpus_crawl_budget moves past the edge
+    # (never driver-checked both; same capstone-over-miner rationale
+    # as the two entries above — budget keeps unit suite + local
+    # both-SF crosscheck).
+    "corpus_inline_images": QueryDef(
+        _inline_images, _INLINE_IMAGES_SQL, True
+    ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),
