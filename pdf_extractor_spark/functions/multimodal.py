@@ -1195,3 +1195,104 @@ SELECT doc_id,
 FROM dec
 GROUP BY doc_id, w, h, gray, sub, prog
 """
+
+
+# ========================================= JPEG thumbnail (re-encode)
+
+THUMB_SCHEMA = (
+    "doc_id long, thumb_width int, thumb_height int, y_sum long"
+)
+
+
+def jpeg_thumbnail_meta(
+    docs: DataFrame, num_partitions: int = 8
+) -> DataFrame:
+    """Thumbnail WRITE path: decode the fixture JPEG, 2:1
+    area-average the luma plane (edge-replicated for odd dims, the
+    codec rounder), re-encode as a grayscale baseline JPEG at
+    quality 60, decode THAT and report the result — the encoder is
+    now a gated production surface, not just fixture tooling.
+
+    Oracle closed form: the source is constant per 16x16 cell, so
+    the half-scale luma is constant per 8x8 cell and the re-encode
+    is DC-only again — the thumbnail pixel is the DOUBLE
+    quantization dec(dec(v, Q1), Q2) with Q2 = Q00(quality 60) = 13,
+    exactly computable in SQL. At 100 TB this stage is the standard
+    preview-generation pass: pure map, media bytes never cross an
+    exchange, output rows are fixed-shape."""
+    from ..operators.jpeg_codec import jpeg_decode, jpeg_encode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "thumb_width": [],
+                "thumb_height": [], "y_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                planes, _meta = jpeg_decode(bytes(payload))
+                y = planes[0].astype(np.float64)
+                if y.shape[0] % 2:
+                    y = np.vstack([y, y[-1:]])
+                if y.shape[1] % 2:
+                    y = np.hstack([y, y[:, -1:]])
+                small = np.floor(
+                    (y[0::2, 0::2] + y[0::2, 1::2]
+                     + y[1::2, 0::2] + y[1::2, 1::2]) / 4.0
+                    + (0.5 + 1e-9)
+                ).astype(np.uint8)
+                tplanes, tmeta = jpeg_decode(
+                    jpeg_encode([small], quality=60)
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["thumb_width"].append(tmeta["width"])
+                rows["thumb_height"].append(tmeta["height"])
+                rows["y_sum"].append(
+                    int(tplanes[0].astype(np.int64).sum())
+                )
+            yield pd.DataFrame(rows).astype({
+                "thumb_width": "int32", "thumb_height": "int32",
+            })
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_jpeg_full
+    ).mapInPandas(body, THUMB_SCHEMA)
+
+
+def duck_jpeg_thumbnail_sql(source: str = "documents") -> str:
+    """Closed-form twin: double quantization per cell; Q2 is the
+    quality-60 luma DC step, (16 * (200 - 120) + 50) // 100 = 13."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         24 + 8 * (doc_id % 4)  AS w,
+         20 + 6 * (doc_id % 3)  AS h,
+         50 + 5 * (doc_id % 8)  AS qf
+  FROM {source}
+), q AS (
+  SELECT *,
+         greatest(1, least(255, (16 * (200 - 2 * qf) + 50) // 100))
+           AS q1,
+         (w + 1) // 2 AS w2,
+         (h + 1) // 2 AS h2
+  FROM p
+), cell AS (
+  SELECT q.*, gx.bx, gy.by,
+         least(8, w2 - 8 * gx.bx) AS nx,
+         least(8, h2 - 8 * gy.by) AS ny,
+         least(greatest(floor(
+             floor(8.0 * ((doc_id * 7 + 13 * gx.bx + 29 * gy.by)
+                          % 256 - 128) / q1 + 0.5)
+             * q1 / 8.0 + 0.5) + 128, 0), 255) AS d1
+  FROM q,
+       LATERAL (SELECT unnest(range(0, (w + 15) // 16)) AS bx) gx,
+       LATERAL (SELECT unnest(range(0, (h + 15) // 16)) AS by) gy
+)
+SELECT doc_id,
+       CAST(w2 AS INT) AS thumb_width,
+       CAST(h2 AS INT) AS thumb_height,
+       CAST(sum(nx * ny * least(greatest(floor(
+           floor(8.0 * (d1 - 128) / 13 + 0.5)
+           * 13 / 8.0 + 0.5) + 128, 0), 255)) AS BIGINT) AS y_sum
+FROM cell
+GROUP BY doc_id, w2, h2
+"""

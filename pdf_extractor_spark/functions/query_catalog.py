@@ -2798,6 +2798,25 @@ def _inline_images_sql() -> str:
 _INLINE_IMAGES_SQL = _inline_images_sql()
 
 
+def _jpeg_thumbnail(spark, sf_dir):
+    """Thumbnail generation (the codec's WRITE path as a gated
+    surface): decode -> 2:1 luma area-average -> re-encode q60 ->
+    decode, verified against the closed-form double-quantization
+    oracle dec(dec(v, Q1), 13)."""
+    from .multimodal import jpeg_thumbnail_meta
+
+    return jpeg_thumbnail_meta(_t(spark, sf_dir, "documents"))
+
+
+def _jpeg_thumbnail_sql() -> str:
+    from .multimodal import duck_jpeg_thumbnail_sql
+
+    return duck_jpeg_thumbnail_sql()
+
+
+_JPEG_THUMB_SQL = _jpeg_thumbnail_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5178,6 +5197,12 @@ CATALOG: dict[str, QueryDef] = {
     # both-SF crosscheck).
     "corpus_inline_images": QueryDef(
         _inline_images, _INLINE_IMAGES_SQL, True
+    ),
+    # new this session: the encoder as a production surface (same
+    # make-room rationale; corpus_crawl_frontier_bloom past the edge,
+    # keeping its unit suite + local both-SF crosscheck).
+    "multimodal_jpeg_thumbnail": QueryDef(
+        _jpeg_thumbnail, _JPEG_THUMB_SQL, True
     ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
