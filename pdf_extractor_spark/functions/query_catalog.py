@@ -2817,6 +2817,26 @@ def _jpeg_thumbnail_sql() -> str:
 _JPEG_THUMB_SQL = _jpeg_thumbnail_sql()
 
 
+def _trigram_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram LM scoring
+    (functions/textstats.py): continuation-count backoff with
+    absolute discount 3/4, exact integer basis points via two-stage
+    quantization — the smoothing KenLM-class quality filters use,
+    one order above text_bigram_cost."""
+    from .textstats import trigram_kn_costs
+
+    return trigram_kn_costs(_t(spark, sf_dir, "documents"))
+
+
+def _trigram_kn_sql() -> str:
+    from .textstats import duck_trigram_kn_sql
+
+    return duck_trigram_kn_sql()
+
+
+_TRIGRAM_KN_SQL = _trigram_kn_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5204,6 +5224,10 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_jpeg_thumbnail": QueryDef(
         _jpeg_thumbnail, _JPEG_THUMB_SQL, True
     ),
+    # new this session: KN trigram LM (make-room: corpus_fetch_batch
+    # past the edge, same never-checked-vs-never-checked rationale,
+    # keeps unit suite + local both-SF crosscheck).
+    "text_trigram_kn": QueryDef(_trigram_kn, _TRIGRAM_KN_SQL, True),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),

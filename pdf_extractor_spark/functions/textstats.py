@@ -706,3 +706,204 @@ FROM counts
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------- interpolated Kneser-Ney trigram LM cost
+#
+# The tier above the bigram filter: interpolated Kneser-Ney with
+# absolute discount D = 3/4 at both backoff levels — the smoothing
+# KenLM/CCNet-class filters actually use. Lower-order distributions
+# are CONTINUATION counts (how many distinct left contexts a unit
+# completes), not raw frequencies: "Francisco" is frequent but only
+# ever follows "San", so its continuation probability is tiny — the
+# property raw-backoff models get wrong.
+#
+#   p_cont(w3)      = cu(w3) / Nt          (distinct w2 preceding w3
+#                                           over distinct bigram types)
+#   p2(w3|w2)       = (max(cc2 - D, 0) + D * N1p2(w2) * p_cont(w3))
+#                     / ccctx(w2)          (continuation counts)
+#   p3(w3|w1 w2)    = (max(c3 - D, 0) + D * N1p3(w1 w2) * p2(w3|w2))
+#                     / c2ctx(w1 w2)       (raw counts, top level)
+#
+# Exact integer contract: D = 3/4 multiplies through (4c - 3), and
+# the backoff chains through a QUANTIZED intermediate
+# p2_bp8 = floor(1e8 * p2) so every product stays inside int64 at
+# any corpus size and both engines floor identically:
+#   p2_bp8 = (1e8 * (max(4*cc2-3, 0) * Nt + 3 * N1p2 * cu))
+#            div (4 * ccctx * Nt)
+#   p3_bp  = (1e4 * (max(4*c3-3, 0) * 1e8 + 3 * N1p3 * p2_bp8))
+#            div (4 * c2ctx * 1e8)
+#
+# Scale shape: ONE word-count-shaped aggregate over trigram rows
+# (map-side combine) is the heavy stage; every other table derives
+# from it by small re-aggregations; the probe join ships 8-byte
+# hashes (broadcast in production — a pruned LM is bounded); text
+# never leaves the scan that hashes it.
+
+# keep docs averaging >= 540 bp. Fixture-measured: splits every SF
+# non-vacuously (keep fraction 0.69 at sf0.001, 0.75 at sf0.01),
+# integer-exact in both engines so the boundary is stable.
+KN_KEEP_AT_LEAST = 540
+
+_TRIGRAM_STRUCTS = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(0, size(toks) - 3), i -> named_struct("
+    "'hctx', cast(conv(substring(md5(concat_ws(' ', toks[i],"
+    " toks[i+1])), 1, 15), 16, 10) as bigint), "
+    "'hw2', cast(conv(substring(md5(toks[i+1]), 1, 15), 16, 10)"
+    " as bigint), "
+    "'hw3', cast(conv(substring(md5(toks[i+2]), 1, 15), 16, 10)"
+    " as bigint)"
+    ")) ELSE array() END"
+)
+
+
+def trigram_kn_costs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, sum_bp, avg_bp, keep) — interpolated
+    Kneser-Ney trigram score per document, integer basis points,
+    self-trained on the scored corpus."""
+    tri = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id", F.explode(F.expr(_TRIGRAM_STRUCTS)).alias("t")
+        )
+        .select("doc_id", "t.hctx", "t.hw2", "t.hw3")
+    )
+    # feeds the count cascade AND the probe join (no common-subplan
+    # reuse in Catalyst) — same justification as bigram_costs
+    tri = tri.localCheckpoint(eager=False)
+    c3 = tri.groupBy("hctx", "hw2", "hw3").agg(
+        F.count("*").alias("c3")
+    )
+    c3 = c3.localCheckpoint(eager=False)  # parent of 4 aggregates
+    ctx3 = c3.groupBy("hctx").agg(
+        F.sum("c3").alias("c2ctx"), F.count("*").alias("n1p3")
+    )
+    cc2 = c3.groupBy("hw2", "hw3").agg(F.count("*").alias("cc2"))
+    cc2 = cc2.localCheckpoint(eager=False)  # parent of 3 aggregates
+    ctx2 = cc2.groupBy("hw2").agg(
+        F.sum("cc2").alias("ccctx"), F.count("*").alias("n1p2")
+    )
+    cu = cc2.groupBy("hw3").agg(F.count("*").alias("cu"))
+    nt = cc2.agg(F.count("*").alias("nt"))
+    p2 = (
+        cc2.join(ctx2, "hw2")
+        .join(cu, "hw3")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "hw2", "hw3",
+            F.expr(
+                "(100000000 * (greatest(4 * cc2 - 3, 0) * nt"
+                " + 3 * n1p2 * cu)) div (4 * ccctx * nt)"
+            ).alias("p2bp8"),
+        )
+    )
+    p3 = (
+        c3.join(ctx3, "hctx")
+        .join(p2, ["hw2", "hw3"])
+        .select(
+            "hctx", "hw3",
+            F.expr(
+                "(10000 * (greatest(4 * c3 - 3, 0) * 100000000"
+                " + 3 * n1p3 * p2bp8)) div (4 * c2ctx * 100000000)"
+            ).alias("p3bp"),
+        )
+    )
+    per_doc = (
+        tri.join(p3, ["hctx", "hw3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("p3bp").alias("sum_bp"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("sum_bp", F.lit(0)).alias("sum_bp"),
+            F.coalesce(
+                F.expr("sum_bp div n_trigrams"), F.lit(0)
+            ).alias("avg_bp"),
+            (
+                F.coalesce(F.expr("sum_bp div n_trigrams"), F.lit(0))
+                >= KN_KEEP_AT_LEAST
+            ).alias("keep"),
+        )
+    )
+
+
+def duck_trigram_kn_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`trigram_kn_costs` (same hash keys,
+    same two-stage integer quantization)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM {source}
+), tri AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g.ctx), 1, 15) AS BIGINT) AS hctx,
+         CAST('0x' || substr(md5(g.w2), 1, 15) AS BIGINT)  AS hw2,
+         CAST('0x' || substr(md5(g.w3), 1, 15) AS BIGINT)  AS hw3
+  FROM toks,
+  LATERAL (
+    SELECT unnest(CASE WHEN len(t) >= 3 THEN
+             list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1])
+           ELSE [] END) AS ctx,
+           unnest(CASE WHEN len(t) >= 3 THEN
+             list_transform(generate_series(1, len(t) - 2),
+               i -> t[i+1])
+           ELSE [] END) AS w2,
+           unnest(CASE WHEN len(t) >= 3 THEN
+             list_transform(generate_series(1, len(t) - 2),
+               i -> t[i+2])
+           ELSE [] END) AS w3
+  ) g
+), c3 AS MATERIALIZED (
+  SELECT hctx, hw2, hw3, count(*) AS c3
+  FROM tri GROUP BY hctx, hw2, hw3
+), ctx3 AS (
+  SELECT hctx, sum(c3) AS c2ctx, count(*) AS n1p3
+  FROM c3 GROUP BY hctx
+), cc2 AS MATERIALIZED (
+  SELECT hw2, hw3, count(*) AS cc2 FROM c3 GROUP BY hw2, hw3
+), ctx2 AS (
+  SELECT hw2, sum(cc2) AS ccctx, count(*) AS n1p2
+  FROM cc2 GROUP BY hw2
+), cu AS (
+  SELECT hw3, count(*) AS cu FROM cc2 GROUP BY hw3
+), nt AS (
+  SELECT count(*) AS nt FROM cc2
+), p2 AS (
+  SELECT cc2.hw2, cc2.hw3,
+         (100000000 * (greatest(4 * cc2.cc2 - 3, 0) * nt.nt
+          + 3 * ctx2.n1p2 * cu.cu)) // (4 * ctx2.ccctx * nt.nt)
+           AS p2bp8
+  FROM cc2
+  JOIN ctx2 ON cc2.hw2 = ctx2.hw2
+  JOIN cu ON cc2.hw3 = cu.hw3
+  CROSS JOIN nt
+), p3 AS (
+  SELECT c3.hctx, c3.hw3,
+         (10000 * (greatest(4 * c3.c3 - 3, 0) * 100000000
+          + 3 * ctx3.n1p3 * p2.p2bp8))
+         // (4 * ctx3.c2ctx * 100000000) AS p3bp
+  FROM c3
+  JOIN ctx3 ON c3.hctx = ctx3.hctx
+  JOIN p2 ON c3.hw2 = p2.hw2 AND c3.hw3 = p2.hw3
+), per_doc AS (
+  SELECT tri.doc_id, count(*) AS n_trigrams, sum(p3.p3bp) AS sum_bp
+  FROM tri JOIN p3 ON tri.hctx = p3.hctx AND tri.hw3 = p3.hw3
+  GROUP BY tri.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per_doc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(per_doc.sum_bp, 0) AS BIGINT) AS sum_bp,
+       CAST(coalesce(per_doc.sum_bp // per_doc.n_trigrams, 0)
+            AS BIGINT) AS avg_bp,
+       coalesce(per_doc.sum_bp // per_doc.n_trigrams, 0)
+         >= {KN_KEEP_AT_LEAST} AS keep
+FROM {source} d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
