@@ -2837,6 +2837,25 @@ def _trigram_kn_sql() -> str:
 _TRIGRAM_KN_SQL = _trigram_kn_sql()
 
 
+def _weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (functions/sampling.py): rank by ln(u)/w with a reproducible
+    hash draw, top-k via per-partition heaps + driver merge
+    (TakeOrdered) — no global sort, corpus never shuffles."""
+    from .sampling import weighted_priority_sample
+
+    return weighted_priority_sample(_t(spark, sf_dir, "documents"))
+
+
+def _weighted_sample_sql() -> str:
+    from .sampling import duck_weighted_sample_sql
+
+    return duck_weighted_sample_sql()
+
+
+_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5228,6 +5247,11 @@ CATALOG: dict[str, QueryDef] = {
     # past the edge, same never-checked-vs-never-checked rationale,
     # keeps unit suite + local both-SF crosscheck).
     "text_trigram_kn": QueryDef(_trigram_kn, _TRIGRAM_KN_SQL, True),
+    # new this session (make-room: corpus_html_redirect_edges past
+    # the edge, same rationale chain as above).
+    "corpus_weighted_sample": QueryDef(
+        _weighted_sample, _WEIGHTED_SAMPLE_SQL, True
+    ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),

@@ -366,3 +366,66 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM assigned
 """
+
+
+# -------------------------- weighted priority sampling (A-ES / A-ExpJ)
+#
+# Efraimidis-Spirakis: draw u ~ U(0,1) per item, rank by u^(1/w) and
+# keep the top k — a one-pass, merge-friendly weighted sample without
+# replacement where inclusion probability tracks weight. The
+# distributed shape is the whole point: each partition keeps its own
+# top-k, the driver merges k-sized heaps (Spark's TakeOrdered), no
+# global sort, no shuffle of the corpus. u comes from the repo's
+# 60-bit md5 hash so the "random" draw is reproducible across
+# re-runs, partitionings and engines; ranking uses the monotone
+# equivalent ln(u)/w (double) — adjacent priorities of distinct
+# hashes differ by far more than one ulp, so both engines select the
+# same k rows even though libm ulps may differ.
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_priority_sample(
+    docs: DataFrame, k: int = WEIGHTED_SAMPLE_K
+) -> DataFrame:
+    """Top-k weighted sample of documents with weight =
+    whitespace-token count: (doc_id, weight, priority_r6).
+    priority_r6 is ln(u)/w rounded to 6 places — reported so the
+    selection is auditable, rounded so the engines hash-match."""
+    scored = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("weight"),
+        F.expr(
+            "ln((cast(conv(substring(md5(cast(doc_id as string)),"
+            " 1, 15), 16, 10) as double) + 0.5) / 1152921504606846976.0)"
+            " / size(split(text, ' '))"
+        ).alias("priority"),
+    )
+    return (
+        scored.orderBy(F.desc("priority"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id", "weight",
+            F.round("priority", 6).alias("priority_r6"),
+        )
+    )
+
+
+def duck_weighted_sample_sql(
+    source: str = "documents", k: int = WEIGHTED_SAMPLE_K
+) -> str:
+    """DuckDB twin (same hash draw, same rank)."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS weight,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) + 0.5) / 1152921504606846976.0)
+           / len(string_split(text, ' ')) AS priority
+  FROM {source}
+)
+SELECT doc_id, weight, round(priority, 6) AS priority_r6
+FROM scored
+ORDER BY priority DESC, doc_id
+LIMIT {k}
+"""
