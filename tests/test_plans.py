@@ -270,3 +270,52 @@ class TestSplitHoldoutPlan:
         m = re.search(r"ReadSchema: ([^\n]*)", plan)
         # only the url-synthesis inputs are read, never text
         assert m and "text" not in m.group(1)
+
+
+class TestImageLegPlans:
+    """The round-4 image legs share the decode-leg layout contract:
+    media bytes are born on the partition that decodes them — the
+    only exchange carries 8-byte doc_ids (or none at all for the
+    _spread-based harvests), and no per-row Python stage exists."""
+
+    def test_jpeg_decode_two_arrow_stages_one_exchange(self, spark):
+        plan = _plan(spark, "multimodal_jpeg_decode")
+        assert _n(plan, "MapInPandas") == 2
+        assert "BatchEvalPython" not in plan
+        keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(keys) == 1 and "doc_id" in keys[0], plan
+
+    def test_jpeg_thumbnail_same_shape(self, spark):
+        plan = _plan(spark, "multimodal_jpeg_thumbnail")
+        assert _n(plan, "MapInPandas") == 2
+        assert "BatchEvalPython" not in plan
+        keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(keys) == 1 and "doc_id" in keys[0], plan
+
+    def test_pdf_image_harvest_single_arrow_stage(self, spark):
+        """PDF synthesis + parse + JPEG decode all live in ONE
+        mapInPandas (the document wrapper pattern): page bytes
+        never exist outside the stage that consumes them."""
+        plan = _plan(spark, "corpus_pdf_images")
+        assert _n(plan, "MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
+
+    def test_inline_image_harvest_single_arrow_stage(self, spark):
+        plan = _plan(spark, "corpus_inline_images")
+        assert _n(plan, "MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
+
+
+class TestTrigramKnPlan:
+    def test_text_hashed_once_and_never_shuffled(self, spark):
+        """The corpus text reaches exactly one scan-side projection
+        (the trigram hasher); every exchange afterwards carries
+        8-byte hashes and counts, never text."""
+        plan = _plan(spark, "text_trigram_kn")
+        assert "BatchEvalPython" not in plan
+        for keys in re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan
+        ):
+            assert "text" not in keys, keys
+        # no cartesian anywhere (the nt scalar joins via broadcast)
+        assert "CartesianProduct" not in plan
