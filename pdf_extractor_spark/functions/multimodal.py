@@ -1296,3 +1296,148 @@ SELECT doc_id,
 FROM cell
 GROUP BY doc_id, w2, h2
 """
+
+
+# ============================================ Exif/GPS privacy strip
+
+def fixture_jpeg_private(doc_id: int) -> bytes:
+    """The decodable JPEG of :func:`fixture_jpeg_full` with privacy
+    metadata planted after SOI:
+
+        APP1 Exif      unless doc_id % 9 == 8
+          byte order   II (even) / MM (odd)
+          GPS sub-IFD  when doc_id % 3 == 0 (lat rationals — the
+                       location leak the scrub exists for)
+        COM            always ('private comment <d%10>', 17 bytes)
+
+    Segment sizes are closed-form (fixed-length make/datetime
+    strings), so ``bytes_removed`` is SQL-computable:
+    APP1 total = 173 with GPS, 107 without; COM total = 21."""
+    from ..operators.exif_tiff import build_exif_app1, build_exif_tiff
+    from ..operators.jpeg_markers import _seg
+
+    base = fixture_jpeg_full(doc_id)
+    inject = []
+    if doc_id % 9 != 8:
+        tiff = build_exif_tiff(
+            byte_order="II" if doc_id % 2 == 0 else "MM",
+            orientation=1 + doc_id % 8,
+            make=f"Maker{doc_id % 10}",
+            datetime=f"2026:08:{1 + doc_id % 28:02d} "
+                     f"{doc_id % 24:02d}:00:00",
+            x_res=(72, 1),
+            gps=(
+                (10 + doc_id % 80, doc_id % 60, doc_id % 60)
+                if doc_id % 3 == 0 else None
+            ),
+        )
+        inject.append(_seg(0xE1, build_exif_app1(tiff)))
+    inject.append(_seg(0xFE, f"private comment {doc_id % 10}".encode()))
+    return base[:2] + b"".join(inject) + base[2:]
+
+
+EXIF_STRIP_SCHEMA = (
+    "doc_id long, had_exif boolean, had_gps boolean, "
+    "bytes_removed int, y_sum long"
+)
+
+
+def exif_strip_report(
+    docs: DataFrame, num_partitions: int = 8
+) -> DataFrame:
+    """Privacy scrub as a gated surface: read the metadata that IS
+    there (Exif harvest incl. the GPS sub-IFD flag), strip every
+    APPn/COM segment, then DECODE THE STRIPPED BYTES — the y_sum
+    matching the same closed form as the unstripped decode proves
+    the scrub removed metadata and nothing else."""
+    from ..operators.exif_tiff import parse_exif_tiff
+    from ..operators.jpeg_codec import jpeg_decode, jpeg_strip_metadata
+    from ..operators.exif_tiff import ExifError
+
+    def _exif_of(payload: bytes):
+        from ..operators.jpeg_codec import _STANDALONE
+        import struct as _struct
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in _STANDALONE:
+                i += 2
+                continue
+            seglen = _struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if marker == 0xE1 and payload[i + 4:i + 10] == b"Exif\x00\x00":
+                return payload[i + 10:i + 2 + seglen]
+            if marker == 0xDA:
+                break
+            i += 2 + seglen
+        return None
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "had_exif": [], "had_gps": [],
+                "bytes_removed": [], "y_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                tiff = _exif_of(payload)
+                had_gps = False
+                if tiff is not None:
+                    try:
+                        had_gps = parse_exif_tiff(tiff)["has_gps"]
+                    except ExifError:
+                        pass
+                stripped, removed = jpeg_strip_metadata(payload)
+                planes, _meta = jpeg_decode(stripped)
+                rows["doc_id"].append(int(doc_id))
+                rows["had_exif"].append(tiff is not None)
+                rows["had_gps"].append(bool(had_gps))
+                rows["bytes_removed"].append(removed)
+                rows["y_sum"].append(
+                    int(planes[0].astype(np.int64).sum())
+                )
+            yield pd.DataFrame(rows).astype({"bytes_removed": "int32"})
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_jpeg_private
+    ).mapInPandas(body, EXIF_STRIP_SCHEMA)
+
+
+def duck_exif_strip_sql(source: str = "documents") -> str:
+    """Closed-form twin: segment-size arithmetic for bytes_removed,
+    the standard cell closed form for the post-strip luma sum."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         24 + 8 * (doc_id % 4)  AS w,
+         20 + 6 * (doc_id % 3)  AS h,
+         50 + 5 * (doc_id % 8)  AS qf,
+         doc_id % 9 <> 8        AS had_exif,
+         doc_id % 9 <> 8 AND doc_id % 3 = 0 AS had_gps
+  FROM {source}
+), q AS (
+  SELECT *,
+         greatest(1, least(255, (16 * (200 - 2 * qf) + 50) // 100))
+           AS qy00,
+         CASE WHEN NOT had_exif THEN 21
+              WHEN had_gps THEN 173 + 21
+              ELSE 107 + 21 END AS bytes_removed
+  FROM p
+), cell AS (
+  SELECT q.*, gx.bx, gy.by,
+         least(16, w - 16 * gx.bx) AS nx,
+         least(16, h - 16 * gy.by) AS ny
+  FROM q,
+       LATERAL (SELECT unnest(range(0, (w + 15) // 16)) AS bx) gx,
+       LATERAL (SELECT unnest(range(0, (h + 15) // 16)) AS by) gy
+)
+SELECT doc_id, had_exif, had_gps,
+       CAST(bytes_removed AS INT) AS bytes_removed,
+       CAST(sum(nx * ny * least(greatest(floor(
+           floor(8.0 * ((doc_id * 7 + 13 * bx + 29 * by) % 256 - 128)
+                 / qy00 + 0.5) * qy00 / 8.0 + 0.5) + 128, 0), 255))
+         AS BIGINT) AS y_sum
+FROM cell
+GROUP BY doc_id, had_exif, had_gps, bytes_removed
+"""

@@ -2856,6 +2856,25 @@ def _weighted_sample_sql() -> str:
 _WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 
+def _exif_strip(spark, sf_dir):
+    """Image privacy scrub (functions/multimodal.py): report the
+    Exif/GPS that IS there, drop every APPn/COM segment, decode the
+    STRIPPED bytes — post-strip pixels matching the closed-form
+    oracle proves metadata left and nothing else did."""
+    from .multimodal import exif_strip_report
+
+    return exif_strip_report(_t(spark, sf_dir, "documents"))
+
+
+def _exif_strip_sql() -> str:
+    from .multimodal import duck_exif_strip_sql
+
+    return duck_exif_strip_sql()
+
+
+_EXIF_STRIP_SQL = _exif_strip_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5251,6 +5270,11 @@ CATALOG: dict[str, QueryDef] = {
     # the edge, same rationale chain as above).
     "corpus_weighted_sample": QueryDef(
         _weighted_sample, _WEIGHTED_SAMPLE_SQL, True
+    ),
+    # new this session (make-room: corpus_resolve_redirects past the
+    # edge, same rationale chain).
+    "multimodal_exif_strip": QueryDef(
+        _exif_strip, _EXIF_STRIP_SQL, True
     ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL

@@ -36,6 +36,11 @@ class ExifError(ValueError):
 
 # ------------------------------------------------------------- writer
 
+TAG_GPS_IFD = 0x8825
+TAG_GPS_LAT_REF = 0x0001
+TAG_GPS_LAT = 0x0002
+
+
 def build_exif_tiff(
     byte_order: str,
     orientation: int,
@@ -43,24 +48,33 @@ def build_exif_tiff(
     datetime: str,
     x_res: tuple[int, int],
     corrupt_offset: bool = False,
+    gps: tuple[int, int, int] | None = None,
 ) -> bytes:
     """Serialize one IFD0 with the four harvest tags into TIFF bytes
     (not yet APP1-wrapped). ``corrupt_offset`` plants an
     out-of-bounds value offset on XResolution — the truncated-crawl
-    shape the parser must refuse loudly."""
+    shape the parser must refuse loudly. ``gps`` ((deg, min, sec))
+    adds a real GPS sub-IFD (pointer tag 0x8825 → GPSLatitudeRef +
+    GPSLatitude rationals) — the location-privacy payload an image
+    scrub exists to remove."""
     if byte_order not in ("II", "MM"):
         raise ExifError("byte order must be II or MM")
     e = "<" if byte_order == "II" else ">"
     make_b = make.encode("ascii") + b"\x00"
     dt_b = datetime.encode("ascii") + b"\x00"
-    # layout: header(8) + count(2) + 4 entries(48) + next(4) = 62,
-    # then the out-of-line data area
-    data_start = 8 + 2 + 4 * 12 + 4
+    n_entries = 5 if gps is not None else 4
+    # layout: header(8) + count(2) + entries(12 each) + next(4),
+    # then the out-of-line data area, then (optionally) the GPS IFD
+    # and its out-of-line rationals
+    data_start = 8 + 2 + n_entries * 12 + 4
     make_off = data_start
     dt_off = make_off + len(make_b)
     res_off = dt_off + len(dt_b)
     if corrupt_offset:
         res_off = 1 << 20  # far beyond the payload
+    gps_ifd_off = res_off + 8 if not corrupt_offset else (
+        dt_off + len(dt_b) + 8
+    )
 
     def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
         return struct.pack(f"{e}HHI", tag, typ, count) + value
@@ -78,13 +92,31 @@ def build_exif_tiff(
         ),
         entry(TAG_DATETIME, 2, len(dt_b), struct.pack(f"{e}I", dt_off)),
     ]
+    if gps is not None:
+        entries.append(entry(
+            TAG_GPS_IFD, 4, 1, struct.pack(f"{e}I", gps_ifd_off)
+        ))
     # IFD entries must be sorted by tag per TIFF 6.0
     entries.sort(key=lambda b: struct.unpack(f"{e}H", b[:2])[0])
     head = byte_order.encode("ascii") + struct.pack(f"{e}HI", 42, 8)
     ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries)
     ifd += struct.pack(f"{e}I", 0)  # no next IFD
     data = make_b + dt_b + struct.pack(f"{e}II", *x_res)
-    return head + ifd + data
+    out = head + ifd + data
+    if gps is not None:
+        # GPS IFD: 2 entries (ref inline, latitude out-of-line)
+        lat_off = gps_ifd_off + 2 + 2 * 12 + 4
+        gps_ifd = struct.pack(f"{e}H", 2)
+        gps_ifd += entry(TAG_GPS_LAT_REF, 2, 2, b"N\x00\x00\x00")
+        gps_ifd += entry(
+            TAG_GPS_LAT, 5, 3, struct.pack(f"{e}I", lat_off)
+        )
+        gps_ifd += struct.pack(f"{e}I", 0)
+        rats = b"".join(
+            struct.pack(f"{e}II", v, 1) for v in gps
+        )
+        out += gps_ifd + rats
+    return out
 
 
 def build_exif_app1(tiff: bytes) -> bytes:
@@ -128,6 +160,7 @@ def parse_exif_tiff(tiff: bytes) -> dict:
         "datetime": None,
         "x_res_num": None,
         "x_res_den": None,
+        "has_gps": False,
     }
 
     def value_bytes(typ: int, n: int, field: bytes) -> bytes:
@@ -167,6 +200,8 @@ def parse_exif_tiff(tiff: bytes) -> dict:
                 f"{e}II", value_bytes(typ, n, field)[:8]
             )
             out["x_res_num"], out["x_res_den"] = num, den
+        elif tag == TAG_GPS_IFD:
+            out["has_gps"] = True
         # any other tag: skipped (lenient) — IFD walk continues
     return out
 

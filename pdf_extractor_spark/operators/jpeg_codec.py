@@ -1200,3 +1200,50 @@ def jpeg_to_rgb(planes: list[np.ndarray], meta: dict) -> np.ndarray:
         ],
         axis=-1,
     )
+
+
+# ---------------------------------------------------- metadata strip
+
+def jpeg_strip_metadata(payload: bytes) -> tuple[bytes, int]:
+    """Privacy scrub: drop every APP1-APP15 and COM segment (Exif
+    with its GPS sub-IFD, XMP, Photoshop IRBs, comments) while
+    copying everything else byte-identically — pixels, quant and
+    Huffman tables, scans untouched. APP0/JFIF stays (display
+    metadata, no provenance). Returns (stripped bytes,
+    bytes_removed). Segments after the first SOS copy verbatim
+    (entropy data may contain any byte pattern; metadata segments
+    between progressive scans are not a thing real writers emit)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    out = bytearray(b"\xff\xd8")
+    removed = 0
+    i = 2
+    n = len(payload)
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise JpegError(f"marker desync at {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            out.append(0xFF)
+            i += 1
+            continue
+        if marker in _STANDALONE:
+            out += payload[i:i + 2]
+            i += 2
+            if marker == 0xD9:
+                break
+            continue
+        if i + 4 > n:
+            raise JpegError("truncated segment header")
+        seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
+        if seglen < 2 or i + 2 + seglen > n:
+            raise JpegError("truncated segment")
+        if 0xE1 <= marker <= 0xEF or marker == 0xFE:
+            removed += 2 + seglen
+        else:
+            out += payload[i:i + 2 + seglen]
+        i += 2 + seglen
+        if marker == 0xDA:
+            out += payload[i:]  # entropy + remaining scans, verbatim
+            break
+    return bytes(out), removed
