@@ -987,7 +987,7 @@ def _decode_one_scan(
     return reader.pos
 
 
-def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
+def _jpeg_decode_impl(payload: bytes) -> tuple[list[np.ndarray], dict]:
     """Full decode, baseline (SOF0/SOF1) or progressive (SOF2) →
     (planes, meta). Planes come back at their NATURAL sampling size
     (chroma stays subsampled; use :func:`jpeg_to_rgb` to
@@ -1175,6 +1175,19 @@ def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
         "restart_interval": restart_interval,
     }
     return planes, meta
+
+
+def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
+    """Public decode entry: every structural failure — including
+    raw struct/slice errors from adversarially corrupted length
+    fields — surfaces as :class:`JpegError`, so batch harvests can
+    catch ONE exception type and never die on a mutant byte."""
+    try:
+        return _jpeg_decode_impl(payload)
+    except JpegError:
+        raise
+    except (ValueError, IndexError, struct.error) as exc:
+        raise JpegError(f"malformed stream: {exc}") from exc
 
 
 def jpeg_to_rgb(planes: list[np.ndarray], meta: dict) -> np.ndarray:

@@ -10,6 +10,7 @@ transposition/scale bug in one cannot hide in the other.
 from __future__ import annotations
 
 import math
+import struct
 
 import numpy as np
 import pytest
@@ -333,3 +334,50 @@ def test_fixture_oracle_contract_spot():
             d = min(max(math.floor(qv * q00 / 8.0 + 0.5) + 128, 0), 255)
             total += min(16, w - 16 * bx) * min(16, h - 16 * by) * d
     assert int(planes[0].astype(np.int64).sum()) == total
+
+
+# ------------------------------------------------------ mutation fuzz
+
+def test_mutation_fuzz_never_hangs_or_crashes():
+    """Random single-byte corruptions of valid streams (baseline and
+    progressive): every mutant either decodes to well-formed planes
+    or raises JpegError — never an unhandled exception, never a
+    wrong-shaped result. Mirrors the PDF tokenizer's mutation-fuzz
+    contract."""
+    rng = np.random.RandomState(123)
+    img = rng.randint(0, 256, size=(24, 32)).astype(np.uint8)
+    for data in (
+        jpeg_encode([img], quality=80, restart_interval=2),
+        jpeg_encode_progressive([img], quality=80),
+        jpeg_encode([img, img, img], quality=70, subsample=True),
+    ):
+        for _ in range(120):
+            mut = bytearray(data)
+            pos = rng.randint(0, len(mut))
+            mut[pos] = rng.randint(0, 256)
+            try:
+                planes, meta = jpeg_decode(bytes(mut))
+            except JpegError:
+                continue
+            # anything other than JpegError is a contract violation
+            # (batch harvests catch exactly that one type)
+            assert planes and all(
+                p.dtype == np.uint8 and p.ndim == 2 for p in planes
+            )
+            assert 0 < meta["width"] <= 65535
+            assert 0 < meta["height"] <= 65535
+
+
+def test_truncation_sweep_progressive():
+    img = np.arange(240, dtype=np.uint8).reshape(12, 20) % 256
+    data = jpeg_encode_progressive([img], quality=85)
+    ok = 0
+    for cut in range(4, len(data), 7):
+        try:
+            jpeg_decode(data[:cut])
+            ok += 1
+        except JpegError:
+            pass
+    # a prefix never decodes "successfully" before the last scan's
+    # data exists — truncation is loud, not silent
+    assert ok == 0
