@@ -237,3 +237,82 @@ FROM h a JOIN h b
  AND bit_count(xor(a.phash, b.phash)) <= {max_hamming}
 ORDER BY left_id, right_id
 """
+
+
+# ------------------------------- cross-format perceptual identity
+
+def fixture_cross_format(doc_id: int) -> tuple[bytes, bytes]:
+    """(png_bytes, jpeg_bytes) for one document: the SAME 8×8 block
+    pattern rendered losslessly (PNG) and lossily (JPEG quality 70,
+    blocks deliberately NOT aligned to the pattern grid so real
+    ringing error exists) — except every 4th doc (doc_id % 4 == 1),
+    whose JPEG carries the INVERTED pattern (a different image that
+    byte- and pixel-level dedup would also reject, planted so the
+    perceptual-match column has both outcomes)."""
+    from ..operators.jpeg_codec import jpeg_encode
+
+    w = 24 + (doc_id * 7) % 40
+    h = 24 + (doc_id * 13) % 40
+    bits = target_bits(doc_id)
+    grid = np.array(
+        [(bits >> i) & 1 for i in range(64)], dtype=bool
+    ).reshape(8, 8)
+    by = (np.arange(h) * 8) // h
+    bx = (np.arange(w) * 8) // w
+    cells = grid[by[:, None], bx[None, :]]
+    img = np.where(cells, BRIGHT, DARK).astype(np.uint8)
+    png = png_encode(img[:, :, None])
+    jimg = img if doc_id % 4 != 1 else np.where(
+        cells, DARK, BRIGHT
+    ).astype(np.uint8)
+    return png, jpeg_encode([jimg], quality=70)
+
+
+CROSS_FORMAT_SCHEMA = "doc_id long, hamming int, matched boolean"
+
+
+def cross_format_report(
+    docs: DataFrame, num_partitions: int = 8
+) -> DataFrame:
+    """(doc_id, hamming, matched) — aHash distance between the PNG
+    and JPEG renderings. This is the dedup case exact hashing cannot
+    touch (a lossy re-encode changes every byte AND every pixel) and
+    the reason perceptual hashing exists: same content hashes
+    identically across formats (hamming 0), different content is
+    maximally far (the inverted pattern flips every threshold bit:
+    hamming 64). Layout: both payloads are born and decoded on the
+    doc_id partition; only (id, distance) rows flow on."""
+    from ..operators.jpeg_codec import jpeg_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "hamming": [], "matched": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                png, jpg = fixture_cross_format(int(doc_id))
+                hp = ahash64(png_decode(png))
+                planes, _m = jpeg_decode(jpg)
+                hj = ahash64(planes[0][:, :, None])
+                d = bin((hp ^ hj) & (2**64 - 1)).count("1")
+                rows["doc_id"].append(int(doc_id))
+                rows["hamming"].append(d)
+                rows["matched"].append(d <= 3)
+            yield pd.DataFrame(rows).astype({"hamming": "int32"})
+
+    slim = docs.select("doc_id").repartition(
+        num_partitions, F.col("doc_id")
+    )
+    return slim.mapInPandas(body, CROSS_FORMAT_SCHEMA)
+
+
+def duck_cross_format_sql(source: str = "documents") -> str:
+    """Closed-form twin of the plant schedule: identical content
+    hashes identically (0), the inverted plant flips all 64 bits."""
+    return f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 64 ELSE 0 END AS INT)
+         AS hamming,
+       doc_id % 4 <> 1 AS matched
+FROM {source}
+"""

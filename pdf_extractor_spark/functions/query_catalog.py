@@ -2875,6 +2875,26 @@ def _exif_strip_sql() -> str:
 _EXIF_STRIP_SQL = _exif_strip_sql()
 
 
+def _cross_format_dup(spark, sf_dir):
+    """Cross-format perceptual identity (functions/imagehash.py):
+    the same content rendered as lossless PNG and lossy JPEG must
+    hash identically (hamming 0) while a planted different image is
+    maximally far (64) — the dedup case exact/byte hashing cannot
+    touch and the reason perceptual hashing exists."""
+    from .imagehash import cross_format_report
+
+    return cross_format_report(_t(spark, sf_dir, "documents"))
+
+
+def _cross_format_sql() -> str:
+    from .imagehash import duck_cross_format_sql
+
+    return duck_cross_format_sql()
+
+
+_CROSS_FORMAT_SQL = _cross_format_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5275,6 +5295,11 @@ CATALOG: dict[str, QueryDef] = {
     # edge, same rationale chain).
     "multimodal_exif_strip": QueryDef(
         _exif_strip, _EXIF_STRIP_SQL, True
+    ),
+    # new this session (make-room: corpus_cdx_latest past the edge,
+    # same rationale chain).
+    "multimodal_cross_format_dup": QueryDef(
+        _cross_format_dup, _CROSS_FORMAT_SQL, True
     ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL

@@ -114,3 +114,37 @@ class TestPlan:
         )
         # exactly the doc_id spread before synthesis, nothing else
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestCrossFormat:
+    def test_same_content_hashes_identically_across_formats(self):
+        from pdf_extractor_spark.functions.imagehash import (
+            ahash64,
+            fixture_cross_format,
+        )
+        from pdf_extractor_spark.operators.jpeg_codec import jpeg_decode
+        from pdf_extractor_spark.operators.png_codec import png_decode
+
+        for d in (0, 2, 3, 7, 12):  # matched docs (d % 4 != 1)
+            png, jpg = fixture_cross_format(d)
+            assert png[:4] == b"\x89PNG" and jpg[:2] == b"\xff\xd8"
+            assert png != jpg  # byte-level dedup has no chance
+            hp = ahash64(png_decode(png))
+            planes, _m = jpeg_decode(jpg)
+            hj = ahash64(planes[0][:, :, None])
+            assert hp == hj, d
+
+    def test_planted_invert_is_maximally_far(self):
+        from pdf_extractor_spark.functions.imagehash import (
+            ahash64,
+            fixture_cross_format,
+        )
+        from pdf_extractor_spark.operators.jpeg_codec import jpeg_decode
+        from pdf_extractor_spark.operators.png_codec import png_decode
+
+        for d in (1, 5, 9):
+            png, jpg = fixture_cross_format(d)
+            hp = ahash64(png_decode(png))
+            planes, _m = jpeg_decode(jpg)
+            hj = ahash64(planes[0][:, :, None])
+            assert bin((hp ^ hj) & (2**64 - 1)).count("1") == 64
