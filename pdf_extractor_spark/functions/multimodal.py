@@ -1441,3 +1441,129 @@ SELECT doc_id, had_exif, had_gps,
 FROM cell
 GROUP BY doc_id, had_exif, had_gps, bytes_removed
 """
+
+
+# ============================================== G.711 telephony audio
+
+def fixture_g711_wav(doc_id: int) -> bytes:
+    """Mono G.711 WAV per document: n = 200 + doc_id % 100 samples
+    of the closed-form ramp s_i = ((doc_id*131 + i*277) % 60001) -
+    30000, companded µ-law (even doc_id, format tag 7) or A-law
+    (odd, tag 6)."""
+    from ..operators.wav_codec import wav_encode_g711
+
+    n = 200 + doc_id % 100
+    i = np.arange(n, dtype=np.int64)
+    s = ((doc_id * 131 + i * 277) % 60001 - 30000).astype(np.int16)
+    return wav_encode_g711(
+        s[:, None], "ulaw" if doc_id % 2 == 0 else "alaw"
+    )
+
+
+G711_SCHEMA = (
+    "doc_id long, law string, n_samples int, pcm_sum long, "
+    "max_err int"
+)
+
+
+def g711_decode_meta(
+    docs: DataFrame, num_partitions: int = 8
+) -> DataFrame:
+    """Distributed G.711 decode: the WAV container routes tag 6/7
+    8-bit streams through the from-scratch companding expanders;
+    the decoded-sample sum and the max roundtrip error against the
+    known ramp are both closed-form (the oracle replays the exact
+    integer encode+decode arithmetic in SQL)."""
+    from ..operators.wav_codec import wav_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "law": [], "n_samples": [],
+                "pcm_sum": [], "max_err": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id = int(doc_id)
+                pcm, _rate = wav_decode(bytes(payload))
+                n = pcm.shape[0]
+                i = np.arange(n, dtype=np.int64)
+                orig = (doc_id * 131 + i * 277) % 60001 - 30000
+                err = np.abs(
+                    pcm[:, 0].astype(np.int64) - orig
+                ).max()
+                rows["doc_id"].append(doc_id)
+                rows["law"].append(
+                    "ulaw" if doc_id % 2 == 0 else "alaw"
+                )
+                rows["n_samples"].append(n)
+                rows["pcm_sum"].append(
+                    int(pcm[:, 0].astype(np.int64).sum())
+                )
+                rows["max_err"].append(int(err))
+            yield pd.DataFrame(rows).astype({
+                "n_samples": "int32", "max_err": "int32",
+            })
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_g711_wav
+    ).mapInPandas(body, G711_SCHEMA)
+
+
+def duck_g711_sql(source: str = "documents") -> str:
+    """Closed-form twin: the exact G.711 integer arithmetic (µ-law
+    threshold-sum exponent + mantissa truncation; A-law 13-bit
+    segments with half-step reconstruction) replayed per sample."""
+    return f"""
+WITH p AS (
+  SELECT doc_id, 200 + doc_id % 100 AS n,
+         doc_id % 2 = 0 AS is_ulaw
+  FROM {source}
+), samp AS (
+  SELECT doc_id, n, is_ulaw, gi.i,
+         (doc_id * 131 + gi.i * 277) % 60001 - 30000 AS s
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) gi
+), enc AS (
+  SELECT doc_id, n, is_ulaw, s,
+         least(abs(s), 32635) + 132 AS umag,
+         least(abs(s), 32767) // 8  AS amag
+  FROM samp
+), seg AS (
+  SELECT *,
+    (CASE WHEN umag >= 256 THEN 1 ELSE 0 END)
+    + (CASE WHEN umag >= 512 THEN 1 ELSE 0 END)
+    + (CASE WHEN umag >= 1024 THEN 1 ELSE 0 END)
+    + (CASE WHEN umag >= 2048 THEN 1 ELSE 0 END)
+    + (CASE WHEN umag >= 4096 THEN 1 ELSE 0 END)
+    + (CASE WHEN umag >= 8192 THEN 1 ELSE 0 END)
+    + (CASE WHEN umag >= 16384 THEN 1 ELSE 0 END) AS uexp,
+    (CASE WHEN amag >= 32 THEN 1 ELSE 0 END)
+    + (CASE WHEN amag >= 64 THEN 1 ELSE 0 END)
+    + (CASE WHEN amag >= 128 THEN 1 ELSE 0 END)
+    + (CASE WHEN amag >= 256 THEN 1 ELSE 0 END)
+    + (CASE WHEN amag >= 512 THEN 1 ELSE 0 END)
+    + (CASE WHEN amag >= 1024 THEN 1 ELSE 0 END)
+    + (CASE WHEN amag >= 2048 THEN 1 ELSE 0 END) AS aexp
+  FROM enc
+), dec AS (
+  SELECT doc_id, n, is_ulaw, s,
+    CASE WHEN is_ulaw THEN
+      (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+      * (((((umag >> (uexp + 3)) & 15) * 8 + 132) << uexp) - 132)
+    ELSE
+      (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+      * ((CASE WHEN aexp = 0
+            THEN ((amag // 2) & 15) * 2 + 1
+            ELSE ((((amag >> aexp) & 15) * 2 + 1 + 32)
+                  << (aexp - 1)) END) * 8
+         + (CASE WHEN aexp = 0 THEN 4 ELSE 4 << (aexp - 1) END))
+    END AS d
+  FROM seg
+)
+SELECT doc_id,
+       CASE WHEN is_ulaw THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(n AS INT) AS n_samples,
+       CAST(sum(d) AS BIGINT) AS pcm_sum,
+       CAST(max(abs(d - s)) AS INT) AS max_err
+FROM dec
+GROUP BY doc_id, is_ulaw, n
+"""

@@ -2895,6 +2895,26 @@ def _cross_format_sql() -> str:
 _CROSS_FORMAT_SQL = _cross_format_sql()
 
 
+def _g711_audio(spark, sf_dir):
+    """G.711 telephony audio decode (operators/wav_codec.py): the
+    WAV container routes format-tag 6/7 8-bit streams through
+    from-scratch µ-law/A-law expanders; decoded sums and roundtrip
+    error bounds replay the exact companding integer arithmetic in
+    SQL."""
+    from .multimodal import g711_decode_meta
+
+    return g711_decode_meta(_t(spark, sf_dir, "documents"))
+
+
+def _g711_sql() -> str:
+    from .multimodal import duck_g711_sql
+
+    return duck_g711_sql()
+
+
+_G711_SQL = _g711_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5300,6 +5320,12 @@ CATALOG: dict[str, QueryDef] = {
     # same rationale chain).
     "multimodal_cross_format_dup": QueryDef(
         _cross_format_dup, _CROSS_FORMAT_SQL, True
+    ),
+    # new this session (make-room: extract_cdx_roundtrip past the
+    # edge — it keeps its r4-part-1 unit suite, the cdx battery's
+    # local both-SF crosscheck, and corpus_cdx_latest's adjacency).
+    "multimodal_g711_audio": QueryDef(
+        _g711_audio, _G711_SQL, True
     ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
