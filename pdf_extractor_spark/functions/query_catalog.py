@@ -5193,6 +5193,18 @@ CATALOG: dict[str, QueryDef] = {
     # exposed through __spark_entry__.queries()/oracle_sql().
     # ALL entries NEW this round sit inside the window — an entry
     # with no driver row ever outranks any entry that has one.
+    # Window arithmetic UPDATE (second resumed session, catalog at
+    # 176): nine new entries landed inside the window at positions
+    # 17-25 (multimodal_jpeg_decode, corpus_pdf_images,
+    # corpus_inline_images, multimodal_jpeg_thumbnail,
+    # text_trigram_kn, corpus_weighted_sample, multimodal_exif_strip,
+    # multimodal_cross_format_dup, multimodal_g711_audio), each with
+    # a written make-room rationale at its insertion point; the nine
+    # displaced entries (corpus_cdx_latest .. corpus_host_templates
+    # region) all carry THIS session's full-catalog crosscheck rows
+    # (174/174 sf0.001 and 175/175 sf0.01, FAILURES: none) plus
+    # their unit suites. Historical arithmetic below kept for the
+    # audit trail.
     # Window arithmetic (resumed session of round 4, catalog at 125):
     # 47 never-driver-checked round-4 entries (the five source
     # roundtrips warc/feed/sitemap/wet/cdx, the discovery/corpus
@@ -5321,9 +5333,10 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_cross_format_dup": QueryDef(
         _cross_format_dup, _CROSS_FORMAT_SQL, True
     ),
-    # new this session (make-room: extract_cdx_roundtrip past the
-    # edge — it keeps its r4-part-1 unit suite, the cdx battery's
-    # local both-SF crosscheck, and corpus_cdx_latest's adjacency).
+    # new this session (make-room: corpus_cdx_latest past the edge
+    # — it keeps its r4-part-1 unit suite and the cdx battery's
+    # local both-SF crosscheck; extract_cdx_roundtrip holds the
+    # window's position 50).
     "multimodal_g711_audio": QueryDef(
         _g711_audio, _G711_SQL, True
     ),
