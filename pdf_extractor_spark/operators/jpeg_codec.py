@@ -218,6 +218,10 @@ class _BitReader:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+        # trim consumed high bits: without this the accumulator
+        # grows into an arbitrarily long Python int over a scan and
+        # every shift turns O(scan length) — quadratic total
+        self.acc &= (1 << self.nbits) - 1
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -226,10 +230,20 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def _fill8(self) -> None:
+        """Best-effort top-up to >= 8 buffered bits (stops quietly
+        at markers/stream end: the caller falls back to the per-bit
+        path, which raises with the precise diagnosis)."""
+        while self.nbits < 8:
+            try:
+                self._fill()
+            except JpegError:
+                return
 
     def restart(self, expect: int) -> None:
         """Byte-align and consume the expected RSTn marker."""
@@ -256,12 +270,28 @@ class _BitReader:
 
 
 class _HuffDecoder:
-    """Annex F.2.2 canonical decode via per-length min/max code."""
+    """Annex F.2.2 canonical decode via per-length min/max code,
+    fronted by an 8-bit lookup table: one peek resolves any code of
+    length <= 8 (all of them, for this codec's flat tables; real
+    DHTs resolve their short codes the same way and fall back to
+    the per-bit walk for longer ones)."""
 
     def __init__(self, bits: list[int], values: list[int]) -> None:
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
+        self.lut: list[tuple[int, int] | None] = [None] * 256
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length]):
+                if length <= 8:
+                    prefix = code << (8 - length)
+                    for fill in range(1 << (8 - length)):
+                        self.lut[prefix | fill] = (values[k], length)
+                k += 1
+                code += 1
+            code <<= 1
         code = 0
         k = 0
         for length in range(1, 17):
@@ -275,6 +305,13 @@ class _HuffDecoder:
         self.values = values
 
     def decode(self, reader: _BitReader) -> int:
+        if reader.nbits < 8:
+            reader._fill8()
+        if reader.nbits >= 8:
+            ent = self.lut[(reader.acc >> (reader.nbits - 8)) & 0xFF]
+            if ent is not None:
+                reader.nbits -= ent[1]
+                return ent[0]
         code = 0
         for length in range(1, 17):
             code = (code << 1) | reader.bit()
