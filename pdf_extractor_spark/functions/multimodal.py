@@ -1567,3 +1567,120 @@ SELECT doc_id,
 FROM dec
 GROUP BY doc_id, is_ulaw, n
 """
+
+
+# ===================================== progressive salvage decode leg
+
+def fixture_jpeg_truncated(doc_id: int) -> bytes:
+    """Grayscale PROGRESSIVE JPEG (6-scan script) truncated before
+    SOS #(k+1), k = 1 + doc_id % 6 (k = 6 keeps the full file):
+    same dims/quality/cell schedule as :func:`fixture_jpeg_full`
+    but always gray, so the salvage closed form needs only the DC
+    precision ladder — scans 1-4 hold DC at Al=1 (coefficient
+    q - (q & 1)), scan 5 refines DC to full q (AC scans contribute
+    nothing on DC-only content, but their EOB-run machinery still
+    runs)."""
+    from ..operators.jpeg_codec import jpeg_encode_progressive
+
+    w = 24 + 8 * (doc_id % 4)
+    h = 20 + 6 * (doc_id % 3)
+    bx = np.arange((w + 15) // 16, dtype=np.int64)
+    by = np.arange((h + 15) // 16, dtype=np.int64)
+    cell = (doc_id * 7 + 13 * bx[None, :] + 29 * by[:, None]) % 256
+    img = np.repeat(
+        np.repeat(cell, 16, axis=0), 16, axis=1
+    )[:h, :w].astype(np.uint8)
+    data = jpeg_encode_progressive(
+        [img], quality=50 + 5 * (doc_id % 8)
+    )
+    k = 1 + doc_id % 6
+    if k >= 6:
+        return data
+    offs = []
+    i = 0
+    while True:
+        i = data.find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        offs.append(i)
+    return data[:offs[k]]
+
+
+JPEG_SALVAGE_SCHEMA = (
+    "doc_id long, scans_done int, salvaged boolean, y_sum long"
+)
+
+
+def jpeg_salvage_meta(
+    docs: DataFrame, num_partitions: int = 8
+) -> DataFrame:
+    """Browser-style decode of crawl-truncated progressive JPEGs:
+    reconstruct from the complete scans, report how many landed.
+    The y_sum oracle is the DC precision ladder in closed form —
+    a decoder that silently used the rolled-back partial scan, or
+    mis-ran the refinement bit machine, lands on different pixels."""
+    from ..operators.jpeg_codec import jpeg_decode_salvage
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "scans_done": [], "salvaged": [],
+                "y_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                planes, meta = jpeg_decode_salvage(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["scans_done"].append(meta["n_scans"])
+                rows["salvaged"].append(meta["salvaged"])
+                rows["y_sum"].append(
+                    int(planes[0].astype(np.int64).sum())
+                )
+            yield pd.DataFrame(rows).astype({"scans_done": "int32"})
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_jpeg_truncated
+    ).mapInPandas(body, JPEG_SALVAGE_SCHEMA)
+
+
+def duck_jpeg_salvage_sql(source: str = "documents") -> str:
+    """Closed-form twin: the DC precision ladder — coefficient
+    q - (q & 1) while only the Al=1 DC scan landed (k < 5), full q
+    after the DC refinement scan."""
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         24 + 8 * (doc_id % 4)  AS w,
+         20 + 6 * (doc_id % 3)  AS h,
+         50 + 5 * (doc_id % 8)  AS qf,
+         1 + doc_id % 6         AS k
+  FROM {source}
+), q AS (
+  SELECT *,
+         greatest(1, least(255, (16 * (200 - 2 * qf) + 50) // 100))
+           AS qy00
+  FROM p
+), cell AS (
+  SELECT q.*, gx.bx, gy.by,
+         least(16, w - 16 * gx.bx) AS nx,
+         least(16, h - 16 * gy.by) AS ny,
+         floor(8.0 * ((doc_id * 7 + 13 * gx.bx + 29 * gy.by) % 256
+               - 128) / qy00 + 0.5) AS qdc
+  FROM q,
+       LATERAL (SELECT unnest(range(0, (w + 15) // 16)) AS bx) gx,
+       LATERAL (SELECT unnest(range(0, (h + 15) // 16)) AS by) gy
+), coefs AS (
+  SELECT *,
+         CASE WHEN k >= 5 THEN CAST(qdc AS BIGINT)
+              ELSE CAST(qdc AS BIGINT) - (CAST(qdc AS BIGINT) & 1)
+         END AS coef
+  FROM cell
+)
+SELECT doc_id,
+       CAST(k AS INT) AS scans_done,
+       k < 6          AS salvaged,
+       CAST(sum(nx * ny * least(greatest(floor(
+           coef * qy00 / 8.0 + 0.5) + 128, 0), 255)) AS BIGINT)
+         AS y_sum
+FROM coefs
+GROUP BY doc_id, k
+"""

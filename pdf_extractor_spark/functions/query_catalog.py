@@ -2915,6 +2915,25 @@ def _g711_sql() -> str:
 _G711_SQL = _g711_sql()
 
 
+def _jpeg_salvage(spark, sf_dir):
+    """Browser-style salvage of crawl-truncated PROGRESSIVE JPEGs
+    (functions/multimodal.py): reconstruct from complete scans,
+    rolled-back partial scan excluded; the oracle is the DC
+    precision ladder in closed form."""
+    from .multimodal import jpeg_salvage_meta
+
+    return jpeg_salvage_meta(_t(spark, sf_dir, "documents"))
+
+
+def _jpeg_salvage_sql() -> str:
+    from .multimodal import duck_jpeg_salvage_sql
+
+    return duck_jpeg_salvage_sql()
+
+
+_JPEG_SALVAGE_SQL = _jpeg_salvage_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5339,6 +5358,11 @@ CATALOG: dict[str, QueryDef] = {
     # window's position 50).
     "multimodal_g711_audio": QueryDef(
         _g711_audio, _G711_SQL, True
+    ),
+    # new this session (make-room: corpus_resolve_redirects past the
+    # edge, same rationale chain).
+    "multimodal_jpeg_salvage": QueryDef(
+        _jpeg_salvage, _JPEG_SALVAGE_SQL, True
     ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL

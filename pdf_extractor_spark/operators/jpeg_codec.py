@@ -1024,13 +1024,21 @@ def _decode_one_scan(
     return reader.pos
 
 
-def _jpeg_decode_impl(payload: bytes) -> tuple[list[np.ndarray], dict]:
+def _jpeg_decode_impl(
+    payload: bytes, salvage: bool = False
+) -> tuple[list[np.ndarray], dict]:
     """Full decode, baseline (SOF0/SOF1) or progressive (SOF2) →
     (planes, meta). Planes come back at their NATURAL sampling size
     (chroma stays subsampled; use :func:`jpeg_to_rgb` to
     upsample+convert), cropped to the frame dimensions. meta:
     width, height, n_components, subsampled, progressive,
-    restart_interval."""
+    restart_interval, n_scans, salvaged.
+
+    ``salvage``: a structural/entropy failure AFTER at least one
+    complete scan reconstructs from the completed scans instead of
+    raising — what a browser does with a crawl-truncated progressive
+    image (the failing scan's partial coefficients are rolled back,
+    so the result is exactly "first k scans")."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     quant: dict[int, np.ndarray] = {}
@@ -1042,141 +1050,163 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[list[np.ndarray], dict]:
     comp_info: list[dict] | None = None
     geom = None
     n_scans = 0
+    salvaged = False
     i = 2
     n = len(payload)
     while i + 2 <= n:
-        if payload[i] != 0xFF:
-            raise JpegError(f"marker desync at {i}")
-        marker = payload[i + 1]
-        if marker == 0xFF:
-            i += 1
-            continue
-        if marker in _STANDALONE:
-            if marker == 0xD9:
-                if n_scans == 0:
-                    raise JpegError("EOI before any scan")
-                break
-            i += 2
-            continue
-        if i + 4 > n:
-            raise JpegError("truncated segment header")
-        seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
-        if seglen < 2 or i + 2 + seglen > n:
-            raise JpegError("truncated segment")
-        body = payload[i + 4:i + 2 + seglen]
-        if marker == 0xDB:
-            p = 0
-            while p < len(body):
-                prec = body[p] >> 4
-                tid = body[p] & 0x0F
-                if prec != 0:
-                    raise JpegError("16-bit quant tables unsupported")
-                if p + 65 > len(body):
-                    raise JpegError("short DQT")
-                tbl = np.frombuffer(
-                    body[p + 1:p + 65], dtype=np.uint8
-                ).astype(np.int64)[UNZIGZAG].reshape(8, 8)
-                quant[tid] = tbl
-                p += 65
-        elif marker == 0xC4:
-            p = 0
-            while p < len(body):
-                tclass = body[p] >> 4
-                tid = body[p] & 0x0F
-                if p + 17 > len(body):
-                    raise JpegError("short DHT")
-                bits = [0] + list(body[p + 1:p + 17])
-                count = sum(bits)
-                values = list(body[p + 17:p + 17 + count])
-                if len(values) < count:
-                    raise JpegError("short DHT values")
-                dec = _HuffDecoder(bits, values)
-                (huff_ac if tclass else huff_dc)[tid] = dec
-                p += 17 + count
-        elif marker in (0xC0, 0xC1, 0xC2):
-            if frame is not None:
-                raise JpegError("multiple SOF segments")
-            progressive = marker == 0xC2
-            prec = body[0]
-            if prec != 8:
-                raise JpegError("only 8-bit precision supported")
-            h, w = struct.unpack(">HH", body[1:5])
-            ncomp = body[5]
-            if ncomp not in (1, 3):
-                raise JpegError(f"{ncomp}-component frames unsupported")
-            comps = []
-            for c in range(ncomp):
-                cid = body[6 + 3 * c]
-                samp = body[7 + 3 * c]
-                tq = body[8 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0x0F, tq))
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            if (hmax, vmax) not in ((1, 1), (2, 2)):
-                raise JpegError("only 1x1 and 2x2 max sampling supported")
-            for cid, hs, vs, _tq in comps:
-                if (hs, vs) not in ((1, 1), (hmax, vmax)):
-                    raise JpegError("mixed sampling layout unsupported")
-            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-            frame = (w, h, comps)
-            geom = (hmax, vmax, mcus_x, mcus_y)
-            comp_info = []
-            for cid, hs, vs, tq in comps:
-                comp_info.append({
-                    "cid": cid, "hs": hs, "vs": vs, "tq": tq,
-                    "coef": np.zeros(
-                        (mcus_y * vs, mcus_x * hs, 64), dtype=np.int64
-                    ),
-                    # natural (unpadded) block grid for
-                    # non-interleaved scans (§A.2.2)
-                    "nbx_nat": (
-                        ((w * hs + hmax - 1) // hmax + 7) // 8
-                    ),
-                    "nby_nat": (
-                        ((h * vs + vmax - 1) // vmax + 7) // 8
-                    ),
-                })
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError(
-                f"unsupported frame type 0x{marker:02x}"
-            )
-        elif marker == 0xDD:
-            restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:
-            if frame is None or comp_info is None:
-                raise JpegError("SOS before SOF")
-            ns = body[0]
-            scan = []
-            for c in range(ns):
-                cid = body[1 + 2 * c]
-                tables = body[2 + 2 * c]
-                ci = next(
-                    (j for j, info in enumerate(comp_info)
-                     if info["cid"] == cid), None
+        try:
+            if payload[i] != 0xFF:
+                raise JpegError(f"marker desync at {i}")
+            marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in _STANDALONE:
+                if marker == 0xD9:
+                    if n_scans == 0:
+                        raise JpegError("EOI before any scan")
+                    break
+                i += 2
+                continue
+            if i + 4 > n:
+                raise JpegError("truncated segment header")
+            seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if seglen < 2 or i + 2 + seglen > n:
+                raise JpegError("truncated segment")
+            body = payload[i + 4:i + 2 + seglen]
+            if marker == 0xDB:
+                p = 0
+                while p < len(body):
+                    prec = body[p] >> 4
+                    tid = body[p] & 0x0F
+                    if prec != 0:
+                        raise JpegError("16-bit quant tables unsupported")
+                    if p + 65 > len(body):
+                        raise JpegError("short DQT")
+                    tbl = np.frombuffer(
+                        body[p + 1:p + 65], dtype=np.uint8
+                    ).astype(np.int64)[UNZIGZAG].reshape(8, 8)
+                    quant[tid] = tbl
+                    p += 65
+            elif marker == 0xC4:
+                p = 0
+                while p < len(body):
+                    tclass = body[p] >> 4
+                    tid = body[p] & 0x0F
+                    if p + 17 > len(body):
+                        raise JpegError("short DHT")
+                    bits = [0] + list(body[p + 1:p + 17])
+                    count = sum(bits)
+                    values = list(body[p + 17:p + 17 + count])
+                    if len(values) < count:
+                        raise JpegError("short DHT values")
+                    dec = _HuffDecoder(bits, values)
+                    (huff_ac if tclass else huff_dc)[tid] = dec
+                    p += 17 + count
+            elif marker in (0xC0, 0xC1, 0xC2):
+                if frame is not None:
+                    raise JpegError("multiple SOF segments")
+                progressive = marker == 0xC2
+                prec = body[0]
+                if prec != 8:
+                    raise JpegError("only 8-bit precision supported")
+                h, w = struct.unpack(">HH", body[1:5])
+                ncomp = body[5]
+                if ncomp not in (1, 3):
+                    raise JpegError(f"{ncomp}-component frames unsupported")
+                comps = []
+                for c in range(ncomp):
+                    cid = body[6 + 3 * c]
+                    samp = body[7 + 3 * c]
+                    tq = body[8 + 3 * c]
+                    comps.append((cid, samp >> 4, samp & 0x0F, tq))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if (hmax, vmax) not in ((1, 1), (2, 2)):
+                    raise JpegError("only 1x1 and 2x2 max sampling supported")
+                for cid, hs, vs, _tq in comps:
+                    if (hs, vs) not in ((1, 1), (hmax, vmax)):
+                        raise JpegError("mixed sampling layout unsupported")
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                frame = (w, h, comps)
+                geom = (hmax, vmax, mcus_x, mcus_y)
+                comp_info = []
+                for cid, hs, vs, tq in comps:
+                    comp_info.append({
+                        "cid": cid, "hs": hs, "vs": vs, "tq": tq,
+                        "coef": np.zeros(
+                            (mcus_y * vs, mcus_x * hs, 64), dtype=np.int64
+                        ),
+                        # natural (unpadded) block grid for
+                        # non-interleaved scans (§A.2.2)
+                        "nbx_nat": (
+                            ((w * hs + hmax - 1) // hmax + 7) // 8
+                        ),
+                        "nby_nat": (
+                            ((h * vs + vmax - 1) // vmax + 7) // 8
+                        ),
+                    })
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise JpegError(
+                    f"unsupported frame type 0x{marker:02x}"
                 )
-                if ci is None:
-                    raise JpegError(f"scan component {cid} unknown")
-                scan.append((ci, tables >> 4, tables & 0x0F))
-            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
-            ah, al = ahal >> 4, ahal & 0x0F
-            if not progressive:
-                ss, se, ah, al = 0, 63, 0, 0
-                if len(scan) != len(comp_info):
-                    raise JpegError(
-                        "baseline scan must carry every component"
+            elif marker == 0xDD:
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:
+                if frame is None or comp_info is None:
+                    raise JpegError("SOS before SOF")
+                ns = body[0]
+                scan = []
+                for c in range(ns):
+                    cid = body[1 + 2 * c]
+                    tables = body[2 + 2 * c]
+                    ci = next(
+                        (j for j, info in enumerate(comp_info)
+                         if info["cid"] == cid), None
                     )
-            pos = _decode_one_scan(
-                payload, i + 2 + seglen, comp_info, scan, geom,
-                quant, huff_dc, huff_ac, progressive,
-                restart_interval, ss, se, ah, al,
-            )
-            n_scans += 1
-            i = _next_marker(payload, pos)
-            continue
-        # APPn / COM / others: skip by length
-        i += 2 + seglen
+                    if ci is None:
+                        raise JpegError(f"scan component {cid} unknown")
+                    scan.append((ci, tables >> 4, tables & 0x0F))
+                ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if not progressive:
+                    ss, se, ah, al = 0, 63, 0, 0
+                    if len(scan) != len(comp_info):
+                        raise JpegError(
+                            "baseline scan must carry every component"
+                        )
+                # roll back the failing scan's partial writes so a
+                # salvaged image is exactly "first k complete scans"
+                snapshot = [
+                    info["coef"].copy() for info in comp_info
+                ] if salvage else None
+                try:
+                    pos = _decode_one_scan(
+                        payload, i + 2 + seglen, comp_info, scan,
+                        geom, quant, huff_dc, huff_ac, progressive,
+                        restart_interval, ss, se, ah, al,
+                    )
+                except JpegError:
+                    if snapshot is not None:
+                        for info, snap in zip(comp_info, snapshot):
+                            info["coef"] = snap
+                    raise
+                n_scans += 1
+                i = _next_marker(payload, pos)
+                continue
+            # APPn / COM / others: skip by length
+            i += 2 + seglen
+        except JpegError:
+            # salvage mode: anything broken after >= 1
+            # complete scan reconstructs from what landed;
+            # the failing scan was rolled back at its own
+            # snapshot (SOS branch)
+            if salvage and n_scans >= 1:
+                salvaged = True
+                break
+            raise
     if frame is None or n_scans == 0:
         raise JpegError("missing SOF or SOS")
 
@@ -1210,6 +1240,8 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[list[np.ndarray], dict]:
         "subsampled": subsampled,
         "progressive": progressive,
         "restart_interval": restart_interval,
+        "n_scans": n_scans,
+        "salvaged": salvaged,
     }
     return planes, meta
 
@@ -1221,6 +1253,22 @@ def jpeg_decode(payload: bytes) -> tuple[list[np.ndarray], dict]:
     catch ONE exception type and never die on a mutant byte."""
     try:
         return _jpeg_decode_impl(payload)
+    except JpegError:
+        raise
+    except (ValueError, IndexError, struct.error) as exc:
+        raise JpegError(f"malformed stream: {exc}") from exc
+
+
+def jpeg_decode_salvage(
+    payload: bytes,
+) -> tuple[list[np.ndarray], dict]:
+    """Browser-style progressive salvage: decode a truncated or
+    tail-corrupted stream from its COMPLETE scans (meta
+    ``salvaged``/``n_scans`` report what happened). Streams broken
+    before the first complete scan still raise :class:`JpegError`
+    — there is nothing to show."""
+    try:
+        return _jpeg_decode_impl(payload, salvage=True)
     except JpegError:
         raise
     except (ValueError, IndexError, struct.error) as exc:

@@ -381,3 +381,56 @@ def test_truncation_sweep_progressive():
     # a prefix never decodes "successfully" before the last scan's
     # data exists — truncation is loud, not silent
     assert ok == 0
+
+
+# --------------------------------------------------------- salvage
+
+def test_salvage_reconstructs_from_complete_scans():
+    from pdf_extractor_spark.operators.jpeg_codec import (
+        jpeg_decode_salvage,
+    )
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, size=(32, 48)).astype(np.uint8)
+    data = jpeg_encode_progressive([img], quality=80)
+    offs = []
+    i = 0
+    while True:
+        i = data.find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        offs.append(i)
+    full, mfull = jpeg_decode(data)
+    assert mfull["n_scans"] == len(offs) == 6
+    prev_err = None
+    for k in range(1, 6):
+        planes, meta = jpeg_decode_salvage(data[:offs[k]])
+        assert meta["salvaged"] and meta["n_scans"] == k
+        err = np.abs(
+            planes[0].astype(np.int32) - full[0].astype(np.int32)
+        ).mean()
+        # each extra scan refines toward the full image
+        if prev_err is not None:
+            assert err <= prev_err + 1e-9, (k, err, prev_err)
+        prev_err = err
+    assert prev_err < 16  # 5 of 6 scans: already close
+    # full stream through salvage == plain decode, not salvaged
+    ps, ms = jpeg_decode_salvage(data)
+    assert not ms["salvaged"] and np.array_equal(ps[0], full[0])
+
+
+def test_salvage_rolls_back_partial_scan_and_raises_pre_scan():
+    from pdf_extractor_spark.operators.jpeg_codec import (
+        jpeg_decode_salvage,
+    )
+
+    img = np.arange(768, dtype=np.uint8).reshape(16, 48) % 256
+    data = jpeg_encode_progressive([img], quality=75)
+    first_sos = data.find(b"\xff\xda")
+    second_sos = data.find(b"\xff\xda", first_sos + 1)
+    # mid-second-scan cut: exactly one complete scan survives
+    _p, meta = jpeg_decode_salvage(data[:second_sos + 40])
+    assert meta["n_scans"] == 1 and meta["salvaged"]
+    # cut before any complete scan: nothing to show -> raise
+    with pytest.raises(JpegError):
+        jpeg_decode_salvage(data[:first_sos + 6])
