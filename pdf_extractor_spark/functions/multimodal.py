@@ -1684,3 +1684,100 @@ SELECT doc_id,
 FROM coefs
 GROUP BY doc_id, k
 """
+
+
+# ================================================= ICO (favicon) leg
+
+def fixture_ico(doc_id: int) -> bytes:
+    """Deterministic favicon: 1 + doc_id % 2 entries; entry j is
+    PNG when (doc_id + j) is even else the legacy doubled-height
+    DIB; square size 16 or 32 (16 << ((doc_id + 3j) % 2)); pixel
+    rows are the ramp (doc_id*3 + j*7 + y) % 256; DIB AND masks
+    mark (doc_id + j) % w leftmost columns transparent."""
+    from ..operators.ico_codec import ico_encode
+
+    entries = []
+    for j in range(1 + doc_id % 2):
+        w = 16 << ((doc_id + 3 * j) % 2)
+        y = np.arange(w, dtype=np.int64)[:, None]
+        px = np.broadcast_to(
+            (doc_id * 3 + j * 7 + y) % 256, (w, w)
+        ).astype(np.uint8)
+        kind = "png" if (doc_id + j) % 2 == 0 else "dib"
+        entries.append((kind, px, (doc_id + j) % w))
+    return ico_encode(entries)
+
+
+ICO_SCHEMA = (
+    "doc_id long, idx int, kind string, width int, height int, "
+    "luma_sum long, transparent_px long"
+)
+
+
+def ico_decode_meta(
+    docs: DataFrame, num_partitions: int = 8
+) -> DataFrame:
+    """Distributed favicon decode: ICONDIR walk, PNG entries
+    through the PNG codec, legacy DIB entries through the
+    doubled-height XOR+AND parse — per-entry luma sums and
+    transparency counts vs the closed-form oracle."""
+    from ..operators.ico_codec import ico_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "idx": [], "kind": [], "width": [],
+                "height": [], "luma_sum": [], "transparent_px": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, ent in enumerate(ico_decode(bytes(payload))):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["idx"].append(idx)
+                    rows["kind"].append(ent["kind"])
+                    rows["width"].append(ent["width"])
+                    rows["height"].append(ent["height"])
+                    rows["luma_sum"].append(
+                        int(ent["luma"].astype(np.int64).sum())
+                    )
+                    rows["transparent_px"].append(
+                        ent["transparent_px"]
+                    )
+            yield pd.DataFrame(rows).astype({
+                "idx": "int32", "width": "int32", "height": "int32",
+            })
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_ico
+    ).mapInPandas(body, ICO_SCHEMA)
+
+
+def duck_ico_sql(source: str = "documents") -> str:
+    """Closed-form twin of the favicon schedule."""
+    return f"""
+WITH ent AS (
+  SELECT doc_id, gj.j,
+         CASE WHEN (doc_id + gj.j) % 2 = 0
+              THEN 'png' ELSE 'dib' END AS kind,
+         16 << ((doc_id + 3 * gj.j) % 2) AS w
+  FROM {source},
+       LATERAL (
+         SELECT unnest(range(0, 1 + doc_id % 2)) AS j
+       ) gj
+), rowsum AS (
+  SELECT doc_id, j, kind, w,
+         sum((doc_id * 3 + j * 7 + gy.y) % 256) AS row_total
+  FROM ent,
+       LATERAL (SELECT unnest(range(0, w)) AS y) gy
+  GROUP BY doc_id, j, kind, w
+)
+SELECT doc_id,
+       CAST(j AS INT)            AS idx,
+       kind,
+       CAST(w AS INT)            AS width,
+       CAST(w AS INT)            AS height,
+       CAST(w * row_total AS BIGINT) AS luma_sum,
+       CAST(CASE WHEN kind = 'dib'
+            THEN w * ((doc_id + j) % w) ELSE 0 END AS BIGINT)
+         AS transparent_px
+FROM rowsum
+"""

@@ -2934,6 +2934,26 @@ def _jpeg_salvage_sql() -> str:
 _JPEG_SALVAGE_SQL = _jpeg_salvage_sql()
 
 
+def _ico_decode(spark, sf_dir):
+    """Favicon decode (operators/ico_codec.py): ICONDIR walk with
+    PNG entries through the PNG codec and legacy doubled-height
+    DIB entries (XOR bitmap + 1-bit AND transparency mask) —
+    per-entry luma sums and transparency counts vs a closed-form
+    oracle. Favicons are the one image every site serves."""
+    from .multimodal import ico_decode_meta
+
+    return ico_decode_meta(_t(spark, sf_dir, "documents"))
+
+
+def _ico_sql() -> str:
+    from .multimodal import duck_ico_sql
+
+    return duck_ico_sql()
+
+
+_ICO_SQL = _ico_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5364,6 +5384,9 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_jpeg_salvage": QueryDef(
         _jpeg_salvage, _JPEG_SALVAGE_SQL, True
     ),
+    # new this session (make-room: corpus_recrawl_schedule past the
+    # edge, same rationale chain).
+    "multimodal_ico_decode": QueryDef(_ico_decode, _ICO_SQL, True),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),
