@@ -1781,3 +1781,106 @@ SELECT doc_id,
          AS transparent_px
 FROM rowsum
 """
+
+
+# =============================================== APNG animation leg
+
+def fixture_apng(doc_id: int) -> bytes:
+    """Deterministic APNG: 24x24 gray canvas with row ramp
+    (doc_id*5 + y) % 256, then n_frames - 1 = 1 + doc_id % 3 - 1 …
+    i.e. n_frames = 2 + doc_id % 3 total frames; patch i (8x8,
+    value (doc_id*11 + i*17) % 256) lands at (8*(i-1), 0) —
+    non-overlapping, so composited sums are closed-form.
+    num_plays = doc_id % 4."""
+    from ..operators.apng_codec import apng_encode
+
+    y = np.arange(24, dtype=np.int64)[:, None]
+    base = np.broadcast_to(
+        (doc_id * 5 + y) % 256, (24, 24)
+    ).astype(np.uint8)
+    frames: list[tuple[np.ndarray, int, int]] = [(base, 0, 0)]
+    for i in range(1, 2 + doc_id % 3):
+        patch = np.full(
+            (8, 8), (doc_id * 11 + i * 17) % 256, dtype=np.uint8
+        )
+        frames.append((patch, 8 * (i - 1), 0))
+    return apng_encode(frames, num_plays=doc_id % 4)
+
+
+APNG_SCHEMA = (
+    "doc_id long, frame int, n_frames int, num_plays int, "
+    "luma_sum long"
+)
+
+
+def apng_decode_meta(
+    docs: DataFrame, num_partitions: int = 8
+) -> DataFrame:
+    """Distributed APNG decode: acTL/fcTL/fdAT walk, per-frame zlib
+    streams, sub-region compositing — every composited frame's luma
+    sum vs the closed-form oracle. The plain-PNG-compatibility
+    invariant (an ordinary PNG decoder sees frame 0) is pinned by
+    unit test."""
+    from ..operators.apng_codec import apng_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame": [], "n_frames": [],
+                "num_plays": [], "luma_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, meta = apng_decode(bytes(payload))
+                for k, fr in enumerate(frames):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame"].append(k)
+                    rows["n_frames"].append(meta["n_frames"])
+                    rows["num_plays"].append(meta["num_plays"])
+                    rows["luma_sum"].append(
+                        int(fr[:, :, 0].astype(np.int64).sum())
+                    )
+            yield pd.DataFrame(rows).astype({
+                "frame": "int32", "n_frames": "int32",
+                "num_plays": "int32",
+            })
+
+    return _partitioned_payloads(
+        docs, num_partitions, fixture_apng
+    ).mapInPandas(body, APNG_SCHEMA)
+
+
+def duck_apng_sql(source: str = "documents") -> str:
+    """Closed-form twin of the APNG fixture schedule."""
+    return f"""
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf, doc_id % 4 AS plays
+  FROM {source}
+), sums AS (
+  SELECT doc_id, nf, plays,
+         24 * sum((doc_id * 5 + gy.y) % 256)                AS base_sum,
+         8 * sum(CASE WHEN gy.y < 8
+                 THEN (doc_id * 5 + gy.y) % 256 ELSE 0 END) AS head8
+  FROM p, LATERAL (SELECT unnest(range(0, 24)) AS y) gy
+  GROUP BY doc_id, nf, plays
+), fr AS (
+  SELECT doc_id, nf, plays, gk.k AS frame,
+         base_sum, head8
+  FROM sums, LATERAL (SELECT unnest(range(0, nf)) AS k) gk
+), patched AS (
+  SELECT f.doc_id, f.nf, f.plays, f.frame,
+         f.base_sum + coalesce(sum(
+           64 * ((f.doc_id * 11 + gi.i * 17) % 256) - f.head8
+         ), 0) AS luma_sum
+  FROM fr f
+  LEFT JOIN LATERAL (
+    SELECT unnest(range(1, f.frame + 1)) AS i
+  ) gi ON true
+  GROUP BY f.doc_id, f.nf, f.plays, f.frame, f.base_sum, f.head8
+)
+SELECT doc_id,
+       CAST(frame AS INT)    AS frame,
+       CAST(nf AS INT)       AS n_frames,
+       CAST(plays AS INT)    AS num_plays,
+       CAST(luma_sum AS BIGINT) AS luma_sum
+FROM patched
+"""

@@ -2954,6 +2954,25 @@ def _ico_sql() -> str:
 _ICO_SQL = _ico_sql()
 
 
+def _apng_frames(spark, sf_dir):
+    """APNG animation decode (operators/apng_codec.py): acTL/fcTL/
+    fdAT walk, per-frame zlib streams, sub-region compositing —
+    the modern animated format beside the GIF leg, with the
+    plain-PNG frame-0 compatibility invariant pinned by test."""
+    from .multimodal import apng_decode_meta
+
+    return apng_decode_meta(_t(spark, sf_dir, "documents"))
+
+
+def _apng_sql() -> str:
+    from .multimodal import duck_apng_sql
+
+    return duck_apng_sql()
+
+
+_APNG_SQL = _apng_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5387,6 +5406,9 @@ CATALOG: dict[str, QueryDef] = {
     # new this session (make-room: corpus_recrawl_schedule past the
     # edge, same rationale chain).
     "multimodal_ico_decode": QueryDef(_ico_decode, _ICO_SQL, True),
+    # new this session (make-room: corpus_html_redirect_edges past
+    # the edge, same rationale chain).
+    "multimodal_apng_frames": QueryDef(_apng_frames, _APNG_SQL, True),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),
