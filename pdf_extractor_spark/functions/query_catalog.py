@@ -2973,6 +2973,22 @@ def _apng_sql() -> str:
 _APNG_SQL = _apng_sql()
 
 
+def _svg_roundtrip(spark, sf_dir):
+    """SVG text extraction (operators/svg_extract.py): coordinate-
+    sorted reading order over out-of-order <text>/<tspan> elements
+    with inheritance, entities and skip-subtree decoys — the
+    remaining text-bearing web format."""
+    from ..sources.docwrap import svg_roundtrip
+
+    return svg_roundtrip(_t(spark, sf_dir, "documents"))
+
+
+_SVG_ROUNDTRIP_SQL = """
+SELECT doc_id, text AS extracted_text
+FROM documents
+"""
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5409,6 +5425,12 @@ CATALOG: dict[str, QueryDef] = {
     # new this session (make-room: corpus_html_redirect_edges past
     # the edge, same rationale chain).
     "multimodal_apng_frames": QueryDef(_apng_frames, _APNG_SQL, True),
+    # new this session (make-room: corpus_fetch_batch past the edge,
+    # same rationale chain). Positioned with the extraction
+    # roundtrips in spirit: it IS one (7th source format).
+    "extract_svg_roundtrip": QueryDef(
+        _svg_roundtrip, _SVG_ROUNDTRIP_SQL, True
+    ),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),

@@ -358,3 +358,30 @@ def full_extract_stats(docs: DataFrame, num_partitions: int | None = None) -> Da
         )
         .orderBy("branch", "grade", "status")
     )
+
+
+def _svg_iter(batches: Iterator[pd.DataFrame]):
+    from ..operators.svg_extract import build_svg, svg_extract_text
+
+    for pdf in batches:
+        texts = [
+            svg_extract_text(build_svg(t, int(d)))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].to_numpy(),
+             "extracted_text": texts}
+        )
+
+
+def svg_roundtrip(docs: DataFrame,
+                  num_partitions: int | None = None) -> DataFrame:
+    """documents → synth SVG (words on a coordinate grid EMITTED
+    OUT OF ORDER, tspan-inheritance dialect on odd docs, entity
+    escaping, defs/title/comment/CDATA decoys) → coordinate-sorted
+    extraction (operators/svg_extract.py) → (doc_id,
+    extracted_text): the shown text must reassemble byte-identical
+    from geometry, not document order."""
+    return _spread(docs, num_partitions).mapInPandas(
+        _svg_iter, ROUNDTRIP_SCHEMA
+    )
