@@ -2989,6 +2989,26 @@ FROM documents
 """
 
 
+def _jsonl_parse(spark, sf_dir):
+    """JSONL (NDJSON) ingestion (functions/jsonl.py): the corpus
+    interchange format, synthesized and parsed entirely JVM-side
+    (to_json/from_json, Jackson) — \\uXXXX escape and corrupt-line
+    rotations, PERMISSIVE reject semantics, zero Python, zero
+    exchange (plan-pinned in its unit test)."""
+    from .jsonl import jsonl_parse_report
+
+    return jsonl_parse_report(_t(spark, sf_dir, "documents"))
+
+
+def _jsonl_sql() -> str:
+    from .jsonl import duck_jsonl_sql
+
+    return duck_jsonl_sql()
+
+
+_JSONL_SQL = _jsonl_sql()
+
+
 def _pdf_full_meta(spark, sf_dir):
     """Unified metadata harvest (functions/pdfmeta.py): /Info,
     outline, AcroForm, embedded files AND link annotations from ONE
@@ -5431,6 +5451,9 @@ CATALOG: dict[str, QueryDef] = {
     "extract_svg_roundtrip": QueryDef(
         _svg_roundtrip, _SVG_ROUNDTRIP_SQL, True
     ),
+    # new this session (make-room: corpus_crawl_frontier_bloom past
+    # the edge, same rationale chain).
+    "corpus_jsonl_parse": QueryDef(_jsonl_parse, _JSONL_SQL, True),
     "multimodal_features": QueryDef(
         _multimodal_features, _MULTIMODAL_FEATURES_SQL
     ),
