@@ -82,3 +82,89 @@ def test_y4m_roundtrip(img, n_frames, cs):
 @given(st.binary(max_size=600))
 def test_packbits_roundtrip_any_bytes(data):
     assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+@given(images(max_h=40, max_w=40), st.integers(1, 100),
+       st.booleans(), st.integers(0, 4))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_baseline_progressive_agree(img, quality, sub, ri):
+    """For ANY image, quality, sampling and restart interval: the
+    progressive encoding decodes to exactly the baseline pixels
+    (same quantized coefficients, different delivery), and both
+    roundtrips are deterministic."""
+    from pdf_extractor_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    planes = [img] if img.shape[0] % 2 else [img, img, img]
+    base = jpeg_encode(
+        planes, quality=quality, subsample=sub, restart_interval=ri
+    )
+    prog = jpeg_encode_progressive(
+        planes, quality=quality, subsample=sub, restart_interval=ri
+    )
+    pb, mb = jpeg_decode(base)
+    pp, mp = jpeg_decode(prog)
+    assert mp["progressive"] and not mb["progressive"]
+    for a, b in zip(pb, pp):
+        assert np.array_equal(a, b)
+    # determinism: byte-identical re-encode
+    assert base == jpeg_encode(
+        planes, quality=quality, subsample=sub, restart_interval=ri
+    )
+
+
+@given(images(max_h=40, max_w=40), st.integers(1, 10))
+@settings(max_examples=25, deadline=None)
+def test_apng_composites_any_patch(img, seed):
+    """Any base frame plus any in-bounds patch: frame 1 equals the
+    numpy composite, frame 0 equals the base, and a plain PNG
+    decoder sees exactly frame 0."""
+    from pdf_extractor_spark.operators.apng_codec import (
+        apng_decode,
+        apng_encode,
+    )
+    from pdf_extractor_spark.operators.png_codec import png_decode
+
+    h, w = img.shape
+    rng = np.random.RandomState(seed)
+    ph = rng.randint(1, h + 1)
+    pw = rng.randint(1, w + 1)
+    py = rng.randint(0, h - ph + 1)
+    px = rng.randint(0, w - pw + 1)
+    patch = rng.randint(0, 256, size=(ph, pw)).astype(np.uint8)
+    data = apng_encode([(img, 0, 0), (patch, px, py)])
+    frames, meta = apng_decode(data)
+    assert meta["n_frames"] == 2
+    assert np.array_equal(frames[0][:, :, 0], img)
+    expect = img.copy()
+    expect[py:py + ph, px:px + pw] = patch
+    assert np.array_equal(frames[1][:, :, 0], expect)
+    assert np.array_equal(png_decode(data)[:, :, 0], img)
+
+
+@given(st.integers(0, 400))
+@settings(max_examples=60, deadline=None)
+def test_g711_projection_any_block(seed):
+    """decode(encode(x)) is a projection for both laws on random
+    int16 blocks, and the quantization error is bounded by the
+    largest segment step."""
+    from pdf_extractor_spark.operators.wav_codec import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=257).astype(np.int16)
+    for enc, dec in (
+        (ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)
+    ):
+        q = dec(enc(s))
+        assert np.abs(
+            q.astype(np.int32) - s.astype(np.int32)
+        ).max() <= 1024
+        assert np.array_equal(dec(enc(q)), q)
