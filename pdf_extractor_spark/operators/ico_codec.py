@@ -40,12 +40,17 @@ def _xor_stride(w: int) -> int:
     return (w + 3) // 4 * 4  # 8-bit rows padded to 32-bit
 
 
-def ico_encode(entries: list[tuple[str, np.ndarray, int]]) -> bytes:
+def ico_encode(
+    entries: list[tuple[str, np.ndarray, int]],
+    hotspots: list[tuple[int, int]] | None = None,
+) -> bytes:
     """Serialize ``(kind, gray_pixels (h, w) uint8,
     n_transparent_cols)`` entries. ``kind`` ∈ {"png", "dib"}. For
     DIB entries the AND mask marks the leftmost
     ``n_transparent_cols`` columns transparent (1-bits); PNG
-    entries ignore the mask argument (alpha lives inside PNG)."""
+    entries ignore the mask argument (alpha lives inside PNG).
+    ``hotspots`` (one (x, y) per entry) writes a CUR cursor file
+    (ICONDIR type 2) instead of an icon."""
     blobs = []
     dir_entries = []
     offset = 6 + 16 * len(entries)
@@ -75,37 +80,47 @@ def ico_encode(entries: list[tuple[str, np.ndarray, int]]) -> bytes:
             blob = hdr + palette + xor_rows + mask_rows
         else:
             raise IcoError(f"unknown entry kind {kind!r}")
+        if hotspots is None:
+            f4, f5 = 1, 8 if kind == "dib" else 32
+        else:
+            f4, f5 = hotspots[len(dir_entries)]
         dir_entries.append(struct.pack(
             "<BBBBHHII",
             w if w < 256 else 0, h if h < 256 else 0,
-            0, 0, 1, 8 if kind == "dib" else 32,
+            0, 0, f4, f5,
             len(blob), offset,
         ))
         blobs.append(blob)
         offset += len(blob)
     return (
-        struct.pack("<HHH", 0, 1, len(entries))
+        struct.pack("<HHH", 0, 2 if hotspots is not None else 1,
+                    len(entries))
         + b"".join(dir_entries) + b"".join(blobs)
     )
 
 
 def ico_decode(payload: bytes) -> list[dict]:
-    """Parse an ICO → one dict per entry:
-    ``{kind, width, height, luma (h, w) uint8, transparent_px}``.
-    PNG entries report transparent_px 0 (alpha is PNG-side); DIB
-    entries count the AND mask's 1-bits inside the visible width."""
+    """Parse an ICO (type 1) or CUR cursor (type 2 — same container,
+    but ICONDIRENTRY fields 4-5 become the hotspot x/y) → one dict
+    per entry: ``{kind, width, height, luma (h, w) uint8,
+    transparent_px, hotspot}``. ``hotspot`` is (x, y) for cursors,
+    None for icons. PNG entries report transparent_px 0 (alpha is
+    PNG-side); DIB entries count the AND mask's 1-bits inside the
+    visible width."""
     if len(payload) < 6:
         raise IcoError("truncated ICONDIR")
     reserved, rtype, count = struct.unpack_from("<HHH", payload, 0)
-    if reserved != 0 or rtype != 1:
-        raise IcoError("not an ICO (bad ICONDIR)")
+    if reserved != 0 or rtype not in (1, 2):
+        raise IcoError("not an ICO/CUR (bad ICONDIR)")
+    is_cursor = rtype == 2
     if 6 + 16 * count > len(payload):
         raise IcoError("truncated ICONDIRENTRY table")
     out = []
     for k in range(count):
         (
-            _w8, _h8, _colors, _rsv, _planes, _bits, size, off
+            _w8, _h8, _colors, _rsv, f4, f5, size, off
         ) = struct.unpack_from("<BBBBHHII", payload, 6 + 16 * k)
+        hotspot = (f4, f5) if is_cursor else None
         if off + size > len(payload):
             raise IcoError(f"entry {k} beyond payload")
         blob = payload[off:off + size]
@@ -121,6 +136,7 @@ def ico_decode(payload: bytes) -> list[dict]:
             out.append({
                 "kind": "png", "width": w, "height": h,
                 "luma": luma, "transparent_px": 0,
+                "hotspot": hotspot,
             })
             continue
         if len(blob) < 40:
@@ -164,5 +180,6 @@ def ico_decode(payload: bytes) -> list[dict]:
             "kind": "dib", "width": w, "height": h,
             "luma": luma.astype(np.uint8),
             "transparent_px": int(mbits.sum()),
+            "hotspot": hotspot,
         })
     return out

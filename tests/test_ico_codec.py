@@ -58,8 +58,10 @@ def test_truncation_and_bad_magic_raise():
     for cut in (3, 10, len(data) - 5):
         with pytest.raises(IcoError):
             ico_decode(data[:cut])
+    # a CUR header whose entry is all zeros: valid container type
+    # (2 = cursor, accepted), garbage entry -> still loud
     with pytest.raises(IcoError):
-        ico_decode(b"\x00\x00\x02\x00\x01\x00" + bytes(32))  # .cur
+        ico_decode(b"\x00\x00\x02\x00\x01\x00" + bytes(32))
 
 
 def test_bottom_up_row_order_recovered():
@@ -67,3 +69,21 @@ def test_bottom_up_row_order_recovered():
     px[0, :] = 200  # top row bright
     ents = ico_decode(ico_encode([("dib", px, 0)]))
     assert ents[0]["luma"][0, 0] == 200 and ents[0]["luma"][15, 0] == 0
+
+
+def test_cur_cursor_carries_hotspots():
+    """CUR is the same container with type 2 and hotspot fields in
+    place of planes/bitcount."""
+    data = ico_encode(
+        [("dib", _ramp(16), 0), ("png", _ramp(32), 0)],
+        hotspots=[(3, 5), (10, 12)],
+    )
+    assert struct.unpack_from("<H", data, 2)[0] == 2
+    ents = ico_decode(data)
+    assert ents[0]["hotspot"] == (3, 5)
+    assert ents[1]["hotspot"] == (10, 12)
+    assert np.array_equal(ents[0]["luma"], _ramp(16))
+    # icons keep hotspot None
+    assert ico_decode(
+        ico_encode([("dib", _ramp(16), 0)])
+    )[0]["hotspot"] is None
