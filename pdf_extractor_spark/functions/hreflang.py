@@ -169,10 +169,11 @@ def duck_hreflang_sql(source: str = "documents") -> str:
     return f"""
 SELECT (doc_id // {_GROUP}) * {_GROUP} AS cluster_id,
   count(*) AS n_declaring,
-  sum({_GROUP} + CASE WHEN doc_id % {_GROUP} = 0 THEN 1 ELSE 0 END)
-    AS n_edges,
+  CAST(sum({_GROUP} + CASE WHEN doc_id % {_GROUP} = 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_edges,
   bool_or(doc_id % {_GROUP} = 0) AS has_default,
-  sum(CASE WHEN doc_id % 11 = 10 THEN 1 ELSE 0 END) AS n_invalid
+  CAST(sum(CASE WHEN doc_id % 11 = 10 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_invalid
 FROM {source}
 WHERE doc_id % 7 <> 6
 GROUP BY cluster_id

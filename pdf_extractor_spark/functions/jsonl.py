@@ -11,7 +11,8 @@ Fixture schedule (deterministic in doc_id):
     line = {"id": doc_id, "text": <documents.text>,
             "lang": "en", "meta": {"bucket": doc_id % 7}}
     every 5th doc escapes its text through JSON \\uXXXX escapes for
-      every non-alphanumeric char (legal JSON, same decoded value)
+      EVERY char — astral codepoints as surrogate pairs (legal
+      JSON, same decoded value)
     every 11th doc is CORRUPT: the closing brace is dropped —
       from_json must yield a null struct, and the leg reports the
       document as rejected rather than silently dropping it
@@ -35,19 +36,26 @@ JSONL_SCHEMA = (
 def _json_line() -> str:
     """Codegen'd JSON-line synthesis: to_json on a struct gives the
     canonical escaping; the every-5th \\u-escape variant rebuilds
-    the text field through a unicode escape of every char (still
-    valid JSON, decodes identically); the every-11th corrupt
+    the text field through a unicode escape of every char (astral
+    codepoints become surrogate pairs, so the line stays valid
+    JSON and decodes identically); the every-11th corrupt
     variant drops the trailing brace."""
     canonical = (
         "to_json(named_struct("
         "'id', doc_id, 'text', text, 'lang', 'en', "
         "'meta', named_struct('bucket', doc_id % 7)))"
     )
-    # \uXXXX-escape the text payload: printf('\\u%04x', code) per
-    # char, concatenated — aggregate() keeps it codegen'd
+    # \uXXXX-escape the text payload per char, concatenated —
+    # transform()+array_join() keeps it codegen'd. Codepoints above
+    # the BMP must round-trip as UTF-16 surrogate PAIRS (a 5-hex
+    # escape like backslash-u1F600 is not legal JSON).
+    cp = "ascii(substring(text, i, 1))"
     escaped_text = (
-        "aggregate(sequence(1, length(text)), '', (acc, i) -> "
-        "concat(acc, printf('\\\\u%04x', ascii(substring(text, i, 1)))))"
+        "array_join(transform(sequence(1, length(text)), i -> "
+        f"CASE WHEN {cp} > 65535 THEN concat("
+        f"printf('\\\\u%04x', 55296 + ({cp} - 65536) div 1024), "
+        f"printf('\\\\u%04x', 56320 + ({cp} - 65536) % 1024)) "
+        f"ELSE printf('\\\\u%04x', {cp}) END), '')"
     )
     escaped = (
         "concat('{\"id\": ', cast(doc_id as string), "

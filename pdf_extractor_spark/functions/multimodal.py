@@ -1512,7 +1512,8 @@ def g711_decode_meta(
 def duck_g711_sql(source: str = "documents") -> str:
     """Closed-form twin: the exact G.711 integer arithmetic (µ-law
     threshold-sum exponent + mantissa truncation; A-law 13-bit
-    segments with half-step reconstruction) replayed per sample."""
+    segment-midpoint reconstruction, ITU-T table 2) replayed per
+    sample."""
     return f"""
 WITH p AS (
   SELECT doc_id, 200 + doc_id % 100 AS n,
@@ -1554,8 +1555,7 @@ WITH p AS (
       * ((CASE WHEN aexp = 0
             THEN ((amag // 2) & 15) * 2 + 1
             ELSE ((((amag >> aexp) & 15) * 2 + 1 + 32)
-                  << (aexp - 1)) END) * 8
-         + (CASE WHEN aexp = 0 THEN 4 ELSE 4 << (aexp - 1) END))
+                  << (aexp - 1)) END) * 8)
     END AS d
   FROM seg
 )

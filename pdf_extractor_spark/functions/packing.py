@@ -88,8 +88,8 @@ def duck_pack_sql(
 SELECT doc_id,
        shard_id,
        n_tokens,
-       start_pos // {budget} AS seq_in_shard,
-       start_pos % {budget} AS seq_offset
+       CAST(start_pos // {budget} AS BIGINT) AS seq_in_shard,
+       CAST(start_pos % {budget} AS BIGINT) AS seq_offset
 FROM (
   SELECT doc_id, shard_id, n_tokens,
          COALESCE(SUM(n_tokens) OVER (

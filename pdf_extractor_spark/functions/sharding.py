@@ -109,7 +109,7 @@ WITH counted AS (
            - n_tok AS before
   FROM counted
 )
-SELECT before // {shard_tokens} AS shard_id,
+SELECT CAST(before // {shard_tokens} AS BIGINT) AS shard_id,
        count(*) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS doc_lo,

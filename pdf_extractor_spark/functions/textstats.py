@@ -727,8 +727,12 @@ ORDER BY doc_id
 #
 # Exact integer contract: D = 3/4 multiplies through (4c - 3), and
 # the backoff chains through a QUANTIZED intermediate
-# p2_bp8 = floor(1e8 * p2) so every product stays inside int64 at
-# any corpus size and both engines floor identically:
+# p2_bp8 = floor(1e8 * p2) so both engines floor identically. Bound:
+# the p2 numerator 1e8 * (4*cc2*Nt + 3*N1p2*cu) fits int64 while
+# cc2*Nt < ~2.3e10 (likewise N1p3*p2_bp8 < ~9.2e14 for p3) — holds
+# for any pruned LM vocabulary; a raw 100 TB corpus with billions of
+# distinct bigram types would need the Nt factor divided out (with a
+# matching oracle change) or DECIMAL(38) intermediates:
 #   p2_bp8 = (1e8 * (max(4*cc2-3, 0) * Nt + 3 * N1p2 * cu))
 #            div (4 * ccctx * Nt)
 #   p3_bp  = (1e4 * (max(4*c3-3, 0) * 1e8 + 3 * N1p3 * p2_bp8))

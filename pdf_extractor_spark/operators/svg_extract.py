@@ -99,7 +99,11 @@ def svg_extract_text(payload: bytes | str) -> str:
             if name in _SKIP:
                 if skip_depth:
                     skip_depth -= 1
-            elif name in ("text", "tspan") and tstack:
+            elif not skip_depth and name in ("text", "tspan") \
+                    and tstack:
+                # closes inside skipped subtrees must not pop an
+                # outer element's entry (symmetric with the open
+                # branch, which never pushes while skip_depth > 0)
                 tstack.pop()
             continue
         if tok.startswith("<"):

@@ -206,6 +206,8 @@ def alaw_decode(codes: np.ndarray) -> np.ndarray:
         exp == 0, (mant << 1) + 1,
         ((mant << 1) + 1 + 32) << (exp - 1),
     )
-    mag = mag << 3  # back to 16-bit range (plus half-step rounding)
-    mag = mag + np.where(exp == 0, 4, 4 << np.maximum(exp - 1, 0))
+    # The 13-bit value above is already the quantization-interval
+    # midpoint (ITU-T G.711 table 2 / Sun's (mant<<4)+8, +0x108<<(seg-1)
+    # forms); shifting to 16-bit range needs no further half-step.
+    mag = mag << 3
     return np.where(sign != 0, mag, -mag).astype(np.int16)

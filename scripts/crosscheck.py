@@ -1,9 +1,17 @@
 """Local replica of the driver's correctness gate: run every catalog
 query on Spark AND its oracle on DuckDB, compare row count + sorted
-values. Usage: python scripts/crosscheck.py [sf_dir] [q1,q2,...]"""
+values AND per-column dtype class (the driver hashes canonically
+serialized cells, so int 7 vs float 7.0 is a driver FAIL — a
+dtype-blind local compare let exactly that bug class ship in r4).
+
+Usage: python scripts/crosscheck.py [sf_dir] [q1,q2,...]
+       python scripts/crosscheck.py --never-checked [sf_dir]
+           (run only catalog entries with no driver row in any
+            CORRECTNESS_r*.json — VERDICT r4 "Next round" #8)"""
 
 from __future__ import annotations
 
+import json
 import math
 import pathlib
 import sys
@@ -30,6 +38,57 @@ def normalize(df):
     return df
 
 
+def dtype_class(series) -> str:
+    """int / float / bool / datetime / object — the granularity at
+    which the driver's canonical cell serialization distinguishes
+    values (7 vs 7.0 serialize differently)."""
+    kind = series.dtype.kind
+    return {
+        "i": "int", "u": "int", "f": "float", "b": "bool",
+        "M": "datetime",
+    }.get(kind, "object")
+
+
+def dtypes_equal(a, b) -> tuple[bool, str]:
+    """Per-column dtype-CLASS comparison. Object columns holding
+    plain Python ints/floats/bools (DuckDB HUGEINT, Spark nullable
+    casts) classify by their first non-null value."""
+    def klass(s):
+        k = dtype_class(s)
+        if k == "object":
+            for v in s:
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    return "bool"
+                if isinstance(v, int):
+                    return "int"
+                if isinstance(v, float):
+                    return "float"
+                return "object"
+        return k
+
+    for col in a.columns:
+        ka, kb = klass(a[col]), klass(b[col])
+        if ka != kb:
+            return False, f"{col}: spark={ka} duck={kb}"
+    return True, ""
+
+
+def never_checked_names() -> list[str]:
+    """Catalog entries with no row in any CORRECTNESS_r*.json."""
+    from pdf_extractor_spark.functions.query_catalog import CATALOG
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.loads(p.read_text()))
+        except (OSError, ValueError):
+            pass
+    return [n for n in CATALOG if n not in seen]
+
+
 def values_equal(a, b) -> bool:
     if a.shape != b.shape or list(a.columns) != list(b.columns):
         return False
@@ -48,6 +107,11 @@ def values_equal(a, b) -> bool:
 
 
 def main() -> None:
+    argv = list(sys.argv[1:])
+    never_only = "--never-checked" in argv
+    if never_only:
+        argv.remove("--never-checked")
+    sys.argv = [sys.argv[0]] + argv
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(
         cores=8, extra={"spark.ui.showConsoleProgress": "false"}
@@ -63,6 +127,10 @@ def main() -> None:
         unknown = only - set(CATALOG)
         if unknown:
             sys.exit(f"unknown query names: {sorted(unknown)}")
+    if never_only:
+        nc = never_checked_names()
+        print(f"never-driver-checked entries: {len(nc)}")
+        only = set(nc) if only is None else only & set(nc)
     failures = []
     for name, qd in CATALOG.items():
         if only is not None and name not in only:
@@ -76,7 +144,14 @@ def main() -> None:
             ns, no = normalize(sdf), normalize(odf)
             ok_rows = len(ns) == len(no)
             ok_cols = list(ns.columns) == list(no.columns)
-            ok_vals = ok_rows and ok_cols and values_equal(ns, no)
+            ok_dt, dt_msg = (
+                dtypes_equal(ns, no) if ok_cols else (True, "")
+            )
+            ok_vals = (
+                ok_rows and ok_cols and ok_dt and values_equal(ns, no)
+            )
+            if ok_cols and not ok_dt:
+                print(f"{name:32s} DTYPE    {dt_msg}")
             # a 0 = 0 match proves nothing about the query body
             # (VERDICT r3 "What's wrong" #3) — vacuous passes FAIL here
             if ok_vals and len(no) == 0:

@@ -52,3 +52,25 @@ def test_plan_is_pure_codegen(spark):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_astral_codepoints_escape_as_surrogate_pairs(spark):
+    # doc_id 4 takes the \uXXXX-escaped branch; a non-BMP char must
+    # emit a surrogate pair (bare 5-hex escapes are not legal JSON)
+    # and decode back to the identical text.
+    import pandas as pd
+
+    from pdf_extractor_spark.functions.jsonl import (
+        jsonl_parse_report,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [4, 9],
+        "text": ["emoji \U0001F600 ok", "astral \U00010348 too"],
+    })
+    out = (
+        jsonl_parse_report(spark.createDataFrame(pdf))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert bool(out.loc[0, "ok"]) and bool(out.loc[0, "text_match"])
+    assert bool(out.loc[1, "ok"]) and bool(out.loc[1, "text_match"])

@@ -67,3 +67,16 @@ def test_wrapper_roundtrips_all_dialects():
         svg = build_svg(text, doc_id)
         assert b"DECOY" in svg  # traps really planted
         assert svg_extract_text(svg) == text, doc_id
+
+
+def test_close_inside_skip_subtree_does_not_pop_outer_text():
+    # </text> inside a skipped <defs> must not pop the outer open
+    # <text>'s stack entry: trailing data keeps its coordinates.
+    svg = b"""<svg><text x="0" y="10">A
+      <defs><text x="9" y="99">NO</text></defs>
+      <tspan x="5">B</tspan>
+    </text><text x="0" y="20">C</text></svg>"""
+    from pdf_extractor_spark.operators.svg_extract import (
+        svg_extract_text,
+    )
+    assert svg_extract_text(svg) == "A B C"

@@ -24,6 +24,26 @@ class TestG711:
             # decode∘encode is a projection (idempotent on its image)
             assert np.array_equal(dec(enc(q)), q)
 
+    def test_alaw_decode_matches_itu_table(self):
+        # Classic Sun alaw2linear form of ITU-T G.711 table 2:
+        # seg 0 -> (mant<<4)+8 ; seg>0 -> ((mant<<4)+0x108)<<(seg-1)
+        import numpy as np
+
+        from pdf_extractor_spark.operators.wav_codec import alaw_decode
+
+        codes = np.arange(256, dtype=np.uint8)
+        got = alaw_decode(codes).astype(np.int32)
+        for c in range(256):
+            a = c ^ 0x55
+            seg = (a >> 4) & 7
+            mant = a & 0x0F
+            mag = (
+                (mant << 4) + 8 if seg == 0
+                else ((mant << 4) + 0x108) << (seg - 1)
+            )
+            want = mag if (a & 0x80) else -mag
+            assert got[c] == want, (c, got[c], want)
+
     def test_wav_container_routes_g711_tags(self):
         import numpy as np
 
