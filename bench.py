@@ -76,12 +76,15 @@ def main() -> None:
         wall = min(wall, time.perf_counter() - t0)
     docs_per_sec = round(n_docs / wall, 2)
 
+    # Every catalog entry gets a recorded wall time (VERDICT r4 #5:
+    # 90 of 181 keys had none).  Headline keys keep best-of-N; the
+    # long tail runs once — a single sample is enough to flag a
+    # >2x regression, and N runs of 181 keys would blow the bench
+    # window for noise reduction the headline set already provides.
     queries: dict[str, float] = {}
     for name, qd in CATALOG.items():
-        if not qd.headline:
-            continue
         best = float("inf")
-        for _ in range(n_runs):
+        for _ in range(n_runs if qd.headline else 1):
             t0 = time.perf_counter()
             df = qd.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -488,13 +488,53 @@ FROM {source}
 """
 
 
-# ===================================================== video (y4m) leg
+# ============================================= video (y4m + mjpeg) leg
 
 _VID_BASE_MOD = 200  # luma base cycle; max pixel 199 + 31 < 256
 
 
+def fixture_video_mjpeg(doc_id: int) -> bytes:
+    """Deterministic COMPRESSED video: an AVI/MJPEG container whose
+    frames are real baseline JPEGs from the repo's own encoder
+    (``jpeg_codec.py``), for the doc_id % 3 == 2 third of the corpus:
+
+        width    = 24 + 8 * (doc_id % 4)          (24-48, partial MCUs)
+        height   = 20 + 6 * ((doc_id // 3) % 3)   (20 / 26 / 32)
+        quality  = 50 + 5 * (doc_id % 8)
+        fps      = (10 + doc_id % 7) : 1
+        n_frames = 2 + doc_id % 5
+
+    Frame f's luma is CONSTANT per 16x16 cell,
+    Y(f, bx, by) = (doc_id*7 + 19*f + 13*bx + 29*by) % 256, so every
+    8x8 block is DC-only and the lossy roundtrip has the same closed
+    form as the still-JPEG legs — yet decoding runs the full Huffman
+    + dequant + IDCT machine per frame inside the RIFF walk."""
+    from ..operators.avi_codec import avi_encode_mjpeg
+    from ..operators.jpeg_codec import jpeg_encode
+
+    w = 24 + 8 * (doc_id % 4)
+    h = 20 + 6 * ((doc_id // 3) % 3)
+    q = 50 + 5 * (doc_id % 8)
+    n_frames = 2 + doc_id % 5
+    bx = np.arange((w + 15) // 16, dtype=np.int64)
+    by = np.arange((h + 15) // 16, dtype=np.int64)
+    frames = []
+    for f in range(n_frames):
+        cell = (doc_id * 7 + 19 * f + 13 * bx[None, :]
+                + 29 * by[:, None]) % 256
+        plane = np.repeat(
+            np.repeat(cell, 16, axis=0), 16, axis=1
+        )[:h, :w].astype(np.uint8)
+        frames.append(jpeg_encode([plane], quality=q))
+    return avi_encode_mjpeg(
+        frames, w, h, fps=(10 + doc_id % 7, 1)
+    )
+
+
 def fixture_video(doc_id: int) -> bytes:
-    """Deterministic real YUV4MPEG2 stream for one document:
+    """Deterministic real video stream for one document: the
+    doc_id % 3 == 2 third is AVI/MJPEG (compressed — see
+    :func:`fixture_video_mjpeg`), the rest YUV4MPEG2:
 
         width      = 16 * (1 + doc_id % 2)            (16 / 32)
         height     = 12 + 4 * (doc_id % 3)            (12 / 16 / 20)
@@ -510,6 +550,8 @@ def fixture_video(doc_id: int) -> bytes:
     subsequent frame offset."""
     from ..operators.y4m_codec import y4m_encode
 
+    if doc_id % 3 == 2:
+        return fixture_video_mjpeg(doc_id)
     w = 16 * (1 + doc_id % 2)
     h = 12 + 4 * (doc_id % 3)
     fps = (24 + doc_id % 7, 1)
@@ -543,7 +585,12 @@ def video_frame_stats(
     are born on the partition that decodes them and never cross an
     exchange. At 100 TB frame sampling is the step that divides all
     downstream per-frame cost by ``every`` — it belongs INSIDE the
-    decode task, before anything is materialized."""
+    decode task, before anything is materialized.
+
+    Containers are SNIFFED, not schedule-routed: RIFF magic →
+    AVI/MJPEG (full per-frame Huffman+IDCT via the repo's JPEG
+    decoder), YUV4MPEG2 magic → raw-plane walk."""
+    from ..operators.avi_codec import avi_decode_luma_frames
     from ..operators.y4m_codec import y4m_decode
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -554,14 +601,20 @@ def video_frame_stats(
                 "n_sampled": [], "luma_sum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames, meta = y4m_decode(bytes(payload))
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF":
+                    frames, meta = avi_decode_luma_frames(payload)
+                    cs = "mjpg"
+                else:
+                    frames, meta = y4m_decode(payload)
+                    cs = meta["colorspace"]
                 sampled = frames[::every]
                 rows["doc_id"].append(int(doc_id))
                 rows["width"].append(meta["width"])
                 rows["height"].append(meta["height"])
                 rows["fps_num"].append(meta["fps_num"])
                 rows["fps_den"].append(meta["fps_den"])
-                rows["colorspace"].append(meta["colorspace"])
+                rows["colorspace"].append(cs)
                 rows["n_frames"].append(len(frames))
                 rows["n_sampled"].append(len(sampled))
                 rows["luma_sum"].append(
@@ -580,8 +633,11 @@ def video_frame_stats(
 
 def duck_video_stats_sql(source: str = "documents", every: int = 2) -> str:
     """Closed-form twin of :func:`video_frame_stats` over the fixture
-    parameters: luma_sum = Σ over sampled f of H*(W*base_f +
-    W*(W-1)/2)."""
+    parameters.  Y4M third-pairs: luma_sum = Σ over sampled f of
+    H*(W*base_f + W*(W-1)/2).  MJPEG third: the DC-only quantization
+    roundtrip per 16x16 cell (same form as the still-JPEG legs),
+    weighted by the crop-partial cell pixel counts and summed over
+    the sampled frames."""
     return f"""
 WITH p AS (
   SELECT doc_id,
@@ -591,23 +647,67 @@ WITH p AS (
          CASE WHEN doc_id % 2 = 0 THEN '420jpeg' ELSE '444' END AS cs,
          3 + doc_id % 4         AS n_frames
   FROM {source}
+  WHERE doc_id % 3 <> 2
 ), sampled AS (
   SELECT doc_id, w, h, fps_num, cs, n_frames,
          unnest(range(0, n_frames, {every})) AS f
   FROM p
+), y4m AS (
+  SELECT doc_id,
+         CAST(w AS INT)                    AS width,
+         CAST(h AS INT)                    AS height,
+         CAST(fps_num AS INT)              AS fps_num,
+         CAST(1 AS INT)                    AS fps_den,
+         cs                                AS colorspace,
+         CAST(n_frames AS INT)             AS n_frames,
+         CAST(count(*) AS INT)             AS n_sampled,
+         CAST(sum(h * (w * ((doc_id * 31 + f * 7) % {_VID_BASE_MOD})
+                       + w * (w - 1) // 2)) AS BIGINT) AS luma_sum
+  FROM sampled
+  GROUP BY doc_id, w, h, fps_num, cs, n_frames
+), pm AS (
+  SELECT doc_id,
+         24 + 8 * (doc_id % 4)          AS w,
+         20 + 6 * ((doc_id // 3) % 3)   AS h,
+         50 + 5 * (doc_id % 8)          AS qf,
+         10 + doc_id % 7                AS fps_num,
+         2 + doc_id % 5                 AS n_frames
+  FROM {source}
+  WHERE doc_id % 3 = 2
+), qm AS (
+  SELECT *,
+         greatest(1, least(255, (16 * (200 - 2 * qf) + 50) // 100))
+           AS qy00
+  FROM pm
+), cm AS (
+  SELECT qm.*, fs.f, gx.bx, gy.by,
+         least(16, w - 16 * gx.bx) AS nx,
+         least(16, h - 16 * gy.by) AS ny
+  FROM qm,
+       LATERAL (SELECT unnest(range(0, n_frames, {every})) AS f) fs,
+       LATERAL (SELECT unnest(range(0, (w + 15) // 16)) AS bx) gx,
+       LATERAL (SELECT unnest(range(0, (h + 15) // 16)) AS by) gy
+), dm AS (
+  SELECT doc_id, w, h, fps_num, n_frames, f, nx * ny AS npix,
+    least(greatest(floor(
+        floor(8.0 * ((doc_id * 7 + 19 * f + 13 * bx + 29 * by) % 256
+                     - 128) / qy00 + 0.5) * qy00 / 8.0 + 0.5) + 128,
+      0), 255) AS ydec
+  FROM cm
+), mjpeg AS (
+  SELECT doc_id,
+         CAST(w AS INT)                     AS width,
+         CAST(h AS INT)                     AS height,
+         CAST(fps_num AS INT)               AS fps_num,
+         CAST(1 AS INT)                     AS fps_den,
+         'mjpg'                             AS colorspace,
+         CAST(n_frames AS INT)              AS n_frames,
+         CAST(count(DISTINCT f) AS INT)     AS n_sampled,
+         CAST(sum(npix * ydec) AS BIGINT)   AS luma_sum
+  FROM dm
+  GROUP BY doc_id, w, h, fps_num, n_frames
 )
-SELECT doc_id,
-       CAST(w AS INT)                    AS width,
-       CAST(h AS INT)                    AS height,
-       CAST(fps_num AS INT)              AS fps_num,
-       CAST(1 AS INT)                    AS fps_den,
-       cs                                AS colorspace,
-       CAST(n_frames AS INT)             AS n_frames,
-       CAST(count(*) AS INT)             AS n_sampled,
-       CAST(sum(h * (w * ((doc_id * 31 + f * 7) % {_VID_BASE_MOD})
-                     + w * (w - 1) // 2)) AS BIGINT) AS luma_sum
-FROM sampled
-GROUP BY doc_id, w, h, fps_num, cs, n_frames
+SELECT * FROM y4m UNION ALL SELECT * FROM mjpeg
 """
 
 

@@ -5788,3 +5788,106 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_idn_hosts": QueryDef(_idn_fold, _IDN_FOLD_SQL, True),
 }
+
+
+# ================================================== round-5 window rotation
+#
+# The driver's correctness gate hashes the FIRST 50 entries of CATALOG.
+# Round-5 policy (VERDICT r4 "Next round" #1/#3, applied verbatim): the
+# window is the 3 entries whose oracles carried the r4 CAST bug — now
+# fixed and needing a green driver row — plus 47 of the 55 entries that
+# have NEVER had a driver row in any round (priority order from the
+# verdict: compliance gate, the corpus_pdf_* metadata family,
+# corpus_crawl_*, mime sniff, image links — the things a user hits
+# first).  The catalog is FROZEN this round (no new entries) so the
+# window arithmetic finally closes: 55 - 47 = 8 never-checked remain,
+# meeting the "never-checked <= 8 after r5" invariant, and those 8 are
+# documented in _R5_DEFERRED below with their compensating evidence
+# (each has a dedicated unit suite, and the sketches/layout entries
+# additionally carry scale benches: BENCH_HLL.json, BENCH_TABLE.json,
+# BENCH_SHARD_PREFIX.json).  The two flagship roundtrips rotate OUT for
+# exactly one round — both are r4 driver-green, their kernels are
+# unchanged this round, and the golden byte-equality suite (158 files)
+# re-pins them every pytest run.  Entries whose kernels changed this
+# round but are not in the window (extract_svg_roundtrip,
+# corpus_jsonl_parse, multimodal_g711_audio, multimodal_audio_decode)
+# all have r4 driver rows predating the change; the change is covered
+# by the dtype-strict full-catalog crosscheck at both SFs recorded in
+# BASELINE.md plus new targeted unit tests (ITU A-law table,
+# surrogate-pair escapes, skip-subtree pops).  Rotation is a pure
+# reordering: every entry stays exposed through queries()/oracle_sql().
+
+_R5_WINDOW: list[str] = [
+    # the 3 oracle-CAST fixes (r4 hash FAILs, values were exact)
+    "corpus_hreflang_clusters",
+    "corpus_pack_sequences",
+    "corpus_shard_manifest",
+    # 47 never-driver-checked entries, verdict priority first
+    "corpus_compliance_gate",
+    "corpus_pdf_metadata",
+    "corpus_pdf_full_meta",
+    "corpus_pdf_xmp",
+    "corpus_pdf_annotations",
+    "corpus_pdf_form_fields",
+    "corpus_pdf_attachments",
+    "corpus_pdf_links",
+    "corpus_crawl_frontier",
+    "corpus_crawl_frontier_bloom",
+    "corpus_crawl_budget",
+    "corpus_crawl_traps",
+    "corpus_mime_sniff",
+    "corpus_image_links",
+    "corpus_caption_filter",
+    "corpus_robots_filter",
+    "corpus_ai_optout",
+    "corpus_license_signals",
+    "corpus_anchor_text",
+    "corpus_bloom_seen",
+    "extract_cdx_roundtrip",
+    "corpus_cdx_latest",
+    "corpus_resolve_redirects",
+    "corpus_html_redirect_edges",
+    "corpus_recrawl_schedule",
+    "corpus_fetch_batch",
+    "corpus_host_templates",
+    "corpus_url_param_rules",
+    "corpus_dust_strip",
+    "corpus_structured_data",
+    "corpus_html_tables",
+    "corpus_section_chunks",
+    "corpus_resolved_links",
+    "corpus_mirror_hosts",
+    "corpus_link_spam",
+    "corpus_recipe_whatif",
+    "dedup_semantic",
+    "dedup_confusable_exact",
+    "text_confusable_skeleton",
+    "streaming_host_sessions",
+    "multimodal_jpeg_dims",
+    "multimodal_image_sniff",
+    "multimodal_video_frames",
+    "multimodal_exif",
+    "multimodal_gif_decode",
+    "multimodal_tiff_decode",
+    "multimodal_bmp_decode",
+]
+
+# The 8 never-driver-checked entries deliberately deferred to round 6
+# (window arithmetic: 3 + 47 = 50).  Compensating evidence per entry:
+_R5_DEFERRED: list[str] = [
+    "corpus_distinct_hll",       # BENCH_HLL.json 10M-row sketch-vs-exact
+    "corpus_heavy_hitters_cms",  # tests/test_sketches.py exact compare
+    "corpus_zorder_shards",      # tests/test_zorder.py interleave oracle
+    "corpus_table_pruning",      # BENCH_TABLE.json + tests/test_icetable.py
+    "corpus_analyze_stats",      # stats vs exact recompute unit suite
+    "text_char_entropy",         # closed-form entropy unit oracle
+    "corpus_idn_hosts",          # tests/test_idn.py punycode vectors
+    "ann_int8_recall",           # tests/test_int8_recall.py measured recall
+]
+
+assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+assert not (set(_R5_WINDOW) & set(_R5_DEFERRED))
+CATALOG = {
+    **{n: CATALOG[n] for n in _R5_WINDOW},
+    **{n: v for n, v in CATALOG.items() if n not in set(_R5_WINDOW)},
+}

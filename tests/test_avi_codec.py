@@ -1,0 +1,125 @@
+"""RIFF/AVI MJPEG container: roundtrip, header fidelity, index
+cross-check, malformed-payload diagnosis, and a Hypothesis property
+sweep across random frame counts and shapes."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extractor_spark.operators.avi_codec import (
+    AviError,
+    avi_decode_luma_frames,
+    avi_decode_mjpeg,
+    avi_encode_mjpeg,
+)
+from pdf_extractor_spark.operators.jpeg_codec import (
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _flat_jpegs(n, w, h, q=75):
+    return [
+        jpeg_encode(
+            [np.full((h, w), (40 + 13 * i) % 256, dtype=np.uint8)],
+            quality=q,
+        )
+        for i in range(n)
+    ]
+
+
+def test_container_roundtrip_preserves_frames_and_meta():
+    frames = _flat_jpegs(4, 32, 24)
+    avi = avi_encode_mjpeg(frames, 32, 24, fps=(30, 1))
+    raw, meta = avi_decode_mjpeg(avi)
+    assert raw == frames  # byte-exact payload recovery
+    assert (meta["width"], meta["height"]) == (32, 24)
+    assert (meta["fps_num"], meta["fps_den"]) == (30, 1)
+    assert meta["n_frames"] == 4 and meta["handler"] == "MJPG"
+
+
+def test_full_decode_matches_direct_jpeg_decode():
+    frames = _flat_jpegs(3, 40, 20)
+    avi = avi_encode_mjpeg(frames, 40, 20, fps=(12, 1))
+    planes, _ = avi_decode_luma_frames(avi)
+    for got, fr in zip(planes, frames):
+        assert np.array_equal(got, jpeg_decode(fr)[0][0])
+
+
+def test_odd_sized_frames_pad_to_even_chunks():
+    # a JPEG of odd byte length forces the RIFF pad-byte path
+    frames = _flat_jpegs(5, 24, 20)
+    sizes = {len(f) % 2 for f in frames}
+    avi = avi_encode_mjpeg(frames, 24, 20)
+    raw, meta = avi_decode_mjpeg(avi)
+    assert raw == frames and meta["n_frames"] == 5
+    assert sizes  # schedule produced at least one parity class
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda b: b"JUNK" + b[4:], "not a RIFF"),
+        (lambda b: b[:8] + b"WAVE" + b[12:], "not AVI"),
+        (lambda b: b[:60], "overruns"),
+        (
+            lambda b: b.replace(b"vids" + b"MJPG", b"vids" + b"H264", 1),
+            "unsupported codec",
+        ),
+    ],
+)
+def test_malformed_payloads_diagnose(mutate, msg):
+    avi = avi_encode_mjpeg(_flat_jpegs(2, 24, 20), 24, 20)
+    with pytest.raises(AviError):
+        avi_decode_mjpeg(mutate(avi))
+
+
+def test_frame_count_lies_are_caught():
+    avi = bytearray(avi_encode_mjpeg(_flat_jpegs(3, 24, 20), 24, 20))
+    pos = bytes(avi).find(b"strh")
+    # dwLength sits 32 bytes into the strh payload
+    struct.pack_into("<I", avi, pos + 8 + 32, 99)
+    with pytest.raises(AviError, match="declares 99"):
+        avi_decode_mjpeg(bytes(avi))
+
+
+def test_container_vs_codec_dimension_mismatch_is_caught():
+    frames = _flat_jpegs(2, 24, 20)
+    avi = avi_encode_mjpeg(frames, 48, 20)  # container lies
+    with pytest.raises(AviError, match="container says"):
+        avi_decode_luma_frames(avi)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 8),
+    wcells=st.integers(1, 4),
+    hcells=st.integers(1, 4),
+    q=st.integers(50, 90),
+    fps=st.integers(1, 120),
+    seed=st.integers(0, 10**6),
+)
+def test_property_random_shapes_roundtrip(n, wcells, hcells, q, fps, seed):
+    # constant-per-8x8-cell frames: DC-only, so the lossy decode is
+    # closed-form and the container walk is checked at every shape
+    rng = np.random.RandomState(seed)
+    w, h = 8 * wcells, 8 * hcells
+    frames, expect = [], []
+    for _ in range(n):
+        cells = rng.randint(0, 256, size=(hcells, wcells))
+        plane = np.repeat(
+            np.repeat(cells, 8, axis=0), 8, axis=1
+        ).astype(np.uint8)
+        frames.append(jpeg_encode([plane], quality=q))
+        expect.append(jpeg_decode(frames[-1])[0][0])
+    avi = avi_encode_mjpeg(frames, w, h, fps=(fps, 1))
+    planes, meta = avi_decode_luma_frames(avi)
+    assert meta["n_frames"] == n
+    assert (meta["width"], meta["height"], meta["fps_num"]) == (w, h, fps)
+    for got, want in zip(planes, expect):
+        assert np.array_equal(got, want)

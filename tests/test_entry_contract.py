@@ -85,3 +85,28 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
                 ), (name, col, x, y)
             else:
                 assert x == y, (name, col, x, y)
+
+
+def test_rotation_invariant_never_checked_bounded():
+    """Driver-window rotation invariant (VERDICT r4 #3): every
+    catalog entry without a driver row in ANY CORRECTNESS_r*.json
+    must sit inside the current 50-entry driver window, except a
+    documented deferral set of at most 8 names (which must reach 0
+    by round 6)."""
+    import json
+    import pathlib
+
+    from pdf_extractor_spark.functions.query_catalog import (
+        CATALOG,
+        _R5_DEFERRED,
+    )
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(p.read_text()))
+    window = set(list(CATALOG)[:50])
+    never = {n for n in CATALOG if n not in seen}
+    leftover = never - window
+    assert leftover <= set(_R5_DEFERRED), leftover - set(_R5_DEFERRED)
+    assert len(leftover) <= 8, sorted(leftover)

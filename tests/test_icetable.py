@@ -279,3 +279,123 @@ class TestMetadataCount:
         for e in it.plan_files(path):
             os.remove(e["path"])
         assert it.count_rows(path) == (250, True)
+
+
+class TestTornCommitChaos:
+    """Kill-and-resume chaos on the MERGE path (VERDICT r4 #7): a
+    write killed mid-flight leaves partial parquet / an orphan
+    snapshot / a torn VERSION tmp on disk; the table must read as if
+    the merge never started, and a re-run must produce EXACTLY-ONCE
+    output with no duplicate or lost keys."""
+
+    def _expect_after_merge(self):
+        # base 0..99 ('a.com'), merge rewrites 40..59 ('new.com')
+        return {
+            i: ("new.com" if 40 <= i < 60 else "a.com")
+            for i in range(100)
+        }
+
+    def _assert_exactly_once(self, spark, path):
+        got = {
+            r["doc_id"]: r["host"]
+            for r in it.read_table(spark, path).collect()
+        }
+        rows = it.read_table(spark, path).count()
+        assert rows == len(got) == 100  # count == distinct: no dups
+        assert got == self._expect_after_merge()
+
+    def test_kill_before_commit_then_rerun(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        v1 = it.current_snapshot_id(path)
+        incoming = _df(spark, 40, 60, host="new.com")
+
+        # kill AFTER the data files land but BEFORE the snapshot
+        # write — the orphan parquet stays on disk forever
+        real_commit = it._commit
+
+        def killed(*a, **k):
+            raise RuntimeError("simulated kill mid-merge")
+
+        monkeypatch.setattr(it, "_commit", killed)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            it.merge_upsert(spark, incoming, path, "doc_id", STATS)
+        monkeypatch.setattr(it, "_commit", real_commit)
+
+        n_data = len(os.listdir(it._data_dir(path)))
+        assert n_data > len(it.plan_files(path))  # orphans exist
+        # the torn merge is invisible: still snapshot v1, old rows
+        assert it.current_snapshot_id(path) == v1
+        assert it.read_table(spark, path).where(
+            "host = 'new.com'"
+        ).count() == 0
+
+        # resume: re-run the SAME merge; exactly-once output
+        it.merge_upsert(spark, incoming, path, "doc_id", STATS)
+        self._assert_exactly_once(spark, path)
+        # orphan data files are still not referenced by any manifest
+        referenced = {
+            e["path"] for e in it.read_snapshot(path)["manifest"]
+        }
+        on_disk = {
+            os.path.join(it._data_dir(path), n)
+            for n in os.listdir(it._data_dir(path))
+        }
+        assert referenced < on_disk  # strict subset: orphans remain
+
+    def test_partial_parquet_and_torn_version_tmp(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        v1 = it.current_snapshot_id(path)
+
+        # half-written parquet (kill mid-os.write, before rename
+        # into the manifest): valid magic, truncated body
+        some = it.plan_files(path)[0]["path"]
+        with open(some, "rb") as fh:
+            whole = fh.read()
+        torn = os.path.join(
+            it._data_dir(path), "deadbeef00000000.parquet"
+        )
+        with open(torn, "wb") as fh:
+            fh.write(whole[: len(whole) // 2])
+        # torn snapshot pointer: a stray VERSION tmp never renamed
+        with open(it._version_file(path) + ".tmp-dead", "w") as fh:
+            fh.write("999")
+        # orphan snapshot json for an id that never committed
+        orphan_snap = {"snapshot_id": v1 + 1, "parent": v1,
+                       "operation": "merge", "manifest": []}
+        import json as _json
+
+        with open(it._snap_path(path, v1 + 1), "w") as fh:
+            _json.dump(orphan_snap, fh)
+
+        # reads never touch any of the debris
+        assert it.current_snapshot_id(path) == v1
+        assert it.read_table(spark, path).count() == 100
+
+        # the re-run merge commits OVER the orphan snapshot id and
+        # flips the pointer atomically
+        incoming = _df(spark, 40, 60, host="new.com")
+        v2 = it.merge_upsert(spark, incoming, path, "doc_id", STATS)
+        assert v2 == v1 + 1
+        assert it.current_snapshot_id(path) == v2
+        self._assert_exactly_once(spark, path)
+        # the torn parquet is still unreferenced
+        referenced = {
+            e["path"] for e in it.read_snapshot(path)["manifest"]
+        }
+        assert torn not in referenced
+
+    def test_double_resume_is_idempotent(self, spark, tmp_path):
+        # resume logic re-applied on an ALREADY merged table must
+        # not duplicate rows (same-key upsert is idempotent)
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        incoming = _df(spark, 40, 60, host="new.com")
+        it.merge_upsert(spark, incoming, path, "doc_id", STATS)
+        it.merge_upsert(spark, incoming, path, "doc_id", STATS)
+        self._assert_exactly_once(spark, path)

@@ -112,7 +112,9 @@ class TestStrict:
 
 class TestFixture:
     def test_fixture_decodes_to_closed_form(self):
-        for doc_id in (0, 1, 2, 3, 7, 11, 42):
+        # doc_id % 3 == 2 routes to the AVI/MJPEG container
+        # (tests/test_avi_codec.py) — the Y4M thirds stay here
+        for doc_id in (0, 1, 3, 7, 12, 42):
             frames, meta = y4m_decode(fixture_video(doc_id))
             w = 16 * (1 + doc_id % 2)
             h = 12 + 4 * (doc_id % 3)
