@@ -5879,7 +5879,8 @@ _R5_DEFERRED: list[str] = [
     "corpus_heavy_hitters_cms",  # tests/test_sketches.py exact compare
     "corpus_zorder_shards",      # tests/test_zorder.py interleave oracle
     "corpus_table_pruning",      # BENCH_TABLE.json + tests/test_icetable.py
-    "corpus_analyze_stats",      # stats vs exact recompute unit suite
+    "corpus_analyze_stats",      # exact NDV beside the sketch in the
+                                 # entry itself + both-SF crosscheck
     "text_char_entropy",         # closed-form entropy unit oracle
     "corpus_idn_hosts",          # tests/test_idn.py punycode vectors
     "ann_int8_recall",           # tests/test_int8_recall.py measured recall

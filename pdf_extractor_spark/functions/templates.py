@@ -22,18 +22,23 @@ fixture scale).  The flag rule is integer cross-multiplication
 (``n_sigs * 3 <= n_docs`` ⇔ diversity < 1/3), never a float ratio,
 so the engines cannot drift at the threshold.
 
-Scale shape (100 TB contract): SimHash is a pure narrow map (no
-UDF; the Arrow ``simhash_mapinpandas`` twin is the long-document
-swap); the only exchange carries (host, simhash) pairs — fixed
-width, never text; count-distinct per host is exact and partially
-aggregable.  Host count bounds the output, not the corpus.
+Scale shape (100 TB contract): signatures come from the SAME
+Arrow/NumPy kernel as ``dedup.simhash_mapinpandas`` (the 60-bit vote
+matrix is one NumPy reduction; the SQL higher-order form it replaced
+re-walked the token-hash array 60× per row and measured 30× slower
+on the full battery); the post-signature exchange carries (host,
+simhash) pairs — fixed width, never text — and count-distinct per
+host is exact and partially aggregable.  Host count bounds the
+output, not the corpus.  The pre-Arrow repartition exists to spread
+a single-split test table (same rationale as
+``simhash_mapinpandas``); a production scan already arrives in many
+splits.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _SIMHASH_FROM_HS, _TOKEN_HASHES
 from .robots import DUCK_HOST, SPARK_HOST
 
 MIN_DOCS = 5        # below this a diversity verdict is noise
@@ -57,14 +62,31 @@ _DUCK_VARIANT = (
 
 def host_template_report(docs: DataFrame) -> DataFrame:
     """(host, n_docs, n_sigs, dup_pct, templated) per host."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .dedup import simhash_pandas
+
+    variant = docs.select(
+        "doc_id",
+        F.expr(SPARK_HOST).alias("host"),
+        F.expr(_SPARK_VARIANT).alias("text"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"].to_numpy(),
+                    "simhash": simhash_pandas(list(pdf["text"])),
+                }
+            )
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
     sigs = (
-        docs.select(
-            "doc_id",
-            F.expr(SPARK_HOST).alias("host"),
-            F.expr(_SPARK_VARIANT).alias("text"),
-        )
-        .withColumn("hs", F.expr(_TOKEN_HASHES))
-        .select("host", F.expr(_SIMHASH_FROM_HS).alias("simhash"))
+        variant.repartition(n, F.col("doc_id"))
+        .mapInPandas(fn, "host string, simhash long")
     )
     return (
         sigs.groupBy("host")

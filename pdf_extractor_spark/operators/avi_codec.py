@@ -113,6 +113,19 @@ def _iter_chunks(data: bytes, pos: int, end: int):
         pos = body + size + (size & 1)
 
 
+def _collect_frames(
+    data: bytes, pos: int, end: int, frames: list[bytes]
+) -> None:
+    """Video chunks from a movi body, descending into ``LIST 'rec '``
+    groups (interleave muxers batch one frame-time of chunks per rec
+    list); JUNK/audio/other chunks are skipped."""
+    for fourcc, body, size in _iter_chunks(data, pos, end):
+        if fourcc in (b"00dc", b"00db"):
+            frames.append(data[body : body + size])
+        elif fourcc == b"LIST" and data[body : body + 4] == b"rec ":
+            _collect_frames(data, body + 4, body + size, frames)
+
+
 def avi_decode_mjpeg(payload: bytes) -> tuple[list[bytes], dict]:
     """Parse an AVI payload → ``(jpeg frame bytestreams, meta)``.
 
@@ -165,11 +178,7 @@ def avi_decode_mjpeg(payload: bytes) -> tuple[list[bytes], dict]:
                                     "<I", payload, b3 + 32
                                 )
             elif ltype == b"movi":
-                for f2, b2, s2 in _iter_chunks(
-                    payload, body + 4, body + size
-                ):
-                    if f2 in (b"00dc", b"00db"):
-                        frames.append(payload[b2 : b2 + s2])
+                _collect_frames(payload, body + 4, body + size, frames)
         elif fourcc == b"idx1":
             n_indexed = sum(
                 1

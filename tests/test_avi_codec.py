@@ -123,3 +123,29 @@ def test_property_random_shapes_roundtrip(n, wcells, hcells, q, fps, seed):
     assert (meta["width"], meta["height"], meta["fps_num"]) == (w, h, fps)
     for got, want in zip(planes, expect):
         assert np.array_equal(got, want)
+
+
+def test_rec_grouped_movi_and_junk_chunks_decode():
+    # interleave muxers wrap each frame-time in LIST 'rec ' and pad
+    # with JUNK chunks; rebuild such a file by hand from a clean one
+    frames = _flat_jpegs(3, 24, 20)
+    clean = avi_encode_mjpeg(frames, 24, 20, fps=(15, 1))
+    movi_at = clean.find(b"movi")
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    recs = []
+    for fr in frames:
+        recs.append(
+            chunk(b"LIST", b"rec " + chunk(b"00dc", fr))
+        )
+        recs.append(chunk(b"JUNK", b"\x00" * 7))
+    movi = chunk(b"LIST", b"movi" + b"".join(recs))
+    # keep hdrl, swap in the rec-grouped movi, drop idx1 (optional
+    # per spec), and let chunk() restate the RIFF size
+    rebuilt = chunk(b"RIFF", b"AVI " + clean[12 : movi_at - 8] + movi)
+    raw, meta = avi_decode_mjpeg(rebuilt)
+    assert raw == frames
+    assert meta["n_frames"] == 3 and meta["fps_num"] == 15
