@@ -149,3 +149,31 @@ def test_rec_grouped_movi_and_junk_chunks_decode():
     raw, meta = avi_decode_mjpeg(rebuilt)
     assert raw == frames
     assert meta["n_frames"] == 3 and meta["fps_num"] == 15
+
+
+def test_non_jpeg_video_chunk_is_diagnosed():
+    frames = _flat_jpegs(2, 24, 20)
+    avi = bytearray(avi_encode_mjpeg(frames, 24, 20))
+    # corrupt the first frame's SOI inside its 00dc chunk
+    pos = bytes(avi).find(b"00dc") + 8
+    avi[pos : pos + 2] = b"\x00\x00"
+    with pytest.raises(AviError, match="not a JPEG"):
+        avi_decode_mjpeg(bytes(avi))
+
+
+def test_fixture_schedule_sweep_decodes_all_variants():
+    # every (doc_id % 4, % 5, % 8, // 3 % 3) combination class the
+    # catalog fixture can produce: decode + frame count + dims
+    from pdf_extractor_spark.functions.multimodal import (
+        fixture_video_mjpeg,
+    )
+
+    for d in range(2, 2 + 3 * 40, 3):  # 40 doc_ids of the % 3 == 2 class
+        payload = fixture_video_mjpeg(d)
+        planes, meta = avi_decode_luma_frames(payload)
+        assert meta["width"] == 24 + 8 * (d % 4)
+        assert meta["height"] == 20 + 6 * ((d // 3) % 3)
+        assert meta["fps_num"] == 10 + d % 7
+        assert len(planes) == 2 + d % 5
+        for p in planes:
+            assert p.shape == (meta["height"], meta["width"])
