@@ -521,6 +521,75 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     }
 
 
+def remove_orphan_files(
+    path: str, grace_sec: float = 3 * 24 * 3600
+) -> dict:
+    """Delete debris no snapshot references — the cleanup pass for
+    torn commits (Iceberg's ``remove_orphan_files`` action): data
+    files absent from every reachable manifest, snapshot JSONs
+    outside the reachable chain, stray ``VERSION.tmp-*`` pointers
+    and ``_staging-*`` dirs.  Only files older than ``grace_sec``
+    go (mtime guard): a writer that has landed its data files but
+    not yet flipped VERSION looks exactly like a torn commit from
+    here, and real Iceberg documents the same age-based safety
+    margin.  Returns {data_files_removed, snapshots_removed,
+    tmp_removed, staging_removed}."""
+    now = time.time()
+
+    def _old(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) > grace_sec
+        except OSError:
+            return False  # vanished concurrently: not ours to count
+
+    chain_ids: set[int] = set()
+    live: set[str] = set()
+    sid: int | None = current_snapshot_id(path)
+    while sid is not None:
+        snap = read_snapshot(path, sid)
+        chain_ids.add(snap["snapshot_id"])
+        live |= {e["path"] for e in snap["manifest"]}
+        sid = snap["parent"]
+    counts = {"data_files_removed": 0, "snapshots_removed": 0,
+              "tmp_removed": 0, "staging_removed": 0}
+    ddir = _data_dir(path)
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            f = os.path.join(ddir, name)
+            if f not in live and _old(f):
+                os.remove(f)
+                counts["data_files_removed"] += 1
+    mdir = _meta_dir(path)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not name.startswith("snap-"):
+                continue
+            try:
+                snap_id = int(name[5:].split(".")[0])
+            except ValueError:
+                continue
+            f = os.path.join(mdir, name)
+            if snap_id not in chain_ids and _old(f):
+                os.remove(f)
+                counts["snapshots_removed"] += 1
+    vbase = os.path.basename(_version_file(path))
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            f = os.path.join(mdir, name)
+            if name.startswith(vbase + ".tmp-") and _old(f):
+                os.remove(f)
+                counts["tmp_removed"] += 1
+    for name in os.listdir(path):
+        f = os.path.join(path, name)
+        if name.startswith("_staging-") and os.path.isdir(f) \
+                and _old(f):
+            for leftover in os.listdir(f):
+                os.remove(os.path.join(f, leftover))
+            os.rmdir(f)
+            counts["staging_removed"] += 1
+    return counts
+
+
 # ------------------------------------------------- schema evolution
 #
 # Additive schema evolution, the table-format feature that makes

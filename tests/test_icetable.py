@@ -399,3 +399,79 @@ class TestTornCommitChaos:
         it.merge_upsert(spark, incoming, path, "doc_id", STATS)
         it.merge_upsert(spark, incoming, path, "doc_id", STATS)
         self._assert_exactly_once(spark, path)
+
+
+class TestRemoveOrphanFiles:
+    """remove_orphan_files: the cleanup pass that makes torn-commit
+    debris bounded instead of permanent, with the mtime grace guard
+    protecting in-flight writers."""
+
+    def _plant_debris(self, spark, path):
+        # torn merge: data files landed, commit never happened
+        import pytest as _pytest
+
+        real = it._commit
+        it._commit = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("kill")
+        )
+        try:
+            with _pytest.raises(RuntimeError):
+                it.merge_upsert(
+                    spark, _df(spark, 40, 60, host="new.com"),
+                    path, "doc_id", STATS,
+                )
+        finally:
+            it._commit = real
+        # torn VERSION tmp + orphan snapshot + staging leftovers
+        with open(it._version_file(path) + ".tmp-x", "w") as fh:
+            fh.write("999")
+        import json as _json
+
+        sid = it.current_snapshot_id(path)
+        with open(it._snap_path(path, sid + 7), "w") as fh:
+            _json.dump({"snapshot_id": sid + 7, "parent": sid,
+                        "operation": "merge", "manifest": []}, fh)
+        stag = os.path.join(path, "_staging-dead")
+        os.makedirs(stag)
+        with open(os.path.join(stag, "part-0.parquet"), "wb") as fh:
+            fh.write(b"partial")
+
+    def test_grace_guard_protects_fresh_debris(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        self._plant_debris(spark, path)
+        n_data = len(os.listdir(it._data_dir(path)))
+        # default grace: everything is newer than 3 days — untouched
+        counts = it.remove_orphan_files(path)
+        assert counts == {"data_files_removed": 0,
+                          "snapshots_removed": 0, "tmp_removed": 0,
+                          "staging_removed": 0}
+        assert len(os.listdir(it._data_dir(path))) == n_data
+
+    def test_aged_debris_is_removed_and_table_intact(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        it.create_table(_df(spark, 0, 100), path, STATS)
+        self._plant_debris(spark, path)
+        counts = it.remove_orphan_files(path, grace_sec=0)
+        assert counts["data_files_removed"] > 0
+        assert counts["snapshots_removed"] == 1
+        assert counts["tmp_removed"] == 1
+        assert counts["staging_removed"] == 1
+        # every live file survived; the table reads identically
+        assert it.read_table(spark, path).count() == 100
+        live = {e["path"] for e in it.read_snapshot(path)["manifest"]}
+        on_disk = {
+            os.path.join(it._data_dir(path), n)
+            for n in os.listdir(it._data_dir(path))
+        }
+        assert live == on_disk  # nothing but live files remain
+        # and the table still accepts the resumed merge afterwards
+        it.merge_upsert(
+            spark, _df(spark, 40, 60, host="new.com"),
+            path, "doc_id", STATS,
+        )
+        got = it.read_table(spark, path)
+        assert got.count() == 100
+        assert got.where("host = 'new.com'").count() == 20
