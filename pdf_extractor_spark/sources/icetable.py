@@ -45,6 +45,7 @@ import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -264,14 +265,18 @@ def merge_upsert(
     rows are appended as new files. One atomic snapshot flip."""
     parent = current_snapshot_id(path)
     manifest = read_snapshot(path)["manifest"]
-    bounds = df.agg(
-        {key: "min"}
-    ).collect()[0][0], df.agg({key: "max"}).collect()[0][0]
-    lo, hi = bounds
+    lo, hi = df.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
     touched = [
         e for e in manifest if _overlaps(e["stats"].get(key), lo, hi)
     ]
-    untouched = [e for e in manifest if e not in touched]
+    # set-difference on file paths: a list-membership scan is O(n^2)
+    # dict compares, quadratic at production manifest sizes
+    touched_paths = {e["path"] for e in touched}
+    untouched = [
+        e for e in manifest if e["path"] not in touched_paths
+    ]
     new_entries = []
     if touched:
         old = spark.read.parquet(*[e["path"] for e in touched])
