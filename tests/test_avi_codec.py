@@ -177,3 +177,17 @@ def test_fixture_schedule_sweep_decodes_all_variants():
         assert len(planes) == 2 + d % 5
         for p in planes:
             assert p.shape == (meta["height"], meta["width"])
+
+
+def test_idx1_count_mismatch_is_caught():
+    frames = _flat_jpegs(3, 24, 20)
+    avi = avi_encode_mjpeg(frames, 24, 20)
+    # drop the last 16-byte idx1 entry and shrink the chunk size so
+    # the index advertises 2 frames while movi carries 3
+    pos = avi.find(b"idx1")
+    (size,) = struct.unpack_from("<I", avi, pos + 4)
+    trimmed = bytearray(avi[: pos + 8 + size - 16])
+    struct.pack_into("<I", trimmed, pos + 4, size - 16)
+    struct.pack_into("<I", trimmed, 4, len(trimmed) - 8)
+    with pytest.raises(AviError, match="idx1 indexes 2"):
+        avi_decode_mjpeg(bytes(trimmed))
