@@ -508,7 +508,12 @@ def fixture_video_mjpeg(doc_id: int) -> bytes:
     Y(f, bx, by) = (doc_id*7 + 19*f + 13*bx + 29*by) % 256, so every
     8x8 block is DC-only and the lossy roundtrip has the same closed
     form as the still-JPEG legs — yet decoding runs the full Huffman
-    + dequant + IDCT machine per frame inside the RIFF walk."""
+    + dequant + IDCT machine per frame inside the RIFF walk.  The
+    (doc_id // 3) % 2 == 1 half of the class is COLOR 4:2:0 (chroma
+    cells on the 11/17/5 and 3/23/7 schedules, like the still leg):
+    the Y plane is full-resolution either way, so the luma oracle is
+    identical while the per-frame decode additionally runs the
+    subsampled-chroma MCU machinery."""
     from ..operators.avi_codec import avi_encode_mjpeg
     from ..operators.jpeg_codec import jpeg_encode
 
@@ -516,16 +521,26 @@ def fixture_video_mjpeg(doc_id: int) -> bytes:
     h = 20 + 6 * ((doc_id // 3) % 3)
     q = 50 + 5 * (doc_id % 8)
     n_frames = 2 + doc_id % 5
+    color = (doc_id // 3) % 2 == 1
     bx = np.arange((w + 15) // 16, dtype=np.int64)
     by = np.arange((h + 15) // 16, dtype=np.int64)
-    frames = []
-    for f in range(n_frames):
-        cell = (doc_id * 7 + 19 * f + 13 * bx[None, :]
-                + 29 * by[:, None]) % 256
-        plane = np.repeat(
+
+    def cells(a: int, b: int, c: int, f: int) -> np.ndarray:
+        cell = (doc_id * a + 19 * f + b * bx[None, :]
+                + c * by[:, None]) % 256
+        return np.repeat(
             np.repeat(cell, 16, axis=0), 16, axis=1
         )[:h, :w].astype(np.uint8)
-        frames.append(jpeg_encode([plane], quality=q))
+
+    frames = []
+    for f in range(n_frames):
+        planes = [cells(7, 13, 29, f)]
+        if color:
+            planes.append(cells(11, 17, 5, f))
+            planes.append(cells(3, 23, 7, f))
+        frames.append(
+            jpeg_encode(planes, quality=q, subsample=color)
+        )
     return avi_encode_mjpeg(
         frames, w, h, fps=(10 + doc_id % 7, 1)
     )

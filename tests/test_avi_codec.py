@@ -191,3 +191,25 @@ def test_idx1_count_mismatch_is_caught():
     struct.pack_into("<I", trimmed, 4, len(trimmed) - 8)
     with pytest.raises(AviError, match="idx1 indexes 2"):
         avi_decode_mjpeg(bytes(trimmed))
+
+
+def test_fixture_color_half_is_420_and_luma_is_unchanged():
+    # the (doc_id // 3) % 2 == 1 half carries 3-component 4:2:0
+    # frames; the luma plane (full-res in 4:2:0) must still decode
+    # to the same DC-only closed form the gray half uses
+    import numpy as np
+
+    from pdf_extractor_spark.functions.multimodal import (
+        fixture_video_mjpeg,
+    )
+
+    gray_d, color_d = 2, 5  # (2//3)%2=0 gray, (5//3)%2=1 color
+    for d, want_comp in ((gray_d, 1), (color_d, 3)):
+        raw, _ = avi_decode_mjpeg(fixture_video_mjpeg(d))
+        planes, meta = jpeg_decode(raw[0])
+        assert meta["n_components"] == want_comp, d
+        assert meta["subsampled"] == (want_comp == 3)
+        # every 16x16 cell of the luma plane is constant (DC-only)
+        y = planes[0]
+        cell = y[:16, :16]
+        assert (cell == cell[0, 0]).all()
