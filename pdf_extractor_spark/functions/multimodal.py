@@ -541,8 +541,20 @@ def fixture_video_mjpeg(doc_id: int) -> bytes:
         frames.append(
             jpeg_encode(planes, quality=q, subsample=color)
         )
+    # the color half also carries an interleaved G.711 auds stream
+    # (same ramp family as the audio leg, law by parity): the luma
+    # outputs — and so the oracle — are unchanged, but the catalog
+    # decode now walks REAL A/V interleave, skipping 01wb chunks
+    audio = None
+    if color:
+        from ..operators.wav_codec import alaw_encode, ulaw_encode
+
+        i = np.arange(160 + doc_id % 80, dtype=np.int64)
+        s = ((doc_id * 131 + i * 277) % 60001 - 30000).astype(np.int16)
+        law = ulaw_encode if doc_id % 2 == 0 else alaw_encode
+        audio = (law(s).tobytes(), 7 if doc_id % 2 == 0 else 6, 8000)
     return avi_encode_mjpeg(
-        frames, w, h, fps=(10 + doc_id % 7, 1)
+        frames, w, h, fps=(10 + doc_id % 7, 1), audio=audio
     )
 
 

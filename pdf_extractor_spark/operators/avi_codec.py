@@ -47,9 +47,14 @@ def avi_encode_mjpeg(
     width: int,
     height: int,
     fps: tuple[int, int] = (25, 1),
+    audio: tuple[bytes, int, int] | None = None,
 ) -> bytes:
     """Serialize pre-encoded JPEG frame bytestreams into an AVI with
-    a single ``vids/MJPG`` stream and an idx1 index."""
+    a single ``vids/MJPG`` stream and an idx1 index.  ``audio``, when
+    given, is ``(data, format_tag, sample_rate)`` — tag 1 (PCM16
+    mono), 6 (A-law) or 7 (µ-law) — muxed as a second ``auds`` stream
+    whose ``01wb`` chunks interleave one video-frame-time of samples
+    after each ``00dc`` chunk, the standard interleave layout."""
     if not jpeg_frames:
         raise AviError("no frames")
     if width <= 0 or height <= 0:
@@ -63,7 +68,7 @@ def avi_encode_mjpeg(
     avih = struct.pack(
         "<14I",
         usec, 0, 0, 0x10,  # dwFlags: AVIF_HASINDEX
-        n, 0, 1, maxbuf,
+        n, 0, 1 + (audio is not None), maxbuf,
         width, height, 0, 0, 0, 0,
     )
     strh = (
@@ -78,21 +83,56 @@ def avi_encode_mjpeg(
         struct.unpack("<I", b"MJPG")[0],
         width * height * 3, 0, 0, 0, 0,
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    strls = _list(
+        b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)
     )
+    slices: list[bytes] = []
+    if audio is not None:
+        adata, tag, srate = audio
+        if tag not in (1, 6, 7):
+            raise AviError(f"unsupported audio format tag {tag}")
+        if srate <= 0:
+            raise AviError("invalid audio sample rate")
+        block = 2 if tag == 1 else 1  # mono: PCM16 vs 8-bit G.711
+        if len(adata) % block:
+            raise AviError("audio data not block-aligned")
+        bps = srate * block
+        astrh = (
+            b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack("<I2H8I", 0, 0, 0, 0, block, bps, 0,
+                          len(adata) // block, bps, 0xFFFFFFFF, block)
+            + struct.pack("<4h", 0, 0, 0, 0)
+        )
+        astrf = struct.pack(  # WAVEFORMATEX, cbSize = 0
+            "<2H2I2H", tag, 1, srate, bps, block, 8 * block
+        )
+        strls += _list(
+            b"strl",
+            _chunk(b"strh", astrh) + _chunk(b"strf", astrf),
+        )
+        # one video-frame-time of audio per interleave slice, block-
+        # aligned, remainder riding with the final slice
+        per = max(block, (len(adata) // max(n, 1)) // block * block)
+        for i in range(n):
+            lo = i * per
+            hi = (i + 1) * per if i < n - 1 else len(adata)
+            slices.append(adata[lo:hi])
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
     movi_payload = [b"movi"]
     idx = []
     offset = 4  # idx1 offsets are relative to the movi list data start
-    for fr in jpeg_frames:
-        ck = _chunk(b"00dc", fr)
-        idx.append(
-            b"00dc" + struct.pack("<3I", AVIIF_KEYFRAME, offset, len(fr))
-        )
-        movi_payload.append(ck)
-        offset += len(ck)
+    for i, fr in enumerate(jpeg_frames):
+        for fourcc, payload in (
+            [(b"00dc", fr)]
+            + ([(b"01wb", slices[i])] if audio is not None else [])
+        ):
+            ck = _chunk(fourcc, payload)
+            idx.append(
+                fourcc
+                + struct.pack("<3I", AVIIF_KEYFRAME, offset, len(payload))
+            )
+            movi_payload.append(ck)
+            offset += len(ck)
     movi = _chunk(b"LIST", b"".join(movi_payload))
     idx1 = _chunk(b"idx1", b"".join(idx))
     return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
@@ -114,27 +154,34 @@ def _iter_chunks(data: bytes, pos: int, end: int):
 
 
 def _collect_frames(
-    data: bytes, pos: int, end: int, frames: list[bytes]
+    data: bytes,
+    pos: int,
+    end: int,
+    frames: list[bytes],
+    audio: list[bytes] | None = None,
 ) -> None:
-    """Video chunks from a movi body, descending into ``LIST 'rec '``
-    groups (interleave muxers batch one frame-time of chunks per rec
-    list); JUNK/audio/other chunks are skipped."""
+    """Video (and, when requested, audio) chunks from a movi body,
+    descending into ``LIST 'rec '`` groups (interleave muxers batch
+    one frame-time of chunks per rec list); JUNK/other chunks are
+    skipped."""
     for fourcc, body, size in _iter_chunks(data, pos, end):
         if fourcc in (b"00dc", b"00db"):
             frames.append(data[body : body + size])
+        elif audio is not None and fourcc[2:4] == b"wb":
+            audio.append(data[body : body + size])
         elif fourcc == b"LIST" and data[body : body + 4] == b"rec ":
-            _collect_frames(data, body + 4, body + size, frames)
+            _collect_frames(data, body + 4, body + size, frames, audio)
 
 
-def avi_decode_mjpeg(payload: bytes) -> tuple[list[bytes], dict]:
-    """Parse an AVI payload → ``(jpeg frame bytestreams, meta)``.
+def _demux(
+    payload: bytes,
+) -> tuple[list[bytes], list[bytes], dict]:
+    """Shared container walk → (video chunks, audio chunks, meta).
 
-    ``meta`` carries width, height, fps_num, fps_den, n_frames (as
-    declared by strh.dwLength), and handler. Frames come from the
-    ``00dc``/``00db`` chunks of the movi list in stream order — the
-    idx1 index, when present, is cross-checked but the movi walk is
-    authoritative (real files ship broken indexes; broken MOVI data
-    is unrecoverable either way)."""
+    Frames come from the ``00dc``/``00db`` chunks of the movi list in
+    stream order — the idx1 index, when present, is cross-checked but
+    the movi walk is authoritative (real files ship broken indexes;
+    broken MOVI data is unrecoverable either way)."""
     if len(payload) < 12 or payload[:4] != b"RIFF":
         raise AviError("not a RIFF file")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
@@ -144,7 +191,9 @@ def avi_decode_mjpeg(payload: bytes) -> tuple[list[bytes], dict]:
     width = height = 0
     rate, scale, declared = 0, 0, -1
     handler = b""
+    a_tag = a_chan = a_rate = 0
     frames: list[bytes] = []
+    audio: list[bytes] = []
     n_indexed = -1
     for fourcc, body, size in _iter_chunks(payload, 12, end):
         if fourcc == b"LIST":
@@ -161,24 +210,39 @@ def avi_decode_mjpeg(payload: bytes) -> tuple[list[bytes], dict]:
                         )
                     elif f2 == b"LIST" and payload[
                         b2 : b2 + 4
-                    ] == b"strl" and not handler:
+                    ] == b"strl":
+                        s_type = b""
                         for f3, b3, s3 in _iter_chunks(
                             payload, b2 + 4, b2 + s2
                         ):
                             if f3 == b"strh":
                                 if s3 < 40:
                                     raise AviError("short strh")
-                                if payload[b3 : b3 + 4] != b"vids":
-                                    break  # not the video stream
-                                handler = payload[b3 + 4 : b3 + 8]
-                                scale, rate = struct.unpack_from(
-                                    "<2I", payload, b3 + 20
-                                )
-                                (declared,) = struct.unpack_from(
-                                    "<I", payload, b3 + 32
+                                s_type = payload[b3 : b3 + 4]
+                                if s_type == b"vids" and not handler:
+                                    handler = payload[b3 + 4 : b3 + 8]
+                                    scale, rate = struct.unpack_from(
+                                        "<2I", payload, b3 + 20
+                                    )
+                                    (declared,) = struct.unpack_from(
+                                        "<I", payload, b3 + 32
+                                    )
+                            elif (
+                                f3 == b"strf"
+                                and s_type == b"auds"
+                                and not a_tag
+                            ):
+                                if s3 < 14:
+                                    raise AviError("short WAVEFORMAT")
+                                a_tag, a_chan, a_rate = (
+                                    struct.unpack_from(
+                                        "<2HI", payload, b3
+                                    )
                                 )
             elif ltype == b"movi":
-                _collect_frames(payload, body + 4, body + size, frames)
+                _collect_frames(
+                    payload, body + 4, body + size, frames, audio
+                )
         elif fourcc == b"idx1":
             n_indexed = sum(
                 1
@@ -205,10 +269,12 @@ def avi_decode_mjpeg(payload: bytes) -> tuple[list[bytes], dict]:
             f"idx1 indexes {n_indexed} frames, movi carries "
             f"{len(frames)}"
         )
+    if audio and not a_tag:
+        raise AviError("audio chunks without an auds stream header")
     for i, fr in enumerate(frames):
         if fr[:2] != b"\xff\xd8":
             raise AviError(f"frame {i} is not a JPEG (no SOI)")
-    return frames, {
+    meta = {
         "width": width,
         "height": height,
         "fps_num": rate,
@@ -216,6 +282,56 @@ def avi_decode_mjpeg(payload: bytes) -> tuple[list[bytes], dict]:
         "n_frames": len(frames),
         "handler": handler.decode("ascii"),
     }
+    if a_tag:
+        meta.update(
+            audio_format=a_tag,
+            audio_channels=a_chan,
+            audio_rate=a_rate,
+        )
+    return frames, audio, meta
+
+
+def avi_decode_mjpeg(payload: bytes) -> tuple[list[bytes], dict]:
+    """Parse an AVI payload → ``(jpeg frame bytestreams, meta)``.
+
+    ``meta`` carries width, height, fps_num, fps_den, n_frames (as
+    declared by strh.dwLength) and handler, plus
+    audio_format/channels/rate when an ``auds`` stream is muxed in.
+    Audio payload bytes are skipped — :func:`avi_demux` returns
+    them."""
+    frames, _audio, meta = _demux(payload)
+    return frames, meta
+
+
+def avi_demux(
+    payload: bytes,
+) -> tuple[list[bytes], bytes, dict]:
+    """Full A/V demux → (jpeg frames, concatenated audio bytes,
+    meta).  Audio chunk boundaries are an interleave artifact, not
+    sample boundaries — downstream decode wants the joined stream."""
+    frames, audio, meta = _demux(payload)
+    return frames, b"".join(audio), meta
+
+
+def avi_decode_audio_samples(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Demux + expand the audio stream to int16 samples via the
+    G.711 expanders (tags 6/7, ``wav_codec``) or raw PCM16 (tag 1)."""
+    from .wav_codec import alaw_decode, ulaw_decode
+
+    _frames, chunks, meta = _demux(payload)
+    audio = b"".join(chunks)
+    tag = meta.get("audio_format")
+    if not tag:
+        raise AviError("no auds stream in this file")
+    if tag == 7:
+        pcm = ulaw_decode(np.frombuffer(audio, dtype=np.uint8))
+    elif tag == 6:
+        pcm = alaw_decode(np.frombuffer(audio, dtype=np.uint8))
+    elif tag == 1:
+        pcm = np.frombuffer(audio, dtype="<i2")
+    else:
+        raise AviError(f"unsupported audio format tag {tag}")
+    return pcm, meta
 
 
 def avi_decode_luma_frames(

@@ -213,3 +213,98 @@ def test_fixture_color_half_is_420_and_luma_is_unchanged():
         y = planes[0]
         cell = y[:16, :16]
         assert (cell == cell[0, 0]).all()
+
+
+class TestAudioStream:
+    """Interleaved auds stream: mux one frame-time of audio per
+    video chunk, demux to the joined stream, expand G.711/PCM16."""
+
+    def _av(self, tag, n=4, rate=8000):
+        import numpy as np
+
+        from pdf_extractor_spark.operators.wav_codec import (
+            alaw_encode,
+            ulaw_encode,
+        )
+
+        s = ((np.arange(997) * 277) % 60001 - 30000).astype(np.int16)
+        if tag == 7:
+            data, ref = ulaw_encode(s).tobytes(), None
+        elif tag == 6:
+            data, ref = alaw_encode(s).tobytes(), None
+        else:
+            data, ref = s.astype("<i2").tobytes(), s
+        frames = _flat_jpegs(n, 24, 20)
+        avi = avi_encode_mjpeg(
+            frames, 24, 20, fps=(10, 1), audio=(data, tag, rate)
+        )
+        return avi, frames, data, s, ref
+
+    @pytest.mark.parametrize("tag", [1, 6, 7])
+    def test_mux_demux_roundtrip(self, tag):
+        import numpy as np
+
+        from pdf_extractor_spark.operators.avi_codec import (
+            avi_decode_audio_samples,
+            avi_demux,
+        )
+        from pdf_extractor_spark.operators.wav_codec import (
+            alaw_decode,
+            alaw_encode,
+            ulaw_decode,
+            ulaw_encode,
+        )
+
+        avi, frames, data, s, ref = self._av(tag)
+        vid, audio, meta = avi_demux(avi)
+        assert vid == frames              # video unaffected by muxing
+        assert audio == data              # byte-exact reassembly
+        assert meta["audio_format"] == tag
+        assert meta["audio_channels"] == 1
+        assert meta["audio_rate"] == 8000
+        pcm, _ = avi_decode_audio_samples(avi)
+        if tag == 1:
+            assert np.array_equal(pcm, s)
+        elif tag == 7:
+            want = ulaw_decode(ulaw_encode(s))
+            assert np.array_equal(pcm, want)
+        else:
+            want = alaw_decode(alaw_encode(s))
+            assert np.array_equal(pcm, want)
+
+    def test_video_only_decode_skips_audio(self):
+        avi, frames, _, _, _ = self._av(7)
+        raw, meta = avi_decode_mjpeg(avi)
+        assert raw == frames
+        assert meta["n_frames"] == len(frames)
+        assert meta["audio_format"] == 7  # surfaced, not decoded
+
+    def test_audio_without_header_is_diagnosed(self):
+        from pdf_extractor_spark.operators.avi_codec import avi_demux
+
+        # video-only file, then a forged 01wb chunk appended to movi
+        frames = _flat_jpegs(2, 24, 20)
+        avi = avi_encode_mjpeg(frames, 24, 20)
+        movi_at = avi.find(b"movi")
+        forged = b"01wb" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+        # LIST header: fourcc at movi_at-8, size at movi_at-4; the
+        # list payload (starting at 'movi') spans exactly lsize bytes
+        (lsize,) = struct.unpack_from("<I", avi, movi_at - 4)
+        rebuilt = bytearray(avi[: movi_at + lsize])
+        rebuilt += forged
+        struct.pack_into("<I", rebuilt, movi_at - 4, lsize + len(forged))
+        rebuilt += avi[movi_at + lsize :]
+        struct.pack_into("<I", rebuilt, 4, len(rebuilt) - 8)
+        with pytest.raises(AviError, match="without an auds"):
+            avi_demux(bytes(rebuilt))
+
+    def test_misaligned_audio_rejected_at_mux(self):
+        frames = _flat_jpegs(1, 24, 20)
+        with pytest.raises(AviError, match="block-aligned"):
+            avi_encode_mjpeg(
+                frames, 24, 20, audio=(b"\x00" * 7, 1, 8000)
+            )
+        with pytest.raises(AviError, match="format tag"):
+            avi_encode_mjpeg(
+                frames, 24, 20, audio=(b"\x00" * 8, 99, 8000)
+            )
