@@ -308,3 +308,29 @@ class TestAudioStream:
             avi_encode_mjpeg(
                 frames, 24, 20, audio=(b"\x00" * 8, 99, 8000)
             )
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(0, 10**9),
+    n_flips=st.integers(1, 24),
+)
+def test_mutation_fuzz_never_escapes_typed_errors(seed, n_flips):
+    # random byte corruption must either still decode or raise the
+    # codec's typed error — never IndexError/struct.error/etc.
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    frames = _flat_jpegs(2, 24, 20)
+    base = bytearray(
+        avi_encode_mjpeg(
+            frames, 24, 20,
+            audio=(b"\x42" * 64, 7, 8000),
+        )
+    )
+    for _ in range(n_flips):
+        base[rng.randint(len(base))] = rng.randint(256)
+    try:
+        avi_decode_mjpeg(bytes(base))
+    except AviError:
+        pass
