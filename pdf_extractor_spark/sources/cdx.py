@@ -180,6 +180,15 @@ def parse_cdxj(data: bytes) -> list[dict]:
             raise ValueError(f"CDX sort invariant violated at {key}")
         prev_sort_key = sort_key
         block = json.loads(block_json)
+        # a corrupted line can still be VALID json — missing or
+        # renamed fields must diagnose as index corruption, not
+        # leak KeyError/AttributeError out of the batch
+        required = {"url", "status", "mime", "digest", "length"}
+        if not isinstance(block, dict) or required - block.keys():
+            raise ValueError(
+                f"CDX record at {key} is not a capture block "
+                f"(missing {sorted(required - block.keys()) if isinstance(block, dict) else 'all fields'})"
+            )
         if surt(block["url"]) != key:
             raise ValueError(
                 f"key/record mismatch: {key} vs {block['url']!r}"
