@@ -72,3 +72,47 @@ def test_corruption_stays_inside_value_errors(name, base, parse):
             parse(bytes(mut))
         except ValueError:
             pass  # typed diagnosis — the contract
+
+
+def test_idn_fuzz_stays_inside_value_errors():
+    import random
+
+    from pdf_extractor_spark.functions.idn import (
+        host_to_ascii,
+        punycode_encode,
+    )
+
+    rng = random.Random(13)
+    alphabet = "abcxyz0129-._é中И퟿�!@# "
+    for _ in range(3000):
+        s = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 30))
+        )
+        for fn in (host_to_ascii, punycode_encode):
+            try:
+                fn(s)
+            except ValueError:
+                pass
+
+
+def test_html_tables_fuzz_stays_inside_value_errors():
+    from pdf_extractor_spark.operators.html_tables import (
+        extract_tables,
+    )
+
+    base = (
+        b"<table><tr><th>a</th><th>b</th></tr>"
+        b"<tr><td>1</td><td colspan=2>2</td></tr>"
+        b"<tr><td>x</td></tr></table>"
+        b"<table><tr><td><table><tr><td>n</td></tr></table>"
+        b"</td></tr></table>"
+    )
+    rng = np.random.RandomState(13)
+    for _ in range(1500):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 14)):
+            mut[rng.randint(len(mut))] = rng.randint(256)
+        try:
+            extract_tables(bytes(mut))
+        except ValueError:
+            pass
