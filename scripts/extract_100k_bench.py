@@ -121,9 +121,8 @@ def main() -> None:
             ),
         },
     }
-    (ROOT / "BENCH_EXTRACT_100K.json").write_text(
-        json.dumps(summary, indent=1)
-    )
+    out_name = f"BENCH_EXTRACT_{n_docs // 1000}K.json"
+    (ROOT / out_name).write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary, indent=1))
     spark.stop()
 
