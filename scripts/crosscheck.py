@@ -7,7 +7,9 @@ dtype-blind local compare let exactly that bug class ship in r4).
 Usage: python scripts/crosscheck.py [sf_dir] [q1,q2,...]
        python scripts/crosscheck.py --never-checked [sf_dir]
            (run only catalog entries with no driver row in any
-            CORRECTNESS_r*.json — VERDICT r4 "Next round" #8)"""
+            CORRECTNESS_r*.json — VERDICT r4 "Next round" #8)
+       python scripts/crosscheck.py --json out.json [sf_dir]
+           (also write a machine-readable per-entry record)"""
 
 from __future__ import annotations
 
@@ -111,6 +113,11 @@ def main() -> None:
     never_only = "--never-checked" in argv
     if never_only:
         argv.remove("--never-checked")
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
     sys.argv = [sys.argv[0]] + argv
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(
@@ -132,6 +139,7 @@ def main() -> None:
         print(f"never-driver-checked entries: {len(nc)}")
         only = set(nc) if only is None else only & set(nc)
     failures = []
+    records: dict[str, dict] = {}
     for name, qd in CATALOG.items():
         if only is not None and name not in only:
             continue
@@ -139,6 +147,7 @@ def main() -> None:
             sdf = qd.spark(spark, sf_dir).toPandas()
             if qd.oracle is None:
                 print(f"{name:32s} rows-only: {len(sdf)} rows")
+                records[name] = {"mode": "rows-only", "rows": len(sdf)}
                 continue
             odf = con.sql(qd.oracle).df()
             ns, no = normalize(sdf), normalize(odf)
@@ -158,6 +167,11 @@ def main() -> None:
                 ok_vals = False
                 print(f"{name:32s} VACUOUS  oracle returned 0 rows")
             status = "OK" if ok_vals else "MISMATCH"
+            records[name] = {
+                "mode": "oracle", "status": status,
+                "rows_spark": len(ns), "rows_duck": len(no),
+                "cols_ok": ok_cols, "dtypes_ok": ok_dt,
+            }
             print(f"{name:32s} {status}  spark={len(ns)} duck={len(no)} "
                   f"cols_ok={ok_cols}")
             if not ok_vals:
@@ -173,8 +187,22 @@ def main() -> None:
                             break
         except Exception as exc:
             failures.append(name)
+            records[name] = {
+                "mode": "oracle", "status": "ERROR",
+                "error": f"{type(exc).__name__}: {exc}"[:200],
+            }
             print(f"{name:32s} ERROR {type(exc).__name__}: {exc}")
     spark.stop()
+    if json_out:
+        pathlib.Path(json_out).write_text(json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_checked": len(records),
+                "failures": failures,
+                "entries": records,
+            },
+            indent=1,
+        ))
     print("\nFAILURES:", failures if failures else "none")
     sys.exit(1 if failures else 0)
 
