@@ -42,10 +42,19 @@ def test_spark_submit_pyfiles_extraction_and_resume(spark, tmp_path):
             zf.write(p, p.relative_to(ROOT))
 
     out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    # run a COPY of the entry script from outside the checkout:
+    # submit_job.py puts its own parent's parent on sys.path, so run
+    # from the repo it would quietly re-expose the checkout — copied
+    # to tmp, the --py-files zip is the ONLY package source for both
+    # the driver and the workers
+    script = tmp_path / "submit_job.py"
+    script.write_bytes(
+        (ROOT / "scripts" / "submit_job.py").read_bytes()
+    )
     cmd = [
         SPARK_SUBMIT, "--master", "local[4]",
         "--py-files", str(zip_path),
-        str(ROOT / "scripts" / "submit_job.py"),
+        str(script),
         "--pages", pages, "--out", out,
         "--metrics", metrics, "--partitions", "4",
     ]
