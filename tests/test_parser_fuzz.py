@@ -7,6 +7,8 @@ lines with corrupted field names until this suite existed."""
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -62,7 +64,9 @@ CASES = [
     "name,base,parse", CASES, ids=[c[0] for c in CASES]
 )
 def test_corruption_stays_inside_value_errors(name, base, parse):
-    rng = np.random.RandomState(hash(name) % (2**31))
+    # str hash() is salted per process — crc32 keeps the
+    # corruption schedule identical across pytest runs
+    rng = np.random.RandomState(zlib.crc32(name.encode()))
     base = bytearray(base)
     for _ in range(400):
         mut = bytearray(base)
