@@ -334,3 +334,29 @@ def test_mutation_fuzz_never_escapes_typed_errors(seed, n_flips):
         avi_decode_mjpeg(bytes(base))
     except AviError:
         pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 6),
+    alen=st.integers(0, 700),
+    tag=st.sampled_from([1, 6, 7]),
+    seed=st.integers(0, 10**6),
+)
+def test_property_audio_interleave_reassembles_exactly(
+    n, alen, tag, seed
+):
+    # any audio length (block-aligned) across any frame count must
+    # slice into the interleave and reassemble byte-exactly
+    from pdf_extractor_spark.operators.avi_codec import avi_demux
+
+    rng = np.random.RandomState(seed)
+    block = 2 if tag == 1 else 1
+    data = rng.randint(0, 256, size=alen * block, dtype=np.uint8) \
+        .astype(np.uint8).tobytes()
+    frames = _flat_jpegs(n, 24, 20)
+    avi = avi_encode_mjpeg(frames, 24, 20, audio=(data, tag, 8000))
+    vid, audio, meta = avi_demux(avi)
+    assert vid == frames
+    assert audio == data
+    assert meta["audio_format"] == tag

@@ -475,3 +475,42 @@ class TestRemoveOrphanFiles:
         got = it.read_table(spark, path)
         assert got.count() == 100
         assert got.where("host = 'new.com'").count() == 20
+
+
+def test_commit_conflict_retry_succeeds(spark, tmp_path):
+    """The optimistic-concurrency story end to end: writer B loses
+    the race, sees CommitConflict, re-reads the advanced table and
+    retries the same upsert — exactly-once outcome."""
+    path = str(tmp_path / "t")
+    it.create_table(_df(spark, 0, 100), path, STATS)
+    a = _df(spark, 100, 110, host="a-wins.com")  # disjoint keys
+    b = _df(spark, 40, 60, host="b-retry.com")
+    # writer A commits between B's read and B's commit: simulate by
+    # wrapping _commit so B's FIRST attempt sees the table advance
+    real_commit = it._commit
+    state = {"raced": False}
+
+    def racing_commit(p, manifest, parent, operation):
+        if not state["raced"]:
+            state["raced"] = True
+            real_commit(
+                p,
+                it.read_snapshot(p)["manifest"]
+                + it._write_data_files(a, p, STATS),
+                parent,
+                "merge",
+            )  # A slips in with B's expected parent
+        return real_commit(p, manifest, parent, operation)
+
+    it._commit = racing_commit
+    try:
+        with pytest.raises(it.CommitConflict):
+            it.merge_upsert(spark, b, path, "doc_id", STATS)
+    finally:
+        it._commit = real_commit
+    # retry after the conflict: plain re-invocation now succeeds
+    it.merge_upsert(spark, b, path, "doc_id", STATS)
+    got = it.read_table(spark, path)
+    assert got.count() == got.select("doc_id").distinct().count() == 110
+    assert got.where("host = 'b-retry.com'").count() == 20
+    assert got.where("host = 'a-wins.com'").count() == 10  # A survived
